@@ -1,0 +1,218 @@
+"""Engine configuration system.
+
+Counterpart of the reference's ``vllm/config/`` (29 dataclasses composed into
+a frozen ``VllmConfig``, built by ``EngineArgs.create_engine_config``,
+``engine/arg_utils.py:1594``). We keep the same decomposition scoped to the
+TPU build: Model / Cache / Scheduler / Parallel / Offload / Engine.
+"""
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+from typing import Any, Dict, List, Optional, Tuple
+
+from lvllm_tpu import envs
+from lvllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture + dtype config.
+
+    Populated either from a HuggingFace config.json on disk (see
+    ``model_loader/hf_config.py``) or directly for tests. Field names follow
+    the HF conventions used by Qwen3/Qwen3-MoE style configs.
+    """
+
+    model: str = "dummy"  # path or HF id (or "dummy" for tests)
+    architecture: str = "Qwen3MoeForCausalLM"
+    dtype: str = "bfloat16"
+    seed: int = 0
+
+    # Core transformer dims.
+    vocab_size: int = 32000
+    hidden_size: int = 1024
+    intermediate_size: int = 2816
+    num_hidden_layers: int = 4
+    num_attention_heads: int = 8
+    num_key_value_heads: int = 2
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    # Qwen3-style per-head q/k norm.
+    qk_norm: bool = True
+    sliding_window: Optional[int] = None
+
+    # MoE (0 experts => dense model).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None
+    num_shared_experts: int = 0
+    shared_expert_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = True
+    decoder_sparse_step: int = 1  # every Nth layer is MoE
+    mlp_only_layers: Tuple[int, ...] = ()
+    # Router scoring function: "softmax" | "sigmoid" (DeepSeek-style).
+    router_scoring_fn: str = "softmax"
+
+    max_model_len: int = 4096
+    quantization: Optional[str] = None  # None | "int8" | "int4" | "fp8"
+
+    # Special tokens (filled by tokenizer glue when available).
+    eos_token_id: int = 2
+    bos_token_id: int = 1
+    pad_token_id: int = 0
+
+    def __post_init__(self) -> None:
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+        if self.moe_intermediate_size is None:
+            self.moe_intermediate_size = self.intermediate_size
+        if self.max_model_len > self.max_position_embeddings:
+            self.max_model_len = self.max_position_embeddings
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    def is_moe_layer(self, layer_idx: int) -> bool:
+        """Whether layer `layer_idx` uses the MoE FFN (reference:
+        qwen3_moe.py decoder_sparse_step / mlp_only_layers logic)."""
+        if not self.is_moe:
+            return False
+        if layer_idx in self.mlp_only_layers:
+            return False
+        return (layer_idx + 1) % self.decoder_sparse_step == 0
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_key_value_heads
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache config (reference: vllm/config/cache.py)."""
+
+    block_size: int = 16  # tokens per KV block/page
+    num_gpu_blocks: Optional[int] = None  # None => profile-derived
+    gpu_memory_utilization: float = 0.9
+    enable_prefix_caching: bool = True
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8
+    swap_space_gb: float = 0.0
+
+    def __post_init__(self) -> None:
+        if self.block_size & (self.block_size - 1):
+            raise ValueError(f"block_size must be a power of 2, got {self.block_size}")
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching scheduler config (reference: config/scheduler.py).
+
+    The reference scheduler has no prefill/decode phases — a single token
+    budget per step (``sched/scheduler.py:350``); we keep that model.
+    """
+
+    max_num_batched_tokens: int = 2048
+    max_num_seqs: int = 128
+    max_model_len: int = 4096
+    enable_chunked_prefill: bool = True
+    long_prefill_token_threshold: int = 0  # 0 => no cap beyond budget
+    policy: str = "fcfs"  # fcfs | priority
+    # Padded token-bucket sizes for the jitted step (replaces CUDA-graph
+    # capture sizes, reference config/compilation.py cudagraph_capture_sizes).
+    token_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+    def __post_init__(self) -> None:
+        buckets = sorted(set(int(b) for b in self.token_buckets))
+        if buckets[-1] < self.max_num_batched_tokens:
+            buckets.append(self.max_num_batched_tokens)
+        self.token_buckets = tuple(b for b in buckets
+                                   if b <= self.max_num_batched_tokens)
+
+    def pad_tokens_to_bucket(self, num_tokens: int) -> int:
+        for b in self.token_buckets:
+            if num_tokens <= b:
+                return b
+        return self.token_buckets[-1]
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh parallelism config (reference: vllm/config/parallel.py).
+
+    TP/EP/DP/(DCP/PCP later) map to named mesh axes instead of process
+    groups; XLA inserts the collectives.
+    """
+
+    tensor_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    # Decode context parallel (KV interleaved over TP subgroup,
+    # reference config/parallel.py:308-331).
+    decode_context_parallel_size: int = 1
+    enable_expert_parallel: bool = False
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.data_parallel_size *
+                self.pipeline_parallel_size)
+
+
+@dataclass
+class OffloadConfig:
+    """HBM + host-RAM expert tiering config.
+
+    TPU-native replacement for the reference fork's CPU(NUMA)+GPU hybrid MoE
+    (SURVEY.md §2.11) and upstream's PrefetchOffloader
+    (``model_executor/offloader/prefetch.py:127``): cold expert weights live
+    in pinned host RAM and stream into a rotating HBM buffer one layer ahead
+    of compute.
+    """
+
+    enabled: bool = False
+    # Layers pinned resident in HBM ("0-3,9" range syntax, reference
+    # LVLLM_GPU_RESIDENT_MOE_LAYERS).
+    hbm_resident_moe_layers: str = ""
+    prefetch_window: int = 1
+    num_hbm_buffers: int = 2  # rotating placeholder buffer sets (ref: ≤4)
+
+    def resident_layer_set(self) -> set:
+        return envs.parse_layer_ranges(self.hbm_resident_moe_layers)
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_detailed_metrics: bool = False
+    log_stats_interval_s: float = 10.0
+
+
+@dataclass
+class EngineConfig:
+    """Frozen composite of all sub-configs (reference: config/vllm.py
+    ``VllmConfig``)."""
+
+    model_config: ModelConfig = field(default_factory=ModelConfig)
+    cache_config: CacheConfig = field(default_factory=CacheConfig)
+    scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
+    offload_config: OffloadConfig = field(default_factory=OffloadConfig)
+    observability_config: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig)
+
+    def __post_init__(self) -> None:
+        # Keep scheduler and model length consistent.
+        self.scheduler_config.max_model_len = self.model_config.max_model_len
+
+    def compute_hash(self) -> str:
+        """Stable hash of the config, used as part of the compile-cache key
+        (reference: VllmConfig.compute_hash feeding torch.compile cache)."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -1,0 +1,145 @@
+"""Request lifecycle state machine.
+
+Counterpart of the reference's ``vllm/v1/request.py`` (Request/RequestStatus)
+and the stop-check in ``v1/core/sched/utils.py``.
+"""
+
+import enum
+import time
+from typing import List, Optional
+
+from lvllm_tpu.sampling_params import SamplingParams
+
+
+class RequestStatus(enum.IntEnum):
+    WAITING = 0
+    RUNNING = 1
+    PREEMPTED = 2
+    FINISHED_STOPPED = 3
+    FINISHED_LENGTH_CAPPED = 4
+    FINISHED_ABORTED = 5
+    FINISHED_IGNORED = 6
+
+    @staticmethod
+    def is_finished(status: "RequestStatus") -> bool:
+        return status >= RequestStatus.FINISHED_STOPPED
+
+
+_FINISH_REASON = {
+    RequestStatus.FINISHED_STOPPED: "stop",
+    RequestStatus.FINISHED_LENGTH_CAPPED: "length",
+    RequestStatus.FINISHED_ABORTED: "abort",
+    RequestStatus.FINISHED_IGNORED: "ignored",
+}
+
+
+class Request:
+    """One generation request tracked by the scheduler.
+
+    Mirrors reference ``v1/request.py``: prompt tokens + growing output
+    tokens, spec-decode slots, per-request block allocation handled by the
+    KVCacheManager keyed on ``request_id``.
+    """
+
+    def __init__(
+        self,
+        request_id: str,
+        prompt_token_ids: List[int],
+        sampling_params: SamplingParams,
+        eos_token_id: Optional[int] = None,
+        arrival_time: Optional[float] = None,
+        priority: int = 0,
+        prompt: Optional[str] = None,
+    ) -> None:
+        self.request_id = request_id
+        self.prompt = prompt
+        self.prompt_token_ids: List[int] = list(prompt_token_ids)
+        self.sampling_params = sampling_params
+        self.eos_token_id = eos_token_id
+        self.arrival_time = arrival_time if arrival_time is not None else time.time()
+        self.priority = priority
+
+        self.status = RequestStatus.WAITING
+        self.output_token_ids: List[int] = []
+        # Tokens whose KV is already computed (on device). During chunked
+        # prefill this trails len(prompt); equals num_tokens once decoding.
+        self.num_computed_tokens: int = 0
+        # Prefix-cache hit length at schedule time (device blocks reused).
+        self.num_cached_tokens: int = 0
+        # Draft tokens proposed by spec-decode, pending verification.
+        self.spec_token_ids: List[int] = []
+        self.num_preemptions: int = 0
+        self.stop_reason: Optional[object] = None
+        # Set by the engine when streaming output.
+        self.first_token_time: Optional[float] = None
+
+    # ---- token accounting -------------------------------------------------
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def num_output_tokens(self) -> int:
+        return len(self.output_token_ids)
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_prompt_tokens + self.num_output_tokens
+
+    @property
+    def num_tokens_with_spec(self) -> int:
+        return self.num_tokens + len(self.spec_token_ids)
+
+    @property
+    def all_token_ids(self) -> List[int]:
+        return self.prompt_token_ids + self.output_token_ids
+
+    @property
+    def max_tokens(self) -> int:
+        mt = self.sampling_params.max_tokens
+        return mt if mt is not None else 2**31
+
+    # ---- state ------------------------------------------------------------
+
+    @property
+    def is_finished(self) -> bool:
+        return RequestStatus.is_finished(self.status)
+
+    def get_finished_reason(self) -> Optional[str]:
+        return _FINISH_REASON.get(self.status)
+
+    def append_output_token_ids(self, token_ids) -> None:
+        if isinstance(token_ids, int):
+            token_ids = [token_ids]
+        self.output_token_ids.extend(token_ids)
+
+
+def check_stop(request: Request) -> bool:
+    """Check stop conditions after new output tokens were appended; sets the
+    finished status. Mirrors reference ``v1/core/sched/utils.py check_stop``.
+
+    Stop *strings* are handled downstream by the detokenizer (they need text);
+    this handles token-level stops.
+    """
+    sp = request.sampling_params
+    if request.num_output_tokens >= request.max_tokens:
+        request.status = RequestStatus.FINISHED_LENGTH_CAPPED
+        return True
+    if request.num_tokens >= 2**31:
+        request.status = RequestStatus.FINISHED_LENGTH_CAPPED
+        return True
+    if request.num_output_tokens < sp.min_tokens:
+        return False
+    last = request.output_token_ids[-1] if request.output_token_ids else None
+    if last is None:
+        return False
+    if (not sp.ignore_eos and request.eos_token_id is not None
+            and last == request.eos_token_id):
+        request.status = RequestStatus.FINISHED_STOPPED
+        return True
+    if last in (sp.stop_token_ids or ()):
+        request.status = RequestStatus.FINISHED_STOPPED
+        request.stop_reason = last
+        return True
+    return False

@@ -1,0 +1,69 @@
+"""Scheduler output datatypes.
+
+Counterpart of the reference's ``vllm/v1/core/sched/output.py``
+(SchedulerOutput / NewRequestData / CachedRequestData) and the runner-side
+``ModelRunnerOutput``.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from lvllm_tpu.sampling_params import SamplingParams
+
+
+@dataclass
+class NewRequestData:
+    """A request entering the running set this step (prefill start)."""
+
+    req_id: str
+    prompt_token_ids: List[int]
+    block_ids: List[int]
+    num_computed_tokens: int
+    sampling_params: SamplingParams
+
+
+@dataclass
+class CachedRequestData:
+    """A request already running (decode or continued chunked prefill)."""
+
+    req_id: str
+    new_block_ids: List[int]
+    num_computed_tokens: int
+    resumed_from_preemption: bool = False
+    # For resumed requests the runner must re-learn all tokens/blocks.
+    all_token_ids: Optional[List[int]] = None
+    all_block_ids: Optional[List[int]] = None
+
+
+@dataclass
+class SchedulerOutput:
+    scheduled_new_reqs: List[NewRequestData] = field(default_factory=list)
+    scheduled_cached_reqs: List[CachedRequestData] = field(default_factory=list)
+    # req_id -> number of tokens to run this step (includes spec tokens).
+    num_scheduled_tokens: Dict[str, int] = field(default_factory=dict)
+    total_num_scheduled_tokens: int = 0
+    # req_id -> spec-decode draft token ids scheduled for verification.
+    scheduled_spec_decode_tokens: Dict[str, List[int]] = field(
+        default_factory=dict)
+    finished_req_ids: List[str] = field(default_factory=list)
+    preempted_req_ids: List[str] = field(default_factory=list)
+
+    @property
+    def num_reqs(self) -> int:
+        return len(self.num_scheduled_tokens)
+
+    def is_empty(self) -> bool:
+        return self.total_num_scheduled_tokens == 0
+
+
+@dataclass
+class ModelRunnerOutput:
+    """Per-step result handed back from the runner to the scheduler
+    (reference: vllm/v1/outputs.py ModelRunnerOutput)."""
+
+    # req_id -> newly sampled token ids (>=1; >1 with spec decode).
+    sampled_token_ids: Dict[str, List[int]] = field(default_factory=dict)
+    # req_id -> logprob of each sampled token (optional).
+    logprobs: Optional[Dict[str, List[float]]] = None
+    # req_id -> draft tokens proposed for the *next* step.
+    spec_token_ids: Optional[Dict[str, List[int]]] = None

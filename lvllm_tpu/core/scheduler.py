@@ -1,0 +1,326 @@
+"""Continuous-batching scheduler.
+
+Counterpart of the reference's ``vllm/v1/core/sched/scheduler.py`` (Scheduler,
+``schedule():350``, ``update_from_output():1301``). Same core model:
+
+- No prefill/decode phases: a single token budget per step; each scheduled
+  request contributes ``min(remaining_tokens, budget)`` tokens — chunked
+  prefill and decode fall out naturally (scheduler.py:351-360).
+- RUNNING requests are scheduled first, then WAITING requests are admitted
+  while budget and KV blocks remain.
+- On KV exhaustion, the lowest-priority running request is preempted
+  (blocks freed, status PREEMPTED, back to head of waiting queue).
+- Prefix caching: new requests reuse cached block chains.
+"""
+
+from collections import deque
+from typing import Deque, Dict, List, Optional
+
+from lvllm_tpu.config import CacheConfig, SchedulerConfig
+from lvllm_tpu.core.kv_cache_manager import KVCacheManager
+from lvllm_tpu.core.request import Request, RequestStatus, check_stop
+from lvllm_tpu.core.sched_output import (CachedRequestData, ModelRunnerOutput,
+                                         NewRequestData, SchedulerOutput)
+from lvllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class Scheduler:
+
+    def __init__(
+        self,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        num_kv_blocks: int,
+    ) -> None:
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.max_num_seqs = scheduler_config.max_num_seqs
+        self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
+        self.block_size = cache_config.block_size
+
+        self.kv_cache_manager = KVCacheManager(
+            block_size=cache_config.block_size,
+            num_blocks=num_kv_blocks,
+            max_model_len=scheduler_config.max_model_len,
+            enable_caching=cache_config.enable_prefix_caching,
+        )
+
+        self.requests: Dict[str, Request] = {}
+        self.waiting: Deque[Request] = deque()
+        self.running: List[Request] = []
+        self.finished_req_ids: List[str] = []
+
+        # Cumulative counters (reference: SchedulerStats).
+        self.num_scheduled_steps = 0
+        self.num_preemptions = 0
+
+    # ---- request intake ---------------------------------------------------
+
+    def add_request(self, request: Request) -> None:
+        if request.request_id in self.requests:
+            raise ValueError(f"duplicate request id {request.request_id}")
+        self.requests[request.request_id] = request
+        if self.scheduler_config.policy == "priority":
+            # Stable insert by (priority, arrival) — simple variant of the
+            # reference's priority heap (sched/request_queue.py:131).
+            idx = len(self.waiting)
+            for i, r in enumerate(self.waiting):
+                if (request.priority, request.arrival_time) < \
+                        (r.priority, r.arrival_time):
+                    idx = i
+                    break
+            self.waiting.insert(idx, request)
+        else:
+            self.waiting.append(request)
+
+    def abort_requests(self, request_ids) -> None:
+        for rid in request_ids:
+            req = self.requests.get(rid)
+            if req is None or req.is_finished:
+                continue
+            req.status = RequestStatus.FINISHED_ABORTED
+            if req in self.running:
+                self.running.remove(req)
+            else:
+                try:
+                    self.waiting.remove(req)
+                except ValueError:
+                    pass
+            self._free_request(req)
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def get_num_unfinished_requests(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    # ---- scheduling -------------------------------------------------------
+
+    def schedule(self) -> SchedulerOutput:
+        output = SchedulerOutput()
+        budget = self.max_num_batched_tokens
+
+        # Drain finished ids collected since last step for the runner.
+        output.finished_req_ids = self.finished_req_ids
+        self.finished_req_ids = []
+
+        # Phase 1: running requests (decode / continued chunked prefill).
+        preempted: List[Request] = []
+        idx = 0
+        while idx < len(self.running) and budget > 0:
+            req = self.running[idx]
+            num_new_tokens = req.num_tokens_with_spec - req.num_computed_tokens
+            num_new_tokens = min(num_new_tokens, budget)
+            if (self.scheduler_config.long_prefill_token_threshold > 0
+                    and req.num_computed_tokens < req.num_prompt_tokens):
+                num_new_tokens = min(
+                    num_new_tokens,
+                    self.scheduler_config.long_prefill_token_threshold)
+            if num_new_tokens <= 0:
+                idx += 1
+                continue
+
+            while True:
+                new_blocks = self.kv_cache_manager.allocate_slots(
+                    req, num_new_tokens)
+                if new_blocks is not None:
+                    break
+                # Preempt the lowest-priority (last) running request.
+                victim = self._choose_victim()
+                if victim is None or victim is req:
+                    # Cannot make room; preempt self.
+                    self._preempt(req, preempted)
+                    new_blocks = None
+                    break
+                self._preempt(victim, preempted)
+            if new_blocks is None:
+                # req itself was preempted; it left self.running at idx.
+                continue
+
+            num_spec = len(req.spec_token_ids)
+            output.scheduled_cached_reqs.append(CachedRequestData(
+                req_id=req.request_id,
+                new_block_ids=new_blocks.get_block_ids(),
+                num_computed_tokens=req.num_computed_tokens,
+            ))
+            if num_spec:
+                output.scheduled_spec_decode_tokens[req.request_id] = \
+                    list(req.spec_token_ids)
+            output.num_scheduled_tokens[req.request_id] = num_new_tokens
+            budget -= num_new_tokens
+            idx += 1
+
+        # Phase 2: admit waiting requests (new or resumed-from-preemption).
+        while self.waiting and budget > 0 and \
+                len(self.running) < self.max_num_seqs:
+            req = self.waiting[0]
+            resumed = req.status == RequestStatus.PREEMPTED
+
+            if resumed:
+                new_computed_blocks, num_cached_tokens = None, 0
+            else:
+                new_computed_blocks, num_cached_tokens = \
+                    self.kv_cache_manager.get_computed_blocks(req)
+
+            num_new_tokens = req.num_tokens - num_cached_tokens - \
+                req.num_computed_tokens
+            if self.scheduler_config.long_prefill_token_threshold > 0:
+                num_new_tokens = min(
+                    num_new_tokens,
+                    self.scheduler_config.long_prefill_token_threshold)
+            num_new_tokens = min(num_new_tokens, budget)
+            if num_new_tokens <= 0:
+                break
+
+            if not resumed and num_cached_tokens:
+                req.num_computed_tokens = num_cached_tokens
+                req.num_cached_tokens = num_cached_tokens
+
+            new_blocks = self.kv_cache_manager.allocate_slots(
+                req, num_new_tokens, new_computed_blocks=new_computed_blocks)
+            if new_blocks is None:
+                # If nothing is running and nothing else got scheduled, this
+                # request can never fit in the pool — finish it as IGNORED
+                # instead of deadlocking on an empty schedule.
+                if not self.running and not output.num_scheduled_tokens:
+                    logger.warning(
+                        "Request %s needs more KV blocks than the pool has; "
+                        "ignoring it.", req.request_id)
+                    self.waiting.popleft()
+                    req.status = RequestStatus.FINISHED_IGNORED
+                    self._free_request(req)
+                    continue
+                break  # no KV room now; don't preempt for waiting reqs
+
+            self.waiting.popleft()
+            req.status = RequestStatus.RUNNING
+            self.running.append(req)
+
+            if resumed:
+                output.scheduled_cached_reqs.append(CachedRequestData(
+                    req_id=req.request_id,
+                    new_block_ids=[],  # superseded by all_block_ids
+                    num_computed_tokens=req.num_computed_tokens,
+                    resumed_from_preemption=True,
+                    all_token_ids=req.all_token_ids,
+                    all_block_ids=self.kv_cache_manager.get_block_ids(
+                        req.request_id),
+                ))
+            else:
+                output.scheduled_new_reqs.append(NewRequestData(
+                    req_id=req.request_id,
+                    prompt_token_ids=req.prompt_token_ids,
+                    block_ids=self.kv_cache_manager.get_block_ids(
+                        req.request_id),
+                    num_computed_tokens=req.num_computed_tokens,
+                    sampling_params=req.sampling_params,
+                ))
+            output.num_scheduled_tokens[req.request_id] = num_new_tokens
+            budget -= num_new_tokens
+
+        output.preempted_req_ids = [r.request_id for r in preempted]
+        output.total_num_scheduled_tokens = sum(
+            output.num_scheduled_tokens.values())
+        self.num_scheduled_steps += 1
+        return output
+
+    def _choose_victim(self) -> Optional[Request]:
+        if not self.running:
+            return None
+        if self.scheduler_config.policy == "priority":
+            return max(self.running,
+                       key=lambda r: (r.priority, r.arrival_time))
+        return self.running[-1]
+
+    def _preempt(self, req: Request, preempted: List[Request]) -> None:
+        self.kv_cache_manager.free(req)
+        req.status = RequestStatus.PREEMPTED
+        req.num_computed_tokens = 0
+        req.num_preemptions += 1
+        req.spec_token_ids = []
+        self.num_preemptions += 1
+        if req in self.running:
+            self.running.remove(req)
+        self.waiting.appendleft(req)
+        preempted.append(req)
+
+    # ---- post-execution update -------------------------------------------
+
+    def update_from_output(
+        self,
+        scheduler_output: SchedulerOutput,
+        runner_output: ModelRunnerOutput,
+    ) -> List[Request]:
+        """Advance request state with sampled tokens; returns requests that
+        produced new tokens this step (for the output processor).
+        Reference: sched/scheduler.py:1301."""
+        finished: List[Request] = []
+        stepped: List[Request] = []
+
+        for req in list(self.running):
+            rid = req.request_id
+            num_scheduled = scheduler_output.num_scheduled_tokens.get(rid)
+            if num_scheduled is None:
+                continue
+            spec_scheduled = scheduler_output.scheduled_spec_decode_tokens.get(
+                rid, [])
+            sampled = runner_output.sampled_token_ids.get(rid, [])
+
+            # Spec-decode accounting: of the scheduled tokens, the draft
+            # tokens past the first may be rejected — computed tokens advance
+            # only by accepted count.
+            num_draft = len(spec_scheduled)
+            if num_draft:
+                num_accepted = max(len(sampled) - 1, 0)
+                num_rejected = num_draft - num_accepted
+                req.num_computed_tokens += num_scheduled - num_rejected
+            else:
+                req.num_computed_tokens += num_scheduled
+            req.spec_token_ids = []
+
+            if req.num_computed_tokens < req.num_prompt_tokens:
+                continue  # mid chunked-prefill: no token sampled yet
+
+            if sampled:
+                req.append_output_token_ids(sampled)
+                stepped.append(req)
+                if check_stop(req):
+                    finished.append(req)
+                    continue
+            # Stash next-step drafts.
+            if runner_output.spec_token_ids:
+                req.spec_token_ids = runner_output.spec_token_ids.get(rid, [])
+
+        for req in finished:
+            self.running.remove(req)
+            self._free_request(req)
+
+        return stepped
+
+    def finish_request_external(self, req: Request, status: RequestStatus)\
+            -> None:
+        """Finish triggered outside update (e.g. stop-string hit detected by
+        the detokenizer)."""
+        req.status = status
+        if req in self.running:
+            self.running.remove(req)
+        self._free_request(req)
+
+    def _free_request(self, req: Request) -> None:
+        self.kv_cache_manager.free(req)
+        self.kv_cache_manager.free_block_hashes(req)
+        self.finished_req_ids.append(req.request_id)
+        self.requests.pop(req.request_id, None)
+
+    # ---- stats -----------------------------------------------------------
+
+    def make_stats(self) -> dict:
+        return {
+            "num_running": len(self.running),
+            "num_waiting": len(self.waiting),
+            "kv_cache_usage": self.kv_cache_manager.usage,
+            "num_preemptions": self.num_preemptions,
+            "prefix_cache": self.kv_cache_manager.make_prefix_cache_stats(),
+        }
