@@ -1,0 +1,93 @@
+"""Benchmark: steady-state decode throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference fork's published decode rate
+(90 tok/s for Qwen3-Next-80B-A3B on 2×EPYC+RTX6000, BASELINE.md) — not
+hardware-equivalent, but the recorded north-star number until real
+checkpoints are benchable.
+
+Model: dummy-weight Qwen3-MoE sized to fit one v5e chip (~1.3B params bf16),
+A3B-style sparsity (8 routed experts, top-2).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from lvllm_tpu.config import ModelConfig
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="bfloat16",
+        vocab_size=32768, hidden_size=1024, intermediate_size=4096,
+        num_hidden_layers=12, num_attention_heads=16, num_key_value_heads=4,
+        head_dim=128, num_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=1024, max_position_embeddings=4096,
+        max_model_len=2048, eos_token_id=-1)
+
+    batch = 16
+    prompt_len = 128
+    decode_tokens = 64
+
+    llm = LLM(model_config=mc, load_format="dummy", max_num_seqs=batch,
+              max_num_batched_tokens=2048, block_size=16,
+              num_kv_blocks=2048)
+
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, mc.vocab_size, size=prompt_len).tolist()
+               for _ in range(batch)]
+    sp = SamplingParams(temperature=0.0, max_tokens=decode_tokens)
+
+    # Warmup: compiles prefill + decode buckets.
+    llm.generate([prompts[0]], SamplingParams(temperature=0.0, max_tokens=4))
+
+    t0 = time.time()
+    outs = llm.generate(prompts, sp)
+    elapsed = time.time() - t0
+    total_decoded = sum(len(o.outputs[0].token_ids) for o in outs)
+
+    # Separate decode-rate estimate: time per engine step at full batch.
+    eng = llm.engine
+    for i, p in enumerate(prompts):
+        eng.add_request(f"bench-{i}", p, sp)
+    # Prefill everything first.
+    while True:
+        stats = eng.get_stats()
+        if stats["num_waiting"] == 0:
+            break
+        eng.step()
+    t1 = time.time()
+    steps = 0
+    decoded = 0
+    while eng.has_unfinished_requests() and steps < decode_tokens - 2:
+        outs2 = eng.step()
+        decoded += len(outs2)
+        steps += 1
+    decode_elapsed = time.time() - t1
+    decode_tps = decoded / decode_elapsed if decode_elapsed > 0 else 0.0
+    eng.abort_request([f"bench-{i}" for i in range(batch)])
+
+    result = {
+        "metric": "decode_throughput_dummy_moe_1p3b_bs16",
+        "value": round(decode_tps, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(decode_tps / 90.0, 2),
+        "detail": {
+            "e2e_tokens_per_s": round(total_decoded / elapsed, 1),
+            "backend": jax.default_backend(),
+            "batch": batch,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

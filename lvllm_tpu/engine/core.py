@@ -1,0 +1,115 @@
+"""EngineCore: the schedule → execute → update inner loop.
+
+Counterpart of the reference's ``vllm/v1/engine/core.py`` (EngineCore,
+``step:402``, ``_initialize_kv_caches:232``). The process-boundary wrapper
+(EngineCoreProc with ZMQ I/O threads) layers on top for serving; offline use
+drives this in-process (reference InprocClient pattern).
+"""
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+
+from lvllm_tpu.config import EngineConfig
+from lvllm_tpu.core.request import Request
+from lvllm_tpu.core.scheduler import Scheduler
+from lvllm_tpu.core.sched_output import ModelRunnerOutput, SchedulerOutput
+from lvllm_tpu.logger import init_logger
+from lvllm_tpu.model_loader.loader import load_model
+from lvllm_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+
+def determine_num_kv_blocks(config: EngineConfig) -> int:
+    """KV cache sizing (reference: Worker.determine_available_memory:332 —
+    profile a forward pass, give the rest to KV).
+
+    TPU variant: query device memory stats when available; otherwise use a
+    conservative budget. An explicit cache_config.num_gpu_blocks wins.
+    """
+    cc = config.cache_config
+    if cc.num_gpu_blocks:
+        return cc.num_gpu_blocks
+    mc = config.model_config
+    bytes_per_token = (2 * mc.num_kv_heads * mc.head_dim *
+                       mc.num_hidden_layers *
+                       (2 if mc.dtype == "bfloat16" else 4))
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        total = stats.get("bytes_limit", 0)
+        used = stats.get("bytes_in_use", 0)
+        avail = (total - used) * cc.gpu_memory_utilization
+    except Exception:
+        avail = 0
+    if avail <= 0:
+        # Fallback: enough blocks for max_num_seqs full-length sequences,
+        # capped to keep host/test meshes small.
+        tokens = config.scheduler_config.max_num_seqs * mc.max_model_len
+        return max(min(tokens // cc.block_size, 4096), 16)
+    num = int(avail // (bytes_per_token * cc.block_size))
+    return max(num, 16)
+
+
+class EngineCore:
+
+    def __init__(self, config: EngineConfig, load_format: str = "auto",
+                 mesh=None):
+        self.config = config
+        t0 = time.time()
+        self.model, params = load_model(config.model_config, load_format)
+        if mesh is not None:
+            from lvllm_tpu.parallel.sharding import shard_params
+            params = shard_params(params, config.model_config, mesh)
+        logger.info("model loaded in %.1fs", time.time() - t0)
+
+        self.num_kv_blocks = determine_num_kv_blocks(config)
+        logger.info("KV cache: %d blocks x %d tokens", self.num_kv_blocks,
+                    config.cache_config.block_size)
+
+        self.scheduler = Scheduler(config.scheduler_config,
+                                   config.cache_config,
+                                   num_kv_blocks=self.num_kv_blocks)
+        self.runner = ModelRunner(config, self.model, params,
+                                  self.num_kv_blocks, mesh=mesh)
+
+    # ---- request API -------------------------------------------------------
+
+    def add_request(self, request: Request) -> None:
+        if not request.prompt_token_ids:
+            raise ValueError("prompt must contain at least one token")
+        if len(request.prompt_token_ids) > \
+                self.config.model_config.max_model_len:
+            raise ValueError(
+                f"prompt ({len(request.prompt_token_ids)} tokens) exceeds "
+                f"max_model_len {self.config.model_config.max_model_len}")
+        self.scheduler.add_request(request)
+
+    def abort_requests(self, request_ids: List[str]) -> None:
+        self.scheduler.abort_requests(request_ids)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()
+
+    # ---- stepping ----------------------------------------------------------
+
+    def step(self) -> Tuple[List[Request], Dict[str, List[float]]]:
+        """One engine iteration; returns (requests that gained tokens,
+        per-request logprobs of those tokens)."""
+        if not self.scheduler.has_unfinished_requests():
+            return [], {}
+        scheduler_output = self.scheduler.schedule()
+        if scheduler_output.total_num_scheduled_tokens == 0:
+            # Nothing runnable (e.g. all waiting blocked on KV); runner still
+            # needs the finished/preempted diffs.
+            self.runner.execute_model(scheduler_output)
+            return [], {}
+        runner_output = self.runner.execute_model(scheduler_output)
+        stepped = self.scheduler.update_from_output(scheduler_output,
+                                                    runner_output)
+        return stepped, (runner_output.logprobs or {})
+
+    def get_stats(self) -> dict:
+        return self.scheduler.make_stats()

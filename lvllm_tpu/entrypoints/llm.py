@@ -1,0 +1,110 @@
+"""Offline `LLM` entrypoint.
+
+Counterpart of the reference's ``vllm/entrypoints/llm.py`` (LLM class:
+generate/chat over a sync engine, ``llm.py:106``).
+"""
+
+from typing import List, Optional, Sequence, Union
+
+from lvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                              OffloadConfig, ParallelConfig, SchedulerConfig)
+from lvllm_tpu.engine.llm_engine import LLMEngine
+from lvllm_tpu.logger import init_logger
+from lvllm_tpu.outputs import RequestOutput
+from lvllm_tpu.sampling_params import SamplingParams
+
+logger = init_logger(__name__)
+
+
+def _maybe_load_tokenizer(model: str):
+    if model == "dummy":
+        return None
+    try:
+        from transformers import AutoTokenizer
+        return AutoTokenizer.from_pretrained(model)
+    except Exception as e:  # noqa: BLE001
+        logger.warning("could not load tokenizer from %s: %s", model, e)
+        return None
+
+
+class LLM:
+    """Offline batch inference API.
+
+    >>> llm = LLM(model="/path/to/qwen3", max_model_len=4096)
+    >>> outs = llm.generate(["hello"], SamplingParams(max_tokens=16))
+    """
+
+    def __init__(
+        self,
+        model: str = "dummy",
+        *,
+        model_config: Optional[ModelConfig] = None,
+        load_format: str = "auto",
+        max_model_len: Optional[int] = None,
+        max_num_seqs: int = 128,
+        max_num_batched_tokens: int = 2048,
+        block_size: int = 16,
+        num_kv_blocks: Optional[int] = None,
+        enable_prefix_caching: bool = True,
+        dtype: str = "bfloat16",
+        seed: int = 0,
+        tensor_parallel_size: int = 1,
+        mesh=None,
+    ) -> None:
+        if model_config is None:
+            if model == "dummy":
+                model_config = ModelConfig(model="dummy", dtype=dtype,
+                                           seed=seed)
+                load_format = "dummy"
+            else:
+                from lvllm_tpu.model_loader.hf_config import load_model_config
+                model_config = load_model_config(
+                    model, max_model_len=max_model_len, dtype=dtype)
+        if max_model_len is not None:
+            model_config.max_model_len = min(max_model_len,
+                                             model_config.max_position_embeddings)
+        config = EngineConfig(
+            model_config=model_config,
+            cache_config=CacheConfig(
+                block_size=block_size,
+                num_gpu_blocks=num_kv_blocks,
+                enable_prefix_caching=enable_prefix_caching),
+            scheduler_config=SchedulerConfig(
+                max_num_batched_tokens=max_num_batched_tokens,
+                max_num_seqs=max_num_seqs,
+                max_model_len=model_config.max_model_len),
+            parallel_config=ParallelConfig(
+                tensor_parallel_size=tensor_parallel_size),
+        )
+        tokenizer = _maybe_load_tokenizer(model_config.model)
+        self.engine = LLMEngine(config, load_format=load_format,
+                                tokenizer=tokenizer, mesh=mesh)
+
+    def generate(
+        self,
+        prompts: Union[str, List[int], Sequence[Union[str, List[int]]]],
+        sampling_params: Optional[Union[SamplingParams,
+                                        List[SamplingParams]]] = None,
+    ) -> List[RequestOutput]:
+        if isinstance(prompts, str) or (
+                prompts and isinstance(prompts, (list, tuple))
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * len(prompts)
+
+        order: List[str] = []
+        for p, sp in zip(prompts, sampling_params):
+            order.append(self.engine.add_request(None, p, sp))
+
+        finals = {}
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                if out.finished:
+                    finals[out.request_id] = out
+        return [finals[rid] for rid in order]
+
+    def get_stats(self) -> dict:
+        return self.engine.get_stats()

@@ -1,0 +1,46 @@
+"""Elementwise layer primitives: norms and activations.
+
+Counterpart of the reference's ``csrc/layernorm_kernels.cu`` (rms_norm,
+fused_add_rms_norm) and ``csrc/activation_kernels.cu`` (silu_and_mul).
+On TPU these are pure jnp — XLA fuses them into adjacent matmuls, which is
+exactly what the hand-written CUDA kernels exist to do.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm in f32 accumulation (reference: rms_norm kernel)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_add_rms_norm(
+    x: jax.Array, residual: jax.Array, weight: jax.Array, eps: float = 1e-6
+) -> Tuple[jax.Array, jax.Array]:
+    """residual += x; return (rms_norm(residual), residual).
+
+    Mirrors the reference's fused_add_rms_norm: the residual stream is
+    updated in f32-accumulated addition, then normalized.
+    """
+    new_residual = (x.astype(jnp.float32) +
+                    residual.astype(jnp.float32)).astype(x.dtype)
+    return rms_norm(new_residual, weight, eps), new_residual
+
+
+def silu_and_mul(gate_up: jax.Array) -> jax.Array:
+    """SwiGLU activation over a concatenated [.., 2*I] gate/up projection
+    (reference: silu_and_mul kernel)."""
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+
+
+def gelu_and_mul(gate_up: jax.Array) -> jax.Array:
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return jax.nn.gelu(gate.astype(jnp.float32),
+                       approximate=True).astype(gate.dtype) * up

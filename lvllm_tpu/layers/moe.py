@@ -1,0 +1,137 @@
+"""Fused MoE layer: router → grouped expert GEMM → weighted combine.
+
+TPU-native counterpart of the reference's MoE stack
+(``fused_moe/layer.py`` FusedMoE, ``runner/moe_runner.py``, Triton
+``fused_moe.py``, CUDA ``moe_align_block_size``/``topk_softmax`` kernels):
+
+- top-k softmax routing (router/*.py) → ``route_tokens``
+- token permutation by expert (moe_align_block_size / permute kernels) →
+  argsort + ``jax.lax.ragged_dot`` grouped GEMM, which XLA maps straight
+  onto the MXU with ragged group boundaries — no hand-written alignment
+  kernel needed.
+- shared experts fused alongside (runner/shared_experts.py).
+
+Expert parallelism (EP) adds a ragged all-to-all around the grouped GEMM —
+see ``parallel/expert_parallel.py``.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lvllm_tpu.layers.common import silu_and_mul
+
+
+class MoEParams(NamedTuple):
+    """One MoE layer's weights.
+
+    w1: [E, H, 2I] fused gate+up ("w13" in the reference)
+    w2: [E, I, H] down projection
+    router: [H, E]
+    """
+
+    router: jax.Array
+    w1: jax.Array
+    w2: jax.Array
+    router_bias: Optional[jax.Array] = None
+    shared_w1: Optional[jax.Array] = None  # [H, 2I_s]
+    shared_w2: Optional[jax.Array] = None  # [I_s, H]
+
+
+def route_tokens(
+    x: jax.Array,             # [T, H]
+    router: jax.Array,        # [H, E]
+    top_k: int,
+    norm_topk_prob: bool = True,
+    scoring_fn: str = "softmax",
+    router_bias: Optional[jax.Array] = None,
+    e_score_bias: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k routing → (weights [T, K] f32, expert_ids [T, K] i32).
+
+    softmax-then-topk (Qwen) by default; sigmoid scoring with selection bias
+    (DeepSeek-style e_score_correction_bias) supported — the bias affects
+    selection only, weights use unbiased scores.
+    """
+    logits = jnp.einsum("th,he->te", x.astype(jnp.float32),
+                        router.astype(jnp.float32))
+    if router_bias is not None:
+        logits = logits + router_bias.astype(jnp.float32)
+    if scoring_fn == "softmax":
+        scores = jax.nn.softmax(logits, axis=-1)
+    elif scoring_fn == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        raise ValueError(f"unknown scoring_fn {scoring_fn}")
+    select_scores = scores if e_score_bias is None else scores + e_score_bias
+    _, topk_ids = jax.lax.top_k(select_scores, top_k)
+    topk_w = jnp.take_along_axis(scores, topk_ids, axis=-1)
+    if norm_topk_prob:
+        topk_w = topk_w / jnp.clip(
+            jnp.sum(topk_w, axis=-1, keepdims=True), 1e-9)
+    return topk_w, topk_ids.astype(jnp.int32)
+
+
+def permute_for_experts(
+    topk_ids: jax.Array,  # [T, K] i32
+    num_experts: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort (token, k) pairs by expert id.
+
+    Returns (sort_order [T*K] — flat pair index per sorted position,
+    group_sizes [E]). Counterpart of the reference's moe_align_block_size +
+    permute kernels; here a single argsort the TPU sorts natively.
+    """
+    flat = topk_ids.reshape(-1)
+    order = jnp.argsort(flat)  # stable
+    group_sizes = jnp.bincount(flat, length=num_experts)
+    return order.astype(jnp.int32), group_sizes.astype(jnp.int32)
+
+
+def grouped_expert_ffn(
+    x_sorted: jax.Array,     # [N, H] tokens sorted by expert
+    group_sizes: jax.Array,  # [E]
+    w1: jax.Array,           # [E, H, 2I]
+    w2: jax.Array,           # [E, I, H]
+) -> jax.Array:
+    """SwiGLU FFN through per-expert weights via ragged grouped GEMM."""
+    h = jax.lax.ragged_dot(x_sorted, w1, group_sizes,
+                           preferred_element_type=jnp.float32)
+    h = silu_and_mul(h.astype(x_sorted.dtype))
+    out = jax.lax.ragged_dot(h, w2, group_sizes,
+                             preferred_element_type=jnp.float32)
+    return out.astype(x_sorted.dtype)
+
+
+def fused_moe(
+    x: jax.Array,  # [T, H]
+    params: MoEParams,
+    top_k: int,
+    norm_topk_prob: bool = True,
+    scoring_fn: str = "softmax",
+    e_score_bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Single-shard fused MoE forward (EP=1)."""
+    T, H = x.shape
+    E = params.w1.shape[0]
+    topk_w, topk_ids = route_tokens(
+        x, params.router, top_k, norm_topk_prob, scoring_fn,
+        params.router_bias, e_score_bias)
+
+    order, group_sizes = permute_for_experts(topk_ids, E)
+    token_of_pair = order // top_k              # [T*K]
+    x_sorted = x[token_of_pair]                 # [T*K, H]
+
+    y_sorted = grouped_expert_ffn(x_sorted, group_sizes, params.w1, params.w2)
+
+    # Unpermute and combine with routing weights.
+    y_flat = jnp.zeros((T * top_k, H), dtype=y_sorted.dtype)
+    y_flat = y_flat.at[order].set(y_sorted)
+    y = jnp.einsum("tkh,tk->th", y_flat.reshape(T, top_k, H),
+                   topk_w.astype(y_sorted.dtype))
+
+    if params.shared_w1 is not None:
+        sh = silu_and_mul(x @ params.shared_w1)
+        y = y + sh @ params.shared_w2
+    return y.astype(x.dtype)

@@ -1,0 +1,70 @@
+"""HF config.json → ModelConfig glue.
+
+Counterpart of the reference's ``vllm/transformers_utils/config.py`` family:
+reads a checkpoint directory's config.json and maps the fields onto our
+ModelConfig, with per-architecture fixups.
+"""
+
+import json
+import os
+from typing import Optional
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+def load_model_config(model_path: str,
+                      max_model_len: Optional[int] = None,
+                      dtype: str = "bfloat16") -> ModelConfig:
+    cfg_path = os.path.join(model_path, "config.json")
+    with open(cfg_path) as f:
+        hf = json.load(f)
+
+    arch = (hf.get("architectures") or ["Qwen3ForCausalLM"])[0]
+    num_experts = hf.get("num_experts", hf.get("n_routed_experts", 0)) or 0
+
+    mc = ModelConfig(
+        model=model_path,
+        architecture=arch,
+        dtype=dtype,
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf.get("intermediate_size", 4 * hf["hidden_size"]),
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads",
+                                   hf["num_attention_heads"]),
+        head_dim=hf.get("head_dim"),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        sliding_window=hf.get("sliding_window")
+        if hf.get("use_sliding_window") else None,
+        num_experts=num_experts,
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        moe_intermediate_size=hf.get("moe_intermediate_size"),
+        num_shared_experts=hf.get("shared_expert_intermediate_size", 0) and 1,
+        shared_expert_intermediate_size=hf.get(
+            "shared_expert_intermediate_size"),
+        norm_topk_prob=hf.get("norm_topk_prob", True),
+        decoder_sparse_step=hf.get("decoder_sparse_step", 1),
+        mlp_only_layers=tuple(hf.get("mlp_only_layers", ()) or ()),
+        eos_token_id=_first(hf.get("eos_token_id", 2)),
+        bos_token_id=_first(hf.get("bos_token_id", 1)),
+        qk_norm=arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM"),
+    )
+    if max_model_len is not None:
+        mc.max_model_len = min(max_model_len, mc.max_position_embeddings)
+    else:
+        mc.max_model_len = min(mc.max_model_len, mc.max_position_embeddings)
+    return mc
+
+
+def _first(v):
+    if isinstance(v, (list, tuple)):
+        return v[0]
+    return v

@@ -1,0 +1,60 @@
+"""Model interface + attention metadata.
+
+Counterpart of the reference's model contract (``forward(input_ids,
+positions, …)``, ``compute_logits``, ``load_weights`` — e.g.
+``models/qwen3_moe.py:675-787``), reshaped functionally for JAX: models are
+stateless objects; parameters are an explicit pytree threaded through
+``__call__`` so the whole step jits and shards under one pjit.
+"""
+
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, Protocol, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class AttentionMetadata:
+    """Device arrays describing the ragged batch (reference:
+    CommonAttentionMetadata, v1/attention/backend.py:353)."""
+
+    query_start_loc: jax.Array  # [R+1] i32
+    seq_lens: jax.Array         # [R] i32
+    block_table: jax.Array      # [R, MAXB] i32
+    slot_mapping: jax.Array     # [T] i32 (padded tokens → slots in block 0)
+
+    @property
+    def num_reqs(self) -> int:
+        return self.seq_lens.shape[0]
+
+
+Params = Dict[str, Any]
+KVCaches = List[jax.Array]  # one [2, NB, BS, Hkv, D] array per layer
+
+
+class Model(Protocol):
+    """Protocol every model implementation satisfies."""
+
+    def init_params(self, rng: jax.Array) -> Params:
+        """Random-init params (the 'dummy' load format for tests)."""
+        ...
+
+    def __call__(
+        self,
+        params: Params,
+        input_ids: jax.Array,   # [T] i32
+        positions: jax.Array,   # [T] i32
+        kv_caches: KVCaches,
+        attn_metadata: AttentionMetadata,
+    ) -> Tuple[jax.Array, KVCaches]:
+        """Returns (hidden [T, H], updated kv_caches)."""
+        ...
+
+    def compute_logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+        """[T, H] → [T, V]."""
+        ...
+
+    def load_weights(self, weights: Iterable[Tuple[str, Any]]) -> Params:
+        """Build params from (hf_name, numpy array) pairs."""
+        ...

@@ -1,0 +1,271 @@
+"""Qwen3 / Qwen3-MoE model family (also serves Qwen2-style dense models).
+
+Behavioral reference: ``/root/reference/vllm/model_executor/models/qwen3_moe.py``
+(Qwen3MoeForCausalLM: attention with per-head q/k RMSNorm, SwiGLU MLP,
+sparse MoE FFN every ``decoder_sparse_step`` layers) — re-implemented
+functionally for JAX: a flat params pytree, explicit KV caches, one
+ragged-attention op per layer.
+
+Parameter tree layout (per layer ``layers[i]``):
+  input_layernorm.weight [H]
+  self_attn.{q_proj,k_proj,v_proj}.kernel [H, heads*D] (transposed from HF)
+  self_attn.{q_norm,k_norm}.weight [D]
+  self_attn.o_proj.kernel [Hq*D, H]
+  post_attention_layernorm.weight [H]
+  dense layers: mlp.gate_up.kernel [H, 2I], mlp.down.kernel [I, H]
+  moe layers:   moe.router [H, E], moe.w1 [E, H, 2I], moe.w2 [E, I, H]
+"""
+
+import re
+from typing import Any, Dict, Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.layers.common import fused_add_rms_norm, rms_norm, silu_and_mul
+from lvllm_tpu.layers.moe import MoEParams, fused_moe
+from lvllm_tpu.models.model_base import AttentionMetadata, KVCaches, Params
+from lvllm_tpu.ops.attention import ragged_paged_attention
+from lvllm_tpu.ops.kv_cache import write_kv
+from lvllm_tpu.ops.rope import apply_rope, compute_cos_sin_cache
+from lvllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class Qwen3Model:
+    """Dense + MoE Qwen3-family causal LM."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        c = config
+        self.head_dim = c.head_dim
+        self.scale = self.head_dim ** -0.5
+        # Static rope table, closed over by the jitted step (constant-folded
+        # into the executable; not a trainable param).
+        self.cos_sin = compute_cos_sin_cache(
+            self.head_dim, c.max_position_embeddings, c.rope_theta,
+            c.rope_scaling, dtype=jnp.float32)
+
+    # ---- init -------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> Params:
+        c = self.config
+        D = self.head_dim
+        keys = iter(jax.random.split(rng, 8 * c.num_hidden_layers + 8))
+
+        def dense(shape, scale=0.02):
+            return (jax.random.normal(next(keys), shape, jnp.float32) *
+                    scale).astype(self.dtype)
+
+        params: Params = {
+            "embed": {"weight": dense((c.vocab_size, c.hidden_size))},
+            "norm": {"weight": jnp.ones((c.hidden_size,), self.dtype)},
+            "layers": [],
+        }
+        if not c.tie_word_embeddings:
+            params["lm_head"] = {
+                "kernel": dense((c.hidden_size, c.vocab_size))}
+        for i in range(c.num_hidden_layers):
+            layer: Dict[str, Any] = {
+                "input_layernorm": {
+                    "weight": jnp.ones((c.hidden_size,), self.dtype)},
+                "post_attention_layernorm": {
+                    "weight": jnp.ones((c.hidden_size,), self.dtype)},
+                "self_attn": {
+                    "q_proj": {"kernel": dense(
+                        (c.hidden_size, c.num_attention_heads * D))},
+                    "k_proj": {"kernel": dense(
+                        (c.hidden_size, c.num_key_value_heads * D))},
+                    "v_proj": {"kernel": dense(
+                        (c.hidden_size, c.num_key_value_heads * D))},
+                    "o_proj": {"kernel": dense(
+                        (c.num_attention_heads * D, c.hidden_size))},
+                },
+            }
+            if c.qk_norm:
+                layer["self_attn"]["q_norm"] = {"weight": jnp.ones((D,), self.dtype)}
+                layer["self_attn"]["k_norm"] = {"weight": jnp.ones((D,), self.dtype)}
+            if c.is_moe_layer(i):
+                layer["moe"] = {
+                    "router": dense((c.hidden_size, c.num_experts)),
+                    "w1": dense((c.num_experts, c.hidden_size,
+                                 2 * c.moe_intermediate_size)),
+                    "w2": dense((c.num_experts, c.moe_intermediate_size,
+                                 c.hidden_size)),
+                }
+                if c.num_shared_experts:
+                    si = (c.shared_expert_intermediate_size or
+                          c.moe_intermediate_size * c.num_shared_experts)
+                    layer["moe"]["shared_w1"] = dense((c.hidden_size, 2 * si))
+                    layer["moe"]["shared_w2"] = dense((si, c.hidden_size))
+            else:
+                layer["mlp"] = {
+                    "gate_up": {"kernel": dense(
+                        (c.hidden_size, 2 * c.intermediate_size))},
+                    "down": {"kernel": dense(
+                        (c.intermediate_size, c.hidden_size))},
+                }
+            params["layers"].append(layer)
+        return params
+
+    # ---- forward ----------------------------------------------------------
+
+    def _attention(self, lp: Params, x: jax.Array, positions: jax.Array,
+                   kv_cache: jax.Array, md: AttentionMetadata
+                   ) -> Tuple[jax.Array, jax.Array]:
+        c = self.config
+        D = self.head_dim
+        T = x.shape[0]
+        attn = lp["self_attn"]
+        q = (x @ attn["q_proj"]["kernel"]).reshape(T, c.num_attention_heads, D)
+        k = (x @ attn["k_proj"]["kernel"]).reshape(T, c.num_key_value_heads, D)
+        v = (x @ attn["v_proj"]["kernel"]).reshape(T, c.num_key_value_heads, D)
+        if c.qk_norm:
+            q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
+            k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
+        q, k = apply_rope(q, k, positions, self.cos_sin)
+        kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
+        out = ragged_paged_attention(
+            q, kv_cache, md.block_table, md.query_start_loc, md.seq_lens,
+            scale=self.scale, sliding_window=c.sliding_window)
+        out = out.reshape(T, c.num_attention_heads * D) @ attn["o_proj"]["kernel"]
+        return out, kv_cache
+
+    def _ffn(self, lp: Params, x: jax.Array, layer_idx: int) -> jax.Array:
+        c = self.config
+        if "moe" in lp:
+            moe = lp["moe"]
+            mp = MoEParams(
+                router=moe["router"], w1=moe["w1"], w2=moe["w2"],
+                router_bias=moe.get("router_bias"),
+                shared_w1=moe.get("shared_w1"), shared_w2=moe.get("shared_w2"))
+            return fused_moe(x, mp, c.num_experts_per_tok,
+                             c.norm_topk_prob, c.router_scoring_fn)
+        mlp = lp["mlp"]
+        return silu_and_mul(x @ mlp["gate_up"]["kernel"]) @ \
+            mlp["down"]["kernel"]
+
+    def __call__(
+        self,
+        params: Params,
+        input_ids: jax.Array,
+        positions: jax.Array,
+        kv_caches: KVCaches,
+        attn_metadata: AttentionMetadata,
+    ) -> Tuple[jax.Array, KVCaches]:
+        c = self.config
+        x = params["embed"]["weight"][input_ids].astype(self.dtype)
+        residual = jnp.zeros_like(x)
+        new_caches: List[jax.Array] = []
+        for i, lp in enumerate(params["layers"]):
+            h, residual = fused_add_rms_norm(
+                x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+            attn_out, kv = self._attention(lp, h, positions, kv_caches[i],
+                                           attn_metadata)
+            new_caches.append(kv)
+            h, residual = fused_add_rms_norm(
+                attn_out, residual, lp["post_attention_layernorm"]["weight"],
+                c.rms_norm_eps)
+            x = self._ffn(lp, h, i)
+        hidden, _ = fused_add_rms_norm(
+            x, residual, params["norm"]["weight"], c.rms_norm_eps)
+        return hidden, new_caches
+
+    def compute_logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+        if self.config.tie_word_embeddings:
+            kernel = params["embed"]["weight"].T
+        else:
+            kernel = params["lm_head"]["kernel"]
+        return (hidden @ kernel).astype(jnp.float32)
+
+    # ---- weight loading ---------------------------------------------------
+
+    def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]) -> Params:
+        """Map HF checkpoint names → params tree (reference:
+        qwen3_moe.py load_weights stacked_params_mapping)."""
+        c = self.config
+        params = self.init_params(jax.random.key(0))
+        # Accumulators for per-expert tensors → stacked [E, ...] arrays.
+        expert_parts: Dict[Tuple[int, str, int], np.ndarray] = {}
+
+        def put(path: List[str], value: np.ndarray, transpose=False):
+            node = params
+            for p in path[:-1]:
+                node = node[p] if not p.isdigit() else node[int(p)]
+            arr = jnp.asarray(value.T if transpose else value, self.dtype)
+            leaf = path[-1]
+            assert node[leaf].shape == arr.shape, \
+                f"{'.'.join(path)}: {node[leaf].shape} vs {arr.shape}"
+            node[leaf] = arr
+
+        gate_parts: Dict[Tuple[int, str], np.ndarray] = {}
+        for name, w in weights:
+            name = name.removeprefix("model.")
+            if name == "embed_tokens.weight":
+                put(["embed", "weight"], w)
+            elif name == "norm.weight":
+                put(["norm", "weight"], w)
+            elif name == "lm_head.weight":
+                if not c.tie_word_embeddings:
+                    put(["lm_head", "kernel"], w, transpose=True)
+            elif m := re.match(r"layers\.(\d+)\.(.+)", name):
+                i, rest = int(m.group(1)), m.group(2)
+                layer = params["layers"][i]
+                if rest in ("input_layernorm.weight",
+                            "post_attention_layernorm.weight"):
+                    put(["layers", str(i)] + rest.split("."), w)
+                elif m2 := re.match(
+                        r"self_attn\.(q|k|v|o)_proj\.weight", rest):
+                    put(["layers", str(i), "self_attn",
+                         f"{m2.group(1)}_proj", "kernel"], w, transpose=True)
+                elif m2 := re.match(r"self_attn\.(q|k)_norm\.weight", rest):
+                    put(["layers", str(i), "self_attn",
+                         f"{m2.group(1)}_norm", "weight"], w)
+                elif m2 := re.match(
+                        r"mlp\.(gate|up|down)_proj\.weight", rest):
+                    which = m2.group(1)
+                    if which == "down":
+                        put(["layers", str(i), "mlp", "down", "kernel"], w,
+                            transpose=True)
+                    else:
+                        gate_parts[(i, which)] = w
+                        g, u = gate_parts.get((i, "gate")), \
+                            gate_parts.get((i, "up"))
+                        if g is not None and u is not None:
+                            put(["layers", str(i), "mlp", "gate_up",
+                                 "kernel"],
+                                np.concatenate([g, u], axis=0),
+                                transpose=True)
+                elif m2 := re.match(r"mlp\.gate\.weight", rest):
+                    put(["layers", str(i), "moe", "router"], w,
+                        transpose=True)
+                elif m2 := re.match(
+                        r"mlp\.experts\.(\d+)\.(gate|up|down)_proj\.weight",
+                        rest):
+                    e, which = int(m2.group(1)), m2.group(2)
+                    expert_parts[(i, which, e)] = w
+                else:
+                    logger.debug("skipping weight %s", name)
+            else:
+                logger.debug("skipping weight %s", name)
+
+        # Stack per-expert weights.
+        for i, layer in enumerate(params["layers"]):
+            if "moe" not in layer:
+                continue
+            E = c.num_experts
+            gates = [expert_parts.get((i, "gate", e)) for e in range(E)]
+            if gates[0] is None:
+                continue  # dummy-init experts kept
+            ups = [expert_parts[(i, "up", e)] for e in range(E)]
+            downs = [expert_parts[(i, "down", e)] for e in range(E)]
+            w1 = np.stack([np.concatenate([g, u], axis=0).T
+                           for g, u in zip(gates, ups)])   # [E, H, 2I]
+            w2 = np.stack([d.T for d in downs])            # [E, I, H]
+            layer["moe"]["w1"] = jnp.asarray(w1, self.dtype)
+            layer["moe"]["w2"] = jnp.asarray(w2, self.dtype)
+        return params

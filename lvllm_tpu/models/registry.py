@@ -1,0 +1,43 @@
+"""Model registry: architecture name → implementation.
+
+Counterpart of the reference's ``vllm/model_executor/models/registry.py``
+(_TEXT_GENERATION_MODELS). New families register here as they land.
+"""
+
+from typing import Callable, Dict
+
+from lvllm_tpu.config import ModelConfig
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(architecture: str):
+    def deco(cls):
+        _REGISTRY[architecture] = cls
+        return cls
+    return deco
+
+
+def get_model_class(architecture: str):
+    if architecture not in _REGISTRY:
+        raise ValueError(
+            f"Unsupported architecture {architecture!r}. "
+            f"Supported: {sorted(_REGISTRY)}")
+    return _REGISTRY[architecture]
+
+
+def build_model(config: ModelConfig):
+    return get_model_class(config.architecture)(config)
+
+
+def _register_builtin() -> None:
+    from lvllm_tpu.models.qwen3 import Qwen3Model
+    # Dense Qwen2/Qwen3 and Qwen3-MoE share one implementation; the config
+    # (num_experts, decoder_sparse_step) selects dense vs sparse FFN.
+    for arch in ("Qwen3ForCausalLM", "Qwen2ForCausalLM",
+                 "Qwen3MoeForCausalLM", "LlamaForCausalLM",
+                 "MistralForCausalLM"):
+        _REGISTRY[arch] = Qwen3Model
+
+
+_register_builtin()

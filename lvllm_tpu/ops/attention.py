@@ -1,0 +1,115 @@
+"""Ragged paged attention.
+
+TPU-native counterpart of the reference's paged-attention stack
+(``csrc/attention/*``, ``vllm/v1/attention/backends/flash_attn.py``): one op
+serves mixed prefill+decode batches — queries are ragged segments per
+request (``query_start_loc``), KV lives in pages addressed by a block table.
+
+Two implementations:
+- ``ragged_paged_attention_reference`` — pure jnp, O(T × max_ctx) memory;
+  the correctness oracle and CPU fallback.
+- the Pallas kernel in ``ops/pallas/ragged_attention.py`` — the production
+  path (dispatched via ``ragged_paged_attention``).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lvllm_tpu import envs
+
+
+def _token_request_map(query_start_loc: jax.Array, num_tokens: int,
+                       num_reqs: int) -> jax.Array:
+    """req_idx[t] for each token slot t (padded slots map to num_reqs-1 but
+    are masked out downstream)."""
+    t = jnp.arange(num_tokens, dtype=jnp.int32)
+    # qsl is non-decreasing; req of token t is the last r with qsl[r] <= t.
+    req_idx = jnp.searchsorted(query_start_loc, t, side="right") - 1
+    return jnp.clip(req_idx, 0, num_reqs - 1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "logits_soft_cap"),
+)
+def ragged_paged_attention_reference(
+    q: jax.Array,                # [T, Hq, D]
+    kv_cache: jax.Array,         # [2, NB, BS, Hkv, D]
+    block_table: jax.Array,      # [R, MAXB] int32
+    query_start_loc: jax.Array,  # [R+1] int32, padded rows repeat the end
+    seq_lens: jax.Array,         # [R] int32 total context len (0 = inactive)
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+) -> jax.Array:
+    """Correctness-oracle ragged paged attention (GQA, causal)."""
+    T, Hq, D = q.shape
+    R, MAXB = block_table.shape
+    BS = kv_cache.shape[2]
+    Hkv = kv_cache.shape[3]
+    G = Hq // Hkv
+    C = MAXB * BS
+
+    req_idx = _token_request_map(query_start_loc, T, R)
+    q_start = query_start_loc[req_idx]
+    q_end = query_start_loc[req_idx + 1]
+    pos_in_query = jnp.arange(T, dtype=jnp.int32) - q_start
+    q_len = q_end - q_start
+    ctx_len = seq_lens[req_idx]
+    # Causal KV length for each token: context up to and including itself.
+    kv_len = ctx_len - q_len + pos_in_query + 1
+    valid_token = (jnp.arange(T, dtype=jnp.int32) < query_start_loc[R]) & \
+        (pos_in_query < q_len)
+
+    def one_token(q_t, req, klen, valid):
+        pages = kv_cache[:, block_table[req]]       # [2, MAXB, BS, Hkv, D]
+        k = pages[0].reshape(C, Hkv, D)
+        v = pages[1].reshape(C, Hkv, D)
+        qg = q_t.reshape(Hkv, G, D).astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        scores = jnp.einsum("hgd,chd->hgc", qg, kf) * scale
+        if logits_soft_cap is not None:
+            scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
+        c_idx = jnp.arange(C, dtype=jnp.int32)
+        mask = c_idx < klen
+        if sliding_window is not None:
+            mask &= c_idx >= (klen - sliding_window)
+        scores = jnp.where(mask[None, None, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(valid, probs, 0.0)
+        out = jnp.einsum("hgc,chd->hgd", probs, v.astype(jnp.float32))
+        return out.reshape(Hq, D)
+
+    out = jax.vmap(one_token)(q, req_idx, kv_len, valid_token)
+    return out.astype(q.dtype)
+
+
+def ragged_paged_attention(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    block_table: jax.Array,
+    query_start_loc: jax.Array,
+    seq_lens: jax.Array,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+) -> jax.Array:
+    """Dispatch to the Pallas kernel on TPU, else the jnp reference."""
+    use_ref = envs.LVLLM_USE_REFERENCE_OPS or \
+        jax.default_backend() not in ("tpu", "axon")
+    if not use_ref:
+        try:
+            from lvllm_tpu.ops.pallas.ragged_attention import (
+                ragged_paged_attention_pallas)
+            return ragged_paged_attention_pallas(
+                q, kv_cache, block_table, query_start_loc, seq_lens,
+                scale=scale, sliding_window=sliding_window,
+                logits_soft_cap=logits_soft_cap)
+        except ImportError:
+            pass
+    return ragged_paged_attention_reference(
+        q, kv_cache, block_table, query_start_loc, seq_lens, scale=scale,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap)

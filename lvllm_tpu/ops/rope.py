@@ -1,0 +1,61 @@
+"""Rotary position embeddings.
+
+Counterpart of the reference's ``csrc/pos_encoding_kernels.cu``
+(``rotary_embedding``) and ``model_executor/layers/rotary_embedding``.
+Neox-style (half rotation) layout, precomputed cos/sin cache gathered by
+position — a single fused elementwise op under XLA.
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_cos_sin_cache(
+    head_dim: int,
+    max_position: int,
+    theta: float = 10000.0,
+    rope_scaling: Optional[dict] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """[max_position, head_dim] with cos in [:, :d/2], sin in [:, d/2:]."""
+    rot_dim = head_dim
+    inv_freq = 1.0 / (theta ** (
+        jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim))
+    if rope_scaling:
+        stype = rope_scaling.get("rope_type", rope_scaling.get("type"))
+        factor = float(rope_scaling.get("factor", 1.0))
+        if stype == "linear":
+            inv_freq = inv_freq / factor
+        elif stype in ("dynamic", None):
+            pass  # dynamic NTK applied at runtime for >max_position; skip
+        # yarn/llama3 variants land with the long-context work.
+    t = jnp.arange(max_position, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [P, d/2]
+    return jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)],
+                           axis=-1).astype(dtype)
+
+
+def apply_rope(
+    q: jax.Array,          # [T, Hq, D]
+    k: jax.Array,          # [T, Hkv, D]
+    positions: jax.Array,  # [T] int32
+    cos_sin_cache: jax.Array,  # [P, D]
+) -> Tuple[jax.Array, jax.Array]:
+    """Neox-style rotation of q and k by position."""
+    d = q.shape[-1]
+    cs = cos_sin_cache[positions]          # [T, D]
+    cos = cs[:, : d // 2][:, None, :]      # [T, 1, d/2]
+    sin = cs[:, d // 2:][:, None, :]
+
+    def rot(x):
+        x1, x2 = x[..., : d // 2], x[..., d // 2:]
+        xf1 = x1.astype(jnp.float32)
+        xf2 = x2.astype(jnp.float32)
+        o1 = xf1 * cos - xf2 * sin
+        o2 = xf2 * cos + xf1 * sin
+        return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)

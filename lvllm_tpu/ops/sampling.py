@@ -1,0 +1,106 @@
+"""Batched sampling ops (jittable).
+
+Counterpart of the reference's ``vllm/v1/sample/sampler.py`` + its Triton
+ops: per-request temperature / top-k / top-p / min-p, penalties, greedy.
+All ops are batch-invariant: each row's result depends only on its own
+params and its per-request PRNG key.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class SamplingTensors:
+    """Per-slot device arrays driving the sampler (built by the runner from
+    each request's SamplingParams)."""
+
+    temperature: jax.Array   # [B] f32; 0 => greedy
+    top_k: jax.Array         # [B] i32; 0 => disabled
+    top_p: jax.Array         # [B] f32; 1 => disabled
+    min_p: jax.Array         # [B] f32; 0 => disabled
+    # Per-request PRNG keys, folded with the step counter by the caller.
+    keys: jax.Array          # [B] uint32 seeds
+
+
+def make_keys(seeds: jax.Array, steps: jax.Array) -> jax.Array:
+    """Derive per-row PRNG keys from per-request seeds and each request's
+    own decode position [B] — so seeded sampling is reproducible regardless
+    of global engine step or batch composition (batch-invariant)."""
+    base = jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
+    return jax.vmap(jax.random.fold_in)(base, steps)
+
+
+def apply_penalties(
+    logits: jax.Array,          # [B, V] f32
+    prompt_mask: jax.Array,     # [B, V] bool — token appears in prompt
+    output_counts: jax.Array,   # [B, V] i32 — occurrences in output
+    repetition_penalty: jax.Array,  # [B] f32 (1 = off)
+    presence_penalty: jax.Array,    # [B] f32 (0 = off)
+    frequency_penalty: jax.Array,   # [B] f32 (0 = off)
+) -> jax.Array:
+    """Reference-equivalent penalties (sampler ops penalties.py):
+    repetition scales seen-token logits; presence/frequency subtract."""
+    seen = prompt_mask | (output_counts > 0)
+    rp = repetition_penalty[:, None]
+    scaled = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, scaled, logits)
+    logits = logits - frequency_penalty[:, None] * output_counts
+    logits = logits - presence_penalty[:, None] * (output_counts > 0)
+    return logits
+
+
+def sample(
+    logits: jax.Array,  # [B, V] f32
+    st: SamplingTensors,
+    steps: jax.Array,   # [B] i32 per-request decode position
+) -> jax.Array:
+    """Sample one token per row → [B] i32.
+
+    Masking is done in sorted space (one descending sort per row), then a
+    Gumbel-max draw picks the token — equivalent to softmax sampling over
+    the filtered set.
+    """
+    B, V = logits.shape
+    greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(st.temperature, 1e-6)[:, None]
+    scaled = logits.astype(jnp.float32) / temp
+
+    sort_idx = jnp.argsort(-scaled, axis=-1)            # [B, V] descending
+    sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
+
+    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+    k = jnp.where(st.top_k <= 0, V, st.top_k)[:, None]
+    keep = ranks < k
+
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumsum = jnp.cumsum(probs, axis=-1)
+    # Keep tokens while cumulative prob (exclusive) < top_p; first always kept.
+    keep &= (cumsum - probs) < st.top_p[:, None]
+    # min_p: relative to the max prob.
+    keep &= probs >= (st.min_p[:, None] * probs[:, :1])
+
+    masked = jnp.where(keep, sorted_logits, -jnp.inf)
+
+    keys = make_keys(st.keys, steps)
+    gumbel = jax.vmap(
+        lambda kk: jax.random.gumbel(kk, (V,), dtype=jnp.float32))(keys)
+    choice_rank = jnp.argmax(masked + gumbel, axis=-1)
+    sampled = jnp.take_along_axis(
+        sort_idx, choice_rank[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    return jnp.where(st.temperature == 0.0, greedy_ids, sampled)
+
+
+def compute_logprobs(
+    logits: jax.Array,      # [B, V]
+    token_ids: jax.Array,   # [B]
+) -> jax.Array:
+    """Log-prob of each chosen token (for SamplingParams.logprobs)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, token_ids[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]

@@ -1,0 +1,225 @@
+"""Model runner: per-step input prep + the jitted forward/sample step.
+
+Counterpart of the reference's ``vllm/v1/worker/gpu_model_runner.py`` (the
+hot path: ``_prepare_inputs:1776``, ``_model_forward:3500``, CUDA-graph
+dispatch ``:3553``, ``sample_tokens:4140``) — reshaped TPU-first:
+
+- CUDA-graph capture sizes become *token-bucket padding*: every step is
+  padded to a bucketed [T] so XLA compiles one executable per bucket and
+  replays it (SchedulerConfig.token_buckets).
+- The whole step (embed → N layers → logits → sample) is ONE jitted
+  function; KV caches are donated so updates are in-place in HBM.
+- Sampling runs for all request slots every step; the host discards slots
+  still mid-prefill (mirrors the reference's logits_indices approach).
+"""
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvllm_tpu.config import EngineConfig
+from lvllm_tpu.core.sched_output import ModelRunnerOutput, SchedulerOutput
+from lvllm_tpu.logger import init_logger
+from lvllm_tpu.models.model_base import AttentionMetadata
+from lvllm_tpu.ops.kv_cache import new_kv_cache
+from lvllm_tpu.ops.sampling import SamplingTensors, compute_logprobs, sample
+from lvllm_tpu.worker.input_batch import InputBatch
+
+logger = init_logger(__name__)
+
+
+class ModelRunner:
+
+    def __init__(self, config: EngineConfig, model, params,
+                 num_kv_blocks: int, mesh=None):
+        self.config = config
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        mc = config.model_config
+        sc = config.scheduler_config
+        cc = config.cache_config
+
+        self.block_size = cc.block_size
+        self.max_blocks_per_req = -(-mc.max_model_len // cc.block_size)
+        self.max_num_reqs = sc.max_num_seqs
+        self.num_kv_blocks = num_kv_blocks
+
+        self.input_batch = InputBatch(
+            max_num_reqs=self.max_num_reqs,
+            max_model_len=mc.max_model_len,
+            max_blocks_per_req=self.max_blocks_per_req,
+            vocab_size=mc.vocab_size,
+        )
+
+        kv_dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+        self.kv_caches = [
+            new_kv_cache(num_kv_blocks, cc.block_size, mc.num_kv_heads,
+                         mc.head_dim, kv_dtype)
+            for _ in range(mc.num_hidden_layers)
+        ]
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from lvllm_tpu.parallel.sharding import kv_cache_spec
+            spec = kv_cache_spec(mc, mesh)
+            sharding = NamedSharding(mesh, spec)
+            self.kv_caches = [jax.device_put(kv, sharding)
+                              for kv in self.kv_caches]
+        self.step_counter = 0
+        # Retained per-request state for preemption resume.
+        self._sampling_params_cache: Dict[str, object] = {}
+        self._prompt_len_cache: Dict[str, int] = {}
+
+        # One jitted step function; recompiles per (T_bucket,) shape.
+        self._step_fn = jax.jit(
+            self._step, donate_argnums=(1,))
+
+    # ---- jitted step -------------------------------------------------------
+
+    def _step(self, params, kv_caches, input_ids, positions, query_start_loc,
+              seq_lens, block_table, slot_mapping, logits_indices,
+              temperature, top_k, top_p, min_p, seeds, steps):
+        md = AttentionMetadata(
+            query_start_loc=query_start_loc,
+            seq_lens=seq_lens,
+            block_table=block_table,
+            slot_mapping=slot_mapping,
+        )
+        hidden, kv_caches = self.model(params, input_ids, positions,
+                                       kv_caches, md)
+        sel = hidden[logits_indices]              # [R, H]
+        logits = self.model.compute_logits(params, sel)
+        st = SamplingTensors(temperature=temperature, top_k=top_k,
+                             top_p=top_p, min_p=min_p, keys=seeds)
+        sampled = sample(logits, st, steps)
+        logprobs = compute_logprobs(logits, sampled)
+        return kv_caches, sampled, logprobs
+
+    # ---- batch maintenance -------------------------------------------------
+
+    def _update_states(self, so: SchedulerOutput) -> None:
+        """Apply scheduler diffs to the persistent batch (reference:
+        gpu_model_runner._update_states:1061)."""
+        ib = self.input_batch
+        for rid in so.finished_req_ids:
+            ib.remove_request(rid)
+        for rid in so.preempted_req_ids:
+            ib.remove_request(rid)
+        for nr in so.scheduled_new_reqs:
+            ib.add_request(
+                nr.req_id, nr.prompt_token_ids, nr.prompt_token_ids,
+                nr.block_ids, nr.num_computed_tokens, nr.sampling_params)
+        for cr in so.scheduled_cached_reqs:
+            if cr.resumed_from_preemption:
+                # Re-register with full state (tokens/blocks re-learned).
+                if cr.req_id in ib.req_id_to_index:
+                    ib.remove_request(cr.req_id)
+                sp = self._sampling_params_cache[cr.req_id]
+                n_prompt = self._prompt_len_cache[cr.req_id]
+                ib.add_request(cr.req_id, cr.all_token_ids[:n_prompt],
+                               cr.all_token_ids, cr.all_block_ids,
+                               cr.num_computed_tokens, sp)
+            else:
+                if cr.new_block_ids:
+                    ib.append_block_ids(cr.req_id, cr.new_block_ids)
+                idx = ib.req_id_to_index[cr.req_id]
+                ib.num_computed_tokens[idx] = cr.num_computed_tokens
+        # Keep caches for possible preemption resume.
+        for nr in so.scheduled_new_reqs:
+            self._sampling_params_cache[nr.req_id] = nr.sampling_params
+            self._prompt_len_cache[nr.req_id] = len(nr.prompt_token_ids)
+        for rid in so.finished_req_ids:
+            self._sampling_params_cache.pop(rid, None)
+            self._prompt_len_cache.pop(rid, None)
+
+    # ---- execution ---------------------------------------------------------
+
+    def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
+        self._update_states(so)
+        if so.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput()
+
+        ib = self.input_batch
+        sc = self.config.scheduler_config
+        R = self.max_num_reqs
+        T = sc.pad_tokens_to_bucket(so.total_num_scheduled_tokens)
+
+        input_ids = np.zeros(T, dtype=np.int32)
+        positions = np.zeros(T, dtype=np.int32)
+        slot_mapping = np.zeros(T, dtype=np.int32)
+        qsl = np.zeros(R + 1, dtype=np.int32)
+        seq_lens = np.zeros(R, dtype=np.int32)
+        block_table = np.zeros((R, self.max_blocks_per_req), dtype=np.int32)
+        logits_indices = np.zeros(R, dtype=np.int32)
+
+        # Order requests by their batch slot for a stable layout.
+        scheduled = [(rid, n) for rid, n in so.num_scheduled_tokens.items()]
+        scheduled.sort(key=lambda x: ib.req_id_to_index[x[0]])
+
+        t = 0
+        row = 0
+        row_req_ids: List[Optional[str]] = []
+        for rid, n_tok in scheduled:
+            idx = ib.req_id_to_index[rid]
+            start = ib.num_computed_tokens[idx]
+            end = start + n_tok
+            input_ids[t:t + n_tok] = ib.token_ids[idx, start:end]
+            positions[t:t + n_tok] = np.arange(start, end)
+            blocks = ib.block_table[idx]
+            tok_pos = np.arange(start, end)
+            slot_mapping[t:t + n_tok] = (
+                blocks[tok_pos // self.block_size] * self.block_size +
+                tok_pos % self.block_size)
+            qsl[row + 1] = t + n_tok
+            seq_lens[row] = end
+            block_table[row] = blocks
+            logits_indices[row] = t + n_tok - 1
+            row_req_ids.append(rid)
+            t += n_tok
+            row += 1
+        qsl[row + 1:] = t
+
+        # Sampling tensors gathered in row order.
+        rows = [ib.req_id_to_index[rid] for rid in row_req_ids]
+        pad_rows = rows + [0] * (R - len(rows))
+        temperature = ib.temperature[pad_rows].copy()
+        top_k = ib.top_k[pad_rows].copy()
+        top_p = ib.top_p[pad_rows].copy()
+        min_p = ib.min_p[pad_rows].copy()
+        seeds = ib.seeds[pad_rows].copy()
+        # Per-request sampling position: #output tokens generated so far —
+        # makes seeded sampling reproducible across batches (batch-invariant).
+        steps = (ib.num_tokens[pad_rows] -
+                 ib.num_prompt_tokens[pad_rows]).astype(np.int32)
+
+        self.step_counter += 1
+        kv, sampled, logprobs = self._step_fn(
+            self.params, self.kv_caches,
+            jnp.asarray(input_ids), jnp.asarray(positions),
+            jnp.asarray(qsl), jnp.asarray(seq_lens), jnp.asarray(block_table),
+            jnp.asarray(slot_mapping), jnp.asarray(logits_indices),
+            jnp.asarray(temperature), jnp.asarray(top_k), jnp.asarray(top_p),
+            jnp.asarray(min_p), jnp.asarray(seeds), jnp.asarray(steps))
+        self.kv_caches = kv
+
+        sampled_np = np.asarray(sampled)
+        logprobs_np = np.asarray(logprobs)
+
+        out = ModelRunnerOutput(sampled_token_ids={}, logprobs={})
+        for r, rid in enumerate(row_req_ids):
+            idx = ib.req_id_to_index[rid]
+            # Only emit a token when the request's prompt (and any previous
+            # output) is fully computed after this step.
+            if seq_lens[r] >= ib.num_tokens[idx]:
+                tok = int(sampled_np[r])
+                out.sampled_token_ids[rid] = [tok]
+                if ib.wants_logprobs[idx]:
+                    out.logprobs[rid] = [float(logprobs_np[r])]
+                ib.append_token_ids(rid, [tok])
+                ib.num_computed_tokens[idx] = seq_lens[r]
+            else:
+                ib.num_computed_tokens[idx] = seq_lens[r]
+        return out

@@ -1,0 +1,103 @@
+"""End-to-end engine tests with a dummy-weight tiny model.
+
+Strategy mirrors the reference's load_format="dummy" engine tests
+(SURVEY.md §4: tests avoid real checkpoints with dummy weights).
+"""
+
+import numpy as np
+import pytest
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.entrypoints.llm import LLM
+from lvllm_tpu.sampling_params import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def tiny_llm():
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="float32",
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        max_position_embeddings=512, max_model_len=256, eos_token_id=-1)
+    return LLM(model_config=mc, load_format="dummy", max_num_seqs=8,
+               max_num_batched_tokens=128, block_size=16, num_kv_blocks=128)
+
+
+def test_greedy_generate(tiny_llm):
+    outs = tiny_llm.generate([[1, 2, 3, 4, 5]],
+                             SamplingParams(temperature=0.0, max_tokens=8))
+    assert len(outs) == 1
+    out = outs[0]
+    assert out.finished
+    assert out.outputs[0].finish_reason == "length"
+    assert len(out.outputs[0].token_ids) == 8
+    assert all(0 <= t < 128 for t in out.outputs[0].token_ids)
+
+
+def test_greedy_deterministic(tiny_llm):
+    p = list(range(1, 20))
+    a = tiny_llm.generate([p], SamplingParams(temperature=0.0, max_tokens=6))
+    b = tiny_llm.generate([p], SamplingParams(temperature=0.0, max_tokens=6))
+    assert a[0].outputs[0].token_ids == b[0].outputs[0].token_ids
+
+
+def test_batch_generate_matches_single(tiny_llm):
+    """Batch-invariance: running prompts together must equal running them
+    alone (reference: tests/v1/determinism/test_online_batch_invariance)."""
+    prompts = [[i + 1 for i in range(j + 4)] for j in range(5)]
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    together = tiny_llm.generate(prompts, sp)
+    alone = [tiny_llm.generate([p], sp)[0] for p in prompts]
+    for t, a in zip(together, alone):
+        assert t.outputs[0].token_ids == a.outputs[0].token_ids
+
+
+def test_seeded_sampling_reproducible(tiny_llm):
+    p = [5, 6, 7, 8]
+    sp = SamplingParams(temperature=1.0, top_p=0.9, seed=42, max_tokens=6)
+    a = tiny_llm.generate([p], sp)
+    b = tiny_llm.generate([p], sp)
+    assert a[0].outputs[0].token_ids == b[0].outputs[0].token_ids
+
+
+def test_stop_token(tiny_llm):
+    # Find greedy continuation, then use its 3rd token as a stop token.
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    ref = tiny_llm.generate([[9, 8, 7]], sp)[0].outputs[0].token_ids
+    stop_tok = ref[2]
+    sp2 = SamplingParams(temperature=0.0, max_tokens=8,
+                         stop_token_ids=[stop_tok])
+    out = tiny_llm.generate([[9, 8, 7]], sp2)[0]
+    assert out.outputs[0].finish_reason == "stop"
+    assert out.outputs[0].token_ids[-1] == stop_tok
+    assert len(out.outputs[0].token_ids) == 3
+
+
+def test_chunked_prefill_long_prompt(tiny_llm):
+    # Prompt longer than max_num_batched_tokens forces chunking.
+    p = [(i * 7) % 128 for i in range(200)]
+    out = tiny_llm.generate([p], SamplingParams(temperature=0.0,
+                                                max_tokens=4))[0]
+    assert len(out.outputs[0].token_ids) == 4
+
+
+def test_many_concurrent_requests(tiny_llm):
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 128, size=rng.integers(4, 40)).tolist()
+               for _ in range(20)]
+    outs = tiny_llm.generate(prompts,
+                             SamplingParams(temperature=0.0, max_tokens=5))
+    assert len(outs) == 20
+    assert all(o.finished for o in outs)
+    stats = tiny_llm.get_stats()
+    assert stats["num_running"] == 0
+    assert stats["kv_cache_usage"] == 0.0
+
+
+def test_logprobs_returned(tiny_llm):
+    out = tiny_llm.generate(
+        [[1, 2, 3]], SamplingParams(temperature=0.0, max_tokens=3,
+                                    logprobs=1))[0]
+    assert out.outputs[0].cumulative_logprob is not None
+    assert out.outputs[0].cumulative_logprob <= 0.0
