@@ -1,0 +1,258 @@
+"""OpenAI-compatible HTTP server.
+
+Counterpart of the reference's ``vllm/entrypoints/openai/api_server.py``
+(FastAPI app with /v1/completions, /v1/chat/completions, /v1/models,
+streaming SSE, /health, /metrics). Built on aiohttp (no fastapi in the
+image); the protocol schemas match the OpenAI wire format the reference
+serves.
+"""
+
+import argparse
+import asyncio
+import json
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from aiohttp import web
+
+from lvllm_tpu.config import EngineConfig
+from lvllm_tpu.engine.async_llm import AsyncLLM
+from lvllm_tpu.logger import init_logger
+from lvllm_tpu.sampling_params import SamplingParams
+
+logger = init_logger(__name__)
+
+
+def sampling_params_from_request(body: Dict[str, Any]) -> SamplingParams:
+    return SamplingParams(
+        n=body.get("n", 1),
+        temperature=body.get("temperature", 1.0),
+        top_p=body.get("top_p", 1.0),
+        top_k=body.get("top_k", 0),
+        min_p=body.get("min_p", 0.0),
+        max_tokens=body.get("max_tokens", body.get("max_completion_tokens",
+                                                   16)),
+        presence_penalty=body.get("presence_penalty", 0.0),
+        frequency_penalty=body.get("frequency_penalty", 0.0),
+        repetition_penalty=body.get("repetition_penalty", 1.0),
+        stop=body.get("stop"),
+        seed=body.get("seed"),
+        logprobs=(body.get("logprobs") if isinstance(body.get("logprobs"),
+                                                     int) else None),
+        ignore_eos=body.get("ignore_eos", False),
+    )
+
+
+class OpenAIServer:
+
+    def __init__(self, async_llm: AsyncLLM, model_name: str = "lvllm-model"):
+        self.llm = async_llm
+        self.model_name = model_name
+        self.start_time = time.time()
+        self.app = web.Application()
+        self.app.router.add_get("/health", self.health)
+        self.app.router.add_get("/v1/models", self.models)
+        self.app.router.add_post("/v1/completions", self.completions)
+        self.app.router.add_post("/v1/chat/completions",
+                                 self.chat_completions)
+        self.app.router.add_post("/tokenize", self.tokenize)
+        self.app.router.add_post("/detokenize", self.detokenize)
+        self.app.router.add_get("/metrics", self.metrics)
+
+    # ---- endpoints ---------------------------------------------------------
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "object": "list",
+            "data": [{
+                "id": self.model_name,
+                "object": "model",
+                "created": int(self.start_time),
+                "owned_by": "lvllm_tpu",
+                "max_model_len": self.llm.config.model_config.max_model_len,
+            }],
+        })
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        tok = self.llm.tokenizer
+        if tok is None:
+            return web.json_response({"error": "no tokenizer"}, status=400)
+        ids = tok.encode(body["prompt"])
+        return web.json_response({"tokens": ids, "count": len(ids),
+                                  "max_model_len":
+                                  self.llm.config.model_config.max_model_len})
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        tok = self.llm.tokenizer
+        if tok is None:
+            return web.json_response({"error": "no tokenizer"}, status=400)
+        return web.json_response({"prompt": tok.decode(body["tokens"])})
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Prometheus text exposition, vllm:*-compatible metric names."""
+        s = self.llm.get_stats()
+        pc = s.get("prefix_cache", {})
+        lines = [
+            "# TYPE vllm:num_requests_running gauge",
+            f"vllm:num_requests_running {s['num_running']}",
+            "# TYPE vllm:num_requests_waiting gauge",
+            f"vllm:num_requests_waiting {s['num_waiting']}",
+            "# TYPE vllm:kv_cache_usage_perc gauge",
+            f"vllm:kv_cache_usage_perc {s['kv_cache_usage']}",
+            "# TYPE vllm:num_preemptions_total counter",
+            f"vllm:num_preemptions_total {s['num_preemptions']}",
+            "# TYPE vllm:prefix_cache_queries_total counter",
+            f"vllm:prefix_cache_queries_total {pc.get('queries', 0)}",
+            "# TYPE vllm:prefix_cache_hits_total counter",
+            f"vllm:prefix_cache_hits_total {pc.get('hits', 0)}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def completions(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            prompt = body.get("prompt")
+            if isinstance(prompt, list) and prompt and \
+                    isinstance(prompt[0], str):
+                prompt = prompt[0]  # single-prompt only for now
+            sp = sampling_params_from_request(body)
+        except (ValueError, KeyError, TypeError) as e:
+            return self._error(str(e), 400)
+        rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        if body.get("stream"):
+            return await self._stream_completion(request, rid, prompt, sp,
+                                                 chat=False)
+        try:
+            final = None
+            async for out in self.llm.generate(prompt, sp, rid):
+                final = out
+        except ValueError as e:
+            return self._error(str(e), 400)
+        c = final.outputs[0]
+        return web.json_response({
+            "id": rid, "object": "text_completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{
+                "index": 0, "text": c.text,
+                "finish_reason": c.finish_reason,
+                "logprobs": None,
+            }],
+            "usage": self._usage(final),
+        })
+
+    async def chat_completions(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            messages = body["messages"]
+            prompt = self._apply_chat_template(messages)
+            sp = sampling_params_from_request(body)
+        except (ValueError, KeyError, TypeError) as e:
+            return self._error(str(e), 400)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        if body.get("stream"):
+            return await self._stream_completion(request, rid, prompt, sp,
+                                                 chat=True)
+        try:
+            final = None
+            async for out in self.llm.generate(prompt, sp, rid):
+                final = out
+        except ValueError as e:
+            return self._error(str(e), 400)
+        c = final.outputs[0]
+        return web.json_response({
+            "id": rid, "object": "chat.completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": c.text},
+                "finish_reason": c.finish_reason,
+            }],
+            "usage": self._usage(final),
+        })
+
+    # ---- helpers -----------------------------------------------------------
+
+    def _apply_chat_template(self, messages: List[Dict[str, str]]) -> str:
+        tok = self.llm.tokenizer
+        if tok is not None and getattr(tok, "chat_template", None):
+            return tok.apply_chat_template(messages, tokenize=False,
+                                           add_generation_prompt=True)
+        # Fallback template.
+        parts = [f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>"
+                 for m in messages]
+        parts.append("<|im_start|>assistant\n")
+        return "\n".join(parts)
+
+    def _usage(self, out) -> Dict[str, int]:
+        return {
+            "prompt_tokens": len(out.prompt_token_ids),
+            "completion_tokens": len(out.outputs[0].token_ids),
+            "total_tokens": len(out.prompt_token_ids) +
+            len(out.outputs[0].token_ids),
+        }
+
+    def _error(self, msg: str, status: int) -> web.Response:
+        return web.json_response(
+            {"error": {"message": msg, "type": "invalid_request_error"}},
+            status=status)
+
+    async def _stream_completion(self, request, rid, prompt, sp, chat):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        prev_len = 0
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        try:
+            async for out in self.llm.generate(prompt, sp, rid):
+                c = out.outputs[0]
+                delta_text = c.text[prev_len:]
+                prev_len = len(c.text)
+                if chat:
+                    choice = {"index": 0,
+                              "delta": {"content": delta_text},
+                              "finish_reason": c.finish_reason
+                              if out.finished else None}
+                else:
+                    choice = {"index": 0, "text": delta_text,
+                              "finish_reason": c.finish_reason
+                              if out.finished else None}
+                chunk = {"id": rid, "object": obj,
+                         "created": int(time.time()),
+                         "model": self.model_name, "choices": [choice]}
+                await resp.write(
+                    f"data: {json.dumps(chunk)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+        except (ConnectionResetError, asyncio.CancelledError):
+            await self.llm.abort(rid)
+        await resp.write_eof()
+        return resp
+
+
+async def serve(config: EngineConfig, host: str = "0.0.0.0",
+                port: int = 8000, load_format: str = "auto",
+                tokenizer=None, model_name: str = "lvllm-model",
+                mesh=None) -> None:
+    llm = AsyncLLM(config, load_format=load_format, tokenizer=tokenizer,
+                   mesh=mesh)
+    await llm.start()
+    server = OpenAIServer(llm, model_name)
+    runner = web.AppRunner(server.app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    logger.info("OpenAI server listening on %s:%d", host, port)
+    try:
+        while True:
+            await asyncio.sleep(3600)
+    finally:
+        await llm.stop()
+        await runner.cleanup()

@@ -55,11 +55,15 @@ class Qwen3Model:
     def init_params(self, rng: jax.Array) -> Params:
         c = self.config
         D = self.head_dim
-        keys = iter(jax.random.split(rng, 8 * c.num_hidden_layers + 8))
+        # Host-side numpy init: dummy weights are only for tests/benches and
+        # eager per-tensor device RNG ops would compile one executable per
+        # shape (minutes over a remote-compile tunnel).
+        nprng = np.random.default_rng(int(jax.random.randint(
+            rng, (), 0, 2**31 - 1)))
 
         def dense(shape, scale=0.02):
-            return (jax.random.normal(next(keys), shape, jnp.float32) *
-                    scale).astype(self.dtype)
+            arr = nprng.standard_normal(size=shape, dtype=np.float32) * scale
+            return jnp.asarray(arr, self.dtype)
 
         params: Params = {
             "embed": {"weight": dense((c.vocab_size, c.hidden_size))},

@@ -1,0 +1,138 @@
+"""OpenAI server integration tests (reference model: RemoteOpenAIServer
+boots a real server subprocess; here aiohttp's test client drives the real
+app in-process against a dummy-weight engine). No pytest-asyncio in the
+image, so each test runs its scenario under asyncio.run."""
+
+import asyncio
+import json
+
+import pytest
+
+pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from lvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                              SchedulerConfig)
+from lvllm_tpu.engine.async_llm import AsyncLLM
+from lvllm_tpu.entrypoints.openai_server import OpenAIServer
+
+
+class IdentityTokenizer:
+    """Maps text to small ids for testing without a real tokenizer."""
+
+    chat_template = None
+    eos_token_id = -1
+
+    def encode(self, text):
+        return [ord(c) % 120 + 1 for c in text][:64]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (t % 26)) for t in ids)
+
+
+def run_scenario(scenario):
+    async def main():
+        mc = ModelConfig(
+            model="dummy", architecture="Qwen3ForCausalLM", dtype="float32",
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            max_model_len=128, eos_token_id=-1)
+        cfg = EngineConfig(
+            model_config=mc,
+            cache_config=CacheConfig(block_size=16, num_gpu_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_batched_tokens=128, max_num_seqs=4,
+                max_model_len=128))
+        llm = AsyncLLM(cfg, load_format="dummy",
+                       tokenizer=IdentityTokenizer())
+        await llm.start()
+        server = OpenAIServer(llm, model_name="tiny-test")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            await scenario(client)
+        finally:
+            await client.close()
+            await llm.stop()
+
+    asyncio.run(main())
+
+
+def test_health_and_models():
+    async def scenario(client):
+        r = await client.get("/health")
+        assert r.status == 200
+        r = await client.get("/v1/models")
+        data = await r.json()
+        assert data["data"][0]["id"] == "tiny-test"
+    run_scenario(scenario)
+
+
+def test_completions():
+    async def scenario(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "hello world", "max_tokens": 5, "temperature": 0.0})
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "text_completion"
+        assert data["choices"][0]["finish_reason"] == "length"
+        assert data["usage"]["completion_tokens"] == 5
+        assert len(data["choices"][0]["text"]) > 0
+    run_scenario(scenario)
+
+
+def test_concurrent_chat_and_completions():
+    async def scenario(client):
+        async def one_chat():
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0.0})
+            assert r.status == 200
+            data = await r.json()
+            assert data["choices"][0]["message"]["role"] == "assistant"
+
+        async def one_cmpl(i):
+            r = await client.post("/v1/completions", json={
+                "prompt": f"prompt {i}", "max_tokens": 3,
+                "temperature": 0.0})
+            assert r.status == 200
+
+        await asyncio.gather(one_chat(), one_cmpl(0), one_cmpl(1))
+    run_scenario(scenario)
+
+
+def test_streaming_completions():
+    async def scenario(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "abc", "max_tokens": 4, "temperature": 0.0,
+            "stream": True})
+        assert r.status == 200
+        body = await r.text()
+        chunks = [l for l in body.split("\n\n") if l.startswith("data: ")]
+        assert chunks[-1] == "data: [DONE]"
+        first = json.loads(chunks[0][len("data: "):])
+        assert first["object"] == "text_completion"
+    run_scenario(scenario)
+
+
+def test_bad_request():
+    async def scenario(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "x", "temperature": -5})
+        assert r.status == 400
+        data = await r.json()
+        assert "error" in data
+    run_scenario(scenario)
+
+
+def test_metrics_and_tokenize():
+    async def scenario(client):
+        r = await client.get("/metrics")
+        text = await r.text()
+        assert "vllm:num_requests_running" in text
+        assert "vllm:kv_cache_usage_perc" in text
+        r = await client.post("/tokenize", json={"prompt": "hello"})
+        data = await r.json()
+        assert data["count"] == 5
+    run_scenario(scenario)
