@@ -135,3 +135,76 @@ def fused_moe(
         sh = silu_and_mul(x @ params.shared_w1)
         y = y + sh @ params.shared_w2
     return y.astype(x.dtype)
+
+
+class QuantMoEParams(NamedTuple):
+    """Quantized MoE layer weights (weight-only INT4/INT8/FP8; see
+    ops/quant.py for layouts). Counterpart of the reference's quantized
+    FusedMoE methods (compressed-tensors wNa16 / fp8, experts_int8)."""
+
+    router: jax.Array
+    w1_q: jax.Array
+    w1_scales: jax.Array
+    w2_q: jax.Array
+    w2_scales: jax.Array
+    method: str = "int8"
+    group_size: int = 128
+    router_bias: Optional[jax.Array] = None
+    shared_w1: Optional[jax.Array] = None
+    shared_w2: Optional[jax.Array] = None
+
+
+def _pick_tile_m(num_tokens: int, top_k: int) -> int:
+    """Row-block size for the grouped GEMM: small for decode batches (less
+    expert padding), large for prefill (MXU-efficient tiles)."""
+    pairs = num_tokens * top_k
+    if pairs >= 2048:
+        return 128
+    if pairs >= 512:
+        return 32
+    return 8
+
+
+def fused_moe_quant(
+    x: jax.Array,  # [T, H]
+    params: QuantMoEParams,
+    top_k: int,
+    norm_topk_prob: bool = True,
+    scoring_fn: str = "softmax",
+    e_score_bias: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Quantized MoE forward: route → align → fused dequant grouped GEMM →
+    combine (Pallas on TPU, dequant oracle elsewhere)."""
+    from lvllm_tpu import envs
+    from lvllm_tpu.ops import moe_align
+    from lvllm_tpu.ops.pallas import quant_gemm
+
+    T, H = x.shape
+    E = params.w1_q.shape[0]
+    if use_pallas is None:
+        use_pallas = (not envs.LVLLM_USE_REFERENCE_OPS and
+                      jax.default_backend() in ("tpu", "axon"))
+    gmm = (quant_gemm.grouped_quant_matmul if use_pallas
+           else quant_gemm.grouped_quant_matmul_reference)
+
+    topk_w, topk_ids = route_tokens(
+        x, params.router, top_k, norm_topk_prob, scoring_fn,
+        params.router_bias, e_score_bias)
+
+    tile_m = _pick_tile_m(T, top_k)
+    d = moe_align.align_tokens(x, topk_ids, E, tile_m)
+    h = gmm(d.x_aligned, params.w1_q, params.w1_scales, d.block_expert,
+            method=params.method, tile_m=tile_m,
+            group_size=params.group_size)
+    h = silu_and_mul(h)
+    y_aligned = gmm(h, params.w2_q, params.w2_scales, d.block_expert,
+                    method=params.method, tile_m=tile_m,
+                    group_size=params.group_size)
+    y = moe_align.combine_tokens(y_aligned, d.pair_pos, topk_w,
+                                 out_dtype=x.dtype)
+
+    if params.shared_w1 is not None:
+        sh = silu_and_mul(x @ params.shared_w1)
+        y = y + sh @ params.shared_w2
+    return y.astype(x.dtype)

@@ -35,6 +35,44 @@ def safetensors_weight_iterator(
                 yield name, f.get_tensor(name)
 
 
+def quantize_moe_weights(params, config: ModelConfig):
+    """Quantize-on-load of MoE expert weights (weight-only).
+
+    Counterpart of the fork's FP8→INT4 repack-on-load
+    (``layer.py:_process_block_weights_quant:2074``, MoeComputeStrategy
+    KEEP|INT4): expert tensors are converted host-side to the configured
+    format and the bf16 originals dropped, capping both HBM footprint and
+    load-time peak RAM.
+    """
+    from lvllm_tpu.ops import quant
+
+    method = config.quantization
+    if not method:
+        return params
+    assert method in ("int4", "int8", "fp8"), method
+    n_quant = 0
+    for layer in params["layers"]:
+        moe = layer.get("moe")
+        if moe is None or "w1" not in moe:
+            continue
+        for name in ("w1", "w2"):
+            w = np.asarray(moe.pop(name)).astype(np.float32)
+            if method == "int4":
+                qw, s = quant.quantize_int4_np(w, 128)
+            elif method == "int8":
+                qw, s = quant.quantize_int8_np(w, 128)
+            else:
+                qw, s = quant.quantize_fp8_np(w)
+            dt = {"int4": "int8", "int8": "int8", "fp8": "float8_e4m3fn"}
+            moe[f"{name}_q"] = jax.numpy.asarray(qw)
+            moe[f"{name}_scales"] = jax.numpy.asarray(
+                s, jax.numpy.bfloat16 if config.dtype == "bfloat16"
+                else jax.numpy.float32)
+        n_quant += 1
+    logger.info("quantized %d MoE layers to %s", n_quant, method)
+    return params
+
+
 def load_model(config: ModelConfig, load_format: str = "auto"):
     """Build the model and its params.
 
@@ -46,8 +84,9 @@ def load_model(config: ModelConfig, load_format: str = "auto"):
     if load_format == "dummy" or config.model == "dummy":
         logger.info("initializing dummy weights for %s", config.architecture)
         params = model.init_params(jax.random.key(config.seed))
-        return model, params
-    params = model.load_weights(safetensors_weight_iterator(config.model))
-    logger.info("loaded weights for %s from %s", config.architecture,
-                config.model)
+    else:
+        params = model.load_weights(safetensors_weight_iterator(config.model))
+        logger.info("loaded weights for %s from %s", config.architecture,
+                    config.model)
+    params = quantize_moe_weights(params, config)
     return model, params

@@ -25,7 +25,8 @@ import numpy as np
 
 from lvllm_tpu.config import ModelConfig
 from lvllm_tpu.layers.common import fused_add_rms_norm, rms_norm, silu_and_mul
-from lvllm_tpu.layers.moe import MoEParams, fused_moe
+from lvllm_tpu.layers.moe import (MoEParams, QuantMoEParams, fused_moe,
+                                  fused_moe_quant)
 from lvllm_tpu.models.model_base import AttentionMetadata, KVCaches, Params
 from lvllm_tpu.ops.attention import ragged_paged_attention
 from lvllm_tpu.ops.kv_cache import write_kv
@@ -143,6 +144,17 @@ class Qwen3Model:
         c = self.config
         if "moe" in lp:
             moe = lp["moe"]
+            if "w1_q" in moe:
+                qp = QuantMoEParams(
+                    router=moe["router"],
+                    w1_q=moe["w1_q"], w1_scales=moe["w1_scales"],
+                    w2_q=moe["w2_q"], w2_scales=moe["w2_scales"],
+                    method=c.quantization, group_size=128,
+                    router_bias=moe.get("router_bias"),
+                    shared_w1=moe.get("shared_w1"),
+                    shared_w2=moe.get("shared_w2"))
+                return fused_moe_quant(x, qp, c.num_experts_per_tok,
+                                       c.norm_topk_prob, c.router_scoring_fn)
             mp = MoEParams(
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),

@@ -1,0 +1,183 @@
+"""Pallas blocked grouped GEMM with fused weight dequantization.
+
+TPU-native counterpart of the reference's quantized MoE GEMMs (marlin-moe
+wNa16, cutlass grouped GEMM, ``_fused_moe_gguf`` — the kernels behind the
+fork's GPU-prefill path, ``moe_runner.py:538``): each row block of the
+aligned token matrix (see ``ops/moe_align.py``) belongs to one expert; the
+expert's INT4/INT8/FP8 weights are DMA'd per tile, dequantized in VMEM, and
+fed straight to the MXU — weights never materialize in bf16 in HBM, so HBM
+traffic is the quantized footprint (the whole point of weight-only quant
+for bandwidth-bound decode).
+
+Grid: (num_row_blocks, num_col_tiles); expert id per row block arrives via
+scalar prefetch and drives the weight BlockSpec index_map — consecutive
+blocks of the same expert reuse the in-VMEM tile (Pallas skips equal-index
+DMAs).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 128
+
+
+def _kernel_int4(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                 group_size: int, out_dtype):
+    # x [TILE_M, K]; w [1, K//2, TILE_N] int8 packed; s [1, K//G, TILE_N]
+    x = x_ref[:]
+    packed = w_ref[0]
+    lo = (packed & 0x0F).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    q = jnp.concatenate([lo, hi], axis=0)            # [K, TILE_N]
+    K = q.shape[0]
+    scales = s_ref[0]                                # [K//G, TILE_N]
+    w = q.astype(jnp.float32).reshape(K // group_size, group_size, TILE_N)
+    w = (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, TILE_N)
+    o_ref[:] = jax.lax.dot_general(
+        x.astype(jnp.float32), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _kernel_int8(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                 group_size: int, out_dtype):
+    x = x_ref[:]
+    q = w_ref[0]                                     # [K, TILE_N] int8
+    K = q.shape[0]
+    scales = s_ref[0]
+    w = q.astype(jnp.float32).reshape(K // group_size, group_size, TILE_N)
+    w = (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, TILE_N)
+    o_ref[:] = jax.lax.dot_general(
+        x.astype(jnp.float32), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _kernel_fp8(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    x = x_ref[:]
+    w = w_ref[0].astype(jnp.float32) * s_ref[0].astype(jnp.float32)[None, :]
+    o_ref[:] = jax.lax.dot_general(
+        x.astype(jnp.float32), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _kernel_bf16(block_expert_ref, x_ref, w_ref, o_ref, *, out_dtype):
+    x = x_ref[:]
+    o_ref[:] = jax.lax.dot_general(
+        x, w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def grouped_quant_matmul(
+    x_aligned: jax.Array,     # [M_pad, K]
+    w: jax.Array,             # int4: [E, K//2, N]; int8: [E, K, N];
+                              # fp8: [E, K, N]; bf16: [E, K, N]
+    scales: Optional[jax.Array],  # int4/8: [E, K//G, N]; fp8: [E, N]
+    block_expert: jax.Array,  # [M_pad // tile_m] i32 (-1 pad → expert 0)
+    *,
+    method: str,              # int4 | int8 | fp8 | bf16
+    tile_m: int,
+    group_size: int = 128,
+) -> jax.Array:
+    M_pad, K = x_aligned.shape
+    E = w.shape[0]
+    N = w.shape[2]
+    assert M_pad % tile_m == 0 and N % TILE_N == 0, (M_pad, tile_m, N)
+    nb_m = M_pad // tile_m
+    nb_n = N // TILE_N
+    safe_expert = jnp.maximum(block_expert, 0)
+
+    def w_index(m, n, be_ref):
+        return (be_ref[m], 0, n)
+
+    def s_index(m, n, be_ref):
+        return (be_ref[m], 0, n)
+
+    def s_index_fp8(m, n, be_ref):
+        return (be_ref[m], n)
+
+    x_spec = pl.BlockSpec((tile_m, K), lambda m, n, be: (m, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((tile_m, TILE_N), lambda m, n, be: (m, n),
+                          memory_space=pltpu.VMEM)
+    out_dtype = x_aligned.dtype
+
+    if method == "int4":
+        kernel = functools.partial(_kernel_int4, group_size=group_size,
+                                   out_dtype=out_dtype)
+        w_spec = pl.BlockSpec((1, K // 2, TILE_N), w_index,
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, K // group_size, TILE_N), s_index,
+                              memory_space=pltpu.VMEM)
+        in_specs = [x_spec, w_spec, s_spec]
+        args = (x_aligned, w, scales)
+    elif method == "int8":
+        kernel = functools.partial(_kernel_int8, group_size=group_size,
+                                   out_dtype=out_dtype)
+        w_spec = pl.BlockSpec((1, K, TILE_N), w_index,
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, K // group_size, TILE_N), s_index,
+                              memory_space=pltpu.VMEM)
+        in_specs = [x_spec, w_spec, s_spec]
+        args = (x_aligned, w, scales)
+    elif method == "fp8":
+        kernel = functools.partial(_kernel_fp8, out_dtype=out_dtype)
+        w_spec = pl.BlockSpec((1, K, TILE_N), w_index,
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, TILE_N), s_index_fp8,
+                              memory_space=pltpu.VMEM)
+        in_specs = [x_spec, w_spec, s_spec]
+        args = (x_aligned, w, scales)
+    elif method == "bf16":
+        kernel = functools.partial(_kernel_bf16, out_dtype=out_dtype)
+        w_spec = pl.BlockSpec((1, K, TILE_N), w_index,
+                              memory_space=pltpu.VMEM)
+        in_specs = [x_spec, w_spec]
+        args = (x_aligned, w)
+    else:
+        raise ValueError(f"unknown method {method}")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_m, nb_n),
+        in_specs=in_specs,
+        out_specs=o_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
+    )(safe_expert, *args)
+
+
+# ---- jnp reference ---------------------------------------------------------
+
+def grouped_quant_matmul_reference(x_aligned, w, scales, block_expert, *,
+                                   method, tile_m, group_size=128):
+    """Oracle: dequantize whole experts, gather per block, matmul."""
+    from lvllm_tpu.ops import quant as q
+
+    if method == "int4":
+        wd = q.dequant_int4(w, scales, group_size, jnp.float32)
+    elif method == "int8":
+        wd = q.dequant_int8(w, scales, group_size, jnp.float32)
+    elif method == "fp8":
+        wd = q.dequant_fp8(w, scales, jnp.float32)
+    else:
+        wd = w.astype(jnp.float32)
+    M_pad = x_aligned.shape[0]
+    nb = M_pad // tile_m
+    safe = jnp.maximum(block_expert, 0)
+    xb = x_aligned.reshape(nb, tile_m, -1).astype(jnp.float32)
+    wb = wd[safe]                                      # [nb, K, N]
+    out = jnp.einsum("bmk,bkn->bmn", xb, wb)
+    return out.reshape(M_pad, -1).astype(x_aligned.dtype)

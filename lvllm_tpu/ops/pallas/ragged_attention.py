@@ -1,0 +1,338 @@
+"""Pallas ragged paged attention (TPU).
+
+The production attention path — TPU-native counterpart of the reference's
+paged-attention CUDA kernels (``csrc/attention/paged_attention_v1/v2``) and
+FlashAttention varlen backend (``v1/attention/backends/flash_attn.py``):
+one kernel serves mixed prefill+decode ragged batches against a paged KV
+cache, with causal masking, GQA, sliding window and optional logit soft cap.
+
+Design (see SURVEY.md §7 hard-parts):
+- The host (or a cheap device gather) packs queries into fixed
+  ``[NT, TILE_Q, Hq, D]`` tiles; per-tile scalar metadata (request id, tile
+  offset inside the request) is scalar-prefetched into SMEM.
+- Grid = (NT,). Each program flash-iterates that request's KV pages,
+  DMA-ing ``CHUNK_PAGES`` pages at a time HBM→VMEM with double buffering
+  (jax.experimental.pallas async copies), accumulating softmax in f32.
+- KV stays in its paged HBM layout — no reshape/copy of the cache.
+
+Numerics match ``ragged_paged_attention_reference`` to bf16/f32 tolerance
+(tested in tests/ops/test_pallas_attention.py).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_Q = 8  # query tokens per tile (rows = TILE_Q * G per kv head)
+
+
+def build_tile_metadata(
+    query_start_loc: np.ndarray,  # [R+1] host int32
+    num_tiles: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side tile map: walk requests, emit one entry per TILE_Q-chunk of
+    each request's query segment.
+
+    Returns (tile_req [NT], tile_qpos [NT] — offset of the tile inside the
+    request's segment, tile_token [NT, TILE_Q] — flat q indices, -1 = pad).
+    """
+    R = len(query_start_loc) - 1
+    tile_req = np.full(num_tiles, -1, dtype=np.int32)
+    tile_qpos = np.zeros(num_tiles, dtype=np.int32)
+    tile_token = np.full((num_tiles, TILE_Q), -1, dtype=np.int32)
+    t = 0
+    for r in range(R):
+        start, end = query_start_loc[r], query_start_loc[r + 1]
+        q_len = end - start
+        for off in range(0, q_len, TILE_Q):
+            if t >= num_tiles:
+                raise ValueError("tile metadata overflow")
+            tile_req[t] = r
+            tile_qpos[t] = off
+            n = min(TILE_Q, q_len - off)
+            tile_token[t, :n] = np.arange(start + off, start + off + n)
+            t += 1
+    return tile_req, tile_qpos, tile_token
+
+
+def num_tiles_upper_bound(max_tokens: int, max_reqs: int) -> int:
+    """Static NT: every request wastes at most one partial tile."""
+    return -(-max_tokens // TILE_Q) + max_reqs
+
+
+def _attn_kernel(
+    # scalar prefetch
+    tile_req_ref,      # [NT] i32
+    tile_qpos_ref,     # [NT] i32
+    seq_lens_ref,      # [R] i32
+    qsl_ref,           # [R+1] i32
+    block_table_ref,   # [R, MAXB] i32
+    # inputs
+    q_tile_ref,        # [TILE_Q, Hq, D] VMEM (auto-sliced per tile)
+    kv_hbm_ref,        # [2, NB, BS, Hkv, D] ANY/HBM
+    # outputs
+    out_tile_ref,      # [TILE_Q, Hq, D] VMEM
+    # scratch
+    k_buf, v_buf,      # [2, CHUNK_K, Hkv, D] VMEM double buffers
+    sems,              # DMA semaphores [2, 2, CHUNK_PAGES]
+    *,
+    scale: float,
+    block_size: int,
+    chunk_pages: int,
+    sliding_window: Optional[int],
+    logits_soft_cap: Optional[float],
+    num_kv_heads: int,
+    q_heads_per_kv: int,
+    head_dim: int,
+):
+    t = pl.program_id(0)
+    r = tile_req_ref[t]
+
+    @pl.when(r >= 0)
+    def _run():
+        chunk_k = chunk_pages * block_size
+        G = q_heads_per_kv
+        Hkv = num_kv_heads
+        D = head_dim
+        ROWS = TILE_Q * G
+
+        seq_len = seq_lens_ref[r]
+        q_len = qsl_ref[r + 1] - qsl_ref[r]
+        qpos0 = tile_qpos_ref[t]
+
+        num_chunks = pl.cdiv(seq_len, chunk_k)
+
+        def start_chunk_dma(c, slot):
+            base_page = c * chunk_pages
+            for p in range(chunk_pages):
+                page = block_table_ref[r, base_page + p]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, page],
+                    k_buf.at[slot, pl.ds(p * block_size, block_size)],
+                    sems.at[0, slot, p],
+                ).start()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[1, page],
+                    v_buf.at[slot, pl.ds(p * block_size, block_size)],
+                    sems.at[1, slot, p],
+                ).start()
+
+        def wait_chunk_dma(slot):
+            for p in range(chunk_pages):
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0],
+                    k_buf.at[slot, pl.ds(p * block_size, block_size)],
+                    sems.at[0, slot, p],
+                ).wait()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[1, 0],
+                    v_buf.at[slot, pl.ds(p * block_size, block_size)],
+                    sems.at[1, slot, p],
+                ).wait()
+
+        start_chunk_dma(0, 0)
+
+        # Per-kv-head flash state, carried through the chunk loop.
+        # q laid out [Hkv, ROWS(=TILE_Q*G), D] so each head is one matmul.
+        q = q_tile_ref[0].reshape(TILE_Q, Hkv, G, D)
+        q = jnp.transpose(q, (1, 0, 2, 3)).reshape(Hkv, ROWS, D)
+        q = q.astype(jnp.float32) * scale
+
+        m0 = jnp.full((Hkv, ROWS, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((Hkv, ROWS, 1), jnp.float32)
+        acc0 = jnp.zeros((Hkv, ROWS, D), jnp.float32)
+
+        # Row-wise causal limit: row = tok*G + g → token index = row // G.
+        # Built from iota arithmetic only (repeat/gather don't lower in
+        # Mosaic kernels).
+        row_tok = jax.lax.broadcasted_iota(
+            jnp.int32, (ROWS, chunk_k), 0) // G
+        row_ctx = seq_len - q_len + qpos0 + row_tok + 1    # [ROWS, chunk_k]
+
+        def body(c, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_chunk_dma(c + 1, jax.lax.rem(c + 1, 2))
+
+            wait_chunk_dma(slot)
+
+            col0 = c * chunk_k
+            col_idx = col0 + jax.lax.broadcasted_iota(
+                jnp.int32, (ROWS, chunk_k), 1)
+            mask = col_idx < row_ctx
+            if sliding_window is not None:
+                mask &= col_idx >= (row_ctx - sliding_window)
+
+            def load_slot(buf):
+                # [CHUNK_K, Hkv, D] -> [Hkv, CHUNK_K, D]
+                x = buf[slot]
+                return jnp.transpose(x, (1, 0, 2))
+
+            k = load_slot(k_buf).astype(jnp.float32)
+            v = load_slot(v_buf).astype(jnp.float32)
+
+            new_m, new_l, new_acc = m, l, acc
+            outs_m, outs_l, outs_acc = [], [], []
+            for h in range(Hkv):
+                s = jax.lax.dot_general(
+                    q[h], k[h],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [ROWS, CHUNK_K]
+                if logits_soft_cap is not None:
+                    s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+                s = jnp.where(mask, s, -jnp.inf)
+                m_h = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
+                # Guard fully-masked rows (m == -inf): exp(-inf - -inf)=nan.
+                m_safe = jnp.where(jnp.isfinite(m_h), m_h, 0.0)
+                p = jnp.exp(s - m_safe)
+                p = jnp.where(mask, p, 0.0)
+                alpha = jnp.where(jnp.isfinite(m[h]),
+                                  jnp.exp(m[h] - m_safe), 0.0)
+                l_h = alpha * l[h] + jnp.sum(p, axis=-1, keepdims=True)
+                acc_h = alpha * acc[h] + jax.lax.dot_general(
+                    p, v[h],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outs_m.append(m_h)
+                outs_l.append(l_h)
+                outs_acc.append(acc_h)
+            new_m = jnp.stack(outs_m)
+            new_l = jnp.stack(outs_l)
+            new_acc = jnp.stack(outs_acc)
+            return new_m, new_l, new_acc
+
+        m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+
+        out = acc / jnp.maximum(l, 1e-20)                      # [Hkv,ROWS,D]
+        out = out.reshape(Hkv, TILE_Q, G, D)
+        out = jnp.transpose(out, (1, 0, 2, 3)).reshape(TILE_Q, Hkv * G, D)
+        out_tile_ref[0] = out.astype(out_tile_ref.dtype)
+
+    @pl.when(r < 0)
+    def _pad():
+        out_tile_ref[0] = jnp.zeros((TILE_Q, num_kv_heads * q_heads_per_kv,
+                                     head_dim), out_tile_ref.dtype)
+
+
+def ragged_paged_attention_pallas(
+    q: jax.Array,                # [T, Hq, D]
+    kv_cache: jax.Array,         # [2, NB, BS, Hkv, D]
+    block_table: jax.Array,      # [R, MAXB]
+    query_start_loc: jax.Array,  # [R+1]
+    seq_lens: jax.Array,         # [R]
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+    tile_req: Optional[jax.Array] = None,   # [NT] host-built (else device)
+    tile_qpos: Optional[jax.Array] = None,
+    tile_token: Optional[jax.Array] = None,  # [NT, TILE_Q]
+) -> jax.Array:
+    T, Hq, D = q.shape
+    R = seq_lens.shape[0]
+    BS = kv_cache.shape[2]
+    Hkv = kv_cache.shape[3]
+    G = Hq // Hkv
+    NT = num_tiles_upper_bound(T, R)
+
+    if tile_req is None:
+        tile_req, tile_qpos, tile_token = device_tile_metadata(
+            query_start_loc, T, R)
+
+    # Gather queries into aligned tiles (pad rows read q[0], masked later by
+    # scatter). [NT, TILE_Q, Hq, D]
+    safe_idx = jnp.maximum(tile_token, 0)
+    q_tiles = q[safe_idx.reshape(-1)].reshape(NT, TILE_Q, Hq, D)
+
+    chunk_pages = max(1, 128 // BS)
+    chunk_k = chunk_pages * BS
+    maxb = block_table.shape[1]
+    # Pad block table so chunk DMA never reads out of bounds.
+    pad_b = (-maxb) % chunk_pages
+    if pad_b:
+        block_table = jnp.pad(block_table, ((0, 0), (0, pad_b)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((1, TILE_Q, Hq, D), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_Q, Hq, D),
+                               lambda t, *_: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_k, Hkv, D), kv_cache.dtype),
+            pltpu.VMEM((2, chunk_k, Hkv, D), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _attn_kernel,
+        scale=scale,
+        block_size=BS,
+        chunk_pages=chunk_pages,
+        sliding_window=sliding_window,
+        logits_soft_cap=logits_soft_cap,
+        num_kv_heads=Hkv,
+        q_heads_per_kv=G,
+        head_dim=D,
+    )
+
+    out_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NT, TILE_Q, Hq, D), q.dtype),
+    )(tile_req, tile_qpos, seq_lens, query_start_loc, block_table,
+      q_tiles, kv_cache)
+
+    # Scatter tiles back to flat [T, Hq, D]. Pad rows are marked -1, which
+    # would WRAP to T-1 under jax negative indexing — remap them to T so
+    # mode="drop" discards them.
+    flat_idx = tile_token.reshape(-1)
+    flat_idx = jnp.where(flat_idx < 0, T, flat_idx)
+    out = jnp.zeros_like(q)
+    out = out.at[flat_idx].set(
+        out_tiles.reshape(NT * TILE_Q, Hq, D), mode="drop")
+    return out
+
+
+def device_tile_metadata(query_start_loc: jax.Array, T: int, R: int):
+    """Device-side tile map (jnp; jit-friendly) — used when the host didn't
+    precompute one. One tile per (request, TILE_Q-chunk).
+
+    Tiles are laid out at offset cdiv-prefix positions; computed with static
+    shapes: NT = cdiv(T, TILE_Q) + R.
+    """
+    NT = num_tiles_upper_bound(T, R)
+    q_lens = query_start_loc[1:] - query_start_loc[:-1]          # [R]
+    ntiles = -(-q_lens // TILE_Q)                                # cdiv
+    tile_start_of_req = jnp.cumsum(ntiles) - ntiles              # [R]
+
+    tile_idx = jnp.arange(NT, dtype=jnp.int32)
+    # req of tile: last r with tile_start_of_req[r] <= t < start+ntiles
+    req_of_tile = jnp.searchsorted(tile_start_of_req, tile_idx,
+                                   side="right").astype(jnp.int32) - 1
+    req_of_tile = jnp.clip(req_of_tile, 0, R - 1)
+    within = tile_idx - tile_start_of_req[req_of_tile]
+    valid = within < ntiles[req_of_tile]
+    tile_req = jnp.where(valid, req_of_tile, -1).astype(jnp.int32)
+    tile_qpos = jnp.where(valid, within * TILE_Q, 0).astype(jnp.int32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (NT, TILE_Q), 1)
+    tok = query_start_loc[req_of_tile][:, None] + tile_qpos[:, None] + row
+    tok_valid = valid[:, None] & (
+        (tile_qpos[:, None] + row) < q_lens[req_of_tile][:, None])
+    tile_token = jnp.where(tok_valid, tok, -1).astype(jnp.int32)
+    return tile_req, tile_qpos, tile_token

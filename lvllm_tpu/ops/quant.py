@@ -1,0 +1,113 @@
+"""Weight-only quantization: INT8 / INT4 (AWQ-style symmetric, grouped) and
+FP8 (e4m3) with per-channel scales.
+
+TPU-native counterpart of the reference's quant stack
+(``csrc/quantization/*`` marlin/machete wNa16 GEMMs,
+``layers/quantization/`` fp8/awq/gptq configs, and the fork's FP8→INT4
+repack-on-load ``layer.py:_process_block_weights_quant:2074``).
+
+Storage conventions:
+- int4: two nibbles per int8 along the *contraction* axis in half-split
+  layout — low nibble holds row r, high nibble holds row r + K/2
+  (w[..., K, N] → packed [..., K//2, N]); unpacking is a single
+  concatenate, which lowers cleanly inside Pallas kernels (an interleaved
+  layout would need a gather). Group scales [..., K//G, N].
+- int8: plain int8 + per-(group,channel) scales.
+- fp8: jnp.float8_e4m3fn + per-channel scale.
+
+The fused dequant+GEMM Pallas kernels live in ``ops/pallas/quant_gemm.py``;
+the jnp paths here are the oracle/CPU fallback (dequantize then matmul).
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Per-tensor-family quantization choice (reference:
+    QuantizationConfig registry, layers/quantization/__init__.py)."""
+
+    method: str = "none"      # none | int8 | int4 | fp8
+    group_size: int = 128     # contraction-dim group for int4/int8 scales
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.method != "none"
+
+
+# ---- host-side quantization on load (numpy) --------------------------------
+
+def quantize_int4_np(w: np.ndarray, group_size: int = 128
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric grouped INT4: w [..., K, N] → (packed [..., K//2, N] int8,
+    scales [..., K//G, N] f32). AWQ-sym equivalent (no zero points)."""
+    *lead, K, N = w.shape
+    G = group_size
+    assert K % G == 0 and K % 2 == 0, (K, G)
+    wg = w.reshape(*lead, K // G, G, N).astype(np.float32)
+    amax = np.abs(wg).max(axis=-2, keepdims=True)          # [..., K//G, 1, N]
+    scales = (amax / 7.0).astype(np.float32)
+    q = np.clip(np.round(wg / np.maximum(scales, 1e-10)), -8, 7)
+    q = q.astype(np.int8).reshape(*lead, K, N)
+    # Half-split pack: low nibble = row r, high nibble = row r + K/2.
+    lo = q[..., : K // 2, :] & 0x0F
+    hi = (q[..., K // 2:, :] & 0x0F) << 4
+    packed = (lo | hi).astype(np.int8)
+    return packed, scales[..., 0, :]                        # [..., K//G, N]
+
+
+def quantize_int8_np(w: np.ndarray, group_size: int = 128
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    *lead, K, N = w.shape
+    G = group_size
+    assert K % G == 0
+    wg = w.reshape(*lead, K // G, G, N).astype(np.float32)
+    amax = np.abs(wg).max(axis=-2, keepdims=True)
+    scales = (amax / 127.0).astype(np.float32)
+    q = np.clip(np.round(wg / np.maximum(scales, 1e-10)), -128, 127)
+    return q.astype(np.int8).reshape(*lead, K, N), scales[..., 0, :]
+
+
+def quantize_fp8_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel FP8 e4m3 (reference: fp8 channel scheme)."""
+    amax = np.abs(w).max(axis=-2, keepdims=True).astype(np.float32)  # [...,1,N]
+    scales = np.maximum(amax / 448.0, 1e-10)
+    q = np.clip(w / scales, -448.0, 448.0)
+    q = jnp.asarray(q, jnp.float8_e4m3fn)
+    return np.asarray(q), scales[..., 0, :].astype(np.float32)
+
+
+# ---- jnp dequant (oracle / fallback) ---------------------------------------
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[..., K//2, N] int8 → [..., K, N] int8 in [-8, 7] (half-split)."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def dequant_int4(packed: jax.Array, scales: jax.Array,
+                 group_size: int = 128, dtype=jnp.bfloat16) -> jax.Array:
+    q = unpack_int4(packed)                     # [..., K, N]
+    *lead, K, N = q.shape
+    qg = q.reshape(*lead, K // group_size, group_size, N).astype(dtype)
+    return (qg * scales[..., :, None, :].astype(dtype)).reshape(*lead, K, N)
+
+
+def dequant_int8(q: jax.Array, scales: jax.Array,
+                 group_size: int = 128, dtype=jnp.bfloat16) -> jax.Array:
+    *lead, K, N = q.shape
+    qg = q.reshape(*lead, K // group_size, group_size, N).astype(dtype)
+    return (qg * scales[..., :, None, :].astype(dtype)).reshape(*lead, K, N)
+
+
+def dequant_fp8(q: jax.Array, scales: jax.Array,
+                dtype=jnp.bfloat16) -> jax.Array:
+    return q.astype(dtype) * scales[..., None, :].astype(dtype)

@@ -4,23 +4,24 @@ TPU-native counterpart of the reference's parallel layers
 (``layers/linear.py`` ColumnParallelLinear/RowParallelLinear,
 ``VocabParallelEmbedding``, FusedMoE expert mapping
 ``fused_moe/layer.py:84``): instead of per-layer manual collectives, each
-parameter gets a PartitionSpec; XLA's SPMD partitioner derives the
-all-reduces the reference issues by hand.
+parameter gets a PartitionSpec derived from its *path* in the params tree;
+XLA's SPMD partitioner derives the all-reduces the reference issues by hand.
 
 Conventions (axes from parallel/mesh.py):
 - q/k/v projections: output dim on "model" (column-parallel)
 - o_proj / mlp down: input dim on "model" (row-parallel → all-reduce)
 - mlp gate_up: output dim on "model"
-- MoE w1/w2: expert dim on "expert", intermediate on "model"
+- MoE w1/w2 (and their quantized w*_q / w*_scales forms): expert dim on
+  "expert", intermediate dim on "model"
 - embedding / lm_head: vocab on "model"
-- KV cache: kv-head dim on "model" (falls back to replicated when the
-  head count doesn't divide)
+- KV cache: kv-head dim on "model" (replicated when it doesn't divide)
 """
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.tree_util import DictKey, SequenceKey, tree_map_with_path
 
 from lvllm_tpu.config import ModelConfig
 from lvllm_tpu.parallel.mesh import AXIS_EXPERT, AXIS_MODEL
@@ -29,71 +30,84 @@ from lvllm_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 
-def _divides(n: int, mesh: Mesh, axis: str) -> bool:
-    return n % mesh.shape[axis] == 0
-
-
-def param_specs(config: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
-    """PartitionSpec pytree matching Qwen3Model's params layout."""
-    c = config
-    tp_ok = lambda n: _divides(n, mesh, AXIS_MODEL)  # noqa: E731
-    ep_ok = c.is_moe and _divides(c.num_experts, mesh, AXIS_EXPERT)
-
-    vocab = P(AXIS_MODEL, None) if tp_ok(c.vocab_size) else P()
-    specs: Dict[str, Any] = {
-        "embed": {"weight": vocab},
-        "norm": {"weight": P()},
-        "layers": [],
-    }
-    if not c.tie_word_embeddings:
-        specs["lm_head"] = {
-            "kernel": P(None, AXIS_MODEL) if tp_ok(c.vocab_size) else P()}
-
-    heads_ok = tp_ok(c.num_attention_heads) and tp_ok(c.num_key_value_heads)
-    for i in range(c.num_hidden_layers):
-        layer: Dict[str, Any] = {
-            "input_layernorm": {"weight": P()},
-            "post_attention_layernorm": {"weight": P()},
-            "self_attn": {
-                "q_proj": {"kernel": P(None, AXIS_MODEL) if heads_ok else P()},
-                "k_proj": {"kernel": P(None, AXIS_MODEL) if heads_ok else P()},
-                "v_proj": {"kernel": P(None, AXIS_MODEL) if heads_ok else P()},
-                "o_proj": {"kernel": P(AXIS_MODEL, None) if heads_ok else P()},
-            },
-        }
-        if c.qk_norm:
-            layer["self_attn"]["q_norm"] = {"weight": P()}
-            layer["self_attn"]["k_norm"] = {"weight": P()}
-        if c.is_moe_layer(i):
-            e_ax = AXIS_EXPERT if ep_ok else None
-            i_ax = AXIS_MODEL if _divides(2 * c.moe_intermediate_size,
-                                          mesh, AXIS_MODEL) else None
-            layer["moe"] = {
-                "router": P(),
-                "w1": P(e_ax, None, i_ax),
-                "w2": P(e_ax, i_ax, None),
-            }
+def _path_names(path) -> Tuple[str, ...]:
+    names = []
+    for k in path:
+        if isinstance(k, DictKey):
+            names.append(str(k.key))
+        elif isinstance(k, SequenceKey):
+            names.append(str(k.idx))
         else:
-            i_ax = AXIS_MODEL if _divides(2 * c.intermediate_size, mesh,
-                                          AXIS_MODEL) else None
-            layer["mlp"] = {
-                "gate_up": {"kernel": P(None, i_ax)},
-                "down": {"kernel": P(i_ax, None)},
-            }
-        specs["layers"].append(layer)
-    return specs
+            names.append(str(k))
+    return tuple(names)
+
+
+def spec_for_param(path_names: Tuple[str, ...], ndim: int,
+                   shape, mesh: Mesh, config: ModelConfig) -> P:
+    """PartitionSpec for one parameter, by its tree path."""
+    tp = mesh.shape[AXIS_MODEL]
+    ep = mesh.shape[AXIS_EXPERT]
+    name = path_names[-2] if len(path_names) >= 2 else ""
+    leaf = path_names[-1]
+    joined = "/".join(path_names)
+
+    def div(n, m):
+        return n % m == 0
+
+    # MoE expert tensors: [E, K(/2), N] (+ scales [E, K/G, N]).
+    if "moe" in path_names and leaf in (
+            "w1", "w2", "w1_q", "w2_q", "w1_scales", "w2_scales"):
+        e_ax = AXIS_EXPERT if div(shape[0], ep) else None
+        # Shard the intermediate dim: for w1-family it's the last dim (2I);
+        # for w2-family it's the middle (K=I). Scales follow their weight.
+        if leaf.startswith("w1"):
+            n_ax = AXIS_MODEL if div(shape[-1], tp) else None
+            return P(e_ax, None, n_ax)
+        else:
+            k_ax = AXIS_MODEL if div(shape[1], tp) else None
+            return P(e_ax, k_ax, None)
+    if "moe" in path_names and leaf == "router":
+        return P()
+    if "moe" in path_names and leaf in ("shared_w1", "shared_w2"):
+        if leaf == "shared_w1" and div(shape[-1], tp):
+            return P(None, AXIS_MODEL)
+        if leaf == "shared_w2" and div(shape[0], tp):
+            return P(AXIS_MODEL, None)
+        return P()
+
+    if name in ("q_proj", "k_proj", "v_proj"):
+        return P(None, AXIS_MODEL) if div(shape[-1], tp) else P()
+    if name == "o_proj":
+        return P(AXIS_MODEL, None) if div(shape[0], tp) else P()
+    if name == "gate_up":
+        return P(None, AXIS_MODEL) if div(shape[-1], tp) else P()
+    if name == "down":
+        return P(AXIS_MODEL, None) if div(shape[0], tp) else P()
+    if path_names[0] == "embed":
+        return P(AXIS_MODEL, None) if div(shape[0], tp) else P()
+    if path_names[0] == "lm_head":
+        return P(None, AXIS_MODEL) if div(shape[-1], tp) else P()
+    return P()  # norms, biases, everything small: replicated
+
+
+def param_specs(params, config: ModelConfig, mesh: Mesh):
+    """PartitionSpec pytree mirroring an actual params tree."""
+    def spec(path, leaf):
+        return spec_for_param(_path_names(path), leaf.ndim, leaf.shape,
+                              mesh, config)
+    return tree_map_with_path(spec, params)
 
 
 def kv_cache_spec(config: ModelConfig, mesh: Mesh) -> P:
     """[2, NB, BS, Hkv, D]: shard kv heads over the model axis."""
-    if _divides(config.num_kv_heads, mesh, AXIS_MODEL):
+    if config.num_kv_heads % mesh.shape[AXIS_MODEL] == 0:
         return P(None, None, None, AXIS_MODEL, None)
     return P()
 
 
 def shard_params(params, config: ModelConfig, mesh: Mesh):
     """Place a params pytree onto the mesh per param_specs."""
-    specs = param_specs(config, mesh)
-    def place(p, s):
+    def place(path, p):
+        s = spec_for_param(_path_names(path), p.ndim, p.shape, mesh, config)
         return jax.device_put(p, NamedSharding(mesh, s))
-    return jax.tree.map(place, params, specs)
+    return tree_map_with_path(place, params)

@@ -1,0 +1,47 @@
+"""End-to-end quantized-MoE engine tests (weight-only int8/int4/fp8)."""
+
+import numpy as np
+import pytest
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.entrypoints.llm import LLM
+from lvllm_tpu.sampling_params import SamplingParams
+
+
+def make_llm(quantization=None):
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="float32",
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=128,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=-1,
+        quantization=quantization, seed=7)
+    return LLM(model_config=mc, load_format="dummy", max_num_seqs=4,
+               max_num_batched_tokens=128, num_kv_blocks=64)
+
+
+@pytest.mark.parametrize("method", ["int8", "int4", "fp8"])
+def test_quantized_generate_matches_bf16_mostly(method):
+    """Greedy outputs from the quantized model should track the full-precision
+    model closely on a short horizon (lm-eval-parity analog at tiny scale)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7, 6], list(range(30, 60))]
+    base = make_llm(None).generate(prompts, sp)
+    quant = make_llm(method).generate(prompts, sp)
+    total = agree = 0
+    for b, q in zip(base, quant):
+        bt, qt = b.outputs[0].token_ids, q.outputs[0].token_ids
+        for x, y in zip(bt, qt):
+            total += 1
+            agree += int(x == y)
+    # int4 at tiny hidden sizes is noisy; require strong-but-not-exact match.
+    assert agree / total >= 0.5, (agree, total)
+    assert all(o.finished for o in quant)
+
+
+def test_quantized_deterministic():
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    llm = make_llm("int8")
+    a = llm.generate([[5, 4, 3]], sp)[0].outputs[0].token_ids
+    b = llm.generate([[5, 4, 3]], sp)[0].outputs[0].token_ids
+    assert a == b

@@ -1,0 +1,107 @@
+"""moe_align + grouped quant GEMM tests (Pallas in interpret mode vs
+oracles), mirroring the reference's kernel test strategy."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from lvllm_tpu.ops import moe_align, quant
+from lvllm_tpu.ops.pallas import quant_gemm
+
+
+def test_align_tokens_structure():
+    T, K, E, TM = 5, 2, 4, 8
+    topk = jnp.asarray([[0, 1], [1, 2], [0, 0], [3, 1], [2, 2]], jnp.int32)
+    x = jnp.arange(T * 4, dtype=jnp.float32).reshape(T, 4)
+    d = moe_align.align_tokens(x, topk, E, TM)
+    M_pad = moe_align.max_padded_rows(T * K, E, TM)
+    assert d.x_aligned.shape == (M_pad, 4)
+    be = np.asarray(d.block_expert)
+    # Each expert's segment: counts = [3,3,3,1] → padded 8 each → 4 blocks.
+    assert list(be[:4]) == [0, 1, 2, 3]
+    assert (be[4:] == -1).all()
+    # Every pair's destination row holds that token's features.
+    pp = np.asarray(d.pair_pos)
+    xa = np.asarray(d.x_aligned)
+    flat = np.asarray(topk).reshape(-1)
+    for pair in range(T * K):
+        tok = pair // K
+        np.testing.assert_array_equal(xa[pp[pair]], np.asarray(x[tok]))
+    # Rows not referenced by any pair are zero.
+    used = set(pp.tolist())
+    for row in range(M_pad):
+        if row not in used:
+            assert xa[row].sum() == 0
+
+
+def test_align_and_combine_identity():
+    """combine(align(x)) with weight 1 and identity experts returns x·K."""
+    rng = np.random.default_rng(0)
+    T, K, E, TM, H = 7, 2, 4, 8, 16
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    topk = jnp.asarray(rng.integers(0, E, (T, K)), jnp.int32)
+    d = moe_align.align_tokens(x, topk, E, TM)
+    w = jnp.ones((T, K), jnp.float32)
+    y = moe_align.combine_tokens(d.x_aligned, d.pair_pos, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) * K, rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["bf16", "int8", "int4", "fp8"])
+def test_grouped_gemm_matches_reference(method):
+    rng = np.random.default_rng(1)
+    E, K, N, TM = 4, 256, 256, 8
+    T, topk_k = 6, 2
+    x = jnp.asarray(rng.standard_normal((T, K)) * 0.3, jnp.float32)
+    topk = jnp.asarray(rng.integers(0, E, (T, topk_k)), jnp.int32)
+    d = moe_align.align_tokens(x, topk, E, TM)
+
+    wf = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+    if method == "int4":
+        packed, s = quant.quantize_int4_np(wf, 128)
+        w, scales = jnp.asarray(packed), jnp.asarray(s)
+    elif method == "int8":
+        qw, s = quant.quantize_int8_np(wf, 128)
+        w, scales = jnp.asarray(qw), jnp.asarray(s)
+    elif method == "fp8":
+        qw, s = quant.quantize_fp8_np(wf)
+        w, scales = jnp.asarray(qw), jnp.asarray(s)
+    else:
+        w, scales = jnp.asarray(wf, jnp.float32), None
+
+    ref = quant_gemm.grouped_quant_matmul_reference(
+        d.x_aligned, w, scales, d.block_expert, method=method, tile_m=TM)
+    with pltpu.force_tpu_interpret_mode():
+        got = quant_gemm.grouped_quant_matmul(
+            d.x_aligned, w, scales, d.block_expert, method=method, tile_m=TM)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_grouped_gemm_end_to_end_vs_dense_moe():
+    """align → bf16 gmm → combine equals the fused_moe ragged_dot path."""
+    from lvllm_tpu.layers.moe import MoEParams, fused_moe, route_tokens
+    from lvllm_tpu.layers.common import silu_and_mul
+
+    rng = np.random.default_rng(2)
+    T, H, I, E, K = 6, 128, 128, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, H)) * 0.5, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, I, H)) * 0.05, jnp.float32)
+
+    expected = fused_moe(x, MoEParams(router=router, w1=w1, w2=w2), K)
+
+    topk_w, topk_ids = route_tokens(x, router, K)
+    d = moe_align.align_tokens(x, topk_ids, E, 8)
+    with pltpu.force_tpu_interpret_mode():
+        h = quant_gemm.grouped_quant_matmul(
+            d.x_aligned, w1, None, d.block_expert, method="bf16", tile_m=8)
+        h = silu_and_mul(h)
+        y_aligned = quant_gemm.grouped_quant_matmul(
+            h, w2, None, d.block_expert, method="bf16", tile_m=8)
+    y = moe_align.combine_tokens(y_aligned, d.pair_pos, topk_w,
+                                 out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)

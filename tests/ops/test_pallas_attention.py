@@ -1,0 +1,129 @@
+"""Pallas ragged attention vs the jnp reference oracle.
+
+Runs in interpret mode on CPU (the driver/TPU runs it compiled; see
+tests/tpu/ for on-hardware checks).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lvllm_tpu.ops.attention import ragged_paged_attention_reference
+from lvllm_tpu.ops.kv_cache import new_kv_cache, write_kv
+from lvllm_tpu.ops.pallas import ragged_attention as ra
+
+
+def setup_case(rng, ctx_lens, q_lens, Hq, Hkv, D, bs, num_blocks, T_pad=None):
+    R = len(ctx_lens)
+    cache = new_kv_cache(num_blocks, bs, Hkv, D, jnp.float32)
+    maxb = max(-(-c // bs) for c in ctx_lens)
+    table = np.zeros((R, maxb), dtype=np.int32)
+    perm = rng.permutation(num_blocks - 1)[: R * maxb] + 1
+    perm = perm.reshape(R, maxb)
+    ks, vs, slots = [], [], []
+    for r, c in enumerate(ctx_lens):
+        nb = -(-c // bs)
+        table[r, :nb] = perm[r, :nb]
+        k = rng.standard_normal((c, Hkv, D)).astype(np.float32)
+        v = rng.standard_normal((c, Hkv, D)).astype(np.float32)
+        ks.append(k)
+        vs.append(v)
+        for t in range(c):
+            slots.append(perm[r, t // bs] * bs + t % bs)
+    cache = write_kv(cache, jnp.asarray(np.concatenate(ks)),
+                     jnp.asarray(np.concatenate(vs)),
+                     jnp.asarray(slots, jnp.int32))
+    T = sum(q_lens)
+    T_pad = T_pad or T
+    q = np.zeros((T_pad, Hq, D), np.float32)
+    q[:T] = rng.standard_normal((T, Hq, D))
+    qsl = np.zeros(R + 1, np.int32)
+    qsl[1:R + 1] = np.cumsum(q_lens)
+    return (jnp.asarray(q), cache, jnp.asarray(table), jnp.asarray(qsl),
+            jnp.asarray(ctx_lens, jnp.int32))
+
+
+def run_both(rng, ctx_lens, q_lens, Hq=4, Hkv=2, D=128, bs=16,
+             num_blocks=64, sliding_window=None, soft_cap=None, T_pad=None):
+    q, cache, table, qsl, seq_lens = setup_case(
+        rng, ctx_lens, q_lens, Hq, Hkv, D, bs, num_blocks, T_pad)
+    scale = D ** -0.5
+    ref = ragged_paged_attention_reference(
+        q, cache, table, qsl, seq_lens, scale=scale,
+        sliding_window=sliding_window, logits_soft_cap=soft_cap)
+    with pltpu_interpret():
+        got = ra.ragged_paged_attention_pallas(
+            q, cache, table, qsl, seq_lens, scale=scale,
+            sliding_window=sliding_window, logits_soft_cap=soft_cap)
+    T = sum(q_lens)
+    np.testing.assert_allclose(np.asarray(got[:T]), np.asarray(ref[:T]),
+                               rtol=2e-4, atol=2e-4)
+    # Padded tail rows must be zero.
+    if got.shape[0] > T:
+        assert np.abs(np.asarray(got[T:])).max() == 0.0
+
+
+class pltpu_interpret:
+    def __enter__(self):
+        from jax.experimental.pallas import tpu as pltpu
+        self._cm = pltpu.force_tpu_interpret_mode()
+        self._cm.__enter__()
+
+    def __exit__(self, *a):
+        self._cm.__exit__(*a)
+
+
+def test_decode_only():
+    rng = np.random.default_rng(0)
+    run_both(rng, ctx_lens=[20, 33, 7, 64], q_lens=[1, 1, 1, 1])
+
+
+def test_prefill_only():
+    rng = np.random.default_rng(1)
+    run_both(rng, ctx_lens=[40], q_lens=[40])
+
+
+def test_mixed_batch_with_padding():
+    rng = np.random.default_rng(2)
+    run_both(rng, ctx_lens=[20, 33, 12], q_lens=[1, 7, 12], T_pad=32)
+
+
+def test_chunked_prefill_tail():
+    # Query segment is a suffix of a longer context (chunked prefill).
+    rng = np.random.default_rng(3)
+    run_both(rng, ctx_lens=[50], q_lens=[18])
+
+
+def test_gqa_8():
+    rng = np.random.default_rng(4)
+    run_both(rng, ctx_lens=[17, 65], q_lens=[1, 9], Hq=8, Hkv=1)
+
+
+def test_sliding_window():
+    rng = np.random.default_rng(5)
+    run_both(rng, ctx_lens=[60, 30], q_lens=[4, 1], sliding_window=16)
+
+
+def test_soft_cap():
+    rng = np.random.default_rng(6)
+    run_both(rng, ctx_lens=[25], q_lens=[5], soft_cap=30.0)
+
+
+def test_multi_chunk_context():
+    # seq_len spans several 128-token DMA chunks.
+    rng = np.random.default_rng(7)
+    run_both(rng, ctx_lens=[300, 150], q_lens=[1, 3], num_blocks=64)
+
+
+def test_device_tile_metadata_matches_host():
+    qsl = np.asarray([0, 1, 8, 20, 20], np.int32)  # 4 reqs, last inactive
+    T, R = 24, 4
+    NT = ra.num_tiles_upper_bound(T, R)
+    h_req, h_qpos, h_tok = ra.build_tile_metadata(qsl, NT)
+    d_req, d_qpos, d_tok = ra.device_tile_metadata(jnp.asarray(qsl), T, R)
+    np.testing.assert_array_equal(h_req, np.asarray(d_req))
+    np.testing.assert_array_equal(h_qpos, np.asarray(d_qpos))
+    np.testing.assert_array_equal(h_tok, np.asarray(d_tok))
