@@ -189,6 +189,21 @@ class OffloadConfig:
 
 
 @dataclass
+class SpeculativeConfig:
+    """Speculative decoding (reference: config/speculative.py; proposers in
+    v1/spec_decode/). method=None disables."""
+
+    method: Optional[str] = None   # None | "ngram"
+    num_speculative_tokens: int = 4
+    ngram_min: int = 2
+    ngram_max: int = 4
+
+    @property
+    def enabled(self) -> bool:
+        return self.method is not None
+
+
+@dataclass
 class ObservabilityConfig:
     collect_detailed_metrics: bool = False
     log_stats_interval_s: float = 10.0
@@ -204,6 +219,8 @@ class EngineConfig:
     scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
     parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
     offload_config: OffloadConfig = field(default_factory=OffloadConfig)
+    speculative_config: SpeculativeConfig = field(
+        default_factory=SpeculativeConfig)
     observability_config: ObservabilityConfig = field(
         default_factory=ObservabilityConfig)
 

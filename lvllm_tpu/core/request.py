@@ -115,31 +115,35 @@ class Request:
         self.output_token_ids.extend(token_ids)
 
 
-def check_stop(request: Request) -> bool:
-    """Check stop conditions after new output tokens were appended; sets the
-    finished status. Mirrors reference ``v1/core/sched/utils.py check_stop``.
+def check_stop(request: Request, num_new_tokens: int = 1) -> bool:
+    """Check stop conditions over the ``num_new_tokens`` just appended (can
+    be >1 with spec decode); sets the finished status and truncates output
+    past the stop point. Mirrors reference ``sched/utils.py check_stop``.
 
     Stop *strings* are handled downstream by the detokenizer (they need text);
     this handles token-level stops.
     """
     sp = request.sampling_params
-    if request.num_output_tokens >= request.max_tokens:
-        request.status = RequestStatus.FINISHED_LENGTH_CAPPED
-        return True
-    if request.num_tokens >= 2**31:
-        request.status = RequestStatus.FINISHED_LENGTH_CAPPED
-        return True
-    if request.num_output_tokens < sp.min_tokens:
-        return False
-    last = request.output_token_ids[-1] if request.output_token_ids else None
-    if last is None:
-        return False
-    if (not sp.ignore_eos and request.eos_token_id is not None
-            and last == request.eos_token_id):
-        request.status = RequestStatus.FINISHED_STOPPED
-        return True
-    if last in (sp.stop_token_ids or ()):
-        request.status = RequestStatus.FINISHED_STOPPED
-        request.stop_reason = last
-        return True
+    out = request.output_token_ids
+    first_new = len(out) - num_new_tokens
+
+    # Token-level stops: find the earliest stopping token among the new ones.
+    for i in range(max(first_new, 0), len(out)):
+        if i + 1 < sp.min_tokens:
+            continue
+        tok = out[i]
+        if (not sp.ignore_eos and request.eos_token_id is not None
+                and tok == request.eos_token_id):
+            del out[i + 1:]
+            request.status = RequestStatus.FINISHED_STOPPED
+            return True
+        if tok in (sp.stop_token_ids or ()):
+            del out[i + 1:]
+            request.status = RequestStatus.FINISHED_STOPPED
+            request.stop_reason = tok
+            return True
+        if i + 1 >= request.max_tokens:
+            del out[i + 1:]
+            request.status = RequestStatus.FINISHED_LENGTH_CAPPED
+            return True
     return False

@@ -286,7 +286,7 @@ class Scheduler:
             if sampled:
                 req.append_output_token_ids(sampled)
                 stepped.append(req)
-                if check_stop(req):
+                if check_stop(req, num_new_tokens=len(sampled)):
                     finished.append(req)
                     continue
             # Stash next-step drafts.

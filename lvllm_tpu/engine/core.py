@@ -75,6 +75,14 @@ class EngineCore:
         self.runner = ModelRunner(config, self.model, params,
                                   self.num_kv_blocks, mesh=mesh)
 
+        self.proposer = None
+        sc = config.speculative_config
+        if sc.enabled and sc.method == "ngram":
+            from lvllm_tpu.spec_decode.ngram import NgramConfig, NgramProposer
+            self.proposer = NgramProposer(NgramConfig(
+                num_speculative_tokens=sc.num_speculative_tokens,
+                min_ngram=sc.ngram_min, max_ngram=sc.ngram_max))
+
     # ---- request API -------------------------------------------------------
 
     def add_request(self, request: Request) -> None:
@@ -109,7 +117,24 @@ class EngineCore:
         runner_output = self.runner.execute_model(scheduler_output)
         stepped = self.scheduler.update_from_output(scheduler_output,
                                                     runner_output)
+        if self.proposer is not None:
+            self._propose_drafts(stepped)
         return stepped, (runner_output.logprobs or {})
+
+    def _propose_drafts(self, stepped: List[Request]) -> None:
+        """Attach next-step draft tokens (greedy requests only — drafts are
+        verified by exact-match against the model's own samples, which is
+        lossless only at temperature 0)."""
+        max_len = self.config.model_config.max_model_len
+        k = self.config.speculative_config.num_speculative_tokens
+        for req in stepped:
+            if req.is_finished or req.sampling_params.temperature != 0.0:
+                continue
+            room = max_len - req.num_tokens - 1
+            if room <= 0:
+                continue
+            drafts = self.proposer.propose(req.all_token_ids)
+            req.spec_token_ids = drafts[:min(k, room)]
 
     def get_stats(self) -> dict:
         return self.scheduler.make_stats()

@@ -14,10 +14,12 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class AttentionMetadata:
     """Device arrays describing the ragged batch (reference:
-    CommonAttentionMetadata, v1/attention/backend.py:353)."""
+    CommonAttentionMetadata, v1/attention/backend.py:353). Registered as a
+    pytree so it can cross jit boundaries."""
 
     query_start_loc: jax.Array  # [R+1] i32
     seq_lens: jax.Array         # [R] i32

@@ -165,6 +165,41 @@ class Qwen3Model:
         return silu_and_mul(x @ mlp["gate_up"]["kernel"]) @ \
             mlp["down"]["kernel"]
 
+    def embed_tokens(self, params: Params, input_ids: jax.Array) -> jax.Array:
+        return params["embed"]["weight"][input_ids].astype(self.dtype)
+
+    def apply_layer(
+        self,
+        layer_params: Params,
+        x: jax.Array,
+        residual: jax.Array,
+        positions: jax.Array,
+        kv_cache: jax.Array,
+        attn_metadata: AttentionMetadata,
+        layer_idx: int,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One decoder layer: returns (ffn_out, residual, new_kv_cache).
+        Used both by the fused __call__ and by the staged/streamed runner
+        (offload/expert_store.py), where each layer is dispatched separately
+        so host→HBM expert streaming can overlap compute."""
+        c = self.config
+        lp = layer_params
+        h, residual = fused_add_rms_norm(
+            x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+        attn_out, kv = self._attention(lp, h, positions, kv_cache,
+                                       attn_metadata)
+        h, residual = fused_add_rms_norm(
+            attn_out, residual, lp["post_attention_layernorm"]["weight"],
+            c.rms_norm_eps)
+        x = self._ffn(lp, h, layer_idx)
+        return x, residual, kv
+
+    def finalize_hidden(self, params: Params, x: jax.Array,
+                        residual: jax.Array) -> jax.Array:
+        hidden, _ = fused_add_rms_norm(
+            x, residual, params["norm"]["weight"], self.config.rms_norm_eps)
+        return hidden
+
     def __call__(
         self,
         params: Params,
@@ -173,22 +208,14 @@ class Qwen3Model:
         kv_caches: KVCaches,
         attn_metadata: AttentionMetadata,
     ) -> Tuple[jax.Array, KVCaches]:
-        c = self.config
-        x = params["embed"]["weight"][input_ids].astype(self.dtype)
+        x = self.embed_tokens(params, input_ids)
         residual = jnp.zeros_like(x)
         new_caches: List[jax.Array] = []
         for i, lp in enumerate(params["layers"]):
-            h, residual = fused_add_rms_norm(
-                x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
-            attn_out, kv = self._attention(lp, h, positions, kv_caches[i],
-                                           attn_metadata)
+            x, residual, kv = self.apply_layer(
+                lp, x, residual, positions, kv_caches[i], attn_metadata, i)
             new_caches.append(kv)
-            h, residual = fused_add_rms_norm(
-                attn_out, residual, lp["post_attention_layernorm"]["weight"],
-                c.rms_norm_eps)
-            x = self._ffn(lp, h, i)
-        hidden, _ = fused_add_rms_norm(
-            x, residual, params["norm"]["weight"], c.rms_norm_eps)
+        hidden = self.finalize_hidden(params, x, residual)
         return hidden, new_caches
 
     def compute_logits(self, params: Params, hidden: jax.Array) -> jax.Array:

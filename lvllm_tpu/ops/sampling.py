@@ -53,6 +53,34 @@ def apply_penalties(
     return logits
 
 
+def apply_penalties_from_history(
+    logits: jax.Array,       # [B, V] f32
+    token_mat: jax.Array,    # [B, L] i32 — prompt+output token history
+    num_prompt: jax.Array,   # [B] i32
+    num_tokens: jax.Array,   # [B] i32
+    repetition_penalty: jax.Array,  # [B]
+    presence_penalty: jax.Array,    # [B]
+    frequency_penalty: jax.Array,   # [B]
+) -> jax.Array:
+    """Build presence/count masks from raw token history on device, then
+    apply penalties — avoids shipping dense [B, V] matrices from the host
+    (reference: sampler ops penalties.py builds these on GPU)."""
+    B, V = logits.shape
+    L = token_mat.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_prompt = pos < num_prompt[:, None]
+    in_output = (pos >= num_prompt[:, None]) & (pos < num_tokens[:, None])
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L))
+    safe_tok = jnp.clip(token_mat, 0, V - 1)
+    prompt_mask = jnp.zeros((B, V), jnp.bool_).at[rows, safe_tok].max(
+        in_prompt)
+    out_counts = jnp.zeros((B, V), jnp.int32).at[rows, safe_tok].add(
+        in_output.astype(jnp.int32))
+    return apply_penalties(logits, prompt_mask, out_counts,
+                           repetition_penalty, presence_penalty,
+                           frequency_penalty)
+
+
 def sample(
     logits: jax.Array,  # [B, V] f32
     st: SamplingTensors,

@@ -46,6 +46,10 @@ class InputBatch:
         self.min_p = np.zeros(max_num_reqs, dtype=np.float32)
         self.seeds = np.zeros(max_num_reqs, dtype=np.uint32)
         self.wants_logprobs = np.zeros(max_num_reqs, dtype=bool)
+        self.repetition_penalty = np.ones(max_num_reqs, dtype=np.float32)
+        self.presence_penalty = np.zeros(max_num_reqs, dtype=np.float32)
+        self.frequency_penalty = np.zeros(max_num_reqs, dtype=np.float32)
+        self.has_penalty = np.zeros(max_num_reqs, dtype=bool)
 
         self._rng = np.random.default_rng(0)
 
@@ -86,6 +90,12 @@ class InputBatch:
         self.seeds[idx] = (sp.seed if sp.seed is not None
                            else int(self._rng.integers(0, 2**32))) & 0xFFFFFFFF
         self.wants_logprobs[idx] = sp.logprobs is not None
+        self.repetition_penalty[idx] = sp.repetition_penalty
+        self.presence_penalty[idx] = sp.presence_penalty
+        self.frequency_penalty[idx] = sp.frequency_penalty
+        self.has_penalty[idx] = (sp.repetition_penalty != 1.0
+                                 or sp.presence_penalty != 0.0
+                                 or sp.frequency_penalty != 0.0)
         return idx
 
     def _find_free_slot(self) -> int:
@@ -103,6 +113,10 @@ class InputBatch:
         self.num_computed_tokens[idx] = 0
         self.num_blocks[idx] = 0
         self.temperature[idx] = 0.0
+        self.has_penalty[idx] = False
+        self.repetition_penalty[idx] = 1.0
+        self.presence_penalty[idx] = 0.0
+        self.frequency_penalty[idx] = 0.0
 
     def append_block_ids(self, req_id: str, new_block_ids: List[int]) -> None:
         idx = self.req_id_to_index[req_id]

@@ -25,7 +25,9 @@ from lvllm_tpu.core.sched_output import ModelRunnerOutput, SchedulerOutput
 from lvllm_tpu.logger import init_logger
 from lvllm_tpu.models.model_base import AttentionMetadata
 from lvllm_tpu.ops.kv_cache import new_kv_cache
-from lvllm_tpu.ops.sampling import SamplingTensors, compute_logprobs, sample
+from lvllm_tpu.ops.sampling import (SamplingTensors,
+                                    apply_penalties_from_history,
+                                    compute_logprobs, sample)
 from lvllm_tpu.worker.input_batch import InputBatch
 
 logger = init_logger(__name__)
@@ -47,6 +49,9 @@ class ModelRunner:
         self.max_blocks_per_req = -(-mc.max_model_len // cc.block_size)
         self.max_num_reqs = sc.max_num_seqs
         self.num_kv_blocks = num_kv_blocks
+
+        spec = config.speculative_config
+        self.num_spec = spec.num_speculative_tokens if spec.enabled else 0
 
         self.input_batch = InputBatch(
             max_num_reqs=self.max_num_reqs,
@@ -77,11 +82,93 @@ class ModelRunner:
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,))
 
+        # HBM + host-RAM expert tiering (SURVEY.md §2.11 equivalent).
+        self.expert_store = None
+        if config.offload_config.enabled and mc.is_moe:
+            self._init_offload()
+
+    # ---- offload / staged execution ---------------------------------------
+
+    def _init_offload(self) -> None:
+        """Move streamed layers' expert weights into the tiered store and
+        build the per-layer jitted stages."""
+        from lvllm_tpu.offload.expert_store import TieredExpertStore
+
+        mc = self.config.model_config
+        self.expert_store = TieredExpertStore(self.config.offload_config)
+        self.moe_layers = [i for i in range(mc.num_hidden_layers)
+                           if mc.is_moe_layer(i)]
+        expert_keys = ("w1", "w2", "w1_q", "w1_scales", "w2_q", "w2_scales")
+        for i in self.moe_layers:
+            moe = self.params["layers"][i].get("moe")
+            if moe is None:
+                continue
+            subtree = {k: moe.pop(k) for k in expert_keys if k in moe}
+            self.expert_store.register_layer(i, subtree)
+        self.streamed_moe_layers = [
+            i for i in self.moe_layers
+            if not self.expert_store.is_resident(i)]
+        logger.info(
+            "expert tiering: %d resident / %d streamed MoE layers, "
+            "host tier %.1f MB",
+            len(self.moe_layers) - len(self.streamed_moe_layers),
+            len(self.streamed_moe_layers),
+            self.expert_store.host_bytes() / 1e6)
+
+        self._embed_fn = jax.jit(self.model.embed_tokens)
+        self._layer_fn = jax.jit(
+            lambda lp, x, res, pos, kv, md: self.model.apply_layer(
+                lp, x, res, pos, kv, md, 0),
+            donate_argnums=(4,))
+        self._tail_fn = jax.jit(self._tail)
+
+    def _tail(self, params, x, residual, logits_indices, temperature, top_k,
+              top_p, min_p, seeds, steps, penalty_args=None):
+        hidden = self.model.finalize_hidden(params, x, residual)
+        return self._sample_from_hidden(
+            params, hidden, logits_indices, temperature, top_k, top_p,
+            min_p, seeds, steps, penalty_args)
+
+    def _execute_staged(self, input_ids, positions, qsl, seq_lens,
+                        block_table, slot_mapping, logits_indices,
+                        temperature, top_k, top_p, min_p, seeds, steps,
+                        penalty_args=None):
+        """Layer-by-layer dispatch with host→HBM expert streaming overlapped
+        via JAX async dispatch (the fork's prefetch-window decode path,
+        SURVEY.md §2.11.6, rebuilt without CUDA streams)."""
+        import jax.numpy as jnp  # local alias for clarity
+
+        md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
+                               block_table=block_table,
+                               slot_mapping=slot_mapping)
+        store = self.expert_store
+        # Warm the prefetch pipeline for the first streamed layers.
+        store.advance(-1, self.streamed_moe_layers)
+
+        x = self._embed_fn(self.params, input_ids)
+        residual = jnp.zeros_like(x)
+        for i, lp in enumerate(self.params["layers"]):
+            if i in self.moe_layers and not store.is_resident(i):
+                moe_weights = store.get(i)
+                lp = dict(lp)
+                lp["moe"] = {**lp["moe"], **moe_weights}
+                store.advance(i, self.streamed_moe_layers)
+            elif i in self.moe_layers:
+                lp = dict(lp)
+                lp["moe"] = {**lp["moe"], **store._hbm[i]}
+            x, residual, kv = self._layer_fn(
+                lp, x, residual, positions, self.kv_caches[i], md)
+            self.kv_caches[i] = kv
+        return self._tail_fn(self.params, x, residual, logits_indices,
+                             temperature, top_k, top_p, min_p, seeds, steps,
+                             penalty_args=penalty_args)
+
     # ---- jitted step -------------------------------------------------------
 
     def _step(self, params, kv_caches, input_ids, positions, query_start_loc,
               seq_lens, block_table, slot_mapping, logits_indices,
-              temperature, top_k, top_p, min_p, seeds, steps):
+              temperature, top_k, top_p, min_p, seeds, steps,
+              penalty_args=None):
         md = AttentionMetadata(
             query_start_loc=query_start_loc,
             seq_lens=seq_lens,
@@ -90,13 +177,34 @@ class ModelRunner:
         )
         hidden, kv_caches = self.model(params, input_ids, positions,
                                        kv_caches, md)
-        sel = hidden[logits_indices]              # [R, H]
-        logits = self.model.compute_logits(params, sel)
-        st = SamplingTensors(temperature=temperature, top_k=top_k,
-                             top_p=top_p, min_p=min_p, keys=seeds)
-        sampled = sample(logits, st, steps)
-        logprobs = compute_logprobs(logits, sampled)
+        sampled, logprobs = self._sample_from_hidden(
+            params, hidden, logits_indices, temperature, top_k, top_p,
+            min_p, seeds, steps, penalty_args)
         return kv_caches, sampled, logprobs
+
+    def _sample_from_hidden(self, params, hidden, logits_indices,
+                            temperature, top_k, top_p, min_p, seeds, steps,
+                            penalty_args):
+        """Sample at every verification position: logits_indices [R, S+1]
+        (S=0 without spec decode). Sampling params are broadcast per row;
+        the PRNG fold offsets by position so each slot draws independently.
+        Returns (sampled [R, S+1], logprobs [R, S+1])."""
+        R, S1 = logits_indices.shape
+        sel = hidden[logits_indices.reshape(-1)]          # [R*S1, H]
+        logits = self.model.compute_logits(params, sel)
+        if penalty_args is not None:
+            # Penalties use each row's history; tile rows to positions.
+            tiled = tuple(jnp.repeat(a, S1, axis=0) for a in penalty_args)
+            logits = apply_penalties_from_history(logits, *tiled)
+        rep = lambda a: jnp.repeat(a, S1, axis=0)  # noqa: E731
+        st = SamplingTensors(temperature=rep(temperature), top_k=rep(top_k),
+                             top_p=rep(top_p), min_p=rep(min_p),
+                             keys=rep(seeds))
+        steps_mat = (steps[:, None] +
+                     jnp.arange(S1, dtype=jnp.int32)[None, :]).reshape(-1)
+        sampled = sample(logits, st, steps_mat)
+        logprobs = compute_logprobs(logits, sampled)
+        return sampled.reshape(R, S1), logprobs.reshape(R, S1)
 
     # ---- batch maintenance -------------------------------------------------
 
@@ -147,13 +255,14 @@ class ModelRunner:
         R = self.max_num_reqs
         T = sc.pad_tokens_to_bucket(so.total_num_scheduled_tokens)
 
+        S1 = self.num_spec + 1
         input_ids = np.zeros(T, dtype=np.int32)
         positions = np.zeros(T, dtype=np.int32)
         slot_mapping = np.zeros(T, dtype=np.int32)
         qsl = np.zeros(R + 1, dtype=np.int32)
         seq_lens = np.zeros(R, dtype=np.int32)
         block_table = np.zeros((R, self.max_blocks_per_req), dtype=np.int32)
-        logits_indices = np.zeros(R, dtype=np.int32)
+        logits_indices = np.zeros((R, S1), dtype=np.int32)
 
         # Order requests by their batch slot for a stable layout.
         scheduled = [(rid, n) for rid, n in so.num_scheduled_tokens.items()]
@@ -162,8 +271,16 @@ class ModelRunner:
         t = 0
         row = 0
         row_req_ids: List[Optional[str]] = []
+        row_drafts: List[List[int]] = []
         for rid, n_tok in scheduled:
             idx = ib.req_id_to_index[rid]
+            drafts = so.scheduled_spec_decode_tokens.get(rid, [])
+            if drafts:
+                # Stage draft tokens after the known tokens so the input
+                # slice below picks them up (num_tokens NOT advanced —
+                # they're unverified).
+                nt = ib.num_tokens[idx]
+                ib.token_ids[idx, nt:nt + len(drafts)] = drafts
             start = ib.num_computed_tokens[idx]
             end = start + n_tok
             input_ids[t:t + n_tok] = ib.token_ids[idx, start:end]
@@ -176,8 +293,16 @@ class ModelRunner:
             qsl[row + 1] = t + n_tok
             seq_lens[row] = end
             block_table[row] = blocks
-            logits_indices[row] = t + n_tok - 1
+            # Right-aligned verification positions: column S1-1 is the last
+            # scheduled token; with k drafts, columns S1-1-k .. S1-1 cover
+            # the draft run (earlier columns clamp to the first of those).
+            k = len(drafts)
+            last = t + n_tok - 1
+            for j in range(S1):
+                back = min(S1 - 1 - j, k)
+                logits_indices[row, j] = max(last - back, t)
             row_req_ids.append(rid)
+            row_drafts.append(drafts)
             t += n_tok
             row += 1
         qsl[row + 1:] = t
@@ -195,31 +320,64 @@ class ModelRunner:
         steps = (ib.num_tokens[pad_rows] -
                  ib.num_prompt_tokens[pad_rows]).astype(np.int32)
 
+        # Penalties: only materialize history tensors when some active row
+        # needs them (separate jit trace via penalty_args structure).
+        penalty_args = None
+        if ib.has_penalty[pad_rows].any():
+            penalty_args = (
+                jnp.asarray(ib.token_ids[pad_rows]),
+                jnp.asarray(ib.num_prompt_tokens[pad_rows]),
+                jnp.asarray(ib.num_tokens[pad_rows]),
+                jnp.asarray(ib.repetition_penalty[pad_rows]),
+                jnp.asarray(ib.presence_penalty[pad_rows]),
+                jnp.asarray(ib.frequency_penalty[pad_rows]),
+            )
+
         self.step_counter += 1
-        kv, sampled, logprobs = self._step_fn(
-            self.params, self.kv_caches,
+        dev_args = (
             jnp.asarray(input_ids), jnp.asarray(positions),
             jnp.asarray(qsl), jnp.asarray(seq_lens), jnp.asarray(block_table),
             jnp.asarray(slot_mapping), jnp.asarray(logits_indices),
             jnp.asarray(temperature), jnp.asarray(top_k), jnp.asarray(top_p),
             jnp.asarray(min_p), jnp.asarray(seeds), jnp.asarray(steps))
-        self.kv_caches = kv
+        if self.expert_store is not None:
+            sampled, logprobs = self._execute_staged(
+                *dev_args, penalty_args=penalty_args)
+        else:
+            kv, sampled, logprobs = self._step_fn(
+                self.params, self.kv_caches, *dev_args,
+                penalty_args=penalty_args)
+            self.kv_caches = kv
 
-        sampled_np = np.asarray(sampled)
+        sampled_np = np.asarray(sampled)      # [R, S1]
         logprobs_np = np.asarray(logprobs)
 
         out = ModelRunnerOutput(sampled_token_ids={}, logprobs={})
         for r, rid in enumerate(row_req_ids):
             idx = ib.req_id_to_index[rid]
-            # Only emit a token when the request's prompt (and any previous
-            # output) is fully computed after this step.
-            if seq_lens[r] >= ib.num_tokens[idx]:
-                tok = int(sampled_np[r])
-                out.sampled_token_ids[rid] = [tok]
+            drafts = row_drafts[r]
+            k = len(drafts)
+            # Only emit tokens when the request's known tokens are fully
+            # computed after this step (seq_lens includes the k drafts).
+            if seq_lens[r] >= ib.num_tokens[idx] + k:
+                seq = sampled_np[r, S1 - 1 - k:]          # [k+1]
+                accepted = 0
+                for i in range(k):
+                    if int(seq[i]) == drafts[i]:
+                        accepted += 1
+                    else:
+                        break
+                emitted = [int(x) for x in seq[:accepted + 1]]
+                out.sampled_token_ids[rid] = emitted
                 if ib.wants_logprobs[idx]:
-                    out.logprobs[rid] = [float(logprobs_np[r])]
-                ib.append_token_ids(rid, [tok])
-                ib.num_computed_tokens[idx] = seq_lens[r]
+                    lp = logprobs_np[r, S1 - 1 - k:]
+                    out.logprobs[rid] = [float(x)
+                                         for x in lp[:accepted + 1]]
+                # Overwrite the staged draft region with verified tokens.
+                nt = ib.num_tokens[idx]
+                ib.token_ids[idx, nt:nt + len(emitted)] = emitted
+                ib.num_tokens[idx] = nt + len(emitted)
+                ib.num_computed_tokens[idx] = seq_lens[r] - (k - accepted)
             else:
                 ib.num_computed_tokens[idx] = seq_lens[r]
         return out

@@ -1,0 +1,102 @@
+"""HBM + host-RAM expert tiering tests: streamed execution must be
+bit-identical to all-resident execution, with prefetch overlap observable.
+
+The reference fork adds NO tests for its hybrid tier (SURVEY.md §4) — this
+is the test surface the TPU build creates.
+"""
+
+import numpy as np
+import pytest
+
+from lvllm_tpu.config import ModelConfig, OffloadConfig
+from lvllm_tpu.entrypoints.llm import LLM
+from lvllm_tpu.sampling_params import SamplingParams
+
+
+def make_llm(offload: OffloadConfig = None, quantization=None):
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="float32",
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=128,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=-1,
+        quantization=quantization, seed=11)
+    llm = LLM(model_config=mc, load_format="dummy", max_num_seqs=4,
+              max_num_batched_tokens=128, num_kv_blocks=64)
+    return llm
+
+
+def make_offload_llm(resident="", prefetch_window=1, quantization=None):
+    from lvllm_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig)
+    from lvllm_tpu.engine.llm_engine import LLMEngine
+
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="float32",
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=128,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=-1,
+        quantization=quantization, seed=11)
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=128,
+                                         max_num_seqs=4, max_model_len=128),
+        offload_config=OffloadConfig(enabled=True,
+                                     hbm_resident_moe_layers=resident,
+                                     prefetch_window=prefetch_window),
+    )
+    return LLMEngine(cfg, load_format="dummy")
+
+
+def run_engine(engine, prompts, sp):
+    outs = {}
+    for i, p in enumerate(prompts):
+        engine.add_request(f"r{i}", p, sp)
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = o
+    return [outs[f"r{i}"] for i in range(len(prompts))]
+
+
+@pytest.mark.parametrize("quantization", [None, "int8"])
+def test_streamed_matches_resident(quantization):
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    prompts = [[1, 2, 3, 4, 5], list(range(20, 50))]
+
+    base = make_llm(quantization=quantization).generate(prompts, sp)
+    eng = make_offload_llm(quantization=quantization)
+    streamed = run_engine(eng, prompts, sp)
+
+    for b, s in zip(base, streamed):
+        assert b.outputs[0].token_ids == s.outputs[0].token_ids
+
+    stats = eng.core.runner.expert_store.stats
+    assert stats["prefetch_hits"] > 0, stats
+    assert stats["bytes_streamed"] > 0
+
+
+def test_resident_pinning():
+    """Layers pinned via range syntax stay in HBM; others stream."""
+    eng = make_offload_llm(resident="0,2")
+    store = eng.core.runner.expert_store
+    assert store.is_resident(0) and store.is_resident(2)
+    assert not store.is_resident(1) and not store.is_resident(3)
+    assert sorted(store.streamed_layers) == [1, 3]
+
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    outs = run_engine(eng, [[5, 6, 7]], sp)
+    assert len(outs[0].outputs[0].token_ids) == 4
+    # Only streamed layers counted toward streaming traffic.
+    per_layer = store.host_bytes() / 2
+    steps = 1 + 4  # prefill + 4 decode steps... at least this many gets
+    assert store.stats["bytes_streamed"] >= per_layer * 2
+
+
+def test_prefetch_window_2():
+    eng = make_offload_llm(prefetch_window=2)
+    sp = SamplingParams(temperature=0.0, max_tokens=3)
+    run_engine(eng, [[9, 9, 9]], sp)
+    s = eng.core.runner.expert_store.stats
+    assert s["prefetch_hits"] >= s["prefetch_misses"]
