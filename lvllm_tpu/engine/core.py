@@ -63,6 +63,7 @@ class EngineCore:
         if mesh is not None:
             from lvllm_tpu.parallel.sharding import shard_params
             params = shard_params(params, config.model_config, mesh)
+            self.model.mesh = mesh
         logger.info("model loaded in %.1fs", time.time() - t0)
 
         self.num_kv_blocks = determine_num_kv_blocks(config)
@@ -138,3 +139,21 @@ class EngineCore:
 
     def get_stats(self) -> dict:
         return self.scheduler.make_stats()
+
+    # ---- sleep / wake ------------------------------------------------------
+
+    def sleep(self, level: int = 1) -> None:
+        """Offload weights to host RAM and drop the KV cache (reference:
+        engine sleep mode via CuMemAllocator tags, SURVEY.md §5.4). Only
+        valid when no requests are in flight."""
+        if self.scheduler.has_unfinished_requests():
+            raise RuntimeError("cannot sleep with unfinished requests")
+        self.scheduler.kv_cache_manager.reset_prefix_cache()
+        self.runner.sleep(level)
+
+    def wake_up(self) -> None:
+        self.runner.wake_up()
+
+    @property
+    def is_sleeping(self) -> bool:
+        return self.runner.is_sleeping

@@ -28,6 +28,9 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--load-format", default="auto",
                    choices=["auto", "safetensors", "dummy"])
     p.add_argument("--no-prefix-caching", action="store_true")
+    # The environment's TPU bootstrap overrides JAX_PLATFORMS, so platform
+    # choice must go through jax.config (see tests/conftest.py note).
+    p.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
 
 
 def _build_config(args) -> EngineConfig:
@@ -117,6 +120,9 @@ def main(argv=None) -> None:
     p_b.set_defaults(func=cmd_bench)
 
     args = parser.parse_args(argv)
+    if getattr(args, "device", "auto") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     args.func(args)
 
 

@@ -59,6 +59,10 @@ class OpenAIServer:
         self.app.router.add_post("/tokenize", self.tokenize)
         self.app.router.add_post("/detokenize", self.detokenize)
         self.app.router.add_get("/metrics", self.metrics)
+        # Ops endpoints (reference: entrypoints/serve/sleep).
+        self.app.router.add_post("/sleep", self.sleep)
+        self.app.router.add_post("/wake_up", self.wake_up)
+        self.app.router.add_get("/is_sleeping", self.is_sleeping)
 
     # ---- endpoints ---------------------------------------------------------
 
@@ -114,6 +118,21 @@ class OpenAIServer:
         ]
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
+
+    async def sleep(self, request: web.Request) -> web.Response:
+        try:
+            level = int(request.query.get("level", "1"))
+            self.llm.core.sleep(level)
+            return web.json_response({"status": "ok"})
+        except RuntimeError as e:
+            return self._error(str(e), 409)
+
+    async def wake_up(self, request: web.Request) -> web.Response:
+        self.llm.core.wake_up()
+        return web.json_response({"status": "ok"})
+
+    async def is_sleeping(self, request: web.Request) -> web.Response:
+        return web.json_response({"is_sleeping": self.llm.core.is_sleeping})
 
     async def completions(self, request: web.Request) -> web.Response:
         try:

@@ -83,7 +83,7 @@ def load_model(config: ModelConfig, load_format: str = "auto"):
     model = build_model(config)
     if load_format == "dummy" or config.model == "dummy":
         logger.info("initializing dummy weights for %s", config.architecture)
-        params = model.init_params(jax.random.key(config.seed))
+        params = model.init_params(config.seed)
     else:
         params = model.load_weights(safetensors_weight_iterator(config.model))
         logger.info("loaded weights for %s from %s", config.architecture,

@@ -41,6 +41,9 @@ class Qwen3Model:
 
     def __init__(self, config: ModelConfig):
         self.config = config
+        # Set by the engine when running on a multi-device mesh; enables the
+        # shard_map EP path in MoE layers (parallel/expert_parallel.py).
+        self.mesh = None
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         c = config
         self.head_dim = c.head_dim
@@ -53,14 +56,19 @@ class Qwen3Model:
 
     # ---- init -------------------------------------------------------------
 
-    def init_params(self, rng: jax.Array) -> Params:
+    def init_params(self, rng) -> Params:
         c = self.config
         D = self.head_dim
         # Host-side numpy init: dummy weights are only for tests/benches and
         # eager per-tensor device RNG ops would compile one executable per
-        # shape (minutes over a remote-compile tunnel).
-        nprng = np.random.default_rng(int(jax.random.randint(
-            rng, (), 0, 2**31 - 1)))
+        # shape (minutes over a remote-compile tunnel). No device ops here —
+        # even a single eager randint stalls startup on a remote backend, so
+        # `rng` may be a plain int seed (preferred) or a jax PRNG key.
+        if isinstance(rng, int):
+            seed = rng
+        else:
+            seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+        nprng = np.random.default_rng(seed)
 
         def dense(shape, scale=0.02):
             arr = nprng.standard_normal(size=shape, dtype=np.float32) * scale
@@ -140,6 +148,13 @@ class Qwen3Model:
         out = out.reshape(T, c.num_attention_heads * D) @ attn["o_proj"]["kernel"]
         return out, kv_cache
 
+    def _use_ep(self) -> bool:
+        from lvllm_tpu.parallel.mesh import AXIS_EXPERT
+        return (self.mesh is not None
+                and self.mesh.shape.get(AXIS_EXPERT, 1) > 1
+                and self.config.num_experts %
+                self.mesh.shape[AXIS_EXPERT] == 0)
+
     def _ffn(self, lp: Params, x: jax.Array, layer_idx: int) -> jax.Array:
         c = self.config
         if "moe" in lp:
@@ -153,12 +168,22 @@ class Qwen3Model:
                     router_bias=moe.get("router_bias"),
                     shared_w1=moe.get("shared_w1"),
                     shared_w2=moe.get("shared_w2"))
+                if self._use_ep():
+                    from lvllm_tpu.parallel.expert_parallel import (
+                        fused_moe_ep_quant)
+                    return fused_moe_ep_quant(
+                        x, qp, self.mesh, c.num_experts_per_tok,
+                        c.norm_topk_prob, c.router_scoring_fn)
                 return fused_moe_quant(x, qp, c.num_experts_per_tok,
                                        c.norm_topk_prob, c.router_scoring_fn)
             mp = MoEParams(
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),
                 shared_w1=moe.get("shared_w1"), shared_w2=moe.get("shared_w2"))
+            if self._use_ep():
+                from lvllm_tpu.parallel.expert_parallel import fused_moe_ep
+                return fused_moe_ep(x, mp, self.mesh, c.num_experts_per_tok,
+                                    c.norm_topk_prob, c.router_scoring_fn)
             return fused_moe(x, mp, c.num_experts_per_tok,
                              c.norm_topk_prob, c.router_scoring_fn)
         mlp = lp["mlp"]
@@ -231,7 +256,7 @@ class Qwen3Model:
         """Map HF checkpoint names → params tree (reference:
         qwen3_moe.py load_weights stacked_params_mapping)."""
         c = self.config
-        params = self.init_params(jax.random.key(0))
+        params = self.init_params(0)
         # Accumulators for per-expert tensors → stacked [E, ...] arrays.
         expert_parts: Dict[Tuple[int, str, int], np.ndarray] = {}
 

@@ -57,15 +57,16 @@ def spec_for_param(path_names: Tuple[str, ...], ndim: int,
     # MoE expert tensors: [E, K(/2), N] (+ scales [E, K/G, N]).
     if "moe" in path_names and leaf in (
             "w1", "w2", "w1_q", "w2_q", "w1_scales", "w2_scales"):
-        e_ax = AXIS_EXPERT if div(shape[0], ep) else None
-        # Shard the intermediate dim: for w1-family it's the last dim (2I);
-        # for w2-family it's the middle (K=I). Scales follow their weight.
+        if ep > 1 and div(shape[0], ep):
+            # EP path: the shard_map dispatch (expert_parallel.py) expects
+            # expert-axis-only sharding — intermediate dims stay whole.
+            return P(AXIS_EXPERT, None, None)
+        # Pure-TP fallback: shard the intermediate dim; scales follow.
         if leaf.startswith("w1"):
             n_ax = AXIS_MODEL if div(shape[-1], tp) else None
-            return P(e_ax, None, n_ax)
-        else:
-            k_ax = AXIS_MODEL if div(shape[1], tp) else None
-            return P(e_ax, k_ax, None)
+            return P(None, None, n_ax)
+        k_ax = AXIS_MODEL if div(shape[1], tp) else None
+        return P(None, k_ax, None)
     if "moe" in path_names and leaf == "router":
         return P()
     if "moe" in path_names and leaf in ("shared_w1", "shared_w2"):

@@ -74,6 +74,7 @@ class ModelRunner:
             self.kv_caches = [jax.device_put(kv, sharding)
                               for kv in self.kv_caches]
         self.step_counter = 0
+        self._host_params = None
         # Retained per-request state for preemption resume.
         self._sampling_params_cache: Dict[str, object] = {}
         self._prompt_len_cache: Dict[str, int] = {}
@@ -86,6 +87,57 @@ class ModelRunner:
         self.expert_store = None
         if config.offload_config.enabled and mc.is_moe:
             self._init_offload()
+
+    # ---- sleep / wake (reference: gpu_worker.py:157-204 + CuMemAllocator) --
+
+    def sleep(self, level: int = 1) -> None:
+        """Release device memory: KV cache always; weights offloaded to host
+        (level 1) or discarded (level 2 — reload needed on wake)."""
+        self.kv_caches = None
+        if level >= 2:
+            self._host_params = None
+            self.params = None
+        else:
+            self._host_params = jax.tree.map(lambda a: np.asarray(a),
+                                             self.params)
+            self.params = None
+        logger.info("runner asleep (level %d)", level)
+
+    def wake_up(self, params=None) -> None:
+        if params is not None:
+            self.params = params
+        elif self._host_params is not None:
+            self.params = jax.tree.map(jnp.asarray, self._host_params)
+            self._host_params = None
+        assert self.params is not None, "level-2 sleep requires params"
+        mc = self.config.model_config
+        cc = self.config.cache_config
+        kv_dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+        self.kv_caches = [
+            new_kv_cache(self.num_kv_blocks, cc.block_size, mc.num_kv_heads,
+                         mc.head_dim, kv_dtype)
+            for _ in range(mc.num_hidden_layers)
+        ]
+        logger.info("runner awake")
+
+    @property
+    def is_sleeping(self) -> bool:
+        return self.kv_caches is None
+
+    # ---- sharded state save/load (reference: gpu_worker.py:919) -----------
+
+    def save_state(self, path: str) -> None:
+        """Persist params as a flat npz for fast reload."""
+        import os
+        os.makedirs(path, exist_ok=True)
+        flat = {}
+        def add(p, leaf):
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                           for k in p)
+            flat[key] = np.asarray(leaf)
+        jax.tree_util.tree_map_with_path(add, self.params)
+        np.savez(os.path.join(path, "model_state.npz"), **flat)
+        logger.info("saved %d tensors to %s", len(flat), path)
 
     # ---- offload / staged execution ---------------------------------------
 

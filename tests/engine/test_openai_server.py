@@ -136,3 +136,23 @@ def test_metrics_and_tokenize():
         data = await r.json()
         assert data["count"] == 5
     run_scenario(scenario)
+
+
+def test_sleep_wake_cycle():
+    async def scenario(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "warm", "max_tokens": 2, "temperature": 0.0})
+        assert r.status == 200
+        first = (await r.json())["choices"][0]["text"]
+        r = await client.post("/sleep")
+        assert r.status == 200
+        r = await client.get("/is_sleeping")
+        assert (await r.json())["is_sleeping"] is True
+        r = await client.post("/wake_up")
+        assert r.status == 200
+        # Generation after wake produces the same greedy result.
+        r = await client.post("/v1/completions", json={
+            "prompt": "warm", "max_tokens": 2, "temperature": 0.0})
+        assert r.status == 200
+        assert (await r.json())["choices"][0]["text"] == first
+    run_scenario(scenario)

@@ -1,0 +1,77 @@
+"""EP shard_map dispatch tests on the virtual CPU mesh: EP results must
+match the single-shard MoE exactly."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lvllm_tpu.config import ParallelConfig
+from lvllm_tpu.layers.moe import MoEParams, QuantMoEParams, fused_moe
+from lvllm_tpu.parallel.expert_parallel import fused_moe_ep, fused_moe_ep_quant
+from lvllm_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    pc = ParallelConfig(tensor_parallel_size=1, expert_parallel_size=4)
+    return make_mesh(pc, jax.devices()[:4])
+
+
+def test_ep_matches_single_shard(mesh4):
+    rng = np.random.default_rng(0)
+    T, H, I, E, K = 9, 128, 128, 8, 2
+    x = jnp.asarray(rng.standard_normal((T, H)) * 0.3, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, I, H)) * 0.05, jnp.float32)
+    mp = MoEParams(router=router, w1=w1, w2=w2)
+
+    expected = fused_moe(x, mp, K)
+    got = fused_moe_ep(x, mp, mesh4, K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ep_quant_matches_single_shard(mesh4):
+    from lvllm_tpu.layers.moe import fused_moe_quant
+    from lvllm_tpu.ops import quant
+
+    rng = np.random.default_rng(1)
+    T, H, I, E, K = 6, 128, 128, 8, 2
+    x = jnp.asarray(rng.standard_normal((T, H)) * 0.3, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.3, jnp.float32)
+    wf1 = rng.standard_normal((E, H, 2 * I)).astype(np.float32) * 0.05
+    wf2 = rng.standard_normal((E, I, H)).astype(np.float32) * 0.05
+    q1, s1 = quant.quantize_int8_np(wf1, 128)
+    q2, s2 = quant.quantize_int8_np(wf2, 128)
+    qp = QuantMoEParams(router=router,
+                        w1_q=jnp.asarray(q1), w1_scales=jnp.asarray(s1),
+                        w2_q=jnp.asarray(q2), w2_scales=jnp.asarray(s2),
+                        method="int8")
+
+    expected = fused_moe_quant(x, qp, K, use_pallas=False)
+    got = fused_moe_ep_quant(x, qp, mesh4, K, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ep_under_jit_with_sharded_weights(mesh4):
+    """EP inside jit with weights actually placed on the expert axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(2)
+    T, H, I, E, K = 4, 128, 128, 8, 2
+    x = jnp.asarray(rng.standard_normal((T, H)) * 0.3, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, I, H)) * 0.05, jnp.float32)
+    w1s = jax.device_put(w1, NamedSharding(mesh4, P("expert")))
+    w2s = jax.device_put(w2, NamedSharding(mesh4, P("expert")))
+    mp = MoEParams(router=router, w1=w1s, w2=w2s)
+
+    f = jax.jit(lambda x: fused_moe_ep(x, mp, mesh4, K))
+    got = f(x)
+    expected = fused_moe(x, MoEParams(router=router, w1=w1, w2=w2), K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
