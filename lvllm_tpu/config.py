@@ -58,8 +58,11 @@ class ModelConfig:
     norm_topk_prob: bool = True
     decoder_sparse_step: int = 1  # every Nth layer is MoE
     mlp_only_layers: Tuple[int, ...] = ()
-    # Router scoring function: "softmax" | "sigmoid" (DeepSeek-style).
+    # Router scoring function: "softmax" | "sigmoid" (DeepSeek/GLM-style).
     router_scoring_fn: str = "softmax"
+    # DeepSeek/GLM-style routed-output scaling and rotary fraction.
+    routed_scaling_factor: float = 1.0
+    partial_rotary_factor: float = 1.0
 
     max_model_len: int = 4096
     quantization: Optional[str] = None  # None | "int8" | "int4" | "fp8"

@@ -47,6 +47,7 @@ def route_tokens(
     scoring_fn: str = "softmax",
     router_bias: Optional[jax.Array] = None,
     e_score_bias: Optional[jax.Array] = None,
+    scaling_factor: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k routing → (weights [T, K] f32, expert_ids [T, K] i32).
 
@@ -70,6 +71,8 @@ def route_tokens(
     if norm_topk_prob:
         topk_w = topk_w / jnp.clip(
             jnp.sum(topk_w, axis=-1, keepdims=True), 1e-9)
+    if scaling_factor != 1.0:
+        topk_w = topk_w * scaling_factor
     return topk_w, topk_ids.astype(jnp.int32)
 
 
@@ -111,13 +114,14 @@ def fused_moe(
     norm_topk_prob: bool = True,
     scoring_fn: str = "softmax",
     e_score_bias: Optional[jax.Array] = None,
+    scaling_factor: float = 1.0,
 ) -> jax.Array:
     """Single-shard fused MoE forward (EP=1)."""
     T, H = x.shape
     E = params.w1.shape[0]
     topk_w, topk_ids = route_tokens(
         x, params.router, top_k, norm_topk_prob, scoring_fn,
-        params.router_bias, e_score_bias)
+        params.router_bias, e_score_bias, scaling_factor)
 
     order, group_sizes = permute_for_experts(topk_ids, E)
     token_of_pair = order // top_k              # [T*K]
@@ -173,6 +177,7 @@ def fused_moe_quant(
     scoring_fn: str = "softmax",
     e_score_bias: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
+    scaling_factor: float = 1.0,
 ) -> jax.Array:
     """Quantized MoE forward: route → align → fused dequant grouped GEMM →
     combine (Pallas on TPU, dequant oracle elsewhere)."""
@@ -190,7 +195,7 @@ def fused_moe_quant(
 
     topk_w, topk_ids = route_tokens(
         x, params.router, top_k, norm_topk_prob, scoring_fn,
-        params.router_bias, e_score_bias)
+        params.router_bias, e_score_bias, scaling_factor)
 
     tile_m = _pick_tile_m(T, top_k)
     d = moe_align.align_tokens(x, topk_ids, E, tile_m)

@@ -23,7 +23,23 @@ def load_model_config(model_path: str,
         hf = json.load(f)
 
     arch = (hf.get("architectures") or ["Qwen3ForCausalLM"])[0]
-    num_experts = hf.get("num_experts", hf.get("n_routed_experts", 0)) or 0
+    num_experts = (hf.get("num_experts") or hf.get("n_routed_experts")
+                   or hf.get("num_local_experts") or 0)
+
+    # Per-family fixups (reference: transformers_utils config patches).
+    mlp_only = list(hf.get("mlp_only_layers", ()) or ())
+    first_k_dense = hf.get("first_k_dense_replace", 0) or 0
+    if first_k_dense:
+        mlp_only.extend(range(first_k_dense))
+    scoring_fn = "softmax"
+    if hf.get("scoring_func") == "sigmoid" or arch.startswith("Glm4Moe") \
+            or arch.startswith("DeepseekV3"):
+        scoring_fn = "sigmoid"
+    n_shared = (hf.get("n_shared_experts") or 0) or \
+        (1 if hf.get("shared_expert_intermediate_size") else 0)
+    shared_inter = hf.get("shared_expert_intermediate_size")
+    if n_shared and shared_inter is None:
+        shared_inter = n_shared * (hf.get("moe_intermediate_size") or 0)
 
     mc = ModelConfig(
         model=model_path,
@@ -45,17 +61,24 @@ def load_model_config(model_path: str,
         sliding_window=hf.get("sliding_window")
         if hf.get("use_sliding_window") else None,
         num_experts=num_experts,
-        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        num_experts_per_tok=hf.get("num_experts_per_tok",
+                                   hf.get("num_experts_per_token", 2)),
         moe_intermediate_size=hf.get("moe_intermediate_size"),
-        num_shared_experts=hf.get("shared_expert_intermediate_size", 0) and 1,
-        shared_expert_intermediate_size=hf.get(
-            "shared_expert_intermediate_size"),
+        num_shared_experts=n_shared,
+        shared_expert_intermediate_size=shared_inter,
         norm_topk_prob=hf.get("norm_topk_prob", True),
         decoder_sparse_step=hf.get("decoder_sparse_step", 1),
-        mlp_only_layers=tuple(hf.get("mlp_only_layers", ()) or ()),
+        mlp_only_layers=tuple(mlp_only),
         eos_token_id=_first(hf.get("eos_token_id", 2)),
         bos_token_id=_first(hf.get("bos_token_id", 1)),
-        qk_norm=arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM"),
+        qk_norm=hf.get("use_qk_norm",
+                       arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM")),
+        attention_bias=hf.get(
+            "attention_bias",
+            arch in ("Qwen2ForCausalLM", "Qwen2MoeForCausalLM")),
+        router_scoring_fn=scoring_fn,
+        routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
+        partial_rotary_factor=hf.get("partial_rotary_factor", 1.0),
     )
     if max_model_len is not None:
         mc.max_model_len = min(max_model_len, mc.max_position_embeddings)

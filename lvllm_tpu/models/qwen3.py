@@ -49,9 +49,11 @@ class Qwen3Model:
         self.head_dim = c.head_dim
         self.scale = self.head_dim ** -0.5
         # Static rope table, closed over by the jitted step (constant-folded
-        # into the executable; not a trainable param).
+        # into the executable; not a trainable param). rot_dim < head_dim
+        # for partial-rotary models (GLM: partial_rotary_factor=0.5).
+        rot_dim = int(self.head_dim * c.partial_rotary_factor)
         self.cos_sin = compute_cos_sin_cache(
-            self.head_dim, c.max_position_embeddings, c.rope_theta,
+            rot_dim, c.max_position_embeddings, c.rope_theta,
             c.rope_scaling, dtype=jnp.float32)
 
     # ---- init -------------------------------------------------------------
@@ -99,6 +101,12 @@ class Qwen3Model:
                         (c.num_attention_heads * D, c.hidden_size))},
                 },
             }
+            if c.attention_bias:
+                for pname, width in (("q_proj", c.num_attention_heads * D),
+                                     ("k_proj", c.num_key_value_heads * D),
+                                     ("v_proj", c.num_key_value_heads * D)):
+                    layer["self_attn"][pname]["bias"] = jnp.zeros(
+                        (width,), self.dtype)
             if c.qk_norm:
                 layer["self_attn"]["q_norm"] = {"weight": jnp.ones((D,), self.dtype)}
                 layer["self_attn"]["k_norm"] = {"weight": jnp.ones((D,), self.dtype)}
@@ -134,9 +142,16 @@ class Qwen3Model:
         D = self.head_dim
         T = x.shape[0]
         attn = lp["self_attn"]
-        q = (x @ attn["q_proj"]["kernel"]).reshape(T, c.num_attention_heads, D)
-        k = (x @ attn["k_proj"]["kernel"]).reshape(T, c.num_key_value_heads, D)
-        v = (x @ attn["v_proj"]["kernel"]).reshape(T, c.num_key_value_heads, D)
+
+        def proj(p, heads):
+            y = x @ p["kernel"]
+            if "bias" in p:
+                y = y + p["bias"]
+            return y.reshape(T, heads, D)
+
+        q = proj(attn["q_proj"], c.num_attention_heads)
+        k = proj(attn["k_proj"], c.num_key_value_heads)
+        v = proj(attn["v_proj"], c.num_key_value_heads)
         if c.qk_norm:
             q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
             k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
@@ -174,8 +189,10 @@ class Qwen3Model:
                     return fused_moe_ep_quant(
                         x, qp, self.mesh, c.num_experts_per_tok,
                         c.norm_topk_prob, c.router_scoring_fn)
-                return fused_moe_quant(x, qp, c.num_experts_per_tok,
-                                       c.norm_topk_prob, c.router_scoring_fn)
+                return fused_moe_quant(
+                    x, qp, c.num_experts_per_tok, c.norm_topk_prob,
+                    c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
+                    scaling_factor=c.routed_scaling_factor)
             mp = MoEParams(
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),
@@ -184,8 +201,10 @@ class Qwen3Model:
                 from lvllm_tpu.parallel.expert_parallel import fused_moe_ep
                 return fused_moe_ep(x, mp, self.mesh, c.num_experts_per_tok,
                                     c.norm_topk_prob, c.router_scoring_fn)
-            return fused_moe(x, mp, c.num_experts_per_tok,
-                             c.norm_topk_prob, c.router_scoring_fn)
+            return fused_moe(
+                x, mp, c.num_experts_per_tok, c.norm_topk_prob,
+                c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
+                scaling_factor=c.routed_scaling_factor)
         mlp = lp["mlp"]
         return silu_and_mul(x @ mlp["gate_up"]["kernel"]) @ \
             mlp["down"]["kernel"]
@@ -271,6 +290,19 @@ class Qwen3Model:
             node[leaf] = arr
 
         gate_parts: Dict[Tuple[int, str], np.ndarray] = {}
+        shared_parts: Dict[Tuple[int, str], np.ndarray] = {}
+
+        def try_fuse_shared(i):
+            g = shared_parts.get((i, "gate"))
+            u = shared_parts.get((i, "up"))
+            d = shared_parts.get((i, "down"))
+            moe = params["layers"][i].setdefault("moe", {})
+            if g is not None and u is not None:
+                moe["shared_w1"] = jnp.asarray(
+                    np.concatenate([g, u], axis=0).T, self.dtype)
+            if d is not None:
+                moe["shared_w2"] = jnp.asarray(d.T, self.dtype)
+
         for name, w in weights:
             name = name.removeprefix("model.")
             if name == "embed_tokens.weight":
@@ -290,6 +322,10 @@ class Qwen3Model:
                         r"self_attn\.(q|k|v|o)_proj\.weight", rest):
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_proj", "kernel"], w, transpose=True)
+                elif m2 := re.match(
+                        r"self_attn\.(q|k|v)_proj\.bias", rest):
+                    put(["layers", str(i), "self_attn",
+                         f"{m2.group(1)}_proj", "bias"], w)
                 elif m2 := re.match(r"self_attn\.(q|k)_norm\.weight", rest):
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_norm", "weight"], w)
@@ -308,14 +344,30 @@ class Qwen3Model:
                                  "kernel"],
                                 np.concatenate([g, u], axis=0),
                                 transpose=True)
-                elif m2 := re.match(r"mlp\.gate\.weight", rest):
+                elif re.match(r"(mlp|block_sparse_moe)\.gate\.weight", rest):
                     put(["layers", str(i), "moe", "router"], w,
                         transpose=True)
+                elif re.match(r"mlp\.gate\.e_score_correction_bias", rest):
+                    layer.setdefault("moe", {})["e_score_bias"] = \
+                        jnp.asarray(w, jnp.float32)
                 elif m2 := re.match(
                         r"mlp\.experts\.(\d+)\.(gate|up|down)_proj\.weight",
                         rest):
                     e, which = int(m2.group(1)), m2.group(2)
                     expert_parts[(i, which, e)] = w
+                elif m2 := re.match(
+                        r"block_sparse_moe\.experts\.(\d+)\.w([123])\.weight",
+                        rest):
+                    # Mixtral: w1=gate, w3=up, w2=down.
+                    e, wn = int(m2.group(1)), m2.group(2)
+                    which = {"1": "gate", "3": "up", "2": "down"}[wn]
+                    expert_parts[(i, which, e)] = w
+                elif m2 := re.match(
+                        r"mlp\.shared_experts?\.(gate|up|down)_proj\.weight",
+                        rest):
+                    # GLM (shared_experts) / Qwen2-MoE (shared_expert).
+                    shared_parts[(i, m2.group(1))] = w
+                    try_fuse_shared(i)
                 else:
                     logger.debug("skipping weight %s", name)
             else:

@@ -34,9 +34,15 @@ def _register_builtin() -> None:
     from lvllm_tpu.models.qwen3 import Qwen3Model
     # Dense Qwen2/Qwen3 and Qwen3-MoE share one implementation; the config
     # (num_experts, decoder_sparse_step) selects dense vs sparse FFN.
+    # One unified implementation covers the llama-family dense models and
+    # the gate/up/down MoE families; per-family behavior is config-driven
+    # (qk_norm, attention_bias, partial rotary, router scoring, shared
+    # experts) — see model_loader/hf_config.py fixups.
     for arch in ("Qwen3ForCausalLM", "Qwen2ForCausalLM",
-                 "Qwen3MoeForCausalLM", "LlamaForCausalLM",
-                 "MistralForCausalLM"):
+                 "Qwen3MoeForCausalLM", "Qwen2MoeForCausalLM",
+                 "LlamaForCausalLM", "MistralForCausalLM",
+                 "MixtralForCausalLM", "Glm4MoeForCausalLM",
+                 "Glm4ForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
 

@@ -42,20 +42,26 @@ def apply_rope(
     q: jax.Array,          # [T, Hq, D]
     k: jax.Array,          # [T, Hkv, D]
     positions: jax.Array,  # [T] int32
-    cos_sin_cache: jax.Array,  # [P, D]
+    cos_sin_cache: jax.Array,  # [P, rot_dim]
 ) -> Tuple[jax.Array, jax.Array]:
-    """Neox-style rotation of q and k by position."""
+    """Neox-style rotation of q and k by position. Supports partial rotary
+    (rot_dim < head_dim, e.g. GLM partial_rotary_factor=0.5): only the first
+    rot_dim features rotate, the rest pass through."""
     d = q.shape[-1]
-    cs = cos_sin_cache[positions]          # [T, D]
-    cos = cs[:, : d // 2][:, None, :]      # [T, 1, d/2]
-    sin = cs[:, d // 2:][:, None, :]
+    rot_dim = cos_sin_cache.shape[-1]
+    cs = cos_sin_cache[positions]               # [T, rot_dim]
+    cos = cs[:, : rot_dim // 2][:, None, :]     # [T, 1, rot/2]
+    sin = cs[:, rot_dim // 2:][:, None, :]
 
     def rot(x):
-        x1, x2 = x[..., : d // 2], x[..., d // 2:]
-        xf1 = x1.astype(jnp.float32)
-        xf2 = x2.astype(jnp.float32)
-        o1 = xf1 * cos - xf2 * sin
-        o2 = xf2 * cos + xf1 * sin
-        return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+        xr, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+        x1 = xr[..., : rot_dim // 2].astype(jnp.float32)
+        x2 = xr[..., rot_dim // 2:].astype(jnp.float32)
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+        if x_pass.shape[-1]:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out
 
     return rot(q), rot(k)
