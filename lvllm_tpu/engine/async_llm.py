@@ -29,7 +29,8 @@ class AsyncLLM:
     def __init__(self, config: EngineConfig, load_format: str = "auto",
                  tokenizer=None, mesh=None):
         self.config = config
-        self.core = EngineCore(config, load_format=load_format, mesh=mesh)
+        self.core = EngineCore(config, load_format=load_format, mesh=mesh,
+                               tokenizer=tokenizer)
         self.tokenizer = tokenizer
         self.output_processor = OutputProcessor(tokenizer)
         self._req_counter = itertools.count()

@@ -56,7 +56,7 @@ def determine_num_kv_blocks(config: EngineConfig) -> int:
 class EngineCore:
 
     def __init__(self, config: EngineConfig, load_format: str = "auto",
-                 mesh=None):
+                 mesh=None, tokenizer=None):
         self.config = config
         t0 = time.time()
         self.model, params = load_model(config.model_config, load_format)
@@ -76,6 +76,11 @@ class EngineCore:
         self.runner = ModelRunner(config, self.model, params,
                                   self.num_kv_blocks, mesh=mesh)
 
+        from lvllm_tpu.structured_output import StructuredOutputManager
+        self.structured_manager = StructuredOutputManager(
+            tokenizer, config.model_config.vocab_size,
+            config.model_config.eos_token_id)
+
         self.proposer = None
         sc = config.speculative_config
         if sc.enabled and sc.method == "ngram":
@@ -94,6 +99,7 @@ class EngineCore:
             raise ValueError(
                 f"prompt ({len(request.prompt_token_ids)} tokens) exceeds "
                 f"max_model_len {self.config.model_config.max_model_len}")
+        self.structured_manager.maybe_attach(request)
         self.scheduler.add_request(request)
 
     def abort_requests(self, request_ids: List[str]) -> None:
@@ -115,9 +121,23 @@ class EngineCore:
             # needs the finished/preempted diffs.
             self.runner.execute_model(scheduler_output)
             return [], {}
-        runner_output = self.runner.execute_model(scheduler_output)
+        grammar_masks = None
+        sm = self.structured_manager
+        if sm.grammars:
+            grammar_masks = {
+                rid: sm.bitmask_for(rid)
+                for rid in scheduler_output.num_scheduled_tokens
+                if sm.has_grammar(rid)}
+        runner_output = self.runner.execute_model(scheduler_output,
+                                                  grammar_masks)
         stepped = self.scheduler.update_from_output(scheduler_output,
                                                     runner_output)
+        for req in stepped:
+            if sm.has_grammar(req.request_id):
+                new = runner_output.sampled_token_ids.get(req.request_id, [])
+                sm.advance(req.request_id, new)
+                if req.is_finished:
+                    sm.free(req.request_id)
         if self.proposer is not None:
             self._propose_drafts(stepped)
         return stepped, (runner_output.logprobs or {})
@@ -131,6 +151,8 @@ class EngineCore:
         for req in stepped:
             if req.is_finished or req.sampling_params.temperature != 0.0:
                 continue
+            if self.structured_manager.has_grammar(req.request_id):
+                continue  # drafts can't be grammar-checked ahead of time
             room = max_len - req.num_tokens - 1
             if room <= 0:
                 continue

@@ -10,6 +10,7 @@ serves.
 import argparse
 import asyncio
 import json
+import os
 import time
 import uuid
 from typing import Any, Dict, List, Optional
@@ -59,10 +60,13 @@ class OpenAIServer:
         self.app.router.add_post("/tokenize", self.tokenize)
         self.app.router.add_post("/detokenize", self.detokenize)
         self.app.router.add_get("/metrics", self.metrics)
-        # Ops endpoints (reference: entrypoints/serve/sleep).
+        # Ops endpoints (reference: entrypoints/serve/sleep, serve/profile).
         self.app.router.add_post("/sleep", self.sleep)
         self.app.router.add_post("/wake_up", self.wake_up)
         self.app.router.add_get("/is_sleeping", self.is_sleeping)
+        self.app.router.add_post("/start_profile", self.start_profile)
+        self.app.router.add_post("/stop_profile", self.stop_profile)
+        self._profiling = False
 
     # ---- endpoints ---------------------------------------------------------
 
@@ -133,6 +137,26 @@ class OpenAIServer:
 
     async def is_sleeping(self, request: web.Request) -> web.Response:
         return web.json_response({"is_sleeping": self.llm.core.is_sleeping})
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """JAX profiler trace (xplane) — reference: WorkerProfiler +
+        /start_profile (serve/profile/api_router.py:21)."""
+        import jax
+        if self._profiling:
+            return self._error("already profiling", 409)
+        trace_dir = request.query.get(
+            "dir", os.environ.get("LVLLM_PROFILE_DIR", "/tmp/lvllm_profile"))
+        jax.profiler.start_trace(trace_dir)
+        self._profiling = True
+        return web.json_response({"status": "ok", "dir": trace_dir})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        import jax
+        if not self._profiling:
+            return self._error("not profiling", 409)
+        jax.profiler.stop_trace()
+        self._profiling = False
+        return web.json_response({"status": "ok"})
 
     async def completions(self, request: web.Request) -> web.Response:
         try:

@@ -30,12 +30,12 @@ def _kernel_int4(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
                  group_size: int, out_dtype):
     # x [TILE_M, K]; w [1, K//2, TILE_N] int8 packed; s [1, K//G, TILE_N]
     x = x_ref[:]
-    packed = w_ref[0]
-    lo = (packed & 0x0F).astype(jnp.int8)
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    q = jnp.concatenate([lo, hi], axis=0)            # [K, TILE_N]
+    # Sign-extend nibbles arithmetically in i32 — Mosaic rejects vector i8
+    # compares, and ((v & 0xF) ^ 8) - 8 is branch-free two's complement.
+    packed = w_ref[0].astype(jnp.int32)
+    lo = ((packed & 0x0F) ^ 8) - 8
+    hi = (((packed >> 4) & 0x0F) ^ 8) - 8
+    q = jnp.concatenate([lo, hi], axis=0)            # [K, TILE_N] i32
     K = q.shape[0]
     scales = s_ref[0]                                # [K//G, TILE_N]
     w = q.astype(jnp.float32).reshape(K // group_size, group_size, TILE_N)

@@ -1,0 +1,293 @@
+"""Grammar backends for constrained decoding."""
+
+import json
+from typing import Dict, List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+
+class Grammar(Protocol):
+    """Per-request grammar state machine."""
+
+    def allowed_token_mask(self) -> np.ndarray:
+        """bool [V]; True = token currently allowed."""
+        ...
+
+    def advance(self, token_id: int) -> bool:
+        """Consume a sampled token; False if it was illegal."""
+        ...
+
+    @property
+    def is_complete(self) -> bool:
+        ...
+
+
+class ChoiceGrammar:
+    """guided_choice: the output must be exactly one of the given strings.
+
+    Constraint is a trie over each choice's canonical tokenization (the
+    reference's outlines backend accepts any tokenization; exact-path is a
+    sound, slightly stricter subset).
+    """
+
+    def __init__(self, choices: Sequence[str], tokenizer, vocab_size: int,
+                 eos_token_id: Optional[int] = None):
+        self.vocab_size = vocab_size
+        self.eos_token_id = eos_token_id
+        self._paths: List[List[int]] = [
+            list(tokenizer.encode(c)) for c in choices]
+        self._pos = 0
+        self._alive = set(range(len(self._paths)))
+        self._done = False
+
+    def allowed_token_mask(self) -> np.ndarray:
+        mask = np.zeros(self.vocab_size, dtype=bool)
+        finished_possible = False
+        for i in self._alive:
+            path = self._paths[i]
+            if self._pos < len(path):
+                mask[path[self._pos]] = True
+            elif self._pos == len(path):
+                finished_possible = True
+        if finished_possible and self.eos_token_id is not None:
+            mask[self.eos_token_id] = True
+        return mask
+
+    def advance(self, token_id: int) -> bool:
+        if token_id == self.eos_token_id:
+            self._done = any(self._pos == len(self._paths[i])
+                             for i in self._alive)
+            return self._done
+        new_alive = {i for i in self._alive
+                     if self._pos < len(self._paths[i])
+                     and self._paths[i][self._pos] == token_id}
+        if not new_alive:
+            return False
+        self._alive = new_alive
+        self._pos += 1
+        if all(self._pos >= len(self._paths[i]) for i in self._alive) \
+                and self.eos_token_id is None:
+            self._done = True
+        return True
+
+    @property
+    def is_complete(self) -> bool:
+        return self._done or (
+            self._alive and
+            all(self._pos >= len(self._paths[i]) for i in self._alive)
+            or False)
+
+
+class _JsonState:
+    """Incremental JSON validity checker over characters.
+
+    Accepts any prefix of a valid JSON value. Implemented as a char-fed
+    stack machine; ``feed`` returns False if the char cannot extend any
+    valid JSON document.
+    """
+
+    def __init__(self) -> None:
+        self.text = ""
+
+    def clone(self) -> "_JsonState":
+        s = _JsonState.__new__(_JsonState)
+        s.text = self.text
+        return s
+
+    def feed(self, s: str) -> bool:
+        candidate = self.text + s
+        if not candidate.strip():
+            return True  # leading whitespace
+        ok, _complete = _json_prefix_valid(candidate)
+        if ok:
+            self.text = candidate
+        return ok
+
+    @property
+    def complete(self) -> bool:
+        if not self.text.strip():
+            return False
+        try:
+            json.loads(self.text)
+            return True
+        except json.JSONDecodeError:
+            return False
+
+
+def _json_prefix_valid(s: str) -> Tuple[bool, bool]:
+    """Is `s` a prefix of some valid JSON value? Returns (valid_prefix,
+    complete). Lightweight scanner: tracks structure stack + string/escape/
+    number state; permissive on numbers."""
+    stack: List[str] = []
+    i, n = 0, len(s)
+    in_string = False
+    escape = False
+    # expect: 'value' | 'key' | 'colon' | 'comma_or_end' | 'end'
+    expect = "value"
+    while i < n:
+        c = s[i]
+        if in_string:
+            if escape:
+                escape = False
+            elif c == "\\":
+                escape = True
+            elif c == '"':
+                in_string = False
+                if expect == "key_string":
+                    expect = "colon"
+                else:
+                    expect = "after_value"
+            i += 1
+            continue
+        if c in " \t\n\r":
+            i += 1
+            continue
+        if expect in ("value", "key_string"):
+            if expect == "key_string":
+                if c == '"':
+                    in_string = True
+                    i += 1
+                    continue
+                if c == "}" and stack and stack[-1] == "{" and \
+                        (i == 0 or _last_nonspace(s, i) in "{"):
+                    stack.pop()
+                    expect = "after_value"
+                    i += 1
+                    continue
+                return False, False
+            # expect value
+            if c == '"':
+                in_string = True
+                i += 1
+            elif c == "{":
+                stack.append("{")
+                expect = "key_string"
+                i += 1
+            elif c == "[":
+                stack.append("[")
+                expect = "value_or_end"
+                i += 1
+            elif c in "-0123456789":
+                j = i + 1
+                while j < n and s[j] in "0123456789.eE+-":
+                    j += 1
+                i = j
+                expect = "after_value"
+            elif s[i:].startswith(("true", "false", "null")) or \
+                    any(w.startswith(s[i:]) for w in ("true", "false",
+                                                      "null")):
+                for w in ("true", "false", "null"):
+                    if s[i:i + len(w)] == w:
+                        i += len(w)
+                        expect = "after_value"
+                        break
+                else:
+                    # partial literal at end of input
+                    return (i + len(s[i:]) == n and any(
+                        w.startswith(s[i:]) for w in
+                        ("true", "false", "null"))), False
+            else:
+                return False, False
+        elif expect == "value_or_end":
+            if c == "]" and stack and stack[-1] == "[":
+                stack.pop()
+                expect = "after_value"
+                i += 1
+            else:
+                expect = "value"
+        elif expect == "colon":
+            if c == ":":
+                expect = "value"
+                i += 1
+            else:
+                return False, False
+        elif expect == "after_value":
+            if c == "," and stack:
+                expect = "key_string" if stack[-1] == "{" else "value"
+                i += 1
+            elif c == "}" and stack and stack[-1] == "{":
+                stack.pop()
+                i += 1
+            elif c == "]" and stack and stack[-1] == "[":
+                stack.pop()
+                i += 1
+            else:
+                return False, False
+        else:
+            return False, False
+    complete = (not stack and not in_string and
+                expect in ("after_value",))
+    return True, complete
+
+
+def _last_nonspace(s: str, before: int) -> str:
+    for j in range(before - 1, -1, -1):
+        if s[j] not in " \t\n\r":
+            return s[j]
+    return ""
+
+
+class JsonGrammar:
+    """JSON mode: output must be (a prefix of, then a complete) JSON value.
+
+    Token masks are computed by testing each candidate token's decoded text
+    against the prefix automaton; masks are cached per normalized state so
+    the O(V) scan happens once per distinct structural state.
+    """
+
+    _mask_cache: Dict[Tuple, np.ndarray] = {}
+
+    def __init__(self, tokenizer, vocab_size: int,
+                 eos_token_id: Optional[int] = None,
+                 max_scan_tokens: Optional[int] = None):
+        self.vocab_size = vocab_size
+        self.eos_token_id = eos_token_id
+        self.state = _JsonState()
+        # token id -> decoded text (computed once per tokenizer).
+        key = id(tokenizer)
+        self._token_text = _token_text_table(tokenizer, vocab_size)
+
+    def _state_key(self) -> Tuple:
+        # Normalize: structural suffix matters, not the full text.
+        ok, _ = _json_prefix_valid(self.state.text) if self.state.text \
+            else (True, False)
+        # Use a bounded suffix as the cache key — structure depth is
+        # captured well enough for repeated states in practice.
+        return (self.state.text[-24:], ok)
+
+    def allowed_token_mask(self) -> np.ndarray:
+        key = self._state_key()
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
+        mask = np.zeros(self.vocab_size, dtype=bool)
+        base = self.state.text
+        for tid in range(self.vocab_size):
+            text = self._token_text[tid]
+            if not text:
+                continue
+            ok, _ = _json_prefix_valid(base + text)
+            mask[tid] = ok
+        if self.eos_token_id is not None and self.state.complete:
+            mask[self.eos_token_id] = True
+        self._mask_cache[key] = mask
+        return mask
+
+    def advance(self, token_id: int) -> bool:
+        if token_id == self.eos_token_id:
+            return self.state.complete
+        return self.state.feed(self._token_text[token_id])
+
+    @property
+    def is_complete(self) -> bool:
+        return self.state.complete
+
+
+def _token_text_table(tokenizer, vocab_size: int) -> List[str]:
+    table = []
+    for tid in range(vocab_size):
+        try:
+            table.append(tokenizer.decode([tid]))
+        except Exception:  # noqa: BLE001
+            table.append("")
+    return table

@@ -175,16 +175,17 @@ class ModelRunner:
         self._tail_fn = jax.jit(self._tail)
 
     def _tail(self, params, x, residual, logits_indices, temperature, top_k,
-              top_p, min_p, seeds, steps, penalty_args=None):
+              top_p, min_p, seeds, steps, penalty_args=None,
+              grammar_mask=None):
         hidden = self.model.finalize_hidden(params, x, residual)
         return self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
-            min_p, seeds, steps, penalty_args)
+            min_p, seeds, steps, penalty_args, grammar_mask)
 
     def _execute_staged(self, input_ids, positions, qsl, seq_lens,
                         block_table, slot_mapping, logits_indices,
                         temperature, top_k, top_p, min_p, seeds, steps,
-                        penalty_args=None):
+                        penalty_args=None, grammar_mask=None):
         """Layer-by-layer dispatch with host→HBM expert streaming overlapped
         via JAX async dispatch (the fork's prefetch-window decode path,
         SURVEY.md §2.11.6, rebuilt without CUDA streams)."""
@@ -213,14 +214,15 @@ class ModelRunner:
             self.kv_caches[i] = kv
         return self._tail_fn(self.params, x, residual, logits_indices,
                              temperature, top_k, top_p, min_p, seeds, steps,
-                             penalty_args=penalty_args)
+                             penalty_args=penalty_args,
+                             grammar_mask=grammar_mask)
 
     # ---- jitted step -------------------------------------------------------
 
     def _step(self, params, kv_caches, input_ids, positions, query_start_loc,
               seq_lens, block_table, slot_mapping, logits_indices,
               temperature, top_k, top_p, min_p, seeds, steps,
-              penalty_args=None):
+              penalty_args=None, grammar_mask=None):
         md = AttentionMetadata(
             query_start_loc=query_start_loc,
             seq_lens=seq_lens,
@@ -231,12 +233,12 @@ class ModelRunner:
                                        kv_caches, md)
         sampled, logprobs = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
-            min_p, seeds, steps, penalty_args)
+            min_p, seeds, steps, penalty_args, grammar_mask)
         return kv_caches, sampled, logprobs
 
     def _sample_from_hidden(self, params, hidden, logits_indices,
                             temperature, top_k, top_p, min_p, seeds, steps,
-                            penalty_args):
+                            penalty_args, grammar_mask=None):
         """Sample at every verification position: logits_indices [R, S+1]
         (S=0 without spec decode). Sampling params are broadcast per row;
         the PRNG fold offsets by position so each slot draws independently.
@@ -248,6 +250,10 @@ class ModelRunner:
             # Penalties use each row's history; tile rows to positions.
             tiled = tuple(jnp.repeat(a, S1, axis=0) for a in penalty_args)
             logits = apply_penalties_from_history(logits, *tiled)
+        if grammar_mask is not None:
+            # Grammar bitmask (structured output): [R, V] bool, True=allowed.
+            gm = jnp.repeat(grammar_mask, S1, axis=0)
+            logits = jnp.where(gm, logits, -jnp.inf)
         rep = lambda a: jnp.repeat(a, S1, axis=0)  # noqa: E731
         st = SamplingTensors(temperature=rep(temperature), top_k=rep(top_k),
                              top_p=rep(top_p), min_p=rep(min_p),
@@ -297,7 +303,8 @@ class ModelRunner:
 
     # ---- execution ---------------------------------------------------------
 
-    def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
+    def execute_model(self, so: SchedulerOutput,
+                      grammar_masks=None) -> ModelRunnerOutput:
         self._update_states(so)
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
@@ -385,6 +392,20 @@ class ModelRunner:
                 jnp.asarray(ib.frequency_penalty[pad_rows]),
             )
 
+        # Grammar bitmask rows for structured-output requests.
+        grammar_mask = None
+        if grammar_masks:
+            gm = np.ones((R, self.config.model_config.vocab_size),
+                         dtype=bool)
+            hit = False
+            for r, rid in enumerate(row_req_ids):
+                m = grammar_masks.get(rid)
+                if m is not None:
+                    gm[r] = m
+                    hit = True
+            if hit:
+                grammar_mask = jnp.asarray(gm)
+
         self.step_counter += 1
         dev_args = (
             jnp.asarray(input_ids), jnp.asarray(positions),
@@ -394,11 +415,12 @@ class ModelRunner:
             jnp.asarray(min_p), jnp.asarray(seeds), jnp.asarray(steps))
         if self.expert_store is not None:
             sampled, logprobs = self._execute_staged(
-                *dev_args, penalty_args=penalty_args)
+                *dev_args, penalty_args=penalty_args,
+                grammar_mask=grammar_mask)
         else:
             kv, sampled, logprobs = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
-                penalty_args=penalty_args)
+                penalty_args=penalty_args, grammar_mask=grammar_mask)
             self.kv_caches = kv
 
         sampled_np = np.asarray(sampled)      # [R, S1]

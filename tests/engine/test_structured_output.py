@@ -1,0 +1,141 @@
+"""Structured-output tests: grammar units + end-to-end constrained
+generation (reference: tests/v1/structured_output)."""
+
+import numpy as np
+import pytest
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.engine.llm_engine import LLMEngine
+from lvllm_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+from lvllm_tpu.sampling_params import SamplingParams
+from lvllm_tpu.structured_output.grammar import (ChoiceGrammar, JsonGrammar,
+                                                 _json_prefix_valid)
+
+
+class CharTokenizer:
+    """One token per printable char; id = ord(c). Vocab 128; id 0 = EOS."""
+
+    eos_token_id = 0
+
+    def encode(self, text):
+        return [ord(c) % 128 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(t) for t in ids if t > 0)
+
+
+# ---- unit: JSON prefix automaton -------------------------------------------
+
+@pytest.mark.parametrize("s,ok", [
+    ('{"a": 1}', True),
+    ('{"a": ', True),
+    ('{"a"', True),
+    ('{', True),
+    ('[1, 2, ', True),
+    ('tru', True),
+    ('true', True),
+    ('{"a" 1}', False),
+    ('}', False),
+    ('{"a": 1}}', False),
+    ('[1,]2', False),
+    ('"abc', True),
+    ('12.5e', True),
+])
+def test_json_prefix_valid(s, ok):
+    got, _ = _json_prefix_valid(s)
+    assert got == ok, (s, got)
+
+
+def test_json_complete_detection():
+    assert _json_prefix_valid('{"a": [1, 2]}')[1] is True
+    assert _json_prefix_valid('{"a": [1, 2]')[1] is False
+
+
+# ---- unit: grammars --------------------------------------------------------
+
+def test_choice_grammar_walk():
+    tok = CharTokenizer()
+    g = ChoiceGrammar(["yes", "no"], tok, 128, eos_token_id=0)
+    m = g.allowed_token_mask()
+    assert m[ord("y")] and m[ord("n")] and not m[ord("x")]
+    assert g.advance(ord("n"))
+    m = g.allowed_token_mask()
+    assert m[ord("o")] and not m[ord("y")]
+    assert g.advance(ord("o"))
+    m = g.allowed_token_mask()
+    assert m[0]  # EOS now allowed
+    assert g.advance(0)
+    assert g.is_complete
+
+
+def test_choice_grammar_rejects():
+    tok = CharTokenizer()
+    g = ChoiceGrammar(["abc"], tok, 128, eos_token_id=0)
+    assert not g.advance(ord("z"))
+
+
+def test_json_grammar_walk():
+    tok = CharTokenizer()
+    g = JsonGrammar(tok, 128, eos_token_id=0)
+    m = g.allowed_token_mask()
+    assert m[ord("{")] and m[ord("[")] and m[ord('"')] and m[ord("1")]
+    assert not m[ord("}")]
+    assert g.advance(ord("{"))
+    m = g.allowed_token_mask()
+    assert m[ord('"')] and m[ord("}")]
+    assert not m[ord("1")]
+    for c in '"a":1}':
+        assert g.advance(ord(c)), c
+    assert g.is_complete
+    assert g.allowed_token_mask()[0]  # EOS allowed when complete
+
+
+# ---- end-to-end ------------------------------------------------------------
+
+def build_engine():
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3ForCausalLM", dtype="float32",
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=0,
+        seed=9)
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=128,
+                                         max_num_seqs=4, max_model_len=128))
+    return LLMEngine(cfg, load_format="dummy", tokenizer=CharTokenizer())
+
+
+def run(engine, prompt, sp):
+    engine.add_request("r0", prompt, sp)
+    final = None
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                final = o
+    return final
+
+
+def test_guided_choice_e2e():
+    eng = build_engine()
+    sp = SamplingParams(temperature=0.0, max_tokens=10,
+                        guided_choice=["yes", "no"])
+    out = run(eng, "is it good?", sp)
+    text = out.outputs[0].text
+    assert text in ("yes", "no"), text
+
+
+def test_guided_json_e2e():
+    import json as _json
+    eng = build_engine()
+    sp = SamplingParams(temperature=0.8, seed=3, max_tokens=40,
+                        guided_json=True)
+    out = run(eng, "give me json", sp)
+    text = out.outputs[0].text
+    # Every emitted prefix was grammar-valid; if EOS was reached the value
+    # must parse. If length-capped, the prefix must still be valid.
+    ok, _ = _json_prefix_valid(text)
+    assert ok, text
+    if out.outputs[0].finish_reason == "stop":
+        _json.loads(text)
