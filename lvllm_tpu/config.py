@@ -192,6 +192,15 @@ class OffloadConfig:
 
 
 @dataclass
+class LoRAConfig:
+    """Multi-LoRA serving config (reference: config/lora.py)."""
+
+    enabled: bool = False
+    max_loras: int = 8
+    max_lora_rank: int = 16
+
+
+@dataclass
 class SpeculativeConfig:
     """Speculative decoding (reference: config/speculative.py; proposers in
     v1/spec_decode/). method=None disables."""
@@ -222,6 +231,7 @@ class EngineConfig:
     scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
     parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
     offload_config: OffloadConfig = field(default_factory=OffloadConfig)
+    lora_config: LoRAConfig = field(default_factory=LoRAConfig)
     speculative_config: SpeculativeConfig = field(
         default_factory=SpeculativeConfig)
     observability_config: ObservabilityConfig = field(

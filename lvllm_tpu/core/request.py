@@ -50,6 +50,7 @@ class Request:
         arrival_time: Optional[float] = None,
         priority: int = 0,
         prompt: Optional[str] = None,
+        lora_int_id: Optional[int] = None,
     ) -> None:
         self.request_id = request_id
         self.prompt = prompt
@@ -58,6 +59,7 @@ class Request:
         self.eos_token_id = eos_token_id
         self.arrival_time = arrival_time if arrival_time is not None else time.time()
         self.priority = priority
+        self.lora_int_id = lora_int_id
 
         self.status = RequestStatus.WAITING
         self.output_token_ids: List[int] = []

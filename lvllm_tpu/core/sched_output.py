@@ -20,6 +20,7 @@ class NewRequestData:
     block_ids: List[int]
     num_computed_tokens: int
     sampling_params: SamplingParams
+    lora_int_id: int = 0
 
 
 @dataclass

@@ -216,6 +216,7 @@ class Scheduler:
                         req.request_id),
                     num_computed_tokens=req.num_computed_tokens,
                     sampling_params=req.sampling_params,
+                    lora_int_id=getattr(req, 'lora_slot', 0),
                 ))
             output.num_scheduled_tokens[req.request_id] = num_new_tokens
             budget -= num_new_tokens

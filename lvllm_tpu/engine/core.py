@@ -76,6 +76,15 @@ class EngineCore:
         self.runner = ModelRunner(config, self.model, params,
                                   self.num_kv_blocks, mesh=mesh)
 
+        self.lora_manager = None
+        if config.lora_config.enabled:
+            from lvllm_tpu.lora.manager import LoRAManager
+            self.lora_manager = LoRAManager(
+                config.model_config,
+                max_loras=config.lora_config.max_loras,
+                max_rank=config.lora_config.max_lora_rank)
+            self.runner.lora_manager = self.lora_manager
+
         from lvllm_tpu.structured_output import StructuredOutputManager
         self.structured_manager = StructuredOutputManager(
             tokenizer, config.model_config.vocab_size,
@@ -100,7 +109,25 @@ class EngineCore:
                 f"prompt ({len(request.prompt_token_ids)} tokens) exceeds "
                 f"max_model_len {self.config.model_config.max_model_len}")
         self.structured_manager.maybe_attach(request)
+        if request.lora_int_id and self.lora_manager is None:
+            raise ValueError("LoRA request but LoRA serving is not enabled")
+        if self.lora_manager is not None:
+            request.lora_slot = self.lora_manager.slot_for(
+                request.lora_int_id)
         self.scheduler.add_request(request)
+
+    # ---- LoRA management (reference: lora load/unload API) ----------------
+
+    def add_lora(self, lora_request) -> int:
+        assert self.lora_manager is not None, "LoRA serving not enabled"
+        return self.lora_manager.add_lora(lora_request)
+
+    def remove_lora(self, lora_int_id: int) -> bool:
+        assert self.lora_manager is not None, "LoRA serving not enabled"
+        return self.lora_manager.remove_lora(lora_int_id)
+
+    def list_loras(self):
+        return self.lora_manager.list_loras() if self.lora_manager else {}
 
     def abort_requests(self, request_ids: List[str]) -> None:
         self.scheduler.abort_requests(request_ids)

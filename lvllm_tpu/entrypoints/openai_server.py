@@ -47,10 +47,17 @@ def sampling_params_from_request(body: Dict[str, Any]) -> SamplingParams:
 
 class OpenAIServer:
 
-    def __init__(self, async_llm: AsyncLLM, model_name: str = "lvllm-model"):
+    def __init__(self, async_llm: AsyncLLM, model_name: str = "lvllm-model",
+                 tool_parser: str = "hermes",
+                 enable_reasoning: bool = True):
+        from lvllm_tpu.tool_parsers import ReasoningParser, get_tool_parser
         self.llm = async_llm
         self.model_name = model_name
         self.start_time = time.time()
+        self.tool_parser = get_tool_parser(tool_parser) if tool_parser \
+            else None
+        self.reasoning_parser = ReasoningParser() if enable_reasoning \
+            else None
         self.app = web.Application()
         self.app.router.add_get("/health", self.health)
         self.app.router.add_get("/v1/models", self.models)
@@ -209,13 +216,26 @@ class OpenAIServer:
         except ValueError as e:
             return self._error(str(e), 400)
         c = final.outputs[0]
+        message = {"role": "assistant", "content": c.text}
+        finish_reason = c.finish_reason
+        if self.reasoning_parser is not None:
+            reasoning, content = self.reasoning_parser.extract(c.text)
+            if reasoning is not None:
+                message["reasoning_content"] = reasoning
+                message["content"] = content
+        if self.tool_parser is not None and body.get("tools"):
+            content, calls = self.tool_parser.extract(message["content"])
+            if calls:
+                message["content"] = content or None
+                message["tool_calls"] = [tc.to_openai() for tc in calls]
+                finish_reason = "tool_calls"
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.model_name,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": c.text},
-                "finish_reason": c.finish_reason,
+                "message": message,
+                "finish_reason": finish_reason,
             }],
             "usage": self._usage(final),
         })

@@ -136,22 +136,26 @@ class Qwen3Model:
     # ---- forward ----------------------------------------------------------
 
     def _attention(self, lp: Params, x: jax.Array, positions: jax.Array,
-                   kv_cache: jax.Array, md: AttentionMetadata
+                   kv_cache: jax.Array, md: AttentionMetadata,
+                   lora=None, token_adapter=None
                    ) -> Tuple[jax.Array, jax.Array]:
         c = self.config
         D = self.head_dim
         T = x.shape[0]
         attn = lp["self_attn"]
 
-        def proj(p, heads):
+        def proj(p, heads, target):
             y = x @ p["kernel"]
             if "bias" in p:
                 y = y + p["bias"]
+            if lora is not None and target in lora:
+                from lvllm_tpu.lora.layers import apply_lora
+                y = apply_lora(x, y, lora[target], token_adapter)
             return y.reshape(T, heads, D)
 
-        q = proj(attn["q_proj"], c.num_attention_heads)
-        k = proj(attn["k_proj"], c.num_key_value_heads)
-        v = proj(attn["v_proj"], c.num_key_value_heads)
+        q = proj(attn["q_proj"], c.num_attention_heads, "q_proj")
+        k = proj(attn["k_proj"], c.num_key_value_heads, "k_proj")
+        v = proj(attn["v_proj"], c.num_key_value_heads, "v_proj")
         if c.qk_norm:
             q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
             k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
@@ -160,7 +164,11 @@ class Qwen3Model:
         out = ragged_paged_attention(
             q, kv_cache, md.block_table, md.query_start_loc, md.seq_lens,
             scale=self.scale, sliding_window=c.sliding_window)
-        out = out.reshape(T, c.num_attention_heads * D) @ attn["o_proj"]["kernel"]
+        attn_flat = out.reshape(T, c.num_attention_heads * D)
+        out = attn_flat @ attn["o_proj"]["kernel"]
+        if lora is not None and "o_proj" in lora:
+            from lvllm_tpu.lora.layers import apply_lora
+            out = apply_lora(attn_flat, out, lora["o_proj"], token_adapter)
         return out, kv_cache
 
     def _use_ep(self) -> bool:
@@ -221,6 +229,8 @@ class Qwen3Model:
         kv_cache: jax.Array,
         attn_metadata: AttentionMetadata,
         layer_idx: int,
+        lora=None,
+        token_adapter=None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One decoder layer: returns (ffn_out, residual, new_kv_cache).
         Used both by the fused __call__ and by the staged/streamed runner
@@ -231,7 +241,7 @@ class Qwen3Model:
         h, residual = fused_add_rms_norm(
             x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
         attn_out, kv = self._attention(lp, h, positions, kv_cache,
-                                       attn_metadata)
+                                       attn_metadata, lora, token_adapter)
         h, residual = fused_add_rms_norm(
             attn_out, residual, lp["post_attention_layernorm"]["weight"],
             c.rms_norm_eps)
@@ -251,13 +261,16 @@ class Qwen3Model:
         positions: jax.Array,
         kv_caches: KVCaches,
         attn_metadata: AttentionMetadata,
+        lora=None,
+        token_adapter=None,
     ) -> Tuple[jax.Array, KVCaches]:
         x = self.embed_tokens(params, input_ids)
         residual = jnp.zeros_like(x)
         new_caches: List[jax.Array] = []
         for i, lp in enumerate(params["layers"]):
             x, residual, kv = self.apply_layer(
-                lp, x, residual, positions, kv_caches[i], attn_metadata, i)
+                lp, x, residual, positions, kv_caches[i], attn_metadata, i,
+                lora, token_adapter)
             new_caches.append(kv)
         hidden = self.finalize_hidden(params, x, residual)
         return hidden, new_caches

@@ -50,6 +50,7 @@ class InputBatch:
         self.presence_penalty = np.zeros(max_num_reqs, dtype=np.float32)
         self.frequency_penalty = np.zeros(max_num_reqs, dtype=np.float32)
         self.has_penalty = np.zeros(max_num_reqs, dtype=bool)
+        self.lora_slot = np.zeros(max_num_reqs, dtype=np.int32)
 
         self._rng = np.random.default_rng(0)
 
@@ -67,6 +68,7 @@ class InputBatch:
         block_ids: List[int],
         num_computed_tokens: int,
         sampling_params: SamplingParams,
+        lora_slot: int = 0,
     ) -> int:
         idx = self._find_free_slot()
         self.req_ids[idx] = req_id
@@ -96,6 +98,7 @@ class InputBatch:
         self.has_penalty[idx] = (sp.repetition_penalty != 1.0
                                  or sp.presence_penalty != 0.0
                                  or sp.frequency_penalty != 0.0)
+        self.lora_slot[idx] = lora_slot
         return idx
 
     def _find_free_slot(self) -> int:
@@ -114,6 +117,7 @@ class InputBatch:
         self.num_blocks[idx] = 0
         self.temperature[idx] = 0.0
         self.has_penalty[idx] = False
+        self.lora_slot[idx] = 0
         self.repetition_penalty[idx] = 1.0
         self.presence_penalty[idx] = 0.0
         self.frequency_penalty[idx] = 0.0

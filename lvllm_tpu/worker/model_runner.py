@@ -83,6 +83,9 @@ class ModelRunner:
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,))
 
+        # Set by EngineCore when LoRA serving is enabled.
+        self.lora_manager = None
+
         # HBM + host-RAM expert tiering (SURVEY.md §2.11 equivalent).
         self.expert_store = None
         if config.offload_config.enabled and mc.is_moe:
@@ -222,7 +225,8 @@ class ModelRunner:
     def _step(self, params, kv_caches, input_ids, positions, query_start_loc,
               seq_lens, block_table, slot_mapping, logits_indices,
               temperature, top_k, top_p, min_p, seeds, steps,
-              penalty_args=None, grammar_mask=None):
+              penalty_args=None, grammar_mask=None, lora=None,
+              token_adapter=None):
         md = AttentionMetadata(
             query_start_loc=query_start_loc,
             seq_lens=seq_lens,
@@ -230,7 +234,8 @@ class ModelRunner:
             slot_mapping=slot_mapping,
         )
         hidden, kv_caches = self.model(params, input_ids, positions,
-                                       kv_caches, md)
+                                       kv_caches, md, lora=lora,
+                                       token_adapter=token_adapter)
         sampled, logprobs = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask)
@@ -277,7 +282,8 @@ class ModelRunner:
         for nr in so.scheduled_new_reqs:
             ib.add_request(
                 nr.req_id, nr.prompt_token_ids, nr.prompt_token_ids,
-                nr.block_ids, nr.num_computed_tokens, nr.sampling_params)
+                nr.block_ids, nr.num_computed_tokens, nr.sampling_params,
+                lora_slot=nr.lora_int_id)
         for cr in so.scheduled_cached_reqs:
             if cr.resumed_from_preemption:
                 # Re-register with full state (tokens/blocks re-learned).
@@ -392,6 +398,20 @@ class ModelRunner:
                 jnp.asarray(ib.frequency_penalty[pad_rows]),
             )
 
+        # Per-token LoRA adapter slots (0 = none).
+        lora_args = {}
+        if self.lora_manager is not None and ib.lora_slot[pad_rows].any():
+            token_adapter = np.zeros(T, dtype=np.int32)
+            tt = 0
+            for rid, n_tok in scheduled:
+                slot = ib.lora_slot[ib.req_id_to_index[rid]]
+                token_adapter[tt:tt + n_tok] = slot
+                tt += n_tok
+            lora_args = {
+                "lora": dict(self.lora_manager.stacks),
+                "token_adapter": jnp.asarray(token_adapter),
+            }
+
         # Grammar bitmask rows for structured-output requests.
         grammar_mask = None
         if grammar_masks:
@@ -420,7 +440,8 @@ class ModelRunner:
         else:
             kv, sampled, logprobs = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
-                penalty_args=penalty_args, grammar_mask=grammar_mask)
+                penalty_args=penalty_args, grammar_mask=grammar_mask,
+                **lora_args)
             self.kv_caches = kv
 
         sampled_np = np.asarray(sampled)      # [R, S1]
