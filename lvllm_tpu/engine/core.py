@@ -85,6 +85,9 @@ class EngineCore:
                 max_rank=config.lora_config.max_lora_rank)
             self.runner.lora_manager = self.lora_manager
 
+        from lvllm_tpu.engine.metrics import EngineMetrics
+        self.metrics = EngineMetrics()
+
         from lvllm_tpu.structured_output import StructuredOutputManager
         self.structured_manager = StructuredOutputManager(
             tokenizer, config.model_config.vocab_size,
@@ -114,6 +117,8 @@ class EngineCore:
         if self.lora_manager is not None:
             request.lora_slot = self.lora_manager.slot_for(
                 request.lora_int_id)
+        self.metrics.on_request_added(request.request_id,
+                                      request.num_prompt_tokens)
         self.scheduler.add_request(request)
 
     # ---- LoRA management (reference: lora load/unload API) ----------------
@@ -160,6 +165,12 @@ class EngineCore:
         stepped = self.scheduler.update_from_output(scheduler_output,
                                                     runner_output)
         for req in stepped:
+            new_toks = runner_output.sampled_token_ids.get(
+                req.request_id, [])
+            if new_toks:
+                self.metrics.on_tokens(req.request_id, len(new_toks))
+            if req.is_finished:
+                self.metrics.on_request_finished(req.request_id)
             if sm.has_grammar(req.request_id):
                 new = runner_output.sampled_token_ids.get(req.request_id, [])
                 sm.advance(req.request_id, new)
@@ -187,7 +198,9 @@ class EngineCore:
             req.spec_token_ids = drafts[:min(k, room)]
 
     def get_stats(self) -> dict:
-        return self.scheduler.make_stats()
+        stats = self.scheduler.make_stats()
+        stats["latency"] = self.metrics.summary()
+        return stats
 
     # ---- sleep / wake ------------------------------------------------------
 

@@ -1,0 +1,138 @@
+"""Engine metrics: scheduler stats, iteration stats, request latency
+histograms.
+
+Counterpart of the reference's ``vllm/v1/metrics/`` (SchedulerStats /
+IterationStats produced in update_from_output, StatLoggerBase console +
+Prometheus loggers with ~40 vllm:* series). Prometheus exposition keeps the
+vllm:* names so existing dashboards read it.
+"""
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from lvllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+# Histogram bucket edges (seconds) — match the reference's latency buckets.
+TTFT_BUCKETS = (0.001, 0.005, 0.01, 0.02, 0.04, 0.06, 0.08, 0.1, 0.25, 0.5,
+                0.75, 1.0, 2.5, 5.0, 7.5, 10.0, 20.0, 40.0, 80.0)
+TPOT_BUCKETS = (0.001, 0.0025, 0.005, 0.0075, 0.01, 0.015, 0.02, 0.025,
+                0.03, 0.04, 0.05, 0.075, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5,
+                0.75, 1.0)
+E2E_BUCKETS = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 20.0, 40.0, 80.0,
+               160.0, 320.0)
+
+
+class Histogram:
+
+    def __init__(self, buckets):
+        self.buckets = buckets
+        self.counts = [0] * (len(buckets) + 1)
+        self.total = 0.0
+        self.n = 0
+
+    def observe(self, v: float) -> None:
+        self.total += v
+        self.n += 1
+        for i, b in enumerate(self.buckets):
+            if v <= b:
+                self.counts[i] += 1
+                return
+        self.counts[-1] += 1
+
+    def prometheus_lines(self, name: str, labels: str = "") -> List[str]:
+        lines = [f"# TYPE {name} histogram"]
+        cum = 0
+        for b, c in zip(self.buckets, self.counts):
+            cum += c
+            lines.append(f'{name}_bucket{{le="{b}"{labels}}} {cum}')
+        cum += self.counts[-1]
+        lines.append(f'{name}_bucket{{le="+Inf"{labels}}} {cum}')
+        lines.append(f"{name}_sum{labels and '{'+labels+'}'} "
+                     f"{self.total:.6f}".replace("  ", " "))
+        lines.append(f"{name}_count {cum}")
+        return lines
+
+    @property
+    def mean(self) -> float:
+        return self.total / self.n if self.n else 0.0
+
+
+@dataclass
+class RequestTiming:
+    arrival: float
+    first_token: Optional[float] = None
+    last_token: Optional[float] = None
+    num_generated: int = 0
+
+
+class EngineMetrics:
+    """Collects per-request TTFT/TPOT/E2E + cumulative counters."""
+
+    def __init__(self) -> None:
+        self.ttft = Histogram(TTFT_BUCKETS)
+        self.tpot = Histogram(TPOT_BUCKETS)
+        self.e2e = Histogram(E2E_BUCKETS)
+        self.num_prompt_tokens = 0
+        self.num_generation_tokens = 0
+        self.num_requests_finished = 0
+        self._timing: Dict[str, RequestTiming] = {}
+
+    # ---- lifecycle hooks ---------------------------------------------------
+
+    def on_request_added(self, request_id: str, num_prompt_tokens: int,
+                         now: Optional[float] = None) -> None:
+        self._timing[request_id] = RequestTiming(now or time.time())
+        self.num_prompt_tokens += num_prompt_tokens
+
+    def on_tokens(self, request_id: str, num_new: int,
+                  now: Optional[float] = None) -> None:
+        t = self._timing.get(request_id)
+        if t is None:
+            return
+        now = now or time.time()
+        if t.first_token is None:
+            t.first_token = now
+            self.ttft.observe(now - t.arrival)
+        elif t.last_token is not None:
+            # Inter-token latency per emitted token this step.
+            self.tpot.observe((now - t.last_token) / max(num_new, 1))
+        t.last_token = now
+        t.num_generated += num_new
+        self.num_generation_tokens += num_new
+
+    def on_request_finished(self, request_id: str,
+                            now: Optional[float] = None) -> None:
+        t = self._timing.pop(request_id, None)
+        if t is None:
+            return
+        self.e2e.observe((now or time.time()) - t.arrival)
+        self.num_requests_finished += 1
+
+    # ---- export ------------------------------------------------------------
+
+    def prometheus_lines(self) -> List[str]:
+        lines = [
+            "# TYPE vllm:prompt_tokens_total counter",
+            f"vllm:prompt_tokens_total {self.num_prompt_tokens}",
+            "# TYPE vllm:generation_tokens_total counter",
+            f"vllm:generation_tokens_total {self.num_generation_tokens}",
+            "# TYPE vllm:request_success_total counter",
+            f"vllm:request_success_total {self.num_requests_finished}",
+        ]
+        lines += self.ttft.prometheus_lines("vllm:time_to_first_token_seconds")
+        lines += self.tpot.prometheus_lines("vllm:time_per_output_token_seconds")
+        lines += self.e2e.prometheus_lines("vllm:e2e_request_latency_seconds")
+        return lines
+
+    def summary(self) -> dict:
+        return {
+            "requests_finished": self.num_requests_finished,
+            "prompt_tokens": self.num_prompt_tokens,
+            "generation_tokens": self.num_generation_tokens,
+            "mean_ttft_s": round(self.ttft.mean, 4),
+            "mean_tpot_s": round(self.tpot.mean, 4),
+            "mean_e2e_s": round(self.e2e.mean, 4),
+        }

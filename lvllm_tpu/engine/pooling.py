@@ -1,0 +1,120 @@
+"""Pooling / embedding execution.
+
+Counterpart of the reference's pooling stack (``layers/pooler/``,
+``v1/pool/``, LLM.encode/embed, /v1/embeddings): prompts run a prefill-only
+forward; hidden states are pooled (last-token or mean) into embedding
+vectors. Runs as its own jitted call with a throwaway KV cache — embedding
+batches don't interact with the generation scheduler.
+"""
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvllm_tpu.models.model_base import AttentionMetadata
+from lvllm_tpu.ops.kv_cache import new_kv_cache
+
+
+class PoolingRunner:
+
+    def __init__(self, model, params, block_size: int = 16,
+                 max_tokens: int = 2048):
+        self.model = model
+        self.params = params
+        self.block_size = block_size
+        self.max_tokens = max_tokens
+        self._fwd = jax.jit(self._forward, static_argnames=("pooling",))
+
+    def _forward(self, params, input_ids, positions, qsl, seq_lens,
+                 block_table, slot_mapping, kv_caches, row_valid,
+                 pooling: str):
+        md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
+                               block_table=block_table,
+                               slot_mapping=slot_mapping)
+        hidden, _ = self.model(params, input_ids, positions, kv_caches, md)
+        R = seq_lens.shape[0]
+        T = input_ids.shape[0]
+        if pooling == "last":
+            last_idx = jnp.maximum(qsl[1:] - 1, 0)
+            emb = hidden[last_idx]                            # [R, H]
+        else:  # mean over each segment
+            tok = jnp.arange(T)
+            req = jnp.searchsorted(qsl, tok, side="right") - 1
+            req = jnp.clip(req, 0, R - 1)
+            in_seg = (tok >= qsl[req]) & (tok < qsl[req + 1])
+            one_hot = (req[:, None] == jnp.arange(R)[None, :]) & \
+                in_seg[:, None]
+            sums = jnp.einsum("th,tr->rh", hidden.astype(jnp.float32),
+                              one_hot.astype(jnp.float32))
+            counts = jnp.maximum(one_hot.sum(0), 1)[:, None]
+            emb = sums / counts
+        emb = emb.astype(jnp.float32)
+        norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return jnp.where(row_valid[:, None], emb / jnp.maximum(norm, 1e-12),
+                         0.0)
+
+    def embed(self, token_lists: List[List[int]],
+              pooling: str = "last", normalize: bool = True) -> np.ndarray:
+        """Returns [N, H] float32 (L2-normalized)."""
+        mc = self.model.config
+        out = []
+        # Batch prompts greedily under the token budget.
+        batch: List[List[int]] = []
+        total = 0
+        for toks in token_lists + [None]:
+            flush = toks is None or (total + len(toks) > self.max_tokens
+                                     and batch)
+            if flush and batch:
+                out.append(self._embed_batch(batch, pooling))
+                batch, total = [], 0
+            if toks is not None:
+                batch.append(toks)
+                total += len(toks)
+        return np.concatenate(out) if out else np.zeros((0, mc.hidden_size),
+                                                        np.float32)
+
+    def _embed_batch(self, batch: List[List[int]], pooling: str):
+        mc = self.model.config
+        bs = self.block_size
+        R = len(batch)
+        T = sum(len(t) for t in batch)
+        # Pad T to a multiple of 64 for stable compile shapes.
+        T_pad = -(-T // 64) * 64
+        maxb = max(-(-len(t) // bs) for t in batch)
+        input_ids = np.zeros(T_pad, np.int32)
+        positions = np.zeros(T_pad, np.int32)
+        slot_mapping = np.zeros(T_pad, np.int32)
+        qsl = np.zeros(R + 1, np.int32)
+        seq_lens = np.zeros(R, np.int32)
+        table = np.zeros((R, maxb), np.int32)
+        t = 0
+        next_block = 1
+        for r, toks in enumerate(batch):
+            n = len(toks)
+            input_ids[t:t + n] = toks
+            positions[t:t + n] = np.arange(n)
+            nb = -(-n // bs)
+            table[r, :nb] = np.arange(next_block, next_block + nb)
+            pos = np.arange(n)
+            slot_mapping[t:t + n] = \
+                table[r, pos // bs] * bs + pos % bs
+            next_block += nb
+            qsl[r + 1] = t + n
+            seq_lens[r] = n
+            t += n
+        qsl[R] = t
+        num_blocks = next_block + 1
+        kv = [new_kv_cache(num_blocks, bs, mc.num_kv_heads, mc.head_dim,
+                           jnp.bfloat16 if mc.dtype == "bfloat16"
+                           else jnp.float32)
+              for _ in range(mc.num_hidden_layers)]
+        row_valid = np.ones(R, bool)
+        emb = self._fwd(self.params, jnp.asarray(input_ids),
+                        jnp.asarray(positions), jnp.asarray(qsl),
+                        jnp.asarray(seq_lens), jnp.asarray(table),
+                        jnp.asarray(slot_mapping), kv,
+                        jnp.asarray(row_valid), pooling=pooling)
+        return np.asarray(emb)

@@ -106,5 +106,27 @@ class LLM:
                     finals[out.request_id] = out
         return [finals[rid] for rid in order]
 
+    def embed(self, prompts, pooling: str = "last"):
+        """Embedding API (reference: LLM.encode/embed). Returns [N, H]
+        normalized float32 vectors."""
+        from lvllm_tpu.engine.pooling import PoolingRunner
+        if isinstance(prompts, str) or (
+                prompts and isinstance(prompts, (list, tuple))
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        token_lists = []
+        for p in prompts:
+            if isinstance(p, str):
+                if self.engine.tokenizer is None:
+                    raise ValueError("string prompt requires a tokenizer")
+                token_lists.append(self.engine.tokenizer.encode(p))
+            else:
+                token_lists.append(list(p))
+        if not hasattr(self, "_pooling_runner"):
+            self._pooling_runner = PoolingRunner(
+                self.engine.core.model, self.engine.core.runner.params,
+                block_size=self.engine.config.cache_config.block_size)
+        return self._pooling_runner.embed(token_lists, pooling=pooling)
+
     def get_stats(self) -> dict:
         return self.engine.get_stats()

@@ -64,6 +64,7 @@ class OpenAIServer:
         self.app.router.add_post("/v1/completions", self.completions)
         self.app.router.add_post("/v1/chat/completions",
                                  self.chat_completions)
+        self.app.router.add_post("/v1/embeddings", self.embeddings)
         self.app.router.add_post("/tokenize", self.tokenize)
         self.app.router.add_post("/detokenize", self.detokenize)
         self.app.router.add_get("/metrics", self.metrics)
@@ -90,6 +91,34 @@ class OpenAIServer:
                 "owned_by": "lvllm_tpu",
                 "max_model_len": self.llm.config.model_config.max_model_len,
             }],
+        })
+
+    async def embeddings(self, request: web.Request) -> web.Response:
+        """OpenAI embeddings API over the pooling runner."""
+        from lvllm_tpu.engine.pooling import PoolingRunner
+        body = await request.json()
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        tok = self.llm.tokenizer
+        if tok is None:
+            return self._error("no tokenizer loaded", 400)
+        token_lists = [tok.encode(t) if isinstance(t, str) else list(t)
+                       for t in inputs]
+        if not hasattr(self, "_pooling_runner"):
+            self._pooling_runner = PoolingRunner(
+                self.llm.core.model, self.llm.core.runner.params,
+                block_size=self.llm.config.cache_config.block_size)
+        loop = asyncio.get_running_loop()
+        embs = await loop.run_in_executor(
+            None, lambda: self._pooling_runner.embed(token_lists))
+        return web.json_response({
+            "object": "list", "model": self.model_name,
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": e.tolist()}
+                     for i, e in enumerate(embs)],
+            "usage": {"prompt_tokens": sum(len(t) for t in token_lists),
+                      "total_tokens": sum(len(t) for t in token_lists)},
         })
 
     async def tokenize(self, request: web.Request) -> web.Response:
@@ -127,6 +156,7 @@ class OpenAIServer:
             "# TYPE vllm:prefix_cache_hits_total counter",
             f"vllm:prefix_cache_hits_total {pc.get('hits', 0)}",
         ]
+        lines += self.llm.core.metrics.prometheus_lines()
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
 

@@ -156,3 +156,20 @@ def test_sleep_wake_cycle():
         assert r.status == 200
         assert (await r.json())["choices"][0]["text"] == first
     run_scenario(scenario)
+
+
+def test_embeddings_endpoint():
+    async def scenario(client):
+        r = await client.post("/v1/embeddings", json={"input": ["hi", "yo"]})
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["data"]) == 2
+        v = data["data"][0]["embedding"]
+        assert len(v) == 64  # hidden size
+        import math
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3  # normalized
+        # Same input twice → same embedding; different input → different.
+        r2 = await client.post("/v1/embeddings", json={"input": ["hi"]})
+        v2 = (await r2.json())["data"][0]["embedding"]
+        assert all(abs(a - b) < 1e-4 for a, b in zip(v, v2))
+    run_scenario(scenario)
