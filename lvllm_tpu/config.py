@@ -63,6 +63,18 @@ class ModelConfig:
     # DeepSeek/GLM-style routed-output scaling and rotary fraction.
     routed_scaling_factor: float = 1.0
     partial_rotary_factor: float = 1.0
+    # Group-limited routing (DeepSeek V3 noaux-tc): select topk_group of
+    # n_group expert groups before top-k.
+    n_group: int = 1
+    topk_group: int = 1
+
+    # MLA (DeepSeek latent attention). attention_type "mha" | "mla".
+    attention_type: str = "mha"
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 512
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
 
     max_model_len: int = 4096
     quantization: Optional[str] = None  # None | "int8" | "int4" | "fp8"
@@ -96,6 +108,17 @@ class ModelConfig:
     @property
     def num_kv_heads(self) -> int:
         return self.num_key_value_heads
+
+    # KV-cache geometry (MLA caches one latent "head" of Dc+Dr per token).
+    @property
+    def kv_cache_heads(self) -> int:
+        return 1 if self.attention_type == "mla" else self.num_key_value_heads
+
+    @property
+    def kv_cache_dim(self) -> int:
+        if self.attention_type == "mla":
+            return self.kv_lora_rank + self.qk_rope_head_dim
+        return self.head_dim
 
 
 @dataclass

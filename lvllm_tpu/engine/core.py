@@ -33,7 +33,7 @@ def determine_num_kv_blocks(config: EngineConfig) -> int:
     if cc.num_gpu_blocks:
         return cc.num_gpu_blocks
     mc = config.model_config
-    bytes_per_token = (2 * mc.num_kv_heads * mc.head_dim *
+    bytes_per_token = (2 * mc.kv_cache_heads * mc.kv_cache_dim *
                        mc.num_hidden_layers *
                        (2 if mc.dtype == "bfloat16" else 4))
     try:

@@ -107,7 +107,8 @@ class PoolingRunner:
             t += n
         qsl[R] = t
         num_blocks = next_block + 1
-        kv = [new_kv_cache(num_blocks, bs, mc.num_kv_heads, mc.head_dim,
+        kv = [new_kv_cache(num_blocks, bs, mc.kv_cache_heads,
+                           mc.kv_cache_dim,
                            jnp.bfloat16 if mc.dtype == "bfloat16"
                            else jnp.float32)
               for _ in range(mc.num_hidden_layers)]

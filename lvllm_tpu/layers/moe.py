@@ -48,12 +48,16 @@ def route_tokens(
     router_bias: Optional[jax.Array] = None,
     e_score_bias: Optional[jax.Array] = None,
     scaling_factor: float = 1.0,
+    n_group: int = 1,
+    topk_group: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k routing → (weights [T, K] f32, expert_ids [T, K] i32).
 
     softmax-then-topk (Qwen) by default; sigmoid scoring with selection bias
     (DeepSeek-style e_score_correction_bias) supported — the bias affects
-    selection only, weights use unbiased scores.
+    selection only, weights use unbiased scores. Group-limited routing
+    (DeepSeek-V3 noaux-tc: keep topk_group of n_group expert groups before
+    the final top-k) applies when n_group > 1.
     """
     logits = jnp.einsum("th,he->te", x.astype(jnp.float32),
                         router.astype(jnp.float32))
@@ -66,6 +70,17 @@ def route_tokens(
     else:
         raise ValueError(f"unknown scoring_fn {scoring_fn}")
     select_scores = scores if e_score_bias is None else scores + e_score_bias
+    if n_group > 1:
+        T, E = select_scores.shape
+        gs = select_scores.reshape(T, n_group, E // n_group)
+        # Group score = sum of the group's top-2 (V3 convention).
+        top2 = jax.lax.top_k(gs, min(2, E // n_group))[0].sum(-1)  # [T, G]
+        _, keep_groups = jax.lax.top_k(top2, topk_group)           # [T, tg]
+        group_mask = jnp.zeros((T, n_group), bool).at[
+            jnp.arange(T)[:, None], keep_groups].set(True)
+        select_scores = jnp.where(
+            jnp.repeat(group_mask, E // n_group, axis=-1),
+            select_scores, -jnp.inf)
     _, topk_ids = jax.lax.top_k(select_scores, top_k)
     topk_w = jnp.take_along_axis(scores, topk_ids, axis=-1)
     if norm_topk_prob:
@@ -115,13 +130,16 @@ def fused_moe(
     scoring_fn: str = "softmax",
     e_score_bias: Optional[jax.Array] = None,
     scaling_factor: float = 1.0,
+    n_group: int = 1,
+    topk_group: int = 1,
 ) -> jax.Array:
     """Single-shard fused MoE forward (EP=1)."""
     T, H = x.shape
     E = params.w1.shape[0]
     topk_w, topk_ids = route_tokens(
         x, params.router, top_k, norm_topk_prob, scoring_fn,
-        params.router_bias, e_score_bias, scaling_factor)
+        params.router_bias, e_score_bias, scaling_factor, n_group,
+        topk_group)
 
     order, group_sizes = permute_for_experts(topk_ids, E)
     token_of_pair = order // top_k              # [T*K]
@@ -178,6 +196,8 @@ def fused_moe_quant(
     e_score_bias: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
     scaling_factor: float = 1.0,
+    n_group: int = 1,
+    topk_group: int = 1,
 ) -> jax.Array:
     """Quantized MoE forward: route → align → fused dequant grouped GEMM →
     combine (Pallas on TPU, dequant oracle elsewhere)."""
@@ -195,7 +215,8 @@ def fused_moe_quant(
 
     topk_w, topk_ids = route_tokens(
         x, params.router, top_k, norm_topk_prob, scoring_fn,
-        params.router_bias, e_score_bias, scaling_factor)
+        params.router_bias, e_score_bias, scaling_factor, n_group,
+        topk_group)
 
     tile_m = _pick_tile_m(T, top_k)
     d = moe_align.align_tokens(x, topk_ids, E, tile_m)

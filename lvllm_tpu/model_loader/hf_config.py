@@ -79,6 +79,14 @@ def load_model_config(model_path: str,
         router_scoring_fn=scoring_fn,
         routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
         partial_rotary_factor=hf.get("partial_rotary_factor", 1.0),
+        n_group=hf.get("n_group") or 1,
+        topk_group=hf.get("topk_group") or 1,
+        attention_type="mla" if arch.startswith("Deepseek") else "mha",
+        q_lora_rank=hf.get("q_lora_rank"),
+        kv_lora_rank=hf.get("kv_lora_rank", 512),
+        qk_nope_head_dim=hf.get("qk_nope_head_dim", 128),
+        qk_rope_head_dim=hf.get("qk_rope_head_dim", 64),
+        v_head_dim=hf.get("v_head_dim", 128),
     )
     if max_model_len is not None:
         mc.max_model_len = min(max_model_len, mc.max_position_embeddings)

@@ -1,0 +1,201 @@
+"""DeepSeek V2/V3 family — MLA attention + (optionally) group-routed MoE.
+
+Behavioral reference: ``/root/reference/vllm/model_executor/models/
+deepseek_v2.py`` + the MLA stack (``layers/attention/mla_attention.py``);
+HF numerics reference: transformers ``modeling_deepseek_v2``. Shares the
+embedding/FFN/MoE machinery with the unified Qwen3Model; overrides the
+attention path with absorbed-MLA over a latent KV cache (``ops/mla.py``)
+and the interleaved DeepSeek rope convention.
+
+Extra per-layer params (replacing self_attn q/k/v/o):
+  self_attn.q_proj.kernel [H, Hq*(dn+dr)]            (lite; q_lora_rank=None)
+  — or — q_a_proj.kernel [H, q_lora], q_a_norm.weight, q_b_proj.kernel
+  self_attn.kv_a_proj.kernel [H, Dc+dr]
+  self_attn.kv_a_norm.weight [Dc]
+  self_attn.w_uk [Hq, dn, Dc]   (absorbed key expansion)
+  self_attn.w_uv [Hq, dv, Dc]   (absorbed value expansion)
+  self_attn.o_proj.kernel [Hq*dv, H]
+"""
+
+import re
+from typing import Any, Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.layers.common import rms_norm
+from lvllm_tpu.models.model_base import AttentionMetadata, Params
+from lvllm_tpu.models.qwen3 import Qwen3Model
+from lvllm_tpu.ops.mla import mla_attention_reference, write_mla_cache
+from lvllm_tpu.ops.rope import apply_rope_interleaved, compute_cos_sin_cache
+from lvllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class DeepseekModel(Qwen3Model):
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        c = config
+        self.scale = (c.qk_nope_head_dim + c.qk_rope_head_dim) ** -0.5
+        self.cos_sin = compute_cos_sin_cache(
+            c.qk_rope_head_dim, c.max_position_embeddings, c.rope_theta,
+            c.rope_scaling, dtype=jnp.float32)
+
+    # ---- params ------------------------------------------------------------
+
+    def init_params(self, rng) -> Params:
+        params = super().init_params(rng)
+        c = self.config
+        H = c.num_attention_heads
+        dn, dr, dv = c.qk_nope_head_dim, c.qk_rope_head_dim, c.v_head_dim
+        Dc = c.kv_lora_rank
+        nprng = np.random.default_rng(1234 + c.seed)
+
+        def dense(shape, scale=0.02):
+            return jnp.asarray(
+                nprng.standard_normal(size=shape, dtype=np.float32) * scale,
+                self.dtype)
+
+        for layer in params["layers"]:
+            attn: Dict[str, Any] = {
+                "kv_a_proj": {"kernel": dense((c.hidden_size, Dc + dr))},
+                "kv_a_norm": {"weight": jnp.ones((Dc,), self.dtype)},
+                "w_uk": dense((H, dn, Dc)),
+                "w_uv": dense((H, dv, Dc)),
+                "o_proj": {"kernel": dense((H * dv, c.hidden_size))},
+            }
+            if c.q_lora_rank:
+                attn["q_a_proj"] = {"kernel": dense(
+                    (c.hidden_size, c.q_lora_rank))}
+                attn["q_a_norm"] = {"weight": jnp.ones((c.q_lora_rank,),
+                                                       self.dtype)}
+                attn["q_b_proj"] = {"kernel": dense(
+                    (c.q_lora_rank, H * (dn + dr)))}
+            else:
+                attn["q_proj"] = {"kernel": dense(
+                    (c.hidden_size, H * (dn + dr)))}
+            layer["self_attn"] = attn
+        return params
+
+    # ---- attention ---------------------------------------------------------
+
+    def _attention(self, lp: Params, x: jax.Array, positions: jax.Array,
+                   kv_cache: jax.Array, md: AttentionMetadata,
+                   lora=None, token_adapter=None
+                   ) -> Tuple[jax.Array, jax.Array]:
+        c = self.config
+        H = c.num_attention_heads
+        dn, dr, dv = c.qk_nope_head_dim, c.qk_rope_head_dim, c.v_head_dim
+        Dc = c.kv_lora_rank
+        T = x.shape[0]
+        attn = lp["self_attn"]
+
+        if "q_proj" in attn:
+            q = x @ attn["q_proj"]["kernel"]
+        else:
+            qa = rms_norm(x @ attn["q_a_proj"]["kernel"],
+                          attn["q_a_norm"]["weight"], c.rms_norm_eps)
+            q = qa @ attn["q_b_proj"]["kernel"]
+        q = q.reshape(T, H, dn + dr)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+        ckv_pe = x @ attn["kv_a_proj"]["kernel"]          # [T, Dc+dr]
+        c_kv = rms_norm(ckv_pe[:, :Dc], attn["kv_a_norm"]["weight"],
+                        c.rms_norm_eps)
+        k_pe = ckv_pe[:, Dc:][:, None, :]                 # [T, 1, dr]
+
+        q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,
+                                            self.cos_sin)
+        k_pe = k_pe[:, 0, :]
+
+        kv_cache = write_mla_cache(kv_cache, c_kv, k_pe, md.slot_mapping)
+
+        # Absorb q_nope into latent space: q_lat[h] = W_uk[h] @ q_nope[h].
+        q_lat = jnp.einsum("thd,hdc->thc", q_nope.astype(jnp.float32),
+                           attn["w_uk"].astype(jnp.float32))
+        ctx = mla_attention_reference(
+            q_lat.astype(x.dtype), q_pe, kv_cache, md.block_table,
+            md.query_start_loc, md.seq_lens, scale=self.scale,
+            kv_lora_rank=Dc)                              # [T, H, Dc]
+        out = jnp.einsum("thc,hvc->thv", ctx.astype(jnp.float32),
+                         attn["w_uv"].astype(jnp.float32))
+        out = out.reshape(T, H * dv).astype(x.dtype)
+        out = out @ attn["o_proj"]["kernel"]
+        return out, kv_cache
+
+    # ---- weight loading ----------------------------------------------------
+
+    def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]) -> Params:
+        c = self.config
+        H = c.num_attention_heads
+        dn, dv = c.qk_nope_head_dim, c.v_head_dim
+
+        def translate():
+            for name, w in weights:
+                stripped = name.removeprefix("model.")
+                m = re.match(r"layers\.(\d+)\.self_attn\.(.+)", stripped)
+                if m is None:
+                    yield name, w
+                    continue
+                i, rest = m.group(1), m.group(2)
+                if rest == "kv_b_proj.weight":
+                    # [H*(dn+dv), Dc] → absorbed w_uk [H, dn, Dc] and
+                    # w_uv [H, dv, Dc].
+                    wb = w.reshape(H, dn + dv, -1)
+                    self._pending.setdefault(int(i), {})["w_uk"] = \
+                        wb[:, :dn, :]
+                    self._pending[int(i)]["w_uv"] = wb[:, dn:, :]
+                elif rest == "kv_a_proj_with_mqa.weight":
+                    yield f"model.layers.{i}.self_attn.__kv_a__", w
+                elif rest == "kv_a_layernorm.weight":
+                    yield f"model.layers.{i}.self_attn.__kv_a_norm__", w
+                elif rest == "q_a_layernorm.weight":
+                    yield f"model.layers.{i}.self_attn.__q_a_norm__", w
+                elif rest in ("q_proj.weight", "q_a_proj.weight",
+                              "q_b_proj.weight", "o_proj.weight"):
+                    yield f"model.layers.{i}.self_attn.__{rest}__", w
+                else:
+                    yield name, w
+
+        self._pending: Dict[int, Dict[str, np.ndarray]] = {}
+        params = None
+        # Base loader handles embed/norm/mlp/moe; attention tensors tagged
+        # __*__ are collected and placed below.
+        tagged: Dict[Tuple[int, str], np.ndarray] = {}
+
+        def filter_stream():
+            for name, w in translate():
+                m = re.match(r"model\.layers\.(\d+)\.self_attn\.__(.+)__",
+                             name)
+                if m:
+                    tagged[(int(m.group(1)), m.group(2))] = w
+                else:
+                    yield name, w
+
+        params = super().load_weights(filter_stream())
+
+        for i, layer in enumerate(params["layers"]):
+            attn = layer["self_attn"]
+            def put(key, value, transpose=True):
+                arr = jnp.asarray(value.T if transpose else value, self.dtype)
+                return arr
+            if (i, "q_proj.weight") in tagged:
+                attn["q_proj"]["kernel"] = put("q", tagged[(i, "q_proj.weight")])
+            if (i, "q_a_proj.weight") in tagged:
+                attn["q_a_proj"]["kernel"] = put("qa", tagged[(i, "q_a_proj.weight")])
+                attn["q_a_norm"]["weight"] = jnp.asarray(
+                    tagged[(i, "q_a_norm")], self.dtype)
+                attn["q_b_proj"]["kernel"] = put("qb", tagged[(i, "q_b_proj.weight")])
+            attn["kv_a_proj"]["kernel"] = put("kva", tagged[(i, "kv_a")])
+            attn["kv_a_norm"]["weight"] = jnp.asarray(
+                tagged[(i, "kv_a_norm")], self.dtype)
+            attn["o_proj"]["kernel"] = put("o", tagged[(i, "o_proj.weight")])
+            pend = self._pending.get(i, {})
+            if "w_uk" in pend:
+                attn["w_uk"] = jnp.asarray(pend["w_uk"], self.dtype)
+                attn["w_uv"] = jnp.asarray(pend["w_uv"], self.dtype)
+        return params

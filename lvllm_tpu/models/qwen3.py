@@ -200,7 +200,8 @@ class Qwen3Model:
                 return fused_moe_quant(
                     x, qp, c.num_experts_per_tok, c.norm_topk_prob,
                     c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
-                    scaling_factor=c.routed_scaling_factor)
+                    scaling_factor=c.routed_scaling_factor,
+                    n_group=c.n_group, topk_group=c.topk_group)
             mp = MoEParams(
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),
@@ -212,7 +213,8 @@ class Qwen3Model:
             return fused_moe(
                 x, mp, c.num_experts_per_tok, c.norm_topk_prob,
                 c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
-                scaling_factor=c.routed_scaling_factor)
+                scaling_factor=c.routed_scaling_factor,
+                n_group=c.n_group, topk_group=c.topk_group)
         mlp = lp["mlp"]
         return silu_and_mul(x @ mlp["gate_up"]["kernel"]) @ \
             mlp["down"]["kernel"]

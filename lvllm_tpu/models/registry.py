@@ -45,5 +45,10 @@ def _register_builtin() -> None:
                  "Glm4ForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
+    from lvllm_tpu.models.deepseek import DeepseekModel
+    for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
+                 "DeepseekForCausalLM"):
+        _REGISTRY[arch] = DeepseekModel
+
 
 _register_builtin()

@@ -65,3 +65,27 @@ def apply_rope(
         return out
 
     return rot(q), rot(k)
+
+
+def apply_rope_interleaved(
+    q: jax.Array,          # [T, Hq, D]
+    k: jax.Array,          # [T, Hk, D]
+    positions: jax.Array,  # [T]
+    cos_sin_cache: jax.Array,  # [P, D] (cos | sin halves, per freq index)
+) -> Tuple[jax.Array, jax.Array]:
+    """GPT-J/DeepSeek-style interleaved rotation: pairs are (x0,x1),(x2,x3)…
+    rotated by freq i — the complex view_as_complex convention in the HF
+    DeepSeek implementation (modeling_deepseek_v2.apply_rotary_emb)."""
+    d = q.shape[-1]
+    cs = cos_sin_cache[positions]
+    cos = cs[:, : d // 2][:, None, :]     # [T, 1, d/2]
+    sin = cs[:, d // 2:][:, None, :]
+
+    def rot(x):
+        xr = x.astype(jnp.float32).reshape(*x.shape[:-1], d // 2, 2)
+        x0, x1 = xr[..., 0], xr[..., 1]
+        o0 = x0 * cos - x1 * sin
+        o1 = x1 * cos + x0 * sin
+        return jnp.stack([o0, o1], axis=-1).reshape(x.shape).astype(x.dtype)
+
+    return rot(q), rot(k)

@@ -62,8 +62,8 @@ class ModelRunner:
 
         kv_dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
         self.kv_caches = [
-            new_kv_cache(num_kv_blocks, cc.block_size, mc.num_kv_heads,
-                         mc.head_dim, kv_dtype)
+            new_kv_cache(num_kv_blocks, cc.block_size, mc.kv_cache_heads,
+                         mc.kv_cache_dim, kv_dtype)
             for _ in range(mc.num_hidden_layers)
         ]
         if mesh is not None:
@@ -117,8 +117,8 @@ class ModelRunner:
         cc = self.config.cache_config
         kv_dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
         self.kv_caches = [
-            new_kv_cache(self.num_kv_blocks, cc.block_size, mc.num_kv_heads,
-                         mc.head_dim, kv_dtype)
+            new_kv_cache(self.num_kv_blocks, cc.block_size,
+                         mc.kv_cache_heads, mc.kv_cache_dim, kv_dtype)
             for _ in range(mc.num_hidden_layers)
         ]
         logger.info("runner awake")

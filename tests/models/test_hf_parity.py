@@ -139,3 +139,82 @@ def test_qwen2_parity(tmp_path):
     hf = hf_logits(hf_model, tokens)
     ours = our_logits(str(tmp_path), tokens)
     compare(hf, ours, "qwen2")
+
+
+def test_deepseek_v2_lite_parity(tmp_path):
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        q_lora_rank=None, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1, norm_topk_prob=False,
+        routed_scaling_factor=1.0, attention_dropout=0.0)
+    hf_model = save_hf_model(cfg, tmp_path)
+    tokens = [5, 17, 80, 411, 32, 7, 150]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "deepseek-v2-lite")
+
+
+def test_deepseek_v2_qlora_parity(tmp_path):
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        q_lora_rank=48, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=2, norm_topk_prob=False,
+        attention_dropout=0.0)
+    hf_model = save_hf_model(cfg, tmp_path)
+    tokens = [9, 90, 300, 42, 7]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "deepseek-v2-qlora")
+
+
+def test_deepseek_engine_generates(tmp_path):
+    """End-to-end engine run with MLA KV cache (dummy weights)."""
+    from lvllm_tpu.config import ModelConfig
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model="dummy", architecture="DeepseekV2ForCausalLM", dtype="float32",
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=-1,
+        attention_type="mla", q_lora_rank=None, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        mlp_only_layers=(0,), qk_norm=False, seed=33)
+    llm = LLM(model_config=mc, load_format="dummy", max_num_seqs=4,
+              max_num_batched_tokens=128, num_kv_blocks=64)
+    outs = llm.generate([[1, 2, 3, 4], [9] * 20],
+                        SamplingParams(temperature=0.0, max_tokens=6))
+    assert all(len(o.outputs[0].token_ids) == 6 for o in outs)
+    a = llm.generate([[1, 2, 3, 4]],
+                     SamplingParams(temperature=0.0, max_tokens=6))
+    assert a[0].outputs[0].token_ids == outs[0].outputs[0].token_ids
+
+
+def test_group_limited_routing():
+    """DeepSeek-V3 noaux-tc: only experts from the selected groups win."""
+    import jax.numpy as jnp
+    from lvllm_tpu.layers.moe import route_tokens
+
+    rng = np.random.default_rng(0)
+    T, H, E, G = 6, 32, 16, 4
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+    w, ids = route_tokens(x, router, top_k=4, scoring_fn="sigmoid",
+                          n_group=G, topk_group=2)
+    ids = np.asarray(ids)
+    # Selected experts span at most topk_group distinct groups per token.
+    for t in range(T):
+        groups = set(int(e) // (E // G) for e in ids[t])
+        assert len(groups) <= 2, groups
