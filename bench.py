@@ -74,27 +74,46 @@ def main() -> None:
     decode_elapsed = time.time() - t1
     decode_tps = decoded / decode_elapsed if decode_elapsed > 0 else 0.0
 
-    # Pure device step time: replay the jitted decode step without per-step
-    # host sync (isolates tunnel/host overhead from device compute).
-    runner = eng.core.runner
-    so = eng.core.scheduler.schedule()
-    device_step_ms = None
-    if so.total_num_scheduled_tokens > 0:
-        runner.execute_model(so)          # warm + stage inputs
-        # Re-run the last compiled step via a fresh schedule each time is
-        # host-bound; instead time execute_model end-to-end minus readback
-        # by batching 10 steps through the engine with outputs discarded.
-        t2 = time.time()
-        n_steps = 10
-        done = 0
-        for _ in range(n_steps):
-            if not eng.has_unfinished_requests():
-                break
-            eng.step()
-            done += 1
-        if done:
-            device_step_ms = (time.time() - t2) / done * 1000
     eng.abort_request([f"bench-{i}" for i in range(batch)])
+
+    # Pure device decode-step time: replay the compiled decode-bucket
+    # executable directly (same shapes the engine uses), chaining donated
+    # KV caches, blocking only at the end — isolates device+dispatch cost
+    # from the per-step host sync the engine loop pays.
+    import jax.numpy as jnp
+    runner = eng.core.runner
+    R = runner.max_num_reqs
+    T = 16
+    maxb = runner.max_blocks_per_req
+    args = dict(
+        input_ids=jnp.asarray(np.arange(T) % mc.vocab_size, jnp.int32),
+        positions=jnp.full((T,), prompt_len, jnp.int32),
+        qsl=jnp.asarray(np.arange(R + 1).clip(0, T), jnp.int32),
+        seq_lens=jnp.full((R,), prompt_len + 1, jnp.int32),
+        block_table=jnp.asarray(
+            (np.arange(R * maxb).reshape(R, maxb) % 2000) + 1, jnp.int32),
+        slot_mapping=jnp.asarray(np.arange(T) + 16, jnp.int32),
+        logits_indices=jnp.asarray(
+            np.arange(R).clip(0, T - 1)[:, None], jnp.int32),
+        temperature=jnp.zeros((R,), jnp.float32),
+        top_k=jnp.zeros((R,), jnp.int32),
+        top_p=jnp.ones((R,), jnp.float32),
+        min_p=jnp.zeros((R,), jnp.float32),
+        seeds=jnp.zeros((R,), jnp.uint32),
+        steps=jnp.zeros((R,), jnp.int32),
+    )
+    kv = runner.kv_caches
+    kv, s0, l0 = runner._step_fn(runner.params, kv, *args.values())
+    s0.block_until_ready()
+    n_rep = 20
+    t4 = time.time()
+    outs_dev = []
+    for _ in range(n_rep):
+        kv, s0, l0 = runner._step_fn(runner.params, kv, *args.values())
+        outs_dev.append(s0)
+    s0.block_until_ready()
+    device_step_ms = (time.time() - t4) / n_rep * 1000
+    runner.kv_caches = kv
 
     # Quantized (int8 weight-only experts) decode throughput.
     mc_q = ModelConfig(**{**mc.__dict__, "quantization": "int8"})
@@ -125,8 +144,9 @@ def main() -> None:
         "detail": {
             "e2e_tokens_per_s": round(total_decoded / elapsed, 1),
             "int8_decode_tokens_per_s": round(decode_tps_q, 1),
-            "engine_step_ms": (round(device_step_ms, 1)
-                               if device_step_ms else None),
+            "device_step_ms": round(device_step_ms, 2),
+            "device_decode_tokens_per_s": round(
+                batch / device_step_ms * 1000, 1),
             "backend": jax.default_backend(),
             "batch": batch,
         },

@@ -1,0 +1,131 @@
+"""Prefill/decode disaggregation: KV handoff between engines.
+
+Counterpart of the reference's KV-transfer connector family
+(``distributed/kv_transfer/kv_connector/v1/`` — NIXL, LMCache, p2p,
+offloading connectors) and its P/D-disaggregation flow: a *prefill* engine
+computes the prompt KV and the first token; the KV blocks are shipped to a
+*decode* engine which injects them into its own paged cache and continues
+decoding without re-running the prompt.
+
+TPU-native shape of the transfer: full KV blocks are read back from the
+prefill engine's paged cache (addressed through the prefix-cache block
+chain — so extraction works for any completed prompt while its blocks
+remain cached) and scattered into blocks allocated on the decode engine.
+Partial tail blocks are not transferred; the decode engine recomputes the
+tail (the reference's kv_load_failure_policy="recompute" degradation path).
+Cross-host, the same handoff serializes over DCN; in-process it is a
+device→host→device copy.
+"""
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from lvllm_tpu.core.kv_cache_utils import hash_request_tokens
+from lvllm_tpu.core.request import Request
+from lvllm_tpu.logger import init_logger
+from lvllm_tpu.sampling_params import SamplingParams
+
+logger = init_logger(__name__)
+
+
+@dataclass
+class KVHandoff:
+    """Serialized prefill result: prompt, first sampled token, and the
+    prompt's full-block KV for every layer."""
+
+    prompt_token_ids: List[int]
+    first_token_id: int
+    num_full_block_tokens: int
+    # Per layer: [2, n_full_blocks, block_size, H, D] numpy.
+    kv_blocks: List[np.ndarray]
+
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self.kv_blocks)
+
+
+def prefill_and_extract(engine, prompt_token_ids: List[int],
+                        sampling_params: Optional[SamplingParams] = None
+                        ) -> KVHandoff:
+    """Run the prompt on a prefill engine (1 generated token) and extract
+    its KV blocks via the prefix-cache chain."""
+    sp = SamplingParams(temperature=(sampling_params.temperature
+                                     if sampling_params else 0.0),
+                        seed=(sampling_params.seed
+                              if sampling_params else None),
+                        max_tokens=1)
+    rid = engine.add_request(None, list(prompt_token_ids), sp)
+    final = None
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished and out.request_id == rid:
+                final = out
+    assert final is not None
+    first_token = final.outputs[0].token_ids[0]
+
+    mgr = engine.core.scheduler.kv_cache_manager
+    bs = mgr.block_size
+    hashes = hash_request_tokens(bs, prompt_token_ids)
+    blocks = []
+    for h in hashes:
+        blk = mgr.block_pool.get_cached_block(h)
+        if blk is None:
+            # Evicted before extraction — transfer what we have; the decode
+            # side recomputes the rest (reference: recompute policy).
+            logger.warning("KV block evicted before handoff; truncating at "
+                           "%d blocks", len(blocks))
+            break
+        blocks.append(blk.block_id)
+    kv_blocks = []
+    if blocks:
+        ids = np.asarray(blocks)
+        for layer_cache in engine.core.runner.kv_caches:
+            kv_blocks.append(np.asarray(layer_cache[:, ids]))
+    return KVHandoff(
+        prompt_token_ids=list(prompt_token_ids),
+        first_token_id=first_token,
+        num_full_block_tokens=len(blocks) * bs,
+        kv_blocks=kv_blocks,
+    )
+
+
+def inject_and_decode_request(engine, handoff: KVHandoff,
+                              sampling_params: SamplingParams,
+                              request_id: str = None) -> str:
+    """Register a request on the decode engine with the transferred KV
+    already in place; returns the request id. The first prefill-produced
+    token becomes the tail of the 'prompt' so scheduling proceeds as a
+    1-token continuation."""
+    import jax.numpy as jnp
+
+    sp = sampling_params.clone()
+    if sp.max_tokens is not None:
+        sp.max_tokens = max(sp.max_tokens - 1, 1)
+    prompt = handoff.prompt_token_ids + [handoff.first_token_id]
+    rid = request_id or f"disagg-{id(handoff) & 0xFFFF:x}"
+
+    # Materialize the transferred blocks as *prefix-cache* entries: a
+    # temporary request allocates + hash-registers them, the device blocks
+    # are overwritten with the transferred KV, then the temp is freed —
+    # the blocks stay cached, and the real request below picks them up via
+    # the ordinary prefix-cache hit path (no scheduler special-casing).
+    mgr = engine.core.scheduler.kv_cache_manager
+    n_full = handoff.num_full_block_tokens
+    if n_full:
+        tmp = Request(f"{rid}-kvload", handoff.prompt_token_ids,
+                      SamplingParams(max_tokens=1))
+        got = mgr.allocate_slots(tmp, n_full)
+        if got is None:
+            raise RuntimeError("decode engine out of KV blocks for handoff")
+        block_ids = np.asarray(mgr.get_block_ids(tmp.request_id))
+        runner = engine.core.runner
+        for layer, data in enumerate(handoff.kv_blocks):
+            cache = runner.kv_caches[layer]
+            runner.kv_caches[layer] = cache.at[:, block_ids].set(
+                jnp.asarray(data, cache.dtype))
+        mgr.free(tmp)
+        mgr.free_block_hashes(tmp)
+
+    engine.add_request(rid, prompt, sp)
+    return rid
