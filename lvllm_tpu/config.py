@@ -149,6 +149,11 @@ class SchedulerConfig:
     max_num_seqs: int = 128
     max_model_len: int = 4096
     enable_chunked_prefill: bool = True
+    # Overlap host scheduling with device execution: one step stays in
+    # flight; decode inputs read the previous step's sampled tokens on
+    # device (reference: async_scheduling / AsyncScheduler + the runner's
+    # AsyncGPUModelRunnerOutput double buffering).
+    async_scheduling: bool = False
     long_prefill_token_threshold: int = 0  # 0 => no cap beyond budget
     policy: str = "fcfs"  # fcfs | priority
     # Padded token-bucket sizes for the jitted step (replaces CUDA-graph

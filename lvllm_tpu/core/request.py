@@ -71,6 +71,9 @@ class Request:
         # Draft tokens proposed by spec-decode, pending verification.
         self.spec_token_ids: List[int] = []
         self.num_preemptions: int = 0
+        # Async scheduling: count of optimistic placeholder tokens (-1)
+        # at the tail of output_token_ids awaiting device results.
+        self.num_placeholders: int = 0
         self.stop_reason: Optional[object] = None
         # Set by the engine when streaming output.
         self.first_token_time: Optional[float] = None
@@ -115,6 +118,9 @@ class Request:
         if isinstance(token_ids, int):
             token_ids = [token_ids]
         self.output_token_ids.extend(token_ids)
+
+
+PLACEHOLDER_TOKEN = -1
 
 
 def check_stop(request: Request, num_new_tokens: int = 1) -> bool:

@@ -48,6 +48,10 @@ class SchedulerOutput:
         default_factory=dict)
     finished_req_ids: List[str] = field(default_factory=list)
     preempted_req_ids: List[str] = field(default_factory=list)
+    # Async scheduling: rows scheduled with optimistic bookkeeping whose
+    # sampled token is a placeholder until the step is finalized.
+    async_mode: bool = False
+    async_sampled_req_ids: set = field(default_factory=set)
 
     @property
     def num_reqs(self) -> int:

@@ -18,7 +18,8 @@ from typing import Deque, Dict, List, Optional
 
 from lvllm_tpu.config import CacheConfig, SchedulerConfig
 from lvllm_tpu.core.kv_cache_manager import KVCacheManager
-from lvllm_tpu.core.request import Request, RequestStatus, check_stop
+from lvllm_tpu.core.request import (PLACEHOLDER_TOKEN, Request,
+                                    RequestStatus, check_stop)
 from lvllm_tpu.core.sched_output import (CachedRequestData, ModelRunnerOutput,
                                          NewRequestData, SchedulerOutput)
 from lvllm_tpu.logger import init_logger
@@ -47,6 +48,7 @@ class Scheduler:
             enable_caching=cache_config.enable_prefix_caching,
         )
 
+        self.async_scheduling = scheduler_config.async_scheduling
         self.requests: Dict[str, Request] = {}
         self.waiting: Deque[Request] = deque()
         self.running: List[Request] = []
@@ -149,6 +151,8 @@ class Scheduler:
                 output.scheduled_spec_decode_tokens[req.request_id] = \
                     list(req.spec_token_ids)
             output.num_scheduled_tokens[req.request_id] = num_new_tokens
+            if self.async_scheduling:
+                self._advance_optimistically(req, num_new_tokens, output)
             budget -= num_new_tokens
             idx += 1
 
@@ -219,13 +223,28 @@ class Scheduler:
                     lora_int_id=getattr(req, 'lora_slot', 0),
                 ))
             output.num_scheduled_tokens[req.request_id] = num_new_tokens
+            if self.async_scheduling:
+                self._advance_optimistically(req, num_new_tokens, output)
             budget -= num_new_tokens
 
         output.preempted_req_ids = [r.request_id for r in preempted]
         output.total_num_scheduled_tokens = sum(
             output.num_scheduled_tokens.values())
+        output.async_mode = self.async_scheduling
         self.num_scheduled_steps += 1
         return output
+
+    def _advance_optimistically(self, req: Request, num_new: int,
+                                output) -> None:
+        """Async scheduling: advance bookkeeping before results arrive.
+        Sampling rows gain a PLACEHOLDER output token, replaced at
+        finalize (reference: AsyncScheduler, sched/async_scheduler.py)."""
+        will_sample = req.num_computed_tokens + num_new >= req.num_tokens
+        req.num_computed_tokens += num_new
+        if will_sample:
+            req.append_output_token_ids([PLACEHOLDER_TOKEN])
+            req.num_placeholders += 1
+            output.async_sampled_req_ids.add(req.request_id)
 
     def _choose_victim(self) -> Optional[Request]:
         if not self.running:
@@ -241,6 +260,9 @@ class Scheduler:
         req.num_computed_tokens = 0
         req.num_preemptions += 1
         req.spec_token_ids = []
+        if req.num_placeholders:
+            del req.output_token_ids[-req.num_placeholders:]
+            req.num_placeholders = 0
         self.num_preemptions += 1
         if req in self.running:
             self.running.remove(req)
@@ -259,6 +281,10 @@ class Scheduler:
         Reference: sched/scheduler.py:1301."""
         finished: List[Request] = []
         stepped: List[Request] = []
+
+        if scheduler_output.async_mode:
+            return self._update_from_output_async(scheduler_output,
+                                                  runner_output)
 
         for req in list(self.running):
             rid = req.request_id
@@ -298,6 +324,51 @@ class Scheduler:
             self.running.remove(req)
             self._free_request(req)
 
+        return stepped
+
+    def _update_from_output_async(self, scheduler_output,
+                                  runner_output) -> List[Request]:
+        """Finalize an async step: replace placeholder tokens with the
+        device results, then run stop checks one step late."""
+        finished: List[Request] = []
+        stepped: List[Request] = []
+        for rid in scheduler_output.async_sampled_req_ids:
+            req = self.requests.get(rid)
+            if req is None or req.is_finished:
+                continue
+            sampled = runner_output.sampled_token_ids.get(rid, [])
+            if not sampled:
+                continue
+            assert req.num_placeholders > 0, rid
+            idx = len(req.output_token_ids) - req.num_placeholders
+            assert req.output_token_ids[idx] == PLACEHOLDER_TOKEN
+            req.output_token_ids[idx] = sampled[0]
+            req.num_placeholders -= 1
+            stepped.append(req)
+            # Stop conditions at the replaced position.
+            sp = req.sampling_params
+            tok = sampled[0]
+            stop = None
+            if idx + 1 >= sp.min_tokens:
+                if (not sp.ignore_eos and req.eos_token_id is not None
+                        and tok == req.eos_token_id):
+                    stop = RequestStatus.FINISHED_STOPPED
+                elif tok in (sp.stop_token_ids or ()):
+                    stop = RequestStatus.FINISHED_STOPPED
+                    req.stop_reason = tok
+            if stop is None and idx + 1 >= req.max_tokens:
+                stop = RequestStatus.FINISHED_LENGTH_CAPPED
+            if stop is not None:
+                # Drop any later placeholders (their compute is in flight
+                # but discarded) and finish.
+                del req.output_token_ids[idx + 1:]
+                req.num_placeholders = 0
+                req.status = stop
+                finished.append(req)
+        for req in finished:
+            if req in self.running:
+                self.running.remove(req)
+            self._free_request(req)
         return stepped
 
     def finish_request_external(self, req: Request, status: RequestStatus)\

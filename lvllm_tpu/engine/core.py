@@ -93,6 +93,10 @@ class EngineCore:
             tokenizer, config.model_config.vocab_size,
             config.model_config.eos_token_id)
 
+        # Async scheduling: one step in flight (scheduler bookkeeping is
+        # optimistic; results finalized one step late).
+        self._inflight = None
+
         self.proposer = None
         sc = config.speculative_config
         if sc.enabled and sc.method == "ngram":
@@ -138,13 +142,16 @@ class EngineCore:
         self.scheduler.abort_requests(request_ids)
 
     def has_unfinished_requests(self) -> bool:
-        return self.scheduler.has_unfinished_requests()
+        return self.scheduler.has_unfinished_requests() or \
+            self._inflight is not None
 
     # ---- stepping ----------------------------------------------------------
 
     def step(self) -> Tuple[List[Request], Dict[str, List[float]]]:
         """One engine iteration; returns (requests that gained tokens,
         per-request logprobs of those tokens)."""
+        if self.config.scheduler_config.async_scheduling:
+            return self._step_async()
         if not self.scheduler.has_unfinished_requests():
             return [], {}
         scheduler_output = self.scheduler.schedule()
@@ -179,6 +186,54 @@ class EngineCore:
         if self.proposer is not None:
             self._propose_drafts(stepped)
         return stepped, (runner_output.logprobs or {})
+
+    def _step_async(self) -> Tuple[List[Request], Dict[str, List[float]]]:
+        """Pipelined step: dispatch this step, then finalize the previous
+        one while the device runs (reference: async_scheduling +
+        step_with_batch_queue shape)."""
+        assert self.proposer is None, "async excludes spec decode"
+        handle = None
+        sched = None
+        if self.scheduler.has_unfinished_requests():
+            sched = self.scheduler.schedule()
+            if sched.total_num_scheduled_tokens > 0:
+                gm = None
+                sm = self.structured_manager
+                if sm.grammars:
+                    gm = {rid: sm.bitmask_for(rid)
+                          for rid in sched.num_scheduled_tokens
+                          if sm.has_grammar(rid)}
+                    # Grammar state lags one step in async mode only if the
+                    # same request is double-scheduled; bitmasks are built
+                    # from finalized state, so grammar'd requests are safe
+                    # only when not pipelined — keep them sync.
+                handle = self.runner.execute_model(sched, gm,
+                                                   async_mode=True)
+            else:
+                self.runner.execute_model(sched)
+
+        stepped: List[Request] = []
+        logprobs: Dict[str, List[float]] = {}
+        if self._inflight is not None:
+            prev_sched, prev_handle = self._inflight
+            self._inflight = None
+            out = self.runner.finalize(prev_handle)
+            stepped = self.scheduler.update_from_output(prev_sched, out)
+            logprobs = out.logprobs or {}
+            sm = self.structured_manager
+            for req in stepped:
+                new_toks = out.sampled_token_ids.get(req.request_id, [])
+                if new_toks:
+                    self.metrics.on_tokens(req.request_id, len(new_toks))
+                if req.is_finished:
+                    self.metrics.on_request_finished(req.request_id)
+                if sm.has_grammar(req.request_id):
+                    sm.advance(req.request_id, new_toks)
+                    if req.is_finished:
+                        sm.free(req.request_id)
+        if handle is not None:
+            self._inflight = (sched, handle)
+        return stepped, logprobs
 
     def _propose_drafts(self, stepped: List[Request]) -> None:
         """Attach next-step draft tokens (greedy requests only — drafts are

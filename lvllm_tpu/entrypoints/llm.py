@@ -49,6 +49,7 @@ class LLM:
         dtype: str = "bfloat16",
         seed: int = 0,
         tensor_parallel_size: int = 1,
+        async_scheduling: bool = False,
         mesh=None,
     ) -> None:
         if model_config is None:
@@ -72,7 +73,8 @@ class LLM:
             scheduler_config=SchedulerConfig(
                 max_num_batched_tokens=max_num_batched_tokens,
                 max_num_seqs=max_num_seqs,
-                max_model_len=model_config.max_model_len),
+                max_model_len=model_config.max_model_len,
+                async_scheduling=async_scheduling),
             parallel_config=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size),
         )
@@ -95,16 +97,39 @@ class LLM:
         if isinstance(sampling_params, SamplingParams):
             sampling_params = [sampling_params] * len(prompts)
 
-        order: List[str] = []
+        # n>1: fan out into n sibling requests (distinct seeds); the prefix
+        # cache shares the prompt KV across siblings (reference: n parameter
+        # handled via parallel sampling; beam_search builds on the same
+        # fanout).
+        slots: List[List[str]] = []
         for p, sp in zip(prompts, sampling_params):
-            order.append(self.engine.add_request(None, p, sp))
+            group: List[str] = []
+            for j in range(max(sp.n, 1)):
+                spj = sp.clone()
+                spj.n = 1
+                if sp.n > 1:
+                    spj.seed = (sp.seed + j) if sp.seed is not None else None
+                group.append(self.engine.add_request(None, p, spj))
+            slots.append(group)
 
         finals = {}
         while self.engine.has_unfinished_requests():
             for out in self.engine.step():
                 if out.finished:
                     finals[out.request_id] = out
-        return [finals[rid] for rid in order]
+
+        results: List[RequestOutput] = []
+        for group in slots:
+            parent = finals[group[0]]
+            if len(group) > 1:
+                outs = []
+                for j, rid in enumerate(group):
+                    c = finals[rid].outputs[0]
+                    c.index = j
+                    outs.append(c)
+                parent.outputs = outs
+            results.append(parent)
+        return results
 
     def embed(self, prompts, pooling: str = "last"):
         """Embedding API (reference: LLM.encode/embed). Returns [N, H]

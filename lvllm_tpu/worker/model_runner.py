@@ -33,6 +33,24 @@ from lvllm_tpu.worker.input_batch import InputBatch
 logger = init_logger(__name__)
 
 
+from dataclasses import dataclass, field  # noqa: E402
+
+
+@dataclass
+class StepHandle:
+    """An in-flight (dispatched, not host-synced) step (reference:
+    AsyncGPUModelRunnerOutput, gpu_model_runner.py:227)."""
+
+    sampled: object            # device [R, S1]
+    logprobs: object           # device [R, S1]
+    row_req_ids: List[Optional[str]]
+    row_drafts: List[List[int]]
+    row_samples: List[bool]
+    S1: int
+    async_mode: bool
+    seq_lens: np.ndarray
+
+
 class ModelRunner:
 
     def __init__(self, config: EngineConfig, model, params,
@@ -60,7 +78,7 @@ class ModelRunner:
             vocab_size=mc.vocab_size,
         )
 
-        kv_dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+        kv_dtype = self._kv_dtype()
         self.kv_caches = [
             new_kv_cache(num_kv_blocks, cc.block_size, mc.kv_cache_heads,
                          mc.kv_cache_dim, kv_dtype)
@@ -75,6 +93,9 @@ class ModelRunner:
                               for kv in self.kv_caches]
         self.step_counter = 0
         self._host_params = None
+        # Async scheduling state: previous dispatch's rows + device tokens.
+        self._prev_rows: Dict[str, int] = {}
+        self._prev_sampled = None
         # Retained per-request state for preemption resume.
         self._sampling_params_cache: Dict[str, object] = {}
         self._prompt_len_cache: Dict[str, int] = {}
@@ -90,6 +111,17 @@ class ModelRunner:
         self.expert_store = None
         if config.offload_config.enabled and mc.is_moe:
             self._init_offload()
+
+    def _kv_dtype(self):
+        """KV cache storage dtype (reference: kv_cache_dtype config —
+        auto/bf16/fp8; fp8 halves KV footprint, attention upcasts)."""
+        cc = self.config.cache_config
+        mc = self.config.model_config
+        if cc.kv_cache_dtype == "fp8":
+            return jnp.float8_e4m3fn
+        if cc.kv_cache_dtype == "bfloat16":
+            return jnp.bfloat16
+        return jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
 
     # ---- sleep / wake (reference: gpu_worker.py:157-204 + CuMemAllocator) --
 
@@ -115,10 +147,10 @@ class ModelRunner:
         assert self.params is not None, "level-2 sleep requires params"
         mc = self.config.model_config
         cc = self.config.cache_config
-        kv_dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
         self.kv_caches = [
             new_kv_cache(self.num_kv_blocks, cc.block_size,
-                         mc.kv_cache_heads, mc.kv_cache_dim, kv_dtype)
+                         mc.kv_cache_heads, mc.kv_cache_dim,
+                         self._kv_dtype())
             for _ in range(mc.num_hidden_layers)
         ]
         logger.info("runner awake")
@@ -226,7 +258,13 @@ class ModelRunner:
               seq_lens, block_table, slot_mapping, logits_indices,
               temperature, top_k, top_p, min_p, seeds, steps,
               penalty_args=None, grammar_mask=None, lora=None,
-              token_adapter=None):
+              token_adapter=None, async_args=None):
+        if async_args is not None:
+            # Async scheduling: placeholder inputs (-1) read the previous
+            # step's on-device sampled tokens — no host round-trip.
+            prev_sampled, ph_rows = async_args
+            fill = prev_sampled[ph_rows, -1]
+            input_ids = jnp.where(input_ids < 0, fill, input_ids)
         md = AttentionMetadata(
             query_start_loc=query_start_loc,
             seq_lens=seq_lens,
@@ -309,8 +347,12 @@ class ModelRunner:
 
     # ---- execution ---------------------------------------------------------
 
-    def execute_model(self, so: SchedulerOutput,
-                      grammar_masks=None) -> ModelRunnerOutput:
+    def execute_model(self, so: SchedulerOutput, grammar_masks=None,
+                      async_mode: bool = False):
+        """Returns ModelRunnerOutput, or an in-flight StepHandle when
+        async_mode (finalize() syncs it)."""
+        if async_mode:
+            assert self.num_spec == 0, "async scheduling excludes spec decode"
         self._update_states(so)
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
@@ -337,6 +379,9 @@ class ModelRunner:
         row = 0
         row_req_ids: List[Optional[str]] = []
         row_drafts: List[List[int]] = []
+        row_samples: List[bool] = []
+        ph_rows = np.zeros(T, dtype=np.int32)
+        has_placeholder = False
         for rid, n_tok in scheduled:
             idx = ib.req_id_to_index[rid]
             drafts = so.scheduled_spec_decode_tokens.get(rid, [])
@@ -368,6 +413,17 @@ class ModelRunner:
                 logits_indices[row, j] = max(last - back, t)
             row_req_ids.append(rid)
             row_drafts.append(drafts)
+            row_samples.append(end >= ib.num_tokens[idx] + len(drafts))
+            if async_mode:
+                known = ib.num_tokens[idx]
+                if end > known:
+                    # Unknown tail tokens come from the in-flight step.
+                    u0 = t + max(known - start, 0)
+                    input_ids[u0:t + n_tok] = -1
+                    prev_row = self._prev_rows.get(rid)
+                    assert prev_row is not None, rid
+                    ph_rows[u0:t + n_tok] = prev_row
+                    has_placeholder = True
             t += n_tok
             row += 1
         qsl[row + 1:] = t
@@ -380,10 +436,12 @@ class ModelRunner:
         top_p = ib.top_p[pad_rows].copy()
         min_p = ib.min_p[pad_rows].copy()
         seeds = ib.seeds[pad_rows].copy()
-        # Per-request sampling position: #output tokens generated so far —
-        # makes seeded sampling reproducible across batches (batch-invariant).
-        steps = (ib.num_tokens[pad_rows] -
-                 ib.num_prompt_tokens[pad_rows]).astype(np.int32)
+        # Per-request sampling position (output index being generated) —
+        # derived from the scheduled position, not batch state, so seeded
+        # sampling is reproducible across batches AND identical between
+        # sync and async scheduling (where ib.num_tokens lags one step).
+        steps = np.clip(seq_lens - ib.num_prompt_tokens[pad_rows],
+                        0, None).astype(np.int32)
 
         # Penalties: only materialize history tensors when some active row
         # needs them (separate jit trace via penalty_args structure).
@@ -433,7 +491,11 @@ class ModelRunner:
             jnp.asarray(slot_mapping), jnp.asarray(logits_indices),
             jnp.asarray(temperature), jnp.asarray(top_k), jnp.asarray(top_p),
             jnp.asarray(min_p), jnp.asarray(seeds), jnp.asarray(steps))
+        async_args = None
+        if has_placeholder:
+            async_args = (self._prev_sampled, jnp.asarray(ph_rows))
         if self.expert_store is not None:
+            assert not async_mode, "async scheduling + offload staging TBD"
             sampled, logprobs = self._execute_staged(
                 *dev_args, penalty_args=penalty_args,
                 grammar_mask=grammar_mask)
@@ -441,20 +503,36 @@ class ModelRunner:
             kv, sampled, logprobs = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
-                **lora_args)
+                async_args=async_args, **lora_args)
             self.kv_caches = kv
 
-        sampled_np = np.asarray(sampled)      # [R, S1]
-        logprobs_np = np.asarray(logprobs)
+        handle = StepHandle(
+            sampled=sampled, logprobs=logprobs, row_req_ids=row_req_ids,
+            row_drafts=row_drafts, row_samples=row_samples, S1=S1,
+            async_mode=async_mode, seq_lens=seq_lens.copy())
+        self._prev_rows = {rid: r for r, rid in enumerate(row_req_ids)}
+        self._prev_sampled = sampled
+        if async_mode:
+            return handle
+        return self.finalize(handle)
+
+    def finalize(self, handle) -> ModelRunnerOutput:
+        """Sync an in-flight (or just-dispatched) step's results to host
+        and update the persistent batch (reference:
+        AsyncGPUModelRunnerOutput)."""
+        ib = self.input_batch
+        S1 = handle.S1
+        sampled_np = np.asarray(handle.sampled)      # [R, S1]
+        logprobs_np = np.asarray(handle.logprobs)
 
         out = ModelRunnerOutput(sampled_token_ids={}, logprobs={})
-        for r, rid in enumerate(row_req_ids):
-            idx = ib.req_id_to_index[rid]
-            drafts = row_drafts[r]
+        for r, rid in enumerate(handle.row_req_ids):
+            idx = ib.req_id_to_index.get(rid)
+            if idx is None:
+                continue  # finished/preempted while in flight
+            drafts = handle.row_drafts[r]
             k = len(drafts)
-            # Only emit tokens when the request's known tokens are fully
-            # computed after this step (seq_lens includes the k drafts).
-            if seq_lens[r] >= ib.num_tokens[idx] + k:
+            if handle.row_samples[r]:
                 seq = sampled_np[r, S1 - 1 - k:]          # [k+1]
                 accepted = 0
                 for i in range(k):
@@ -472,7 +550,9 @@ class ModelRunner:
                 nt = ib.num_tokens[idx]
                 ib.token_ids[idx, nt:nt + len(emitted)] = emitted
                 ib.num_tokens[idx] = nt + len(emitted)
-                ib.num_computed_tokens[idx] = seq_lens[r] - (k - accepted)
-            else:
-                ib.num_computed_tokens[idx] = seq_lens[r]
+                if not handle.async_mode:
+                    ib.num_computed_tokens[idx] = \
+                        handle.seq_lens[r] - (k - accepted)
+            elif not handle.async_mode:
+                ib.num_computed_tokens[idx] = handle.seq_lens[r]
         return out

@@ -101,3 +101,19 @@ def test_logprobs_returned(tiny_llm):
                                     logprobs=1))[0]
     assert out.outputs[0].cumulative_logprob is not None
     assert out.outputs[0].cumulative_logprob <= 0.0
+
+
+def test_n_greater_than_one(tiny_llm):
+    sp = SamplingParams(temperature=0.8, seed=5, n=3, max_tokens=6)
+    outs = tiny_llm.generate([[3, 1, 4, 1, 5]], sp)
+    assert len(outs) == 1
+    comps = outs[0].outputs
+    assert len(comps) == 3
+    assert [c.index for c in comps] == [0, 1, 2]
+    assert all(len(c.token_ids) == 6 for c in comps)
+    # Distinct seeds → (very likely) distinct continuations.
+    assert len({tuple(c.token_ids) for c in comps}) >= 2
+    # Reproducible.
+    outs2 = tiny_llm.generate([[3, 1, 4, 1, 5]], sp)
+    assert [c.token_ids for c in outs2[0].outputs] == \
+        [c.token_ids for c in comps]
