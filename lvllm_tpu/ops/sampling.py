@@ -85,6 +85,7 @@ def sample(
     logits: jax.Array,  # [B, V] f32
     st: SamplingTensors,
     steps: jax.Array,   # [B] i32 per-request decode position
+    greedy_only: bool = False,
 ) -> jax.Array:
     """Sample one token per row → [B] i32.
 
@@ -94,6 +95,10 @@ def sample(
     """
     B, V = logits.shape
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        # Static fast path: every active row is temperature-0 — skip the
+        # full-vocab sort entirely (the sort dominates sampling cost).
+        return greedy_ids
 
     temp = jnp.maximum(st.temperature, 1e-6)[:, None]
     scaled = logits.astype(jnp.float32) / temp

@@ -102,7 +102,8 @@ class ModelRunner:
 
         # One jitted step function; recompiles per (T_bucket,) shape.
         self._step_fn = jax.jit(
-            self._step, donate_argnums=(1,))
+            self._step, donate_argnums=(1,),
+            static_argnames=("greedy_only",))
 
         # Set by EngineCore when LoRA serving is enabled.
         self.lora_manager = None
@@ -258,7 +259,7 @@ class ModelRunner:
               seq_lens, block_table, slot_mapping, logits_indices,
               temperature, top_k, top_p, min_p, seeds, steps,
               penalty_args=None, grammar_mask=None, lora=None,
-              token_adapter=None, async_args=None):
+              token_adapter=None, async_args=None, greedy_only=False):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -276,12 +277,13 @@ class ModelRunner:
                                        token_adapter=token_adapter)
         sampled, logprobs = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
-            min_p, seeds, steps, penalty_args, grammar_mask)
+            min_p, seeds, steps, penalty_args, grammar_mask, greedy_only)
         return kv_caches, sampled, logprobs
 
     def _sample_from_hidden(self, params, hidden, logits_indices,
                             temperature, top_k, top_p, min_p, seeds, steps,
-                            penalty_args, grammar_mask=None):
+                            penalty_args, grammar_mask=None,
+                            greedy_only=False):
         """Sample at every verification position: logits_indices [R, S+1]
         (S=0 without spec decode). Sampling params are broadcast per row;
         the PRNG fold offsets by position so each slot draws independently.
@@ -303,7 +305,7 @@ class ModelRunner:
                              keys=rep(seeds))
         steps_mat = (steps[:, None] +
                      jnp.arange(S1, dtype=jnp.int32)[None, :]).reshape(-1)
-        sampled = sample(logits, st, steps_mat)
+        sampled = sample(logits, st, steps_mat, greedy_only=greedy_only)
         logprobs = compute_logprobs(logits, sampled)
         return sampled.reshape(R, S1), logprobs.reshape(R, S1)
 
@@ -494,6 +496,10 @@ class ModelRunner:
         async_args = None
         if has_placeholder:
             async_args = (self._prev_sampled, jnp.asarray(ph_rows))
+        # Static greedy fast path: active rows all temperature-0.
+        active = [ib.req_id_to_index[rid] for rid in row_req_ids]
+        greedy_only = bool(np.all(ib.temperature[active] == 0.0)) \
+            if active else True
         if self.expert_store is not None:
             assert not async_mode, "async scheduling + offload staging TBD"
             sampled, logprobs = self._execute_staged(
@@ -503,7 +509,7 @@ class ModelRunner:
             kv, sampled, logprobs = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
-                async_args=async_args, **lora_args)
+                async_args=async_args, greedy_only=greedy_only, **lora_args)
             self.kv_caches = kv
 
         handle = StepHandle(
