@@ -68,6 +68,17 @@ class ModelConfig:
     n_group: int = 1
     topk_group: int = 1
 
+    # Hybrid layer schedule (Qwen3-Next): per-layer "full_attention" |
+    # "linear_attention"; None = all full attention.
+    layer_types: Optional[Tuple[str, ...]] = None
+    linear_num_value_heads: int = 8
+    linear_num_key_heads: int = 4
+    linear_key_head_dim: int = 64
+    linear_value_head_dim: int = 64
+    linear_conv_kernel_dim: int = 4
+    # Gated attention output (Qwen3-Next full-attention layers).
+    attn_output_gate: bool = False
+
     # MLA (DeepSeek latent attention). attention_type "mha" | "mla".
     attention_type: str = "mha"
     q_lora_rank: Optional[int] = None
@@ -95,6 +106,11 @@ class ModelConfig:
     @property
     def is_moe(self) -> bool:
         return self.num_experts > 0
+
+    def layer_type(self, layer_idx: int) -> str:
+        if self.layer_types is not None:
+            return self.layer_types[layer_idx]
+        return "full_attention"
 
     def is_moe_layer(self, layer_idx: int) -> bool:
         """Whether layer `layer_idx` uses the MoE FFN (reference:

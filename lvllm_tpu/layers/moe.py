@@ -37,6 +37,7 @@ class MoEParams(NamedTuple):
     router_bias: Optional[jax.Array] = None
     shared_w1: Optional[jax.Array] = None  # [H, 2I_s]
     shared_w2: Optional[jax.Array] = None  # [I_s, H]
+    shared_gate: Optional[jax.Array] = None  # [H, 1] sigmoid gate
 
 
 def route_tokens(
@@ -154,8 +155,11 @@ def fused_moe(
                    topk_w.astype(y_sorted.dtype))
 
     if params.shared_w1 is not None:
-        sh = silu_and_mul(x @ params.shared_w1)
-        y = y + sh @ params.shared_w2
+        sh = silu_and_mul(x @ params.shared_w1) @ params.shared_w2
+        if params.shared_gate is not None:
+            sh = sh * jax.nn.sigmoid(
+                (x @ params.shared_gate).astype(jnp.float32)).astype(sh.dtype)
+        y = y + sh
     return y.astype(x.dtype)
 
 
@@ -174,6 +178,7 @@ class QuantMoEParams(NamedTuple):
     router_bias: Optional[jax.Array] = None
     shared_w1: Optional[jax.Array] = None
     shared_w2: Optional[jax.Array] = None
+    shared_gate: Optional[jax.Array] = None
 
 
 def _pick_tile_m(num_tokens: int, top_k: int) -> int:
@@ -231,6 +236,9 @@ def fused_moe_quant(
                                  out_dtype=x.dtype)
 
     if params.shared_w1 is not None:
-        sh = silu_and_mul(x @ params.shared_w1)
-        y = y + sh @ params.shared_w2
+        sh = silu_and_mul(x @ params.shared_w1) @ params.shared_w2
+        if params.shared_gate is not None:
+            sh = sh * jax.nn.sigmoid(
+                (x @ params.shared_gate).astype(jnp.float32)).astype(sh.dtype)
+        y = y + sh
     return y.astype(x.dtype)

@@ -72,7 +72,8 @@ def load_model_config(model_path: str,
         eos_token_id=_first(hf.get("eos_token_id", 2)),
         bos_token_id=_first(hf.get("bos_token_id", 1)),
         qk_norm=hf.get("use_qk_norm",
-                       arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM")),
+                       arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
+                                "Qwen3NextForCausalLM")),
         attention_bias=hf.get(
             "attention_bias",
             arch in ("Qwen2ForCausalLM", "Qwen2MoeForCausalLM")),
@@ -87,6 +88,14 @@ def load_model_config(model_path: str,
         qk_nope_head_dim=hf.get("qk_nope_head_dim", 128),
         qk_rope_head_dim=hf.get("qk_rope_head_dim", 64),
         v_head_dim=hf.get("v_head_dim", 128),
+        layer_types=(tuple(hf["layer_types"])
+                     if hf.get("layer_types") and
+                     "linear_attention" in hf["layer_types"] else None),
+        linear_num_value_heads=hf.get("linear_num_value_heads", 8),
+        linear_num_key_heads=hf.get("linear_num_key_heads", 4),
+        linear_key_head_dim=hf.get("linear_key_head_dim", 64),
+        linear_value_head_dim=hf.get("linear_value_head_dim", 64),
+        linear_conv_kernel_dim=hf.get("linear_conv_kernel_dim", 4),
     )
     if max_model_len is not None:
         mc.max_model_len = min(max_model_len, mc.max_position_embeddings)

@@ -8,7 +8,7 @@ stateless objects; parameters are an explicit pytree threaded through
 """
 
 from dataclasses import dataclass
-from typing import Any, Dict, Iterable, List, Protocol, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Protocol, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,9 @@ class AttentionMetadata:
     seq_lens: jax.Array         # [R] i32
     block_table: jax.Array      # [R, MAXB] i32
     slot_mapping: jax.Array     # [T] i32 (padded tokens → slots in block 0)
+    # Hybrid (linear-attention) layers: persistent state slot per batch row
+    # (index max_num_reqs = scratch); None for pure-paged models.
+    row_slots: Optional[jax.Array] = None
 
     @property
     def num_reqs(self) -> int:

@@ -56,6 +56,17 @@ class Qwen3Model:
             rot_dim, c.max_position_embeddings, c.rope_theta,
             c.rope_scaling, dtype=jnp.float32)
 
+    # ---- cache layout ------------------------------------------------------
+
+    def make_layer_cache(self, layer_idx: int, num_blocks: int,
+                         block_size: int, dtype, max_reqs: int):
+        """Per-layer cache allocation; hybrid models override per layer
+        type (reference: KVCacheSpec grouping, kv_cache_interface.py)."""
+        from lvllm_tpu.ops.kv_cache import new_kv_cache
+        c = self.config
+        return new_kv_cache(num_blocks, block_size, c.kv_cache_heads,
+                            c.kv_cache_dim, dtype)
+
     # ---- init -------------------------------------------------------------
 
     def init_params(self, rng) -> Params:
@@ -190,7 +201,8 @@ class Qwen3Model:
                     method=c.quantization, group_size=128,
                     router_bias=moe.get("router_bias"),
                     shared_w1=moe.get("shared_w1"),
-                    shared_w2=moe.get("shared_w2"))
+                    shared_w2=moe.get("shared_w2"),
+                    shared_gate=moe.get("shared_gate"))
                 if self._use_ep():
                     from lvllm_tpu.parallel.expert_parallel import (
                         fused_moe_ep_quant)
@@ -205,7 +217,8 @@ class Qwen3Model:
             mp = MoEParams(
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),
-                shared_w1=moe.get("shared_w1"), shared_w2=moe.get("shared_w2"))
+                shared_w1=moe.get("shared_w1"), shared_w2=moe.get("shared_w2"),
+                shared_gate=moe.get("shared_gate"))
             if self._use_ep():
                 from lvllm_tpu.parallel.expert_parallel import fused_moe_ep
                 return fused_moe_ep(x, mp, self.mesh, c.num_experts_per_tok,

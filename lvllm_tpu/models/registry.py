@@ -45,6 +45,9 @@ def _register_builtin() -> None:
                  "Glm4ForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
+    from lvllm_tpu.models.qwen3_next import Qwen3NextModel
+    _REGISTRY["Qwen3NextForCausalLM"] = Qwen3NextModel
+
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
                  "DeepseekForCausalLM"):

@@ -79,18 +79,16 @@ class ModelRunner:
         )
 
         kv_dtype = self._kv_dtype()
-        self.kv_caches = [
-            new_kv_cache(num_kv_blocks, cc.block_size, mc.kv_cache_heads,
-                         mc.kv_cache_dim, kv_dtype)
-            for _ in range(mc.num_hidden_layers)
-        ]
+        self.kv_caches = self._make_caches(kv_dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from lvllm_tpu.parallel.sharding import kv_cache_spec
             spec = kv_cache_spec(mc, mesh)
             sharding = NamedSharding(mesh, spec)
-            self.kv_caches = [jax.device_put(kv, sharding)
-                              for kv in self.kv_caches]
+            self.kv_caches = [
+                jax.device_put(kv, sharding) if not isinstance(kv, dict)
+                else kv
+                for kv in self.kv_caches]
         self.step_counter = 0
         self._host_params = None
         # Async scheduling state: previous dispatch's rows + device tokens.
@@ -112,6 +110,16 @@ class ModelRunner:
         self.expert_store = None
         if config.offload_config.enabled and mc.is_moe:
             self._init_offload()
+
+    def _make_caches(self, kv_dtype):
+        mc = self.config.model_config
+        cc = self.config.cache_config
+        return [
+            self.model.make_layer_cache(i, self.num_kv_blocks,
+                                        cc.block_size, kv_dtype,
+                                        self.max_num_reqs)
+            for i in range(mc.num_hidden_layers)
+        ]
 
     def _kv_dtype(self):
         """KV cache storage dtype (reference: kv_cache_dtype config —
@@ -148,12 +156,7 @@ class ModelRunner:
         assert self.params is not None, "level-2 sleep requires params"
         mc = self.config.model_config
         cc = self.config.cache_config
-        self.kv_caches = [
-            new_kv_cache(self.num_kv_blocks, cc.block_size,
-                         mc.kv_cache_heads, mc.kv_cache_dim,
-                         self._kv_dtype())
-            for _ in range(mc.num_hidden_layers)
-        ]
+        self.kv_caches = self._make_caches(self._kv_dtype())
         logger.info("runner awake")
 
     @property
@@ -259,7 +262,8 @@ class ModelRunner:
               seq_lens, block_table, slot_mapping, logits_indices,
               temperature, top_k, top_p, min_p, seeds, steps,
               penalty_args=None, grammar_mask=None, lora=None,
-              token_adapter=None, async_args=None, greedy_only=False):
+              token_adapter=None, async_args=None, greedy_only=False,
+              row_slots=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -271,6 +275,7 @@ class ModelRunner:
             seq_lens=seq_lens,
             block_table=block_table,
             slot_mapping=slot_mapping,
+            row_slots=row_slots,
         )
         hidden, kv_caches = self.model(params, input_ids, positions,
                                        kv_caches, md, lora=lora,
@@ -496,6 +501,14 @@ class ModelRunner:
         async_args = None
         if has_placeholder:
             async_args = (self._prev_sampled, jnp.asarray(ph_rows))
+        # Per-row persistent state slots (hybrid linear-attention layers).
+        row_slots = None
+        if self.config.model_config.layer_types is not None:
+            rs = np.full(R, self.max_num_reqs, dtype=np.int32)
+            for r, rid in enumerate(row_req_ids):
+                rs[r] = ib.req_id_to_index[rid]
+            row_slots = jnp.asarray(rs)
+
         # Static greedy fast path: active rows all temperature-0.
         active = [ib.req_id_to_index[rid] for rid in row_req_ids]
         greedy_only = bool(np.all(ib.temperature[active] == 0.0)) \
@@ -509,7 +522,8 @@ class ModelRunner:
             kv, sampled, logprobs = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
-                async_args=async_args, greedy_only=greedy_only, **lora_args)
+                async_args=async_args, greedy_only=greedy_only,
+                row_slots=row_slots, **lora_args)
             self.kv_caches = kv
 
         handle = StepHandle(

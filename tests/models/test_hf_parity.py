@@ -218,3 +218,65 @@ def test_group_limited_routing():
     for t in range(T):
         groups = set(int(e) // (E // G) for e in ids[t])
         assert len(groups) <= 2, groups
+
+
+def test_qwen3_next_parity(tmp_path):
+    """Hybrid linear-attention (GDN) + gated full attention + gated shared
+    expert — the reference fork's headline model family."""
+    cfg = transformers.Qwen3NextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, partial_rotary_factor=0.25,
+        layer_types=["linear_attention", "full_attention"],
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, decoder_sparse_step=1,
+        norm_topk_prob=True, mlp_only_layers=[])
+    hf_model = save_hf_model(cfg, tmp_path)
+    tokens = [3, 33, 333, 42, 7, 260, 19, 100]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "qwen3-next")
+
+
+def test_qwen3_next_engine_chunked_decode(tmp_path):
+    """Hybrid state cache correctness through the engine: chunked prefill +
+    decode must match HF greedy continuation."""
+    import torch as _torch
+    cfg = transformers.Qwen3NextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, partial_rotary_factor=0.25,
+        layer_types=["linear_attention", "full_attention"],
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, decoder_sparse_step=1,
+        norm_topk_prob=True, mlp_only_layers=[])
+    hf_model = save_hf_model(cfg, tmp_path)
+    # Long prompt forces chunked prefill (budget 64 < 100 tokens), which
+    # must thread the GDN recurrent state across chunks correctly.
+    prompts = [[5, 50, 200, 7, 99, 123, 4],
+               [(i * 13 + 7) % 256 for i in range(100)]]
+    wants = []
+    for prompt in prompts:
+        with _torch.no_grad():
+            out = hf_model.generate(
+                _torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+                use_cache=False)
+        wants.append(out[0][len(prompt):].tolist())
+
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+    llm = LLM(model=str(tmp_path), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, num_kv_blocks=64)
+    outs = llm.generate(prompts, SamplingParams(
+        temperature=0.0, max_tokens=6))
+    for out, want in zip(outs, wants):
+        assert out.outputs[0].token_ids == want, (out.outputs[0].token_ids,
+                                                  want)

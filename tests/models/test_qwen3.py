@@ -38,9 +38,12 @@ def run_tokens(model, params, token_chunks, block_size=8, num_blocks=16):
     """Run chunks sequentially through the paged path; returns concatenated
     hidden states. Single request occupying blocks 1..n."""
     c = model.config
-    caches = [new_kv_cache(num_blocks, block_size, c.kv_cache_heads,
+    caches = [model.make_layer_cache(i, num_blocks, block_size,
+                                     jnp.float32, max_reqs=4)
+              if hasattr(model, "make_layer_cache") else
+              new_kv_cache(num_blocks, block_size, c.kv_cache_heads,
                            c.kv_cache_dim, jnp.float32)
-              for _ in range(c.num_hidden_layers)]
+              for i in range(c.num_hidden_layers)]
     total = sum(len(ch) for ch in token_chunks)
     max_blocks = -(-total // block_size)
     table = jnp.asarray([[i + 1 for i in range(max_blocks)]], jnp.int32)
