@@ -133,6 +133,8 @@ def main() -> None:
             eng_q.add_request(f"bq-{i}", p, sp)
         while eng_q.get_stats()["num_waiting"] > 0:
             eng_q.step()
+        for _ in range(3):   # warm the decode-bucket executable
+            eng_q.step()
         t3 = time.time()
         steps_q = decoded_q = 0
         while eng_q.has_unfinished_requests() and steps_q < decode_tokens - 2:

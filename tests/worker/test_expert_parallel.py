@@ -75,3 +75,47 @@ def test_ep_under_jit_with_sharded_weights(mesh4):
     expected = fused_moe(x, MoEParams(router=router, w1=w1, w2=w2), K)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ep_a2a_matches_single_shard(mesh4):
+    """Token-moving ragged all-to-all dispatch (DeepEP analog) must equal
+    the single-shard MoE on the gathered tokens."""
+    from lvllm_tpu.parallel.ep_alltoall import fused_moe_ep_a2a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(3)
+    T, H, I, E, K = 16, 128, 128, 8, 2   # T divisible by ep=4
+    x = jnp.asarray(rng.standard_normal((T, H)) * 0.3, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, I, H)) * 0.05, jnp.float32)
+    mp = MoEParams(router=router, w1=w1, w2=w2)
+
+    expected = fused_moe(x, mp, K)
+    x_sharded = jax.device_put(x, NamedSharding(mesh4, P("expert")))
+    got = fused_moe_ep_a2a(x_sharded, mp, mesh4, K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ep_a2a_skewed_routing(mesh4):
+    """All tokens routed to experts on one rank (worst-case skew)."""
+    from lvllm_tpu.parallel.ep_alltoall import fused_moe_ep_a2a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(4)
+    T, H, I, E, K = 8, 128, 128, 8, 2
+    x = jnp.asarray(rng.standard_normal((T, H)) * 0.3, jnp.float32)
+    # Router biased so experts 0 and 1 (rank 0) always win.
+    router_np = rng.standard_normal((H, E)).astype(np.float32) * 0.01
+    router_np[:, 0] += 5.0
+    router_np[:, 1] += 4.0
+    router = jnp.asarray(router_np)
+    w1 = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, I, H)) * 0.05, jnp.float32)
+    mp = MoEParams(router=router, w1=w1, w2=w2)
+
+    expected = fused_moe(x, mp, K)
+    got = fused_moe_ep_a2a(x, mp, mesh4, K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
