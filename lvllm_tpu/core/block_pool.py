@@ -86,10 +86,12 @@ class BlockPool:
     matching the reference's null_block convention.
     """
 
-    def __init__(self, num_blocks: int, enable_caching: bool = True) -> None:
+    def __init__(self, num_blocks: int, enable_caching: bool = True,
+                 event_publisher=None) -> None:
         assert num_blocks > 1
         self.num_blocks = num_blocks
         self.enable_caching = enable_caching
+        self.event_publisher = event_publisher
         self.blocks = [KVCacheBlock(i) for i in range(num_blocks)]
         self.null_block = self.blocks[0]
         self.null_block.ref_cnt = 1  # never allocatable
@@ -149,6 +151,10 @@ class BlockPool:
             cands.pop(block.block_id, None)
             if not cands:
                 del self.cached_block_hash_to_block[bh.value]
+        if self.event_publisher is not None:
+            from lvllm_tpu.core.kv_events import BlockRemoved
+            self.event_publisher.publish(BlockRemoved(
+                block_hashes=[bh.value]))
         block.block_hash = None
 
     def cache_full_blocks(
@@ -162,6 +168,7 @@ class BlockPool:
         block_pool.py:211 cache_full_blocks)."""
         if not self.enable_caching:
             return
+        stored = []
         for i in range(num_cached_blocks, num_full_blocks):
             blk = blocks[i]
             if blk.block_hash is not None:
@@ -170,6 +177,18 @@ class BlockPool:
             blk.block_hash = bh
             self.cached_block_hash_to_block.setdefault(bh.value, {})[
                 blk.block_id] = blk
+            stored.append((i, bh))
+        if stored and self.event_publisher is not None:
+            from lvllm_tpu.core.kv_events import BlockStored
+            from lvllm_tpu.core.kv_cache_utils import NONE_HASH
+            first = stored[0][0]
+            parent = (block_hashes[first - 1].value if first > 0
+                      else None)
+            self.event_publisher.publish(BlockStored(
+                block_hashes=[bh.value for _, bh in stored],
+                parent_block_hash=parent,
+                token_ids=[t for _, bh in stored for t in bh.token_ids],
+                block_size=len(stored[0][1].token_ids)))
 
     def free_blocks(self, ordered_blocks: List[KVCacheBlock]) -> None:
         """Decrement refs; fully-freed blocks enter the free queue in the
@@ -191,4 +210,7 @@ class BlockPool:
         self.cached_block_hash_to_block.clear()
         for blk in self.blocks:
             blk.block_hash = None
+        if self.event_publisher is not None:
+            from lvllm_tpu.core.kv_events import AllBlocksCleared
+            self.event_publisher.publish(AllBlocksCleared())
         return True

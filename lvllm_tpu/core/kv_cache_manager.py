@@ -43,11 +43,13 @@ class KVCacheManager:
         num_blocks: int,
         max_model_len: int = 4096,
         enable_caching: bool = True,
+        event_publisher=None,
     ) -> None:
         self.block_size = block_size
         self.max_model_len = max_model_len
         self.enable_caching = enable_caching
-        self.block_pool = BlockPool(num_blocks, enable_caching)
+        self.block_pool = BlockPool(num_blocks, enable_caching,
+                                    event_publisher=event_publisher)
         # request_id -> blocks owned (index i covers tokens
         # [i*block_size, (i+1)*block_size)).
         self.req_to_blocks: Dict[str, List[KVCacheBlock]] = {}

@@ -257,6 +257,27 @@ class EngineCore:
         stats["latency"] = self.metrics.summary()
         return stats
 
+    # ---- weight reload (RLHF update, reference: gpu_worker.py:941-1007) ---
+
+    def reload_weights(self, model_path: str = None, weights=None) -> None:
+        """Swap model weights in place (trainer push / checkpoint reload);
+        KV cache and scheduler state are preserved."""
+        from lvllm_tpu.model_loader.loader import (
+            quantize_moe_weights, safetensors_weight_iterator)
+        assert self.runner.expert_store is None, \
+            "reload with expert offload not yet supported"
+        if weights is None:
+            weights = safetensors_weight_iterator(
+                model_path or self.config.model_config.model)
+        params = self.model.load_weights(weights)
+        params = quantize_moe_weights(params, self.config.model_config)
+        if self.model.mesh is not None:
+            from lvllm_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.config.model_config,
+                                  self.model.mesh)
+        self.runner.params = params
+        logger.info("weights reloaded")
+
     # ---- sleep / wake ------------------------------------------------------
 
     def sleep(self, level: int = 1) -> None:

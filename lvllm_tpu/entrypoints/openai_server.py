@@ -72,6 +72,9 @@ class OpenAIServer:
         self.app.router.add_post("/sleep", self.sleep)
         self.app.router.add_post("/wake_up", self.wake_up)
         self.app.router.add_get("/is_sleeping", self.is_sleeping)
+        self.app.router.add_post("/v1/score", self.score)
+        self.app.router.add_post("/v1/rerank", self.rerank)
+        self.app.router.add_post("/reload_weights", self.reload_weights)
         self.app.router.add_post("/start_profile", self.start_profile)
         self.app.router.add_post("/stop_profile", self.stop_profile)
         self._profiling = False
@@ -174,6 +177,68 @@ class OpenAIServer:
 
     async def is_sleeping(self, request: web.Request) -> web.Response:
         return web.json_response({"is_sleeping": self.llm.core.is_sleeping})
+
+    async def _embed_texts(self, texts):
+        from lvllm_tpu.engine.pooling import PoolingRunner
+        tok = self.llm.tokenizer
+        token_lists = [tok.encode(t) for t in texts]
+        if not hasattr(self, "_pooling_runner"):
+            self._pooling_runner = PoolingRunner(
+                self.llm.core.model, self.llm.core.runner.params,
+                block_size=self.llm.config.cache_config.block_size)
+        import asyncio as _aio
+        loop = _aio.get_running_loop()
+        return await loop.run_in_executor(
+            None, lambda: self._pooling_runner.embed(token_lists))
+
+    async def score(self, request: web.Request) -> web.Response:
+        """Similarity scores between text_1 and each text_2 (reference:
+        /score endpoint)."""
+        body = await request.json()
+        if self.llm.tokenizer is None:
+            return self._error("no tokenizer loaded", 400)
+        t1 = body["text_1"]
+        t2 = body["text_2"] if isinstance(body["text_2"], list) \
+            else [body["text_2"]]
+        embs = await self._embed_texts([t1] + t2)
+        qv = embs[0]
+        scores = [float((qv * d).sum()) for d in embs[1:]]
+        return web.json_response({
+            "object": "list", "model": self.model_name,
+            "data": [{"index": i, "score": s_}
+                     for i, s_ in enumerate(scores)],
+        })
+
+    async def rerank(self, request: web.Request) -> web.Response:
+        """Document reranking by embedding similarity (reference:
+        /rerank)."""
+        body = await request.json()
+        if self.llm.tokenizer is None:
+            return self._error("no tokenizer loaded", 400)
+        query = body["query"]
+        docs = body["documents"]
+        top_n = body.get("top_n", len(docs))
+        embs = await self._embed_texts([query] + list(docs))
+        qv = embs[0]
+        scored = sorted(
+            ((float((qv * d).sum()), i) for i, d in enumerate(embs[1:])),
+            reverse=True)[:top_n]
+        return web.json_response({
+            "model": self.model_name,
+            "results": [{"index": i, "relevance_score": s_,
+                         "document": {"text": docs[i]}}
+                        for s_, i in scored],
+        })
+
+    async def reload_weights(self, request: web.Request) -> web.Response:
+        """RLHF/checkpoint weight swap (reference: serve/rlhf
+        update_weights)."""
+        body = await request.json() if request.can_read_body else {}
+        try:
+            self.llm.core.reload_weights(body.get("model_path"))
+            return web.json_response({"status": "ok"})
+        except Exception as e:  # noqa: BLE001
+            return self._error(str(e), 400)
 
     async def start_profile(self, request: web.Request) -> web.Response:
         """JAX profiler trace (xplane) — reference: WorkerProfiler +

@@ -117,3 +117,33 @@ def test_n_greater_than_one(tiny_llm):
     outs2 = tiny_llm.generate([[3, 1, 4, 1, 5]], sp)
     assert [c.token_ids for c in outs2[0].outputs] == \
         [c.token_ids for c in comps]
+
+
+def test_reload_weights(tmp_path):
+    """RLHF-style weight swap changes outputs; swapping back restores them
+    (reference: update_weights/reload_weights)."""
+    import torch, transformers
+    cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, tie_word_embeddings=False,
+        use_sliding_window=False)
+    torch.manual_seed(0)
+    m1 = transformers.AutoModelForCausalLM.from_config(cfg)
+    d1 = tmp_path / "m1"
+    m1.save_pretrained(d1, safe_serialization=True)
+    torch.manual_seed(123)
+    m2 = transformers.AutoModelForCausalLM.from_config(cfg)
+    d2 = tmp_path / "m2"
+    m2.save_pretrained(d2, safe_serialization=True)
+
+    llm = LLM(model=str(d1), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, num_kv_blocks=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+    a = llm.generate([[1, 2, 3]], sp)[0].outputs[0].token_ids
+    llm.engine.core.reload_weights(str(d2))
+    b = llm.generate([[1, 2, 3]], sp)[0].outputs[0].token_ids
+    assert a != b
+    llm.engine.core.reload_weights(str(d1))
+    c = llm.generate([[1, 2, 3]], sp)[0].outputs[0].token_ids
+    assert c == a

@@ -173,3 +173,23 @@ def test_embeddings_endpoint():
         v2 = (await r2.json())["data"][0]["embedding"]
         assert all(abs(a - b) < 1e-4 for a, b in zip(v, v2))
     run_scenario(scenario)
+
+
+def test_score_and_rerank():
+    async def scenario(client):
+        r = await client.post("/v1/score", json={
+            "text_1": "hello", "text_2": ["hello", "zzzz"]})
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["data"]) == 2
+        # Identical text scores highest (normalized embeddings → 1.0).
+        assert data["data"][0]["score"] > data["data"][1]["score"]
+        assert abs(data["data"][0]["score"] - 1.0) < 1e-3
+
+        r = await client.post("/v1/rerank", json={
+            "query": "hello", "documents": ["zzzz", "hello", "qqq"],
+            "top_n": 2})
+        data = await r.json()
+        assert len(data["results"]) == 2
+        assert data["results"][0]["document"]["text"] == "hello"
+    run_scenario(scenario)

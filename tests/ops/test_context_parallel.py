@@ -127,3 +127,34 @@ def test_lse_matches_reference_softmax():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
     assert np.isfinite(np.asarray(lse)).all()
+
+
+def test_pcp_prefill_matches_full_attention():
+    """PCP: sequence-sharded prefill attention == single-device causal."""
+    import jax
+    from lvllm_tpu.config import ParallelConfig
+    from lvllm_tpu.parallel.mesh import make_mesh
+    from lvllm_tpu.parallel.prefill_cp import pcp_prefill_attention
+
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=4),
+                     jax.devices()[:4])
+    rng = np.random.default_rng(0)
+    T, Hq, Hkv, D = 32, 4, 2, 32
+    scale = D ** -0.5
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float32)
+
+    # Oracle: dense causal attention.
+    G = Hq // Hkv
+    qf = np.asarray(q).reshape(T, Hkv, G, D)
+    scores = np.einsum("thgd,chd->thgc", qf, np.asarray(k)) * scale
+    for i in range(T):
+        scores[i, :, :, i + 1:] = -np.inf
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(scores), axis=-1))
+    expected = np.einsum("thgc,chd->thgd", probs,
+                         np.asarray(v)).reshape(T, Hq, D)
+
+    got = pcp_prefill_attention(q, k, v, mesh, scale)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5,
+                               atol=2e-5)
