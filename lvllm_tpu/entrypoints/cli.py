@@ -31,9 +31,44 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     # The environment's TPU bootstrap overrides JAX_PLATFORMS, so platform
     # choice must go through jax.config (see tests/conftest.py note).
     p.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
+    p.add_argument("--quantization", "-q", default=None,
+                   choices=["int8", "int4", "fp8"],
+                   help="weight-only quantization of MoE experts on load")
+    p.add_argument("--kv-cache-dtype", default="auto",
+                   choices=["auto", "bfloat16", "fp8"])
+    p.add_argument("--async-scheduling", action="store_true",
+                   help="overlap host scheduling with device execution")
+    p.add_argument("--enable-expert-offload", action="store_true",
+                   help="stream cold MoE expert weights from host RAM")
+    p.add_argument("--hbm-resident-moe-layers", default="",
+                   help="layers pinned in HBM, range syntax e.g. '0-3,9'")
+    p.add_argument("--offload-prefetch-window", type=int, default=1)
+    p.add_argument("--speculative-method", default=None, choices=["ngram"])
+    p.add_argument("--num-speculative-tokens", type=int, default=4)
+    p.add_argument("--enable-lora", action="store_true")
+    p.add_argument("--max-loras", type=int, default=8)
+    p.add_argument("--config", default=None,
+                   help="YAML file of engine args (CLI flags win)")
+
+
+def _apply_yaml_config(args) -> None:
+    """Merge a YAML config file under explicit CLI flags (reference:
+    --config config.yaml support, arg_utils.py)."""
+    if not getattr(args, "config", None):
+        return
+    import yaml
+    with open(args.config) as f:
+        data = yaml.safe_load(f) or {}
+    for key, value in data.items():
+        attr = key.replace("-", "_")
+        if hasattr(args, attr):
+            setattr(args, attr, value)
+        else:
+            logger.warning("unknown config key %r ignored", key)
 
 
 def _build_config(args) -> EngineConfig:
+    _apply_yaml_config(args)
     if args.model == "dummy":
         mc = ModelConfig(model="dummy", dtype=args.dtype)
         args.load_format = "dummy"
@@ -41,19 +76,34 @@ def _build_config(args) -> EngineConfig:
         from lvllm_tpu.model_loader.hf_config import load_model_config
         mc = load_model_config(args.model, max_model_len=args.max_model_len,
                                dtype=args.dtype)
+    if args.quantization:
+        mc.quantization = args.quantization
+    from lvllm_tpu.config import (LoRAConfig, OffloadConfig,
+                                  SpeculativeConfig)
     return EngineConfig(
         model_config=mc,
         cache_config=CacheConfig(
             block_size=args.block_size,
             num_gpu_blocks=args.num_kv_blocks,
-            enable_prefix_caching=not args.no_prefix_caching),
+            enable_prefix_caching=not args.no_prefix_caching,
+            kv_cache_dtype=args.kv_cache_dtype),
         scheduler_config=SchedulerConfig(
             max_num_batched_tokens=args.max_num_batched_tokens,
             max_num_seqs=args.max_num_seqs,
-            max_model_len=mc.max_model_len),
+            max_model_len=mc.max_model_len,
+            async_scheduling=args.async_scheduling),
         parallel_config=ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size,
             expert_parallel_size=args.expert_parallel_size),
+        offload_config=OffloadConfig(
+            enabled=args.enable_expert_offload,
+            hbm_resident_moe_layers=args.hbm_resident_moe_layers,
+            prefetch_window=args.offload_prefetch_window),
+        speculative_config=SpeculativeConfig(
+            method=args.speculative_method,
+            num_speculative_tokens=args.num_speculative_tokens),
+        lora_config=LoRAConfig(enabled=args.enable_lora,
+                               max_loras=args.max_loras),
     )
 
 
@@ -80,12 +130,9 @@ def cmd_serve(args) -> None:
 def cmd_complete(args) -> None:
     from lvllm_tpu.entrypoints.llm import LLM
     from lvllm_tpu.sampling_params import SamplingParams
-    llm = LLM(model=args.model, load_format=args.load_format,
-              max_model_len=args.max_model_len,
-              max_num_seqs=args.max_num_seqs,
-              max_num_batched_tokens=args.max_num_batched_tokens,
-              block_size=args.block_size, num_kv_blocks=args.num_kv_blocks,
-              dtype=args.dtype, mesh=_make_mesh_if_parallel(args))
+    llm = LLM.from_engine_config(_build_config(args),
+                                 load_format=args.load_format,
+                                 mesh=_make_mesh_if_parallel(args))
     sp = SamplingParams(temperature=args.temperature,
                         max_tokens=args.max_tokens)
     prompt = args.prompt if args.prompt else sys.stdin.read()
@@ -96,6 +143,55 @@ def cmd_complete(args) -> None:
 def cmd_bench(args) -> None:
     import bench
     bench.main()
+
+
+def cmd_run_batch(args) -> None:
+    """Offline OpenAI batch API (reference: vllm run-batch): JSONL of
+    {custom_id, body:{prompt|messages, ...}} → JSONL of responses."""
+    import json as _json
+
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+    from lvllm_tpu.entrypoints.openai_server import \
+        sampling_params_from_request
+
+    llm = LLM.from_engine_config(_build_config(args),
+                                 load_format=args.load_format)
+    requests = []
+    with open(args.input_file) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                requests.append(_json.loads(line))
+    prompts, sps = [], []
+    for req in requests:
+        body = req.get("body", req)
+        if "messages" in body:
+            text = "\n".join(m.get("content", "")
+                              for m in body["messages"])
+        else:
+            text = body.get("prompt", "")
+        prompts.append(text if llm.engine.tokenizer else
+                       body.get("prompt_token_ids", [1]))
+        sps.append(sampling_params_from_request(body))
+    outs = llm.generate(prompts, sps)
+    with open(args.output_file, "w") as f:
+        for req, out in zip(requests, outs):
+            f.write(_json.dumps({
+                "custom_id": req.get("custom_id"),
+                "response": {
+                    "status_code": 200,
+                    "body": {
+                        "choices": [{
+                            "index": 0,
+                            "text": out.outputs[0].text,
+                            "token_ids": out.outputs[0].token_ids,
+                            "finish_reason": out.outputs[0].finish_reason,
+                        }],
+                    },
+                },
+            }) + "\n")
+    logger.info("wrote %d results to %s", len(outs), args.output_file)
 
 
 def main(argv=None) -> None:
@@ -118,6 +214,12 @@ def main(argv=None) -> None:
 
     p_b = sub.add_parser("bench", help="run the benchmark")
     p_b.set_defaults(func=cmd_bench)
+
+    p_rb = sub.add_parser("run-batch", help="offline OpenAI batch API")
+    _add_engine_args(p_rb)
+    p_rb.add_argument("-i", "--input-file", required=True)
+    p_rb.add_argument("-o", "--output-file", required=True)
+    p_rb.set_defaults(func=cmd_run_batch)
 
     args = parser.parse_args(argv)
     if getattr(args, "device", "auto") == "cpu":

@@ -82,6 +82,16 @@ class LLM:
         self.engine = LLMEngine(config, load_format=load_format,
                                 tokenizer=tokenizer, mesh=mesh)
 
+    @classmethod
+    def from_engine_config(cls, config: EngineConfig,
+                           load_format: str = "auto", mesh=None) -> "LLM":
+        """Build from a fully-specified EngineConfig (CLI/YAML path)."""
+        self = cls.__new__(cls)
+        tokenizer = _maybe_load_tokenizer(config.model_config.model)
+        self.engine = LLMEngine(config, load_format=load_format,
+                                tokenizer=tokenizer, mesh=mesh)
+        return self
+
     def generate(
         self,
         prompts: Union[str, List[int], Sequence[Union[str, List[int]]]],
