@@ -70,5 +70,7 @@ class ModelRunnerOutput:
     sampled_token_ids: Dict[str, List[int]] = field(default_factory=dict)
     # req_id -> logprob of each sampled token (optional).
     logprobs: Optional[Dict[str, List[float]]] = None
+    # req_id -> per-position {token_id: logprob} top-k dicts (optional).
+    topk_logprobs: Dict[str, List[dict]] = field(default_factory=dict)
     # req_id -> draft tokens proposed for the *next* step.
     spec_token_ids: Optional[Dict[str, List[int]]] = None

@@ -113,10 +113,10 @@ class AsyncLLM:
                 self._new_request_event.clear()
                 await self._new_request_event.wait()
                 continue
-            stepped, logprobs = await loop.run_in_executor(
+            stepped, logprobs, topk = await loop.run_in_executor(
                 self._executor, self.core.step)
             outputs, stop_hits = self.output_processor.process_outputs(
-                stepped, logprobs)
+                stepped, logprobs, topk)
             for req in stop_hits:
                 self.core.scheduler.finish_request_external(
                     req, RequestStatus.FINISHED_STOPPED)

@@ -153,13 +153,13 @@ class EngineCore:
         if self.config.scheduler_config.async_scheduling:
             return self._step_async()
         if not self.scheduler.has_unfinished_requests():
-            return [], {}
+            return [], {}, {}
         scheduler_output = self.scheduler.schedule()
         if scheduler_output.total_num_scheduled_tokens == 0:
             # Nothing runnable (e.g. all waiting blocked on KV); runner still
             # needs the finished/preempted diffs.
             self.runner.execute_model(scheduler_output)
-            return [], {}
+            return [], {}, {}
         grammar_masks = None
         sm = self.structured_manager
         if sm.grammars:
@@ -185,13 +185,15 @@ class EngineCore:
                     sm.free(req.request_id)
         if self.proposer is not None:
             self._propose_drafts(stepped)
-        return stepped, (runner_output.logprobs or {})
+        return stepped, (runner_output.logprobs or {}), \
+            runner_output.topk_logprobs
 
     def _step_async(self) -> Tuple[List[Request], Dict[str, List[float]]]:
         """Pipelined step: dispatch this step, then finalize the previous
         one while the device runs (reference: async_scheduling +
         step_with_batch_queue shape)."""
         assert self.proposer is None, "async excludes spec decode"
+        topk_out = {}
         handle = None
         sched = None
         if self.scheduler.has_unfinished_requests():
@@ -220,6 +222,7 @@ class EngineCore:
             out = self.runner.finalize(prev_handle)
             stepped = self.scheduler.update_from_output(prev_sched, out)
             logprobs = out.logprobs or {}
+            topk_out = out.topk_logprobs
             sm = self.structured_manager
             for req in stepped:
                 new_toks = out.sampled_token_ids.get(req.request_id, [])
@@ -233,7 +236,7 @@ class EngineCore:
                         sm.free(req.request_id)
         if handle is not None:
             self._inflight = (sched, handle)
-        return stepped, logprobs
+        return stepped, logprobs, topk_out
 
     def _propose_drafts(self, stepped: List[Request]) -> None:
         """Attach next-step draft tokens (greedy requests only — drafts are

@@ -71,9 +71,9 @@ class LLMEngine:
         return self.core.has_unfinished_requests()
 
     def step(self) -> List[RequestOutput]:
-        stepped, logprobs = self.core.step()
+        stepped, logprobs, topk = self.core.step()
         outputs, stop_hits = self.output_processor.process_outputs(
-            stepped, logprobs)
+            stepped, logprobs, topk)
         for req in stop_hits:
             self.core.scheduler.finish_request_external(
                 req, RequestStatus.FINISHED_STOPPED)

@@ -54,6 +54,7 @@ class RequestState:
         self.text = ""
         self.num_streamed_tokens = 0
         self.logprobs: List[float] = []
+        self.topk_logprobs: List[dict] = []
 
 
 class OutputProcessor:
@@ -71,6 +72,7 @@ class OutputProcessor:
         self,
         stepped_requests: List[Request],
         logprobs: Optional[Dict[str, List[float]]] = None,
+        topk_logprobs: Optional[Dict[str, List[dict]]] = None,
     ) -> (List[RequestOutput], List[Request]):
         """Returns (outputs for requests with new content, requests that hit
         a stop string and must be finished by the engine)."""
@@ -86,6 +88,8 @@ class OutputProcessor:
             state.text += delta
             if logprobs and req.request_id in logprobs:
                 state.logprobs.extend(logprobs[req.request_id])
+            if topk_logprobs and req.request_id in topk_logprobs:
+                state.topk_logprobs.extend(topk_logprobs[req.request_id])
 
             # Stop strings (text-level, like reference check_stop + detok).
             sp = req.sampling_params
@@ -115,6 +119,7 @@ class OutputProcessor:
                     token_ids=list(req.output_token_ids),
                     cumulative_logprob=(sum(state.logprobs)
                                         if state.logprobs else None),
+                    logprobs=(state.topk_logprobs or None),
                     finish_reason=finish_reason,
                     stop_reason=stop_reason,
                 )],

@@ -141,6 +141,51 @@ class LLM:
             results.append(parent)
         return results
 
+    def beam_search(self, prompt, beam_width: int = 4,
+                    max_tokens: int = 16) -> List[dict]:
+        """Beam search decoding (reference: vllm/beam_search.py + LLM.
+        beam_search): iterative expansion using top-k logprobs; the prefix
+        cache makes per-step re-prefill cheap. Returns beams sorted by
+        cumulative logprob: [{token_ids, cum_logprob, finished}]."""
+        from lvllm_tpu.worker.model_runner import ModelRunner
+        assert 2 * beam_width <= ModelRunner.MAX_TOPK_LOGPROBS, \
+            f"beam_width > {ModelRunner.MAX_TOPK_LOGPROBS // 2} unsupported"
+        if isinstance(prompt, str):
+            if self.engine.tokenizer is None:
+                raise ValueError("string prompt requires a tokenizer")
+            prompt = self.engine.tokenizer.encode(prompt)
+        eos = self.engine.config.model_config.eos_token_id
+
+        beams = [([], 0.0)]
+        completed: List[tuple] = []
+        for _ in range(max_tokens):
+            if not beams:
+                break
+            prompts = [list(prompt) + toks for toks, _ in beams]
+            sps = [SamplingParams(temperature=0.0, max_tokens=1,
+                                  logprobs=2 * beam_width, ignore_eos=True)
+                   for _ in beams]
+            outs = self.generate(prompts, sps)
+            candidates = []
+            for (toks, lp), out in zip(beams, outs):
+                top = (out.outputs[0].logprobs or [{}])[0]
+                for t, l in top.items():
+                    candidates.append((lp + l, toks + [t]))
+            candidates.sort(key=lambda c: c[0], reverse=True)
+            beams = []
+            for lp, toks in candidates:
+                if eos is not None and eos >= 0 and toks[-1] == eos:
+                    completed.append((lp, toks[:-1], True))
+                elif len(beams) < beam_width:
+                    beams.append((toks, lp))
+                if len(beams) >= beam_width and \
+                        len(completed) >= beam_width:
+                    break
+        completed.extend((lp, toks, False) for toks, lp in beams)
+        completed.sort(key=lambda c: c[0], reverse=True)
+        return [{"token_ids": toks, "cum_logprob": lp, "finished": fin}
+                for lp, toks, fin in completed[:beam_width]]
+
     def embed(self, prompts, pooling: str = "last"):
         """Embedding API (reference: LLM.encode/embed). Returns [N, H]
         normalized float32 vectors."""

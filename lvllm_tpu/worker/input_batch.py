@@ -46,6 +46,7 @@ class InputBatch:
         self.min_p = np.zeros(max_num_reqs, dtype=np.float32)
         self.seeds = np.zeros(max_num_reqs, dtype=np.uint32)
         self.wants_logprobs = np.zeros(max_num_reqs, dtype=bool)
+        self.num_logprobs = np.zeros(max_num_reqs, dtype=np.int32)
         self.repetition_penalty = np.ones(max_num_reqs, dtype=np.float32)
         self.presence_penalty = np.zeros(max_num_reqs, dtype=np.float32)
         self.frequency_penalty = np.zeros(max_num_reqs, dtype=np.float32)
@@ -92,6 +93,7 @@ class InputBatch:
         self.seeds[idx] = (sp.seed if sp.seed is not None
                            else int(self._rng.integers(0, 2**32))) & 0xFFFFFFFF
         self.wants_logprobs[idx] = sp.logprobs is not None
+        self.num_logprobs[idx] = min(sp.logprobs or 0, 8)
         self.repetition_penalty[idx] = sp.repetition_penalty
         self.presence_penalty[idx] = sp.presence_penalty
         self.frequency_penalty[idx] = sp.frequency_penalty
@@ -116,6 +118,7 @@ class InputBatch:
         self.num_computed_tokens[idx] = 0
         self.num_blocks[idx] = 0
         self.temperature[idx] = 0.0
+        self.num_logprobs[idx] = 0
         self.has_penalty[idx] = False
         self.lora_slot[idx] = 0
         self.repetition_penalty[idx] = 1.0

@@ -49,6 +49,9 @@ class StepHandle:
     S1: int
     async_mode: bool
     seq_lens: np.ndarray
+    # Optional [R, S1, K] top-k logprob values/ids (device).
+    topk_logprobs: object = None
+    topk_ids: object = None
 
 
 class ModelRunner:
@@ -101,7 +104,7 @@ class ModelRunner:
         # One jitted step function; recompiles per (T_bucket,) shape.
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
-            static_argnames=("greedy_only",))
+            static_argnames=("greedy_only", "want_topk_logprobs"))
 
         # Set by EngineCore when LoRA serving is enabled.
         self.lora_manager = None
@@ -217,9 +220,10 @@ class ModelRunner:
               top_p, min_p, seeds, steps, penalty_args=None,
               grammar_mask=None):
         hidden = self.model.finalize_hidden(params, x, residual)
-        return self._sample_from_hidden(
+        out = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask)
+        return out[0], out[1]
 
     def _execute_staged(self, input_ids, positions, qsl, seq_lens,
                         block_table, slot_mapping, logits_indices,
@@ -263,7 +267,7 @@ class ModelRunner:
               temperature, top_k, top_p, min_p, seeds, steps,
               penalty_args=None, grammar_mask=None, lora=None,
               token_adapter=None, async_args=None, greedy_only=False,
-              row_slots=None):
+              row_slots=None, want_topk_logprobs=False):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -280,15 +284,18 @@ class ModelRunner:
         hidden, kv_caches = self.model(params, input_ids, positions,
                                        kv_caches, md, lora=lora,
                                        token_adapter=token_adapter)
-        sampled, logprobs = self._sample_from_hidden(
+        sampled, logprobs, topk = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
-            min_p, seeds, steps, penalty_args, grammar_mask, greedy_only)
-        return kv_caches, sampled, logprobs
+            min_p, seeds, steps, penalty_args, grammar_mask, greedy_only,
+            want_topk_logprobs)
+        return kv_caches, sampled, logprobs, topk
+
+    MAX_TOPK_LOGPROBS = 8
 
     def _sample_from_hidden(self, params, hidden, logits_indices,
                             temperature, top_k, top_p, min_p, seeds, steps,
                             penalty_args, grammar_mask=None,
-                            greedy_only=False):
+                            greedy_only=False, want_topk_logprobs=False):
         """Sample at every verification position: logits_indices [R, S+1]
         (S=0 without spec decode). Sampling params are broadcast per row;
         the PRNG fold offsets by position so each slot draws independently.
@@ -312,7 +319,13 @@ class ModelRunner:
                      jnp.arange(S1, dtype=jnp.int32)[None, :]).reshape(-1)
         sampled = sample(logits, st, steps_mat, greedy_only=greedy_only)
         logprobs = compute_logprobs(logits, sampled)
-        return sampled.reshape(R, S1), logprobs.reshape(R, S1)
+        topk = None
+        if want_topk_logprobs:
+            K = self.MAX_TOPK_LOGPROBS
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            vals, ids = jax.lax.top_k(logp, K)
+            topk = (vals.reshape(R, S1, K), ids.reshape(R, S1, K))
+        return sampled.reshape(R, S1), logprobs.reshape(R, S1), topk
 
     # ---- batch maintenance -------------------------------------------------
 
@@ -513,23 +526,29 @@ class ModelRunner:
         active = [ib.req_id_to_index[rid] for rid in row_req_ids]
         greedy_only = bool(np.all(ib.temperature[active] == 0.0)) \
             if active else True
+        want_topk = bool(np.any(ib.num_logprobs[active] > 0)) \
+            if active else False
+        topk = None
         if self.expert_store is not None:
             assert not async_mode, "async scheduling + offload staging TBD"
             sampled, logprobs = self._execute_staged(
                 *dev_args, penalty_args=penalty_args,
                 grammar_mask=grammar_mask)
         else:
-            kv, sampled, logprobs = self._step_fn(
+            kv, sampled, logprobs, topk = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
                 async_args=async_args, greedy_only=greedy_only,
-                row_slots=row_slots, **lora_args)
+                row_slots=row_slots, want_topk_logprobs=want_topk,
+                **lora_args)
             self.kv_caches = kv
 
         handle = StepHandle(
             sampled=sampled, logprobs=logprobs, row_req_ids=row_req_ids,
             row_drafts=row_drafts, row_samples=row_samples, S1=S1,
-            async_mode=async_mode, seq_lens=seq_lens.copy())
+            async_mode=async_mode, seq_lens=seq_lens.copy(),
+            topk_logprobs=topk[0] if topk else None,
+            topk_ids=topk[1] if topk else None)
         self._prev_rows = {rid: r for r, rid in enumerate(row_req_ids)}
         self._prev_sampled = sampled
         if async_mode:
@@ -566,6 +585,13 @@ class ModelRunner:
                     lp = logprobs_np[r, S1 - 1 - k:]
                     out.logprobs[rid] = [float(x)
                                          for x in lp[:accepted + 1]]
+                    if handle.topk_logprobs is not None:
+                        tv = np.asarray(handle.topk_logprobs[r, S1 - 1])
+                        ti = np.asarray(handle.topk_ids[r, S1 - 1])
+                        nlp = int(ib.num_logprobs[idx])
+                        out.topk_logprobs.setdefault(rid, []).append(
+                            {int(t): float(v)
+                             for v, t in zip(tv[:nlp], ti[:nlp])})
                 # Overwrite the staged draft region with verified tokens.
                 nt = ib.num_tokens[idx]
                 ib.token_ids[idx, nt:nt + len(emitted)] = emitted

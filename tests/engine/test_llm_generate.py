@@ -147,3 +147,31 @@ def test_reload_weights(tmp_path):
     llm.engine.core.reload_weights(str(d1))
     c = llm.generate([[1, 2, 3]], sp)[0].outputs[0].token_ids
     assert c == a
+
+
+def test_topk_logprobs_returned(tiny_llm):
+    out = tiny_llm.generate(
+        [[1, 2, 3]], SamplingParams(temperature=0.0, max_tokens=3,
+                                    logprobs=4))[0]
+    lps = out.outputs[0].logprobs
+    assert lps is not None and len(lps) == 3
+    for step_dict, tok in zip(lps, out.outputs[0].token_ids):
+        assert len(step_dict) == 4
+        # Greedy token is the argmax → present and maximal in the top-k.
+        assert tok in step_dict
+        assert step_dict[tok] == max(step_dict.values())
+
+
+def test_beam_search(tiny_llm):
+    beams = tiny_llm.beam_search([1, 2, 3, 4], beam_width=3, max_tokens=5)
+    assert len(beams) == 3
+    # Sorted by cumulative logprob.
+    lps = [b["cum_logprob"] for b in beams]
+    assert lps == sorted(lps, reverse=True)
+    assert all(len(b["token_ids"]) == 5 for b in beams if not b["finished"])
+    # The top beam must score at least as well as greedy decoding's path.
+    greedy = tiny_llm.generate(
+        [[1, 2, 3, 4]], SamplingParams(temperature=0.0, max_tokens=5,
+                                       logprobs=1))[0]
+    greedy_lp = greedy.outputs[0].cumulative_logprob
+    assert beams[0]["cum_logprob"] >= greedy_lp - 1e-4
