@@ -49,6 +49,9 @@ class Scheduler:
         )
 
         self.async_scheduling = scheduler_config.async_scheduling
+        # Pause control (reference: PauseState, scheduler :1848):
+        # None | "drain" (finish running, admit nothing) | "freeze".
+        self.pause_mode: Optional[str] = None
         self.requests: Dict[str, Request] = {}
         self.waiting: Deque[Request] = deque()
         self.running: List[Request] = []
@@ -100,9 +103,21 @@ class Scheduler:
 
     # ---- scheduling -------------------------------------------------------
 
+    def pause(self, mode: str = "drain") -> None:
+        assert mode in ("drain", "freeze")
+        self.pause_mode = mode
+
+    def resume(self) -> None:
+        self.pause_mode = None
+
     def schedule(self) -> SchedulerOutput:
         output = SchedulerOutput()
         budget = self.max_num_batched_tokens
+        if self.pause_mode == "freeze":
+            output.finished_req_ids = self.finished_req_ids
+            self.finished_req_ids = []
+            output.async_mode = self.async_scheduling
+            return output
 
         # Drain finished ids collected since last step for the runner.
         output.finished_req_ids = self.finished_req_ids
@@ -157,7 +172,7 @@ class Scheduler:
             idx += 1
 
         # Phase 2: admit waiting requests (new or resumed-from-preemption).
-        while self.waiting and budget > 0 and \
+        while self.waiting and budget > 0 and self.pause_mode is None and \
                 len(self.running) < self.max_num_seqs:
             req = self.waiting[0]
             resumed = req.status == RequestStatus.PREEMPTED

@@ -260,6 +260,26 @@ class EngineCore:
         stats["latency"] = self.metrics.summary()
         return stats
 
+    # ---- pause / drain (reference: shutdown REQUESTED→DRAINING states) ----
+
+    def pause(self, mode: str = "drain") -> None:
+        self.scheduler.pause(mode)
+
+    def resume(self) -> None:
+        self.scheduler.resume()
+
+    def drain(self, timeout_s: float = 60.0) -> bool:
+        """Stop admitting work and run in-flight requests to completion.
+        Returns True if fully drained within the timeout."""
+        import time as _time
+        self.scheduler.pause("drain")
+        deadline = _time.time() + timeout_s
+        while (self.scheduler.running or self._inflight is not None):
+            if _time.time() > deadline:
+                return False
+            self.step()
+        return True
+
     # ---- weight reload (RLHF update, reference: gpu_worker.py:941-1007) ---
 
     def reload_weights(self, model_path: str = None, weights=None) -> None:

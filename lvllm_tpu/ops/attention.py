@@ -98,8 +98,11 @@ def ragged_paged_attention(
     logits_soft_cap: Optional[float] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, else the jnp reference."""
-    use_ref = envs.LVLLM_USE_REFERENCE_OPS or \
-        jax.default_backend() not in ("tpu", "axon")
+    # The Pallas kernel DMAs [BS, Hkv, D] pages; Mosaic requires the
+    # last dim to be 128-aligned. Off-spec head dims use the jnp path.
+    use_ref = (envs.LVLLM_USE_REFERENCE_OPS
+               or jax.default_backend() not in ("tpu", "axon")
+               or q.shape[-1] % 128 != 0)
     if not use_ref:
         try:
             from lvllm_tpu.ops.pallas.ragged_attention import (

@@ -31,9 +31,10 @@ def ragged_paged_attention_with_lse(
     """Partial attention over a KV shard → (out [T,Hq,D], lse [T,Hq]).
 
     ``lse`` is log(sum(exp(scaled scores))) over this shard's keys; -inf
-    when the shard holds no keys for the token. Non-causal within the shard
-    (DCP interleaving guarantees every local key is in-context; the caller
-    passes per-shard seq_lens that already account for causality).
+    when the shard holds no keys for the token. Causal within the local
+    key sequence: each query covers ``seq_lens - q_len + pos + 1`` local
+    keys — for DCP decode (q_len=1) that is the whole shard; for cascade
+    suffixes it is the usual causal prefix.
     """
     T, Hq, D = q.shape
     R, MAXB = block_table.shape
@@ -43,7 +44,10 @@ def ragged_paged_attention_with_lse(
     C = MAXB * BS
 
     req_idx = _token_request_map(query_start_loc, T, R)
-    kv_len = seq_lens[req_idx]                 # [T] local length
+    q_start = query_start_loc[req_idx]
+    q_len = query_start_loc[req_idx + 1] - q_start
+    pos_in_q = jnp.arange(T, dtype=jnp.int32) - q_start
+    kv_len = seq_lens[req_idx] - q_len + pos_in_q + 1   # [T] causal local
 
     def one_token(q_t, req, klen):
         pages = kv_cache[:, block_table[req]]

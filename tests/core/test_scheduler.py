@@ -216,3 +216,26 @@ def test_spec_decode_accounting():
     # the invariant computed == num_tokens - 1 going into the next decode.
     assert req.num_computed_tokens == 10
     assert req.num_computed_tokens == req.num_tokens - 1
+
+
+def test_pause_drain_and_freeze():
+    sched = create_scheduler()
+    r0 = make_request("r0", 8, max_tokens=5)
+    r1 = make_request("r1", 8, max_tokens=5)
+    sched.add_request(r0)
+    run_step(sched)          # r0 running
+    sched.add_request(r1)    # waiting
+
+    sched.pause("drain")
+    out = sched.schedule()
+    # r0 keeps decoding; r1 is NOT admitted.
+    assert "r0" in out.num_scheduled_tokens
+    assert "r1" not in out.num_scheduled_tokens
+
+    sched.pause("freeze")
+    out = sched.schedule()
+    assert out.is_empty()
+
+    sched.resume()
+    out = sched.schedule()
+    assert "r1" in out.num_scheduled_tokens

@@ -175,3 +175,20 @@ def test_beam_search(tiny_llm):
                                        logprobs=1))[0]
     greedy_lp = greedy.outputs[0].cumulative_logprob
     assert beams[0]["cum_logprob"] >= greedy_lp - 1e-4
+
+
+def test_engine_drain(tiny_llm):
+    eng = tiny_llm.engine
+    sp = SamplingParams(temperature=0.0, max_tokens=10)
+    eng.add_request("d0", [1, 2, 3], sp)
+    eng.step()  # start running
+    assert eng.core.drain(timeout_s=60)
+    assert not eng.core.scheduler.running
+    # Waiting work stays queued until resume.
+    eng.add_request("d1", [4, 5], sp)
+    out = eng.core.scheduler.schedule()
+    assert out.is_empty()
+    eng.core.resume()
+    # Finish it so the module-scoped fixture stays clean.
+    while eng.has_unfinished_requests():
+        eng.step()

@@ -158,3 +158,66 @@ def test_pcp_prefill_matches_full_attention():
     got = pcp_prefill_attention(q, k, v, mesh, scale)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_cascade_attention_matches_full():
+    """Two-phase shared-prefix cascade == ordinary attention over the
+    concatenated (prefix + suffix) context."""
+    from lvllm_tpu.ops.cascade import cascade_attention, use_cascade_heuristic
+
+    rng = np.random.default_rng(5)
+    Hq, Hkv, D, bs = 4, 2, 32, 4
+    scale = D ** -0.5
+    P = 12                      # shared prefix length
+    suffix_lens = [5, 9]        # per-request unique suffixes
+    q_lens = [1, 3]             # decode + small chunk
+    R = len(suffix_lens)
+
+    prefix_k = rng.standard_normal((P, Hkv, D)).astype(np.float32)
+    prefix_v = rng.standard_normal((P, Hkv, D)).astype(np.float32)
+    suf_k = [rng.standard_normal((s, Hkv, D)).astype(np.float32)
+             for s in suffix_lens]
+    suf_v = [rng.standard_normal((s, Hkv, D)).astype(np.float32)
+             for s in suffix_lens]
+
+    T = sum(q_lens)
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.float32)
+    qsl = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+
+    def paged(keys, values, lens):
+        nb = 32
+        cache = new_kv_cache(nb, bs, Hkv, D, jnp.float32)
+        maxb = max(-(-l // bs) for l in lens)
+        table = np.zeros((R, maxb), np.int32)
+        slots, kk, vv = [], [], []
+        nxt = 1
+        for r in range(R):
+            nblk = -(-lens[r] // bs)
+            table[r, :nblk] = range(nxt, nxt + nblk)
+            for t in range(lens[r]):
+                slots.append((nxt + t // bs) * bs + t % bs)
+            nxt += nblk
+            kk.append(keys[r])
+            vv.append(values[r])
+        cache = write_kv(cache, jnp.asarray(np.concatenate(kk)),
+                         jnp.asarray(np.concatenate(vv)),
+                         jnp.asarray(slots, jnp.int32))
+        return cache, jnp.asarray(table)
+
+    # Oracle: full attention over prefix+suffix per request.
+    full_k = [np.concatenate([prefix_k, s]) for s in suf_k]
+    full_v = [np.concatenate([prefix_v, s]) for s in suf_v]
+    full_lens = [P + s for s in suffix_lens]
+    fc, ft = paged(full_k, full_v, full_lens)
+    expected = ragged_paged_attention_reference(
+        q, fc, ft, qsl, jnp.asarray(full_lens, jnp.int32), scale=scale)
+
+    sc, st_tab = paged(suf_k, suf_v, suffix_lens)
+    got = cascade_attention(
+        q, jnp.asarray(prefix_k), jnp.asarray(prefix_v), sc, st_tab, qsl,
+        jnp.asarray(suffix_lens, jnp.int32), scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+    assert use_cascade_heuristic(16, 128, 16)
+    assert not use_cascade_heuristic(2, 128, 16)
