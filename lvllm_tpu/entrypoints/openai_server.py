@@ -72,6 +72,7 @@ class OpenAIServer:
         self.app.router.add_post("/sleep", self.sleep)
         self.app.router.add_post("/wake_up", self.wake_up)
         self.app.router.add_get("/is_sleeping", self.is_sleeping)
+        self.app.router.add_post("/v1/messages", self.anthropic_messages)
         self.app.router.add_post("/v1/score", self.score)
         self.app.router.add_post("/v1/rerank", self.rerank)
         self.app.router.add_post("/reload_weights", self.reload_weights)
@@ -177,6 +178,73 @@ class OpenAIServer:
 
     async def is_sleeping(self, request: web.Request) -> web.Response:
         return web.json_response({"is_sleeping": self.llm.core.is_sleeping})
+
+    async def anthropic_messages(self, request: web.Request) -> web.Response:
+        """Anthropic Messages protocol (reference: entrypoints/anthropic/):
+        maps /v1/messages onto the chat pipeline with Anthropic wire
+        shapes."""
+        try:
+            body = await request.json()
+            messages = list(body["messages"])
+            if body.get("system"):
+                sys_content = body["system"]
+                if isinstance(sys_content, list):
+                    sys_content = "".join(
+                        b.get("text", "") for b in sys_content)
+                messages.insert(0, {"role": "system",
+                                    "content": sys_content})
+            # Anthropic content blocks → plain text.
+            for m in messages:
+                if isinstance(m.get("content"), list):
+                    m["content"] = "".join(b.get("text", "")
+                                           for b in m["content"])
+            prompt = self._apply_chat_template(messages)
+            sp = SamplingParams(
+                temperature=body.get("temperature", 1.0),
+                top_p=body.get("top_p", 1.0),
+                top_k=body.get("top_k", 0),
+                max_tokens=body.get("max_tokens", 256),
+                stop=body.get("stop_sequences"),
+            )
+        except (ValueError, KeyError, TypeError) as e:
+            return web.json_response(
+                {"type": "error",
+                 "error": {"type": "invalid_request_error",
+                           "message": str(e)}}, status=400)
+        rid = f"msg_{uuid.uuid4().hex[:24]}"
+        try:
+            final = None
+            async for out in self.llm.generate(prompt, sp, rid):
+                final = out
+        except ValueError as e:
+            return web.json_response(
+                {"type": "error",
+                 "error": {"type": "invalid_request_error",
+                           "message": str(e)}}, status=400)
+        c = final.outputs[0]
+        content = []
+        text = c.text
+        if self.reasoning_parser is not None:
+            reasoning, text = self.reasoning_parser.extract(c.text)
+            if reasoning is not None:
+                content.append({"type": "thinking", "thinking": reasoning})
+        content.append({"type": "text", "text": text})
+        stop_reason = {"stop": "stop_sequence", "length": "max_tokens"}.get(
+            c.finish_reason, "end_turn")
+        if c.finish_reason == "stop" and c.stop_reason is None:
+            stop_reason = "end_turn"
+        return web.json_response({
+            "id": rid, "type": "message", "role": "assistant",
+            "model": body.get("model", self.model_name),
+            "content": content,
+            "stop_reason": stop_reason,
+            "stop_sequence": (c.stop_reason
+                              if isinstance(c.stop_reason, str) else None),
+            "usage": {
+                "input_tokens": len(final.prompt_token_ids),
+                "output_tokens": len(c.token_ids),
+            },
+        })
 
     async def _embed_texts(self, texts):
         from lvllm_tpu.engine.pooling import PoolingRunner

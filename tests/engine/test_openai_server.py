@@ -193,3 +193,26 @@ def test_score_and_rerank():
         assert len(data["results"]) == 2
         assert data["results"][0]["document"]["text"] == "hello"
     run_scenario(scenario)
+
+
+def test_anthropic_messages():
+    async def scenario(client):
+        r = await client.post("/v1/messages", json={
+            "model": "tiny-test", "max_tokens": 5,
+            "system": "be brief",
+            "messages": [{"role": "user",
+                          "content": [{"type": "text", "text": "hi"}]}],
+            "temperature": 0.0})
+        assert r.status == 200
+        data = await r.json()
+        assert data["type"] == "message"
+        assert data["role"] == "assistant"
+        assert data["content"][-1]["type"] == "text"
+        assert data["stop_reason"] == "max_tokens"
+        assert data["usage"]["output_tokens"] == 5
+
+        # Malformed: missing messages.
+        r = await client.post("/v1/messages", json={"max_tokens": 4})
+        assert r.status == 400
+        assert (await r.json())["type"] == "error"
+    run_scenario(scenario)
