@@ -133,7 +133,11 @@ class ModelConfig:
     @property
     def kv_cache_dim(self) -> int:
         if self.attention_type == "mla":
-            return self.kv_lora_rank + self.qk_rope_head_dim
+            # Pad the latent+rope width to 128 lanes so the Pallas ragged
+            # attention kernel serves MLA directly (score over c_kv‖k_pe,
+            # value = c_kv‖0 in plane 1).
+            raw = self.kv_lora_rank + self.qk_rope_head_dim
+            return -(-raw // 128) * 128
         return self.head_dim
 
 

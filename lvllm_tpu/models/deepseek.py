@@ -28,7 +28,7 @@ from lvllm_tpu.config import ModelConfig
 from lvllm_tpu.layers.common import rms_norm
 from lvllm_tpu.models.model_base import AttentionMetadata, Params
 from lvllm_tpu.models.qwen3 import Qwen3Model
-from lvllm_tpu.ops.mla import mla_attention_reference, write_mla_cache
+from lvllm_tpu.ops.mla import mla_attention, write_mla_cache
 from lvllm_tpu.ops.rope import apply_rope_interleaved, compute_cos_sin_cache
 from lvllm_tpu.logger import init_logger
 
@@ -117,7 +117,7 @@ class DeepseekModel(Qwen3Model):
         # Absorb q_nope into latent space: q_lat[h] = W_uk[h] @ q_nope[h].
         q_lat = jnp.einsum("thd,hdc->thc", q_nope.astype(jnp.float32),
                            attn["w_uk"].astype(jnp.float32))
-        ctx = mla_attention_reference(
+        ctx = mla_attention(
             q_lat.astype(x.dtype), q_pe, kv_cache, md.block_table,
             md.query_start_loc, md.seq_lens, scale=self.scale,
             kv_lora_rank=Dc)                              # [T, H, Dc]

@@ -134,6 +134,10 @@ def _attn_kernel(
                     v_buf.at[slot, pl.ds(p * block_size, block_size)],
                     sems.at[1, slot, p],
                 ).wait()
+        # Note: for Hkv==1 the wrapper folds the head dim out of the cache
+        # ([2, NB, BS, D] pages; [BS, 1, D] would violate the bf16
+        # second-minor tiling of 2), so these copies are [BS, D] slabs and
+        # load_slot re-inserts the unit head axis.
 
         start_chunk_dma(0, 0)
 
@@ -172,8 +176,10 @@ def _attn_kernel(
                 mask &= col_idx >= (row_ctx - sliding_window)
 
             def load_slot(buf):
-                # [CHUNK_K, Hkv, D] -> [Hkv, CHUNK_K, D]
                 x = buf[slot]
+                if Hkv == 1:
+                    return x[None]               # [CHUNK_K, D] -> [1, CK, D]
+                # [CHUNK_K, Hkv, D] -> [Hkv, CHUNK_K, D]
                 return jnp.transpose(x, (1, 0, 2))
 
             k = load_slot(k_buf).astype(jnp.float32)
@@ -254,6 +260,13 @@ def ragged_paged_attention_pallas(
 
     chunk_pages = max(1, 128 // BS)
     chunk_k = chunk_pages * BS
+    if Hkv == 1:
+        # Fold the unit head dim out (free reshape): whole-page DMA slices
+        # of [BS, 1, D] break Mosaic's bf16 second-minor tiling of 2.
+        kv_cache = kv_cache.reshape(2, kv_cache.shape[1], BS, D)
+        scratch_kv = (2, chunk_k, D)
+    else:
+        scratch_kv = (2, chunk_k, Hkv, D)
     maxb = block_table.shape[1]
     # Pad block table so chunk DMA never reads out of bounds.
     pad_b = (-maxb) % chunk_pages
@@ -272,8 +285,8 @@ def ragged_paged_attention_pallas(
                                lambda t, *_: (t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_k, Hkv, D), kv_cache.dtype),
-            pltpu.VMEM((2, chunk_k, Hkv, D), kv_cache.dtype),
+            pltpu.VMEM(scratch_kv, kv_cache.dtype),
+            pltpu.VMEM(scratch_kv, kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
         ],
     )
