@@ -89,6 +89,10 @@ class ModelConfig:
 
     max_model_len: int = 4096
     quantization: Optional[str] = None  # None | "int8" | "int4" | "fp8"
+    # Pre-quantized checkpoint format ({method, bits, group_size}), parsed
+    # from config.json's quantization_config (AWQ/GPTQ) — see
+    # model_loader/quant_ckpt.py.
+    ckpt_quant: Optional[dict] = None
 
     # Special tokens (filled by tokenizer glue when available).
     eos_token_id: int = 2

@@ -97,6 +97,8 @@ def load_model_config(model_path: str,
         linear_value_head_dim=hf.get("linear_value_head_dim", 64),
         linear_conv_kernel_dim=hf.get("linear_conv_kernel_dim", 4),
     )
+    from lvllm_tpu.model_loader.quant_ckpt import detect_ckpt_quant
+    mc.ckpt_quant = detect_ckpt_quant(hf)
     if max_model_len is not None:
         mc.max_model_len = min(max_model_len, mc.max_position_embeddings)
     else:

@@ -85,7 +85,21 @@ def load_model(config: ModelConfig, load_format: str = "auto"):
         logger.info("initializing dummy weights for %s", config.architecture)
         params = model.init_params(config.seed)
     else:
-        params = model.load_weights(safetensors_weight_iterator(config.model))
+        stream = safetensors_weight_iterator(config.model)
+        if config.ckpt_quant:
+            from lvllm_tpu.model_loader.quant_ckpt import (
+                repack_quantized_stream)
+            method = config.ckpt_quant["method"]
+            logger.info("decoding %s-quantized checkpoint (group_size=%s)",
+                        method, config.ckpt_quant.get("group_size"))
+            stream = repack_quantized_stream(stream, method)
+            if config.quantization is None and config.num_experts:
+                # Keep the checkpoint's HBM savings: re-quantize experts
+                # into our symmetric INT4 for the fused Pallas GEMM.
+                config.quantization = "int4"
+                logger.info("ckpt is pre-quantized → MoE experts repacked "
+                            "to native int4")
+        params = model.load_weights(stream)
         logger.info("loaded weights for %s from %s", config.architecture,
                     config.model)
     params = quantize_moe_weights(params, config)
