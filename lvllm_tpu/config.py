@@ -257,10 +257,14 @@ class SpeculativeConfig:
     """Speculative decoding (reference: config/speculative.py; proposers in
     v1/spec_decode/). method=None disables."""
 
-    method: Optional[str] = None   # None | "ngram"
+    method: Optional[str] = None   # None | "ngram" | "draft_model"
     num_speculative_tokens: int = 4
     ngram_min: int = 2
     ngram_max: int = 4
+    # draft_model method: checkpoint path of the small LM (or a full
+    # ModelConfig for tests/dummy weights).
+    draft_model: Optional[str] = None
+    draft_model_config: Optional["ModelConfig"] = None
 
     @property
     def enabled(self) -> bool:

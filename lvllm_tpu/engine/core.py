@@ -104,6 +104,21 @@ class EngineCore:
             self.proposer = NgramProposer(NgramConfig(
                 num_speculative_tokens=sc.num_speculative_tokens,
                 min_ngram=sc.ngram_min, max_ngram=sc.ngram_max))
+        elif sc.enabled and sc.method == "draft_model":
+            from lvllm_tpu.model_loader.hf_config import load_model_config
+            from lvllm_tpu.spec_decode.draft_model import DraftModelProposer
+            if sc.draft_model_config is not None:
+                dmc, fmt = sc.draft_model_config, "dummy" \
+                    if sc.draft_model_config.model == "dummy" else "auto"
+            else:
+                dmc = load_model_config(
+                    sc.draft_model,
+                    max_model_len=config.model_config.max_model_len)
+                fmt = "auto"
+            dmc.max_model_len = config.model_config.max_model_len
+            self.proposer = DraftModelProposer(
+                dmc, k=sc.num_speculative_tokens,
+                block_size=config.cache_config.block_size, load_format=fmt)
 
     # ---- request API -------------------------------------------------------
 
@@ -252,8 +267,16 @@ class EngineCore:
             room = max_len - req.num_tokens - 1
             if room <= 0:
                 continue
-            drafts = self.proposer.propose(req.all_token_ids)
+            if hasattr(self.proposer, "propose_for"):
+                drafts = self.proposer.propose_for(req.request_id,
+                                                   req.all_token_ids)
+            else:
+                drafts = self.proposer.propose(req.all_token_ids)
             req.spec_token_ids = drafts[:min(k, room)]
+        if hasattr(self.proposer, "free"):
+            for req in stepped:
+                if req.is_finished:
+                    self.proposer.free(req.request_id)
 
     def get_stats(self) -> dict:
         stats = self.scheduler.make_stats()

@@ -43,8 +43,12 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hbm-resident-moe-layers", default="",
                    help="layers pinned in HBM, range syntax e.g. '0-3,9'")
     p.add_argument("--offload-prefetch-window", type=int, default=1)
-    p.add_argument("--speculative-method", default=None, choices=["ngram"])
+    p.add_argument("--speculative-method", default=None,
+                   choices=["ngram", "draft_model"])
     p.add_argument("--num-speculative-tokens", type=int, default=4)
+    p.add_argument("--draft-model", default=None,
+                   help="checkpoint path of the draft LM "
+                        "(--speculative-method draft_model)")
     p.add_argument("--enable-lora", action="store_true")
     p.add_argument("--max-loras", type=int, default=8)
     p.add_argument("--config", default=None,
@@ -101,7 +105,8 @@ def _build_config(args) -> EngineConfig:
             prefetch_window=args.offload_prefetch_window),
         speculative_config=SpeculativeConfig(
             method=args.speculative_method,
-            num_speculative_tokens=args.num_speculative_tokens),
+            num_speculative_tokens=args.num_speculative_tokens,
+            draft_model=getattr(args, "draft_model", None)),
         lora_config=LoRAConfig(enabled=args.enable_lora,
                                max_loras=args.max_loras),
     )
