@@ -278,6 +278,39 @@ class EngineCore:
                 if req.is_finished:
                     self.proposer.free(req.request_id)
 
+    def scale_expert_parallel(self, new_ep: int) -> None:
+        """Elastic EP (reference: elastic scale-up/down of EP ranks,
+        examples/online_serving elastic_ep): rebuild the mesh with a new
+        expert-axis size and re-shard params + KV caches in place via XLA
+        resharding collectives. In-flight requests, the prefix cache and
+        KV contents are preserved; the next step traces against the new
+        mesh (one recompile per bucket)."""
+        if self.model.mesh is None:
+            raise ValueError("elastic EP requires a device mesh")
+        from lvllm_tpu.parallel.mesh import make_mesh
+        from lvllm_tpu.parallel.sharding import shard_params
+
+        pc = self.config.parallel_config
+        devices = list(self.model.mesh.devices.flat)
+        n = len(devices)
+        dp = pc.data_parallel_size
+        if new_ep < 1 or n % (new_ep * dp) != 0:
+            raise ValueError(
+                f"cannot factor {n} devices into dp={dp} x ep={new_ep}")
+        if self.config.model_config.num_experts % new_ep != 0:
+            raise ValueError(
+                f"{self.config.model_config.num_experts} experts do not "
+                f"shard over ep={new_ep}")
+        pc.expert_parallel_size = new_ep
+        pc.tensor_parallel_size = n // (new_ep * dp)
+        new_mesh = make_mesh(pc, devices)
+        self.runner.params = shard_params(
+            self.runner.params, self.config.model_config, new_mesh)
+        self.model.mesh = new_mesh
+        self.runner.reshard(new_mesh)
+        logger.info("elastic EP: resharded to ep=%d tp=%d", new_ep,
+                    pc.tensor_parallel_size)
+
     def get_stats(self) -> dict:
         stats = self.scheduler.make_stats()
         stats["latency"] = self.metrics.summary()

@@ -114,6 +114,22 @@ class ModelRunner:
         if config.offload_config.enabled and mc.is_moe:
             self._init_offload()
 
+    def reshard(self, mesh) -> None:
+        """Re-place KV caches for a new mesh and drop the step compile
+        cache (elastic EP; see EngineCore.scale_expert_parallel)."""
+        from jax.sharding import NamedSharding
+        from lvllm_tpu.parallel.sharding import kv_cache_spec
+
+        self.mesh = mesh
+        spec = kv_cache_spec(self.config.model_config, mesh)
+        sharding = NamedSharding(mesh, spec)
+        self.kv_caches = [
+            jax.device_put(kv, sharding) if not isinstance(kv, dict) else kv
+            for kv in self.kv_caches]
+        self._step_fn = jax.jit(
+            self._step, donate_argnums=(1,),
+            static_argnames=("greedy_only", "want_topk_logprobs"))
+
     def _make_caches(self, kv_dtype):
         mc = self.config.model_config
         cc = self.config.cache_config
