@@ -186,10 +186,12 @@ class SchedulerConfig:
 
     def __post_init__(self) -> None:
         buckets = sorted(set(int(b) for b in self.token_buckets))
-        if buckets[-1] < self.max_num_batched_tokens:
+        buckets = [b for b in buckets if b <= self.max_num_batched_tokens]
+        # The scheduler can always fill the whole budget — the top bucket
+        # must cover it exactly.
+        if not buckets or buckets[-1] < self.max_num_batched_tokens:
             buckets.append(self.max_num_batched_tokens)
-        self.token_buckets = tuple(b for b in buckets
-                                   if b <= self.max_num_batched_tokens)
+        self.token_buckets = tuple(buckets)
 
     def pad_tokens_to_bucket(self, num_tokens: int) -> int:
         for b in self.token_buckets:

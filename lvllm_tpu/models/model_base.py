@@ -7,7 +7,7 @@ stateless objects; parameters are an explicit pytree threaded through
 ``__call__`` so the whole step jits and shards under one pjit.
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Dict, Iterable, List, Optional, Protocol, Tuple
 
 import jax
@@ -28,6 +28,12 @@ class AttentionMetadata:
     # Hybrid (linear-attention) layers: persistent state slot per batch row
     # (index max_num_reqs = scratch); None for pure-paged models.
     row_slots: Optional[jax.Array] = None
+    # STATIC (part of the jit cache key): the batch is one contiguous
+    # request segment (long prefill) — linear-attention layers take the
+    # chunk-parallel MXU path instead of the token scan (ops/gdn.py
+    # gated_delta_rule_chunked).
+    single_seq_prefill: bool = field(default=False,
+                                     metadata=dict(static=True))
 
     @property
     def num_reqs(self) -> int:

@@ -24,7 +24,9 @@ from lvllm_tpu.config import ModelConfig
 from lvllm_tpu.layers.common import rms_norm
 from lvllm_tpu.models.model_base import AttentionMetadata, Params
 from lvllm_tpu.models.qwen3 import Qwen3Model
-from lvllm_tpu.ops.gdn import (causal_conv1d_ragged, gated_delta_rule_ragged,
+from lvllm_tpu.ops.gdn import (causal_conv1d_ragged, causal_conv1d_single,
+                               gated_delta_rule_chunked,
+                               gated_delta_rule_ragged,
                                l2norm)
 from lvllm_tpu.ops.attention import _token_request_map
 from lvllm_tpu.logger import init_logger
@@ -170,9 +172,20 @@ class Qwen3NextModel(Qwen3Model):
             scratch).astype(jnp.int32)
         reset = (positions == 0) & token_valid
 
-        conv_out, conv_state = causal_conv1d_ragged(
-            mixed, state["conv"], attn["conv_weight"].astype(jnp.float32),
-            token_slot, reset)
+        if md.single_seq_prefill:
+            # Chunk-parallel fast path (one contiguous request segment):
+            # conv via K shifted adds, delta rule via the WY chunk form.
+            slot0 = token_slot[0]
+            L = md.query_start_loc[1] - md.query_start_loc[0]
+            reset0 = reset[0]
+            win0 = jnp.where(reset0, 0.0, state["conv"][slot0])
+            conv_out, new_win = causal_conv1d_single(
+                mixed, win0, attn["conv_weight"].astype(jnp.float32), L)
+            conv_state = state["conv"].at[slot0].set(new_win)
+        else:
+            conv_out, conv_state = causal_conv1d_ragged(
+                mixed, state["conv"], attn["conv_weight"].astype(jnp.float32),
+                token_slot, reset)
 
         qc = conv_out[:, :Hk * dk].reshape(T, Hk, dk)
         kc = conv_out[:, Hk * dk:2 * Hk * dk].reshape(T, Hk, dk)
@@ -185,8 +198,18 @@ class Qwen3NextModel(Qwen3Model):
         g = -jnp.exp(attn["a_log"]) * jax.nn.softplus(
             a.astype(jnp.float32) + attn["dt_bias"])
 
-        core, rec_state = gated_delta_rule_ragged(
-            qc, kc, vc, g, beta, state["rec"], token_slot, reset)
+        if md.single_seq_prefill:
+            # Neutralize padded tail tokens: β=0 (no update), g=0 (no
+            # decay) freezes the state at position L.
+            tv = token_valid[:, None]
+            s0 = jnp.where(reset0, 0.0, state["rec"][slot0])
+            core, s_out = gated_delta_rule_chunked(
+                qc, kc, vc, jnp.where(tv, g, 0.0),
+                jnp.where(tv, beta, 0.0), s0)
+            rec_state = state["rec"].astype(jnp.float32).at[slot0].set(s_out)
+        else:
+            core, rec_state = gated_delta_rule_ragged(
+                qc, kc, vc, g, beta, state["rec"], token_slot, reset)
 
         # Gated RMSNorm (norm then * silu(z)).
         normed = rms_norm(core.astype(jnp.float32),

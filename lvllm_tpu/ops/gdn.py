@@ -54,6 +54,24 @@ def causal_conv1d_ragged(
     return jax.nn.silu(ys).astype(x.dtype), conv_state.astype(jnp.float32)
 
 
+def causal_conv1d_single(
+    x: jax.Array,        # [T, C] (first L = real tokens of one sequence)
+    window: jax.Array,   # [C, K-1] entering rolling window
+    weight: jax.Array,   # [C, K]
+    seq_len: jax.Array,  # scalar i32: real length L (pads after are inert)
+) -> Tuple[jax.Array, jax.Array]:
+    """Vectorized depthwise causal conv for one contiguous sequence —
+    K shifted adds instead of a T-step scan. Returns (SiLU outputs [T, C],
+    window after token L-1)."""
+    T = x.shape[0]
+    K = weight.shape[1]
+    xf = x.astype(jnp.float32)
+    xx = jnp.concatenate([window.astype(jnp.float32).T, xf], axis=0)
+    y = sum(xx[j:j + T] * weight[:, j] for j in range(K))
+    new_window = jax.lax.dynamic_slice_in_dim(xx, seq_len, K - 1, axis=0)
+    return jax.nn.silu(y).astype(x.dtype), new_window.T
+
+
 def gated_delta_rule_ragged(
     q: jax.Array,           # [T, H, dk] (raw; normalized+scaled inside)
     k: jax.Array,           # [T, H, dk]
@@ -87,3 +105,94 @@ def gated_delta_rule_ragged(
         step, rec_state.astype(jnp.float32),
         (qf, kf, vf, gf, bf, token_slot, reset))
     return outs, rec_state.astype(jnp.float32)
+
+
+def gated_delta_rule_chunked(
+    q: jax.Array,        # [L, H, dk] (raw; normalized+scaled inside)
+    k: jax.Array,        # [L, H, dk]
+    v: jax.Array,        # [L, H, dv]
+    g: jax.Array,        # [L, H] log-decay (≤ 0)
+    beta: jax.Array,     # [L, H]
+    state0: jax.Array,   # [H, dk, dv] entering recurrent state
+    chunk_size: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunk-parallel gated delta rule for one contiguous sequence.
+
+    MXU-friendly prefill path (counterpart of the reference's chunked GDN
+    kernels, ``fla``-style chunk_gated_delta_rule): the per-token rank-1
+    recurrence  S_t = exp(g_t)(I − β_t k_t k_tᵀ) S_{t-1} + β_t k_t v_tᵀ
+    is solved per chunk in closed form via the WY representation. With
+    within-chunk cumulative decay G_t = Σ_{s≤t} g_s, the auxiliary rows Ū
+    satisfy the unit-lower-triangular system
+
+        (I + strict_tril(diag(β) · (K Kᵀ ⊙ D))) Ū
+            = diag(β) (Γ ⊙ (K S₀) − V),   D_{ti} = exp(G_t − G_i),
+
+    (all decay factors exp(G_t − G_i), i ≤ t, are ≤ 1 — numerically safe)
+    after which outputs and the chunk-exit state are pure matmuls:
+
+        o_t = γ_t q_tᵀ S₀ − Σ_{i≤t} exp(G_t−G_i)(q_tᵀ k_i) ū_iᵀ
+        S_C = γ_C S₀ − Σ_t exp(G_C−G_t) k_t ū_tᵀ.
+
+    Cost: O(L·C) with C×C triangular solves instead of an O(L) scalar
+    scan — the MXU does the work. Exactly matches the ragged scan oracle
+    (tests/ops/test_gdn.py). The general mixed-batch engine path keeps the
+    scan; this op serves single-request prefill segments.
+
+    Returns (outputs [L, H, dv], final state [H, dk, dv]).
+    """
+    L, H, dk = q.shape
+    dv = v.shape[-1]
+    C = chunk_size
+    pad = (-L) % C
+    qf = l2norm(q.astype(jnp.float32)) * (dk ** -0.5)
+    kf = l2norm(k.astype(jnp.float32))
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    bf = beta.astype(jnp.float32)
+    if pad:
+        qf = jnp.pad(qf, ((0, pad), (0, 0), (0, 0)))
+        kf = jnp.pad(kf, ((0, pad), (0, 0), (0, 0)))
+        vf = jnp.pad(vf, ((0, pad), (0, 0), (0, 0)))
+        gf = jnp.pad(gf, ((0, pad), (0, 0)))   # g=0: pads don't decay
+        bf = jnp.pad(bf, ((0, pad), (0, 0)))   # β=0: pads don't update
+    NC = (L + pad) // C
+
+    def to_chunks(x):
+        return x.reshape(NC, C, *x.shape[1:])
+
+    qc, kc, vc, gc, bc = map(to_chunks, (qf, kf, vf, gf, bf))
+    tril_strict = jnp.tril(jnp.ones((C, C), jnp.float32), -1)
+    tril_incl = jnp.tril(jnp.ones((C, C), jnp.float32))
+    eye = jnp.eye(C, dtype=jnp.float32)
+
+    def one_chunk(state, inp):
+        qt, kt, vt, gt, bt = inp                 # [C, H, *]
+        G = jnp.cumsum(gt, axis=0)               # [C, H]
+        gamma = jnp.exp(G)
+        # D[h, t, i] = exp(G_t − G_i) for i ≤ t; mask BEFORE the exp — the
+        # upper triangle has positive exponents that overflow to inf, and
+        # inf · 0 would poison the masked product with NaNs.
+        diff = G.T[:, :, None] - G.T[:, None, :]           # [H, C, C]
+        D = jnp.exp(jnp.where(tril_incl[None] > 0, diff, -jnp.inf))
+        KK = jnp.einsum("thd,ihd->hti", kt, kt)
+        A = bt.T[:, :, None] * KK * D * tril_strict[None]
+        kS0 = jnp.einsum("thd,hdv->htv", kt, state)        # [H, C, dv]
+        rhs = bt.T[:, :, None] * (gamma.T[:, :, None] * kS0
+                                  - jnp.transpose(vt, (1, 0, 2)))
+        U = jax.scipy.linalg.solve_triangular(
+            eye[None] + A, rhs, lower=True, unit_diagonal=True)  # [H,C,dv]
+        qS0 = jnp.einsum("thd,hdv->htv", qt, state)
+        QK = jnp.einsum("thd,ihd->hti", qt, kt)
+        o = (gamma.T[:, :, None] * qS0
+             - jnp.einsum("hti,hiv->htv", QK * D * tril_incl[None], U))
+        decay_to_end = jnp.exp(G[-1][None, :] - G)          # [C, H]
+        state = (jnp.exp(G[-1])[:, None, None] * state
+                 - jnp.einsum("thd,th,thv->hdv", kt, decay_to_end,
+                              jnp.transpose(U, (1, 0, 2))))
+        return state, jnp.transpose(o, (1, 0, 2))           # [C, H, dv]
+
+    state, outs = jax.lax.scan(one_chunk, state0.astype(jnp.float32),
+                               (qc, kc, vc, gc, bc))
+    outs = outs.reshape(NC * C, H, dv)[:L]
+    return outs, state

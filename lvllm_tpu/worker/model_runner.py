@@ -104,7 +104,8 @@ class ModelRunner:
         # One jitted step function; recompiles per (T_bucket,) shape.
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
-            static_argnames=("greedy_only", "want_topk_logprobs"))
+            static_argnames=("greedy_only", "want_topk_logprobs",
+                             "single_seq_prefill"))
 
         # Set by EngineCore when LoRA serving is enabled.
         self.lora_manager = None
@@ -128,7 +129,8 @@ class ModelRunner:
             for kv in self.kv_caches]
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
-            static_argnames=("greedy_only", "want_topk_logprobs"))
+            static_argnames=("greedy_only", "want_topk_logprobs",
+                             "single_seq_prefill"))
 
     def _make_caches(self, kv_dtype):
         mc = self.config.model_config
@@ -283,7 +285,8 @@ class ModelRunner:
               temperature, top_k, top_p, min_p, seeds, steps,
               penalty_args=None, grammar_mask=None, lora=None,
               token_adapter=None, async_args=None, greedy_only=False,
-              row_slots=None, want_topk_logprobs=False):
+              row_slots=None, want_topk_logprobs=False,
+              single_seq_prefill=False):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -296,6 +299,7 @@ class ModelRunner:
             block_table=block_table,
             slot_mapping=slot_mapping,
             row_slots=row_slots,
+            single_seq_prefill=single_seq_prefill,
         )
         hidden, kv_caches = self.model(params, input_ids, positions,
                                        kv_caches, md, lora=lora,
@@ -538,6 +542,14 @@ class ModelRunner:
                 rs[r] = ib.req_id_to_index[rid]
             row_slots = jnp.asarray(rs)
 
+        # Static chunk-parallel GDN path: exactly one scheduled request
+        # with a long query segment (typical long-prefill chunk). Only
+        # worth a distinct compile for hybrid linear-attention models.
+        single_seq = bool(
+            self.config.model_config.layer_types is not None
+            and len(so.num_scheduled_tokens) == 1
+            and next(iter(so.num_scheduled_tokens.values())) >= 64)
+
         # Static greedy fast path: active rows all temperature-0.
         active = [ib.req_id_to_index[rid] for rid in row_req_ids]
         greedy_only = bool(np.all(ib.temperature[active] == 0.0)) \
@@ -556,7 +568,7 @@ class ModelRunner:
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
                 async_args=async_args, greedy_only=greedy_only,
                 row_slots=row_slots, want_topk_logprobs=want_topk,
-                **lora_args)
+                single_seq_prefill=single_seq, **lora_args)
             self.kv_caches = kv
 
         handle = StepHandle(
