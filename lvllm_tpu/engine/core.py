@@ -10,6 +10,7 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from lvllm_tpu.config import EngineConfig
 from lvllm_tpu.core.request import Request
@@ -277,6 +278,62 @@ class EngineCore:
             for req in stepped:
                 if req.is_finished:
                     self.proposer.free(req.request_id)
+
+    def rebalance_experts(self, loads) -> dict:
+        """EPLB live reshuffle (reference: eplb_state.rearrange +
+        rebalance_execute weight shuffling): re-place experts onto EP ranks
+        so the hot ones spread evenly. Permutation-based (P == E): expert
+        weights are gathered into the new physical order and the router's
+        output columns are permuted to match, so routing picks physical
+        slots natively with zero per-step overhead.
+
+        ``loads``: logical-expert load vector [E] (or {layer_idx: [E]}),
+        e.g. from offline profiling or the ExpertLoadTracker. Returns
+        {layer_idx: balance_ratio_after}. Group-limited routers
+        (n_group > 1) are skipped — column permutation would break the
+        group structure."""
+        import numpy as np
+
+        from lvllm_tpu.parallel.eplb import (EplbConfig, balance_ratio,
+                                             rebalance_experts)
+
+        mc = self.config.model_config
+        E = mc.num_experts
+        if not E:
+            raise ValueError("model has no experts")
+        if mc.n_group > 1:
+            raise ValueError("EPLB permutation unsupported for "
+                             "group-limited routing (n_group > 1)")
+        ep = max(self.config.parallel_config.expert_parallel_size, 1)
+        cfg = EplbConfig(num_logical_experts=E, num_physical_experts=E,
+                         num_ranks=ep)
+        if not hasattr(self, "_eplb_p2l"):
+            self._eplb_p2l = {}
+        params = self.runner.params
+        report = {}
+        for i, layer in enumerate(params["layers"]):
+            moe = layer.get("moe")
+            if moe is None:
+                continue
+            load = np.asarray(loads[i] if isinstance(loads, dict)
+                              else loads, np.float64)
+            p2l = rebalance_experts(load, cfg)          # new physical→logical
+            cur = self._eplb_p2l.get(i, np.arange(E))
+            cur_l2p = np.empty(E, np.int64)
+            cur_l2p[cur] = np.arange(E)
+            rel = jnp.asarray(cur_l2p[p2l], jnp.int32)  # gather in cur order
+            for name in ("w1", "w2", "w1_q", "w1_scales", "w2_q",
+                         "w2_scales"):
+                if name in moe:
+                    moe[name] = moe[name][rel]
+            moe["router"] = moe["router"][:, rel]
+            for vec in ("router_bias", "e_score_bias"):
+                if moe.get(vec) is not None:
+                    moe[vec] = moe[vec][rel]
+            self._eplb_p2l[i] = p2l
+            report[i] = balance_ratio(load, p2l, ep)
+        logger.info("EPLB rebalance applied to %d layers", len(report))
+        return report
 
     def scale_expert_parallel(self, new_ep: int) -> None:
         """Elastic EP (reference: elastic scale-up/down of EP ranks,
