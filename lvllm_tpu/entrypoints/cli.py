@@ -129,7 +129,8 @@ def cmd_serve(args) -> None:
     asyncio.run(serve(config, host=args.host, port=args.port,
                       load_format=args.load_format, tokenizer=tokenizer,
                       model_name=args.served_model_name or args.model,
-                      mesh=_make_mesh_if_parallel(args)))
+                      mesh=_make_mesh_if_parallel(args),
+                      tool_parser=args.tool_call_parser))
 
 
 def cmd_complete(args) -> None:
@@ -208,6 +209,9 @@ def main(argv=None) -> None:
     p_serve.add_argument("--host", default="0.0.0.0")
     p_serve.add_argument("--port", type=int, default=8000)
     p_serve.add_argument("--served-model-name", default=None)
+    p_serve.add_argument("--tool-call-parser", default="hermes",
+                         help="hermes|llama3_json|mistral|deepseek_v3|"
+                              "glm4|qwen3_coder")
     p_serve.set_defaults(func=cmd_serve)
 
     p_c = sub.add_parser("complete", help="one-shot completion")

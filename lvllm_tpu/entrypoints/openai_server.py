@@ -466,11 +466,13 @@ class OpenAIServer:
 async def serve(config: EngineConfig, host: str = "0.0.0.0",
                 port: int = 8000, load_format: str = "auto",
                 tokenizer=None, model_name: str = "lvllm-model",
-                mesh=None) -> None:
+                mesh=None, tool_parser: str = "hermes",
+                reasoning: bool = True) -> None:
     llm = AsyncLLM(config, load_format=load_format, tokenizer=tokenizer,
                    mesh=mesh)
     await llm.start()
-    server = OpenAIServer(llm, model_name)
+    server = OpenAIServer(llm, model_name, tool_parser=tool_parser,
+                          enable_reasoning=reasoning)
     runner = web.AppRunner(server.app)
     await runner.setup()
     site = web.TCPSite(runner, host, port)

@@ -5,6 +5,11 @@ qwen3_coder, kimi_k2, glm47…) and ``vllm/reasoning/`` (22 parsers), scoped
 to the formats of the target model families:
 
 - HermesToolParser — ``<tool_call>{json}</tool_call>`` blocks (Qwen/Hermes)
+- Llama3JsonToolParser — raw/`<|python_tag|>` JSON calls (llama3_json)
+- MistralToolParser — ``[TOOL_CALLS] [...]`` JSON array
+- DeepseekV3ToolParser — ``<｜tool▁call▁begin｜>`` fenced-json blocks
+- Glm4ToolParser — ``<tool_call>name <arg_key>/<arg_value>`` XML-ish
+- Qwen3CoderToolParser — ``<function=...><parameter=...>`` blocks
 - ReasoningParser  — ``<think>…</think>`` reasoning extraction (Qwen3/GLM/
   DeepSeek-R1 style)
 """
@@ -75,7 +80,150 @@ class ReasoningParser:
         return (reasoning or None), tail.strip()
 
 
-_TOOL_PARSERS = {"hermes": HermesToolParser}
+class Llama3JsonToolParser:
+    """Llama-3.1 JSON tool calls (reference: tool_parsers/llama_tool_parser
+    ``llama3_json``): the model emits a bare JSON object
+    ``{"name": ..., "parameters": {...}}``, optionally prefixed with
+    ``<|python_tag|>``; multiple calls are ';'-separated."""
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        body = text
+        if "<|python_tag|>" in body:
+            content, _, body = body.partition("<|python_tag|>")
+        elif body.lstrip().startswith("{"):
+            content = ""
+        else:
+            return text, []
+        calls: List[ToolCall] = []
+        for part in body.split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            try:
+                obj = json.loads(part)
+            except json.JSONDecodeError:
+                continue
+            args = obj.get("parameters", obj.get("arguments", {}))
+            if not isinstance(args, str):
+                args = json.dumps(args)
+            if obj.get("name"):
+                calls.append(ToolCall(name=obj["name"], arguments=args))
+        return (content.strip() if calls else text), calls
+
+
+class MistralToolParser:
+    """Mistral ``[TOOL_CALLS] [{"name": ..., "arguments": {...}}, ...]``
+    (reference: tool_parsers/mistral_tool_parser)."""
+
+    MARKER = "[TOOL_CALLS]"
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        if self.MARKER not in text:
+            return text, []
+        content, _, body = text.partition(self.MARKER)
+        try:
+            arr = json.loads(body.strip())
+        except json.JSONDecodeError:
+            return text, []
+        calls = []
+        for obj in arr if isinstance(arr, list) else [arr]:
+            args = obj.get("arguments", {})
+            if not isinstance(args, str):
+                args = json.dumps(args)
+            if obj.get("name"):
+                calls.append(ToolCall(name=obj["name"], arguments=args))
+        return content.strip(), calls
+
+
+class DeepseekV3ToolParser:
+    """DeepSeek V3/R1 blocks (reference: tool_parsers/deepseekv3_tool_
+    parser): ``<｜tool▁call▁begin｜>function<｜tool▁sep｜>NAME\n```json\n
+    {...}\n```<｜tool▁call▁end｜>`` inside a tool▁calls envelope."""
+
+    BLOCK_RE = re.compile(
+        r"<｜tool▁call▁begin｜>.*?<｜tool▁sep｜>(?P<name>[^\n<]+)\s*"
+        r"```json\s*(?P<json>\{.*?\})\s*```\s*<｜tool▁call▁end｜>",
+        re.DOTALL)
+    ENVELOPE_RE = re.compile(
+        r"<｜tool▁calls▁begin｜>.*?(<｜tool▁calls▁end｜>|$)", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for m in self.BLOCK_RE.finditer(text):
+            try:
+                args = json.dumps(json.loads(m.group("json")))
+            except json.JSONDecodeError:
+                continue
+            calls.append(ToolCall(name=m.group("name").strip(),
+                                  arguments=args))
+        content = self.ENVELOPE_RE.sub("", text).strip()
+        return content, calls
+
+
+class Glm4ToolParser:
+    """GLM-4.5 XML-ish blocks (reference: tool_parsers/glm4_moe_tool_
+    parser): ``<tool_call>NAME\n<arg_key>K</arg_key><arg_value>V
+    </arg_value>...</tool_call>``; values parse as JSON when they look
+    like it, else stay strings."""
+
+    BLOCK_RE = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    ARG_RE = re.compile(r"<arg_key>(.*?)</arg_key>\s*"
+                        r"<arg_value>(.*?)</arg_value>", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for m in self.BLOCK_RE.finditer(text):
+            block = m.group(1).strip()
+            name = block.split("\n", 1)[0].split("<arg_key>", 1)[0].strip()
+            if not name:
+                continue
+            args = {}
+            for k, v in self.ARG_RE.findall(block):
+                v = v.strip()
+                try:
+                    args[k.strip()] = json.loads(v)
+                except json.JSONDecodeError:
+                    args[k.strip()] = v
+            calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        content = self.BLOCK_RE.sub("", text).strip()
+        return content, calls
+
+
+class Qwen3CoderToolParser:
+    """Qwen3-Coder blocks (reference: tool_parsers/qwen3coder_tool_parser):
+    ``<tool_call><function=NAME><parameter=KEY>VALUE</parameter>...
+    </function></tool_call>``."""
+
+    BLOCK_RE = re.compile(r"<tool_call>\s*<function=([^>]+)>(.*?)"
+                          r"</function>\s*</tool_call>", re.DOTALL)
+    PARAM_RE = re.compile(r"<parameter=([^>]+)>(.*?)</parameter>",
+                          re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for m in self.BLOCK_RE.finditer(text):
+            args = {}
+            for k, v in self.PARAM_RE.findall(m.group(2)):
+                v = v.strip()
+                try:
+                    args[k] = json.loads(v)
+                except json.JSONDecodeError:
+                    args[k] = v
+            calls.append(ToolCall(name=m.group(1).strip(),
+                                  arguments=json.dumps(args)))
+        content = self.BLOCK_RE.sub("", text).strip()
+        return content, calls
+
+
+_TOOL_PARSERS = {
+    "hermes": HermesToolParser,
+    "llama3_json": Llama3JsonToolParser,
+    "mistral": MistralToolParser,
+    "deepseek_v3": DeepseekV3ToolParser,
+    "glm4": Glm4ToolParser,
+    "glm45": Glm4ToolParser,
+    "qwen3_coder": Qwen3CoderToolParser,
+}
 
 
 def get_tool_parser(name: str):
