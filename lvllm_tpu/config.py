@@ -94,6 +94,11 @@ class ModelConfig:
     # model_loader/quant_ckpt.py.
     ckpt_quant: Optional[dict] = None
 
+    # Multimodal (LLaVA-family): CLIP vision tower config dict + the
+    # placeholder token id spliced with image features.
+    vision_config: Optional[dict] = None
+    image_token_id: Optional[int] = None
+
     # Special tokens (filled by tokenizer glue when available).
     eos_token_id: int = 2
     bos_token_id: int = 1

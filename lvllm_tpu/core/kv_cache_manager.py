@@ -142,7 +142,9 @@ class KVCacheManager:
 
         # Register blocks that become full after this step in the prefix
         # cache (lookahead/spec tokens are not cached — unverified).
-        if self.enable_caching:
+        if self.enable_caching and not getattr(request, "mm_data", None):
+            # Multimodal requests don't publish blocks to the prefix cache:
+            # placeholder token ids don't hash the image content.
             num_full_blocks = (num_computed_tokens + num_new_tokens) // \
                 self.block_size
             block_hashes = self.get_block_hashes(request)

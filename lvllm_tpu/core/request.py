@@ -51,8 +51,12 @@ class Request:
         priority: int = 0,
         prompt: Optional[str] = None,
         lora_int_id: Optional[int] = None,
+        mm_data: Optional[dict] = None,
     ) -> None:
         self.request_id = request_id
+        # Multimodal inputs: {"pixel_values": np [B, 3, S, S]} — encoded
+        # once by the runner, spliced at image-token placeholder positions.
+        self.mm_data = mm_data
         self.prompt = prompt
         self.prompt_token_ids: List[int] = list(prompt_token_ids)
         self.sampling_params = sampling_params

@@ -21,6 +21,7 @@ class NewRequestData:
     num_computed_tokens: int
     sampling_params: SamplingParams
     lora_int_id: int = 0
+    mm_data: object = None  # {"pixel_values": np [B, 3, S, S]} or None
 
 
 @dataclass

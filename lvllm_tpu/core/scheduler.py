@@ -177,7 +177,10 @@ class Scheduler:
             req = self.waiting[0]
             resumed = req.status == RequestStatus.PREEMPTED
 
-            if resumed:
+            if resumed or getattr(req, "mm_data", None):
+                # Multimodal prompts skip prefix-cache reuse: placeholder
+                # token ids don't hash the image content (reference hashes
+                # mm items into block hashes; we opt out instead).
                 new_computed_blocks, num_cached_tokens = None, 0
             else:
                 new_computed_blocks, num_cached_tokens = \
@@ -236,6 +239,7 @@ class Scheduler:
                     num_computed_tokens=req.num_computed_tokens,
                     sampling_params=req.sampling_params,
                     lora_int_id=getattr(req, 'lora_slot', 0),
+                    mm_data=getattr(req, 'mm_data', None),
                 ))
             output.num_scheduled_tokens[req.request_id] = num_new_tokens
             if self.async_scheduling:

@@ -9,6 +9,8 @@ overlap without the process hop (that boundary returns for DP, §2.3).
 """
 
 import asyncio
+
+import numpy as np
 import itertools
 from concurrent.futures import ThreadPoolExecutor
 from typing import AsyncGenerator, Dict, List, Optional, Union
@@ -56,7 +58,8 @@ class AsyncLLM:
 
     def _make_request(self, prompt: Union[str, List[int]],
                       sampling_params: SamplingParams,
-                      request_id: Optional[str]) -> Request:
+                      request_id: Optional[str],
+                      mm_data: Optional[dict] = None) -> Request:
         if request_id is None:
             request_id = f"req-{next(self._req_counter)}"
         if isinstance(prompt, str):
@@ -67,21 +70,42 @@ class AsyncLLM:
         else:
             prompt_token_ids = list(prompt)
             text = None
+        mc = self.config.model_config
+        if mm_data is not None and mc.image_token_id is not None:
+            # Expand un-expanded placeholders (one <image> per image) to
+            # the model's per-image token count (reference: llava input
+            # processor image_seq_length expansion).
+            n_img_tok = self._num_image_tokens()
+            n_images = np.asarray(mm_data["pixel_values"]).shape[0]
+            n_ph = sum(1 for t in prompt_token_ids
+                       if t == mc.image_token_id)
+            if n_ph == n_images and n_ph * n_img_tok != n_ph:
+                expanded = []
+                for t in prompt_token_ids:
+                    expanded.extend([t] * n_img_tok
+                                    if t == mc.image_token_id else [t])
+                prompt_token_ids = expanded
         return Request(request_id=request_id,
                        prompt_token_ids=prompt_token_ids,
                        sampling_params=sampling_params,
                        eos_token_id=self.config.model_config.eos_token_id,
-                       prompt=text)
+                       prompt=text, mm_data=mm_data)
+
+    def _num_image_tokens(self) -> int:
+        vc = self.config.model_config.vision_config or {}
+        return (vc.get("image_size", 336) // vc.get("patch_size", 14)) ** 2
 
     async def generate(
         self,
         prompt: Union[str, List[int]],
         sampling_params: SamplingParams,
         request_id: Optional[str] = None,
+        mm_data: Optional[dict] = None,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Stream RequestOutputs for one request until finished."""
         await self.start()
-        req = self._make_request(prompt, sampling_params, request_id)
+        req = self._make_request(prompt, sampling_params, request_id,
+                                 mm_data=mm_data)
         queue: asyncio.Queue = asyncio.Queue()
         self._queues[req.request_id] = queue
         self.core.add_request(req)

@@ -39,6 +39,7 @@ class LLMEngine:
         prompt: Union[str, List[int]],
         sampling_params: SamplingParams,
         priority: int = 0,
+        mm_data: Optional[dict] = None,
     ) -> str:
         if request_id is None:
             request_id = f"req-{next(self._req_counter)}"
@@ -57,6 +58,7 @@ class LLMEngine:
             eos_token_id=self.config.model_config.eos_token_id,
             priority=priority,
             prompt=prompt_text,
+            mm_data=mm_data,
         )
         self.core.add_request(req)
         self.output_processor.add_request(req)

@@ -364,7 +364,11 @@ class OpenAIServer:
         try:
             body = await request.json()
             messages = body["messages"]
+            pixels = self._extract_images(messages)
             prompt = self._apply_chat_template(messages)
+            mm_data = None
+            if pixels is not None:
+                prompt, mm_data = self._splice_image_tokens(prompt, pixels)
             sp = sampling_params_from_request(body)
         except (ValueError, KeyError, TypeError) as e:
             return self._error(str(e), 400)
@@ -374,7 +378,8 @@ class OpenAIServer:
                                                  chat=True)
         try:
             final = None
-            async for out in self.llm.generate(prompt, sp, rid):
+            async for out in self.llm.generate(prompt, sp, rid,
+                                               mm_data=mm_data):
                 final = out
         except ValueError as e:
             return self._error(str(e), 400)
@@ -402,6 +407,52 @@ class OpenAIServer:
             }],
             "usage": self._usage(final),
         })
+
+    # ---- multimodal helpers ------------------------------------------------
+
+    def _extract_images(self, messages):
+        """Pull image_url content blocks (data: URLs) out of OpenAI-style
+        messages, replacing them with the <image> marker; returns stacked
+        pixel_values or None (reference: chat_utils mm content parsing)."""
+        mc = self.llm.config.model_config
+        pixel_list = []
+        for m in messages:
+            c = m.get("content")
+            if not isinstance(c, list):
+                continue
+            parts = []
+            for b in c:
+                if isinstance(b, dict) and b.get("type") == "image_url":
+                    if mc.image_token_id is None:
+                        raise ValueError(
+                            "model does not accept image input")
+                    from lvllm_tpu.multimodal import pixels_from_data_url
+                    url = b.get("image_url")
+                    if isinstance(url, dict):
+                        url = url.get("url", "")
+                    vc = mc.vision_config or {}
+                    pixel_list.append(pixels_from_data_url(
+                        url, vc.get("image_size", 336)))
+                    parts.append("<image>")
+                elif isinstance(b, dict):
+                    parts.append(b.get("text", ""))
+            m["content"] = "".join(parts)
+        if not pixel_list:
+            return None
+        from lvllm_tpu.multimodal import stack_images
+        return stack_images(pixel_list)
+
+    def _splice_image_tokens(self, prompt: str, pixels):
+        """Tokenize around <image> markers, inserting one placeholder id
+        per image (expanded to the per-image token count downstream)."""
+        mc = self.llm.config.model_config
+        ids = []
+        for i, seg in enumerate(prompt.split("<image>")):
+            if i:
+                ids.append(mc.image_token_id)
+            if seg:
+                ids.extend(self.llm.tokenizer.encode(seg))
+        return ids, {"pixel_values": pixels}
 
     # ---- helpers -----------------------------------------------------------
 

@@ -23,6 +23,23 @@ def load_model_config(model_path: str,
         hf = json.load(f)
 
     arch = (hf.get("architectures") or ["Qwen3ForCausalLM"])[0]
+    vision_cfg = None
+    image_token_id = None
+    if arch in ("LlavaForConditionalGeneration",
+                "LlavaNextForConditionalGeneration"):
+        # Nested multimodal config: flatten text_config into the main
+        # fields, keep the vision tower dict (reference:
+        # transformers_utils/config.py nested-config handling).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg.setdefault("vision_feature_layer",
+                              hf.get("vision_feature_layer", -2))
+        image_token_id = hf.get("image_token_index", hf.get("image_token_id"))
+        text = dict(hf.get("text_config") or {})
+        text["architectures"] = text.get("architectures") or \
+            ["LlamaForCausalLM"]
+        outer_arch = arch
+        hf = {**hf, **text}
+        arch = outer_arch
     num_experts = (hf.get("num_experts") or hf.get("n_routed_experts")
                    or hf.get("num_local_experts") or 0)
 
@@ -96,6 +113,8 @@ def load_model_config(model_path: str,
         linear_key_head_dim=hf.get("linear_key_head_dim", 64),
         linear_value_head_dim=hf.get("linear_value_head_dim", 64),
         linear_conv_kernel_dim=hf.get("linear_conv_kernel_dim", 4),
+        vision_config=vision_cfg,
+        image_token_id=image_token_id,
     )
     from lvllm_tpu.model_loader.quant_ckpt import detect_ckpt_quant
     mc.ckpt_quant = detect_ckpt_quant(hf)

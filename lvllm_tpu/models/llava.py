@@ -1,0 +1,131 @@
+"""LLaVA-family multimodal model: CLIP ViT tower + projector + LLM.
+
+Counterpart of the reference's ``vllm/model_executor/models/llava.py``
+(LlavaForConditionalGeneration): image pixel values are encoded once per
+request by the vision tower, projected into the text embedding space, and
+spliced into the input embedding stream at the ``<image>`` placeholder
+positions (reference: merge_multimodal_embeddings). HF numerics
+reference: transformers ``LlavaForConditionalGeneration``.
+
+The text side reuses the unified llama-family implementation; the splice
+happens via the ``mm_embeds``/``mm_mask`` hook on the base ``__call__``.
+"""
+
+import re
+from typing import Any, Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.models.qwen3 import Qwen3Model
+from lvllm_tpu.models.vision import (clip_vision_encode, init_vision_params,
+                                     project_image_features)
+from lvllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class LlavaModel(Qwen3Model):
+
+    is_multimodal = True
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        vc = config.vision_config or {}
+        self.v_hidden = vc.get("hidden_size", 1024)
+        self.v_intermediate = vc.get("intermediate_size", 4096)
+        self.v_layers = vc.get("num_hidden_layers", 24)
+        self.v_heads = vc.get("num_attention_heads", 16)
+        self.image_size = vc.get("image_size", 336)
+        self.patch_size = vc.get("patch_size", 14)
+        self.feature_layer = vc.get("vision_feature_layer", -2)
+
+    @property
+    def num_image_tokens(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    # ---- params ------------------------------------------------------------
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        params = super().init_params(rng)
+        nprng = np.random.default_rng(777 + self.config.seed)
+        params["vision"] = init_vision_params(
+            nprng, self.v_hidden, self.v_intermediate, self.v_layers,
+            self.image_size, self.patch_size, self.config.hidden_size,
+            dtype=jnp.float32)
+        return params
+
+    # ---- vision ------------------------------------------------------------
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        """[B, 3, S, S] → projected features [B, N_patches, text_hidden]."""
+        feats = clip_vision_encode(
+            params["vision"], pixel_values, self.patch_size, self.v_heads,
+            self.feature_layer)
+        return project_image_features(params["vision"]["projector"], feats)
+
+    # ---- weight loading ----------------------------------------------------
+
+    def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]):
+        vision: Dict[str, Any] = {"layers": [
+            {} for _ in range(self.v_layers)], "projector": {}}
+
+        def _vis_put(rest: str, w: np.ndarray):
+            m = re.match(r"encoder\.layers\.(\d+)\.(.+)", rest)
+            if m:
+                i, leaf = int(m.group(1)), m.group(2)
+                lp = vision["layers"][i]
+                for hf, ours in (("self_attn.q_proj", "q_proj"),
+                                 ("self_attn.k_proj", "k_proj"),
+                                 ("self_attn.v_proj", "v_proj"),
+                                 ("self_attn.out_proj", "out_proj"),
+                                 ("mlp.fc1", "fc1"), ("mlp.fc2", "fc2"),
+                                 ("layer_norm1", "layer_norm1"),
+                                 ("layer_norm2", "layer_norm2")):
+                    if leaf == hf + ".weight":
+                        key = "kernel" if "norm" not in ours else "weight"
+                        lp.setdefault(ours, {})[key] = jnp.asarray(
+                            w.T if key == "kernel" else w, jnp.float32)
+                        return
+                    if leaf == hf + ".bias":
+                        lp.setdefault(ours, {})["bias"] = jnp.asarray(
+                            w, jnp.float32)
+                        return
+                return
+            if rest == "embeddings.class_embedding":
+                vision["class_embedding"] = jnp.asarray(w, jnp.float32)
+            elif rest == "embeddings.patch_embedding.weight":
+                vision["patch_embedding"] = jnp.asarray(w, jnp.float32)
+            elif rest == "embeddings.position_embedding.weight":
+                vision["position_embedding"] = jnp.asarray(w, jnp.float32)
+            elif rest in ("pre_layrnorm.weight", "pre_layernorm.weight"):
+                vision.setdefault("pre_layernorm", {})["weight"] = \
+                    jnp.asarray(w, jnp.float32)
+            elif rest in ("pre_layrnorm.bias", "pre_layernorm.bias"):
+                vision.setdefault("pre_layernorm", {})["bias"] = \
+                    jnp.asarray(w, jnp.float32)
+            # post_layernorm unused (feature_layer = -2 taps pre-final).
+
+        def filter_stream():
+            for name, w in weights:
+                name = name.removeprefix("model.")
+                if name.startswith("vision_tower.vision_model."):
+                    _vis_put(name.removeprefix("vision_tower.vision_model."),
+                             w)
+                elif name.startswith("multi_modal_projector."):
+                    leaf = name.removeprefix("multi_modal_projector.")
+                    lin, kind = leaf.rsplit(".", 1)
+                    vision["projector"].setdefault(lin, {})[
+                        "kernel" if kind == "weight" else "bias"] = \
+                        jnp.asarray(w.T if kind == "weight" else w,
+                                    jnp.float32)
+                elif name.startswith("language_model."):
+                    yield name.removeprefix("language_model."), w
+                else:
+                    yield name, w
+
+        params = super().load_weights(filter_stream())
+        params["vision"] = vision
+        return params

@@ -278,8 +278,14 @@ class Qwen3Model:
         attn_metadata: AttentionMetadata,
         lora=None,
         token_adapter=None,
+        mm_embeds=None,
+        mm_mask=None,
     ) -> Tuple[jax.Array, KVCaches]:
         x = self.embed_tokens(params, input_ids)
+        if mm_embeds is not None:
+            # Multimodal splice (reference: merge_multimodal_embeddings):
+            # rows flagged by mm_mask take precomputed image features.
+            x = jnp.where(mm_mask[:, None], mm_embeds.astype(x.dtype), x)
         residual = jnp.zeros_like(x)
         new_caches: List[jax.Array] = []
         for i, lp in enumerate(params["layers"]):

@@ -48,6 +48,11 @@ def _register_builtin() -> None:
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
     _REGISTRY["Qwen3NextForCausalLM"] = Qwen3NextModel
 
+    from lvllm_tpu.models.llava import LlavaModel
+    for arch in ("LlavaForConditionalGeneration",
+                 "LlavaNextForConditionalGeneration"):
+        _REGISTRY[arch] = LlavaModel
+
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
                  "DeepseekForCausalLM"):

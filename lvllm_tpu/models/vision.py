@@ -1,0 +1,136 @@
+"""CLIP ViT vision tower + multimodal projector (LLaVA-style).
+
+TPU-native counterpart of the reference's vision encoders
+(``vllm/model_executor/models/clip.py`` CLIPVisionModel and the LLaVA
+family ``llava.py`` multi_modal_projector); numerics follow transformers
+``CLIPVisionTransformer`` (pre-LN ViT, quick_gelu MLP, class token,
+learned position embeddings).
+
+The encoder is a pure function over a params dict; the patch conv is a
+reshape+matmul (each P×P patch flattens onto the MXU — no conv op
+needed at stride == kernel). LLaVA's default feature selection taps the
+penultimate layer's hidden states (vision_feature_layer = -2) and drops
+the CLS token ("default" strategy).
+"""
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _layer_norm(x, w, b, eps=1e-5):
+    x = x.astype(jnp.float32)
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def clip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
+                       patch_size: int, num_heads: int,
+                       feature_layer: int = -2) -> jax.Array:
+    """pixel_values [B, 3, S, S] → patch features [B, N_patches, D]
+    (CLS dropped; hidden states taken after ``feature_layer`` blocks)."""
+    B, C, S, _ = pixel_values.shape
+    P = patch_size
+    G = S // P
+    x = pixel_values.astype(jnp.float32)
+    # Patchify: [B, C, G, P, G, P] → [B, G*G, C*P*P] matching the conv
+    # kernel flattened as [D, C*P*P].
+    x = x.reshape(B, C, G, P, G, P)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(B, G * G, C * P * P)
+    patches = x @ params["patch_embedding"].reshape(
+        params["patch_embedding"].shape[0], -1).T          # [B, N, D]
+    D = patches.shape[-1]
+    cls = jnp.broadcast_to(params["class_embedding"], (B, 1, D))
+    h = jnp.concatenate([cls, patches], axis=1)             # [B, 1+N, D]
+    h = h + params["position_embedding"][None]
+    h = _layer_norm(h, params["pre_layernorm"]["weight"],
+                    params["pre_layernorm"]["bias"])
+
+    layers: List[Dict[str, Any]] = params["layers"]
+    n_run = len(layers) + 1 + feature_layer if feature_layer < 0 \
+        else feature_layer
+    T = h.shape[1]
+    Hd = D // num_heads
+    scale = Hd ** -0.5
+    for lp in layers[:n_run]:
+        res = h
+        h = _layer_norm(h, lp["layer_norm1"]["weight"],
+                        lp["layer_norm1"]["bias"])
+        q = (h @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"]) * scale
+        k = h @ lp["k_proj"]["kernel"] + lp["k_proj"]["bias"]
+        v = h @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"]
+        q = q.reshape(B, T, num_heads, Hd)
+        k = k.reshape(B, T, num_heads, Hd)
+        v = v.reshape(B, T, num_heads, Hd)
+        s = jnp.einsum("bthd,bshd->bhts", q, k)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", p, v).reshape(B, T, D)
+        h = res + (o @ lp["out_proj"]["kernel"] + lp["out_proj"]["bias"])
+        res = h
+        h = _layer_norm(h, lp["layer_norm2"]["weight"],
+                        lp["layer_norm2"]["bias"])
+        h = _quick_gelu(h @ lp["fc1"]["kernel"] + lp["fc1"]["bias"])
+        h = res + (h @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+    return h[:, 1:, :]                                      # drop CLS
+
+
+def project_image_features(params: Dict[str, Any],
+                           features: jax.Array) -> jax.Array:
+    """LLaVA multi_modal_projector: linear → gelu → linear."""
+    h = features @ params["linear_1"]["kernel"] + params["linear_1"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ params["linear_2"]["kernel"] + params["linear_2"]["bias"]
+
+
+def init_vision_params(rng: np.random.Generator, hidden: int,
+                       intermediate: int, num_layers: int, image_size: int,
+                       patch_size: int, text_hidden: int,
+                       dtype=jnp.float32) -> Dict[str, Any]:
+    """Random-init (dummy load format) matching the HF structure."""
+    n_pos = (image_size // patch_size) ** 2 + 1
+
+    def dense(shape, scale=0.02):
+        return jnp.asarray(rng.standard_normal(size=shape) * scale, dtype)
+
+    def ln():
+        return {"weight": jnp.ones((hidden,), dtype),
+                "bias": jnp.zeros((hidden,), dtype)}
+
+    layers = []
+    for _ in range(num_layers):
+        layers.append({
+            "layer_norm1": ln(), "layer_norm2": ln(),
+            "q_proj": {"kernel": dense((hidden, hidden)),
+                       "bias": jnp.zeros((hidden,), dtype)},
+            "k_proj": {"kernel": dense((hidden, hidden)),
+                       "bias": jnp.zeros((hidden,), dtype)},
+            "v_proj": {"kernel": dense((hidden, hidden)),
+                       "bias": jnp.zeros((hidden,), dtype)},
+            "out_proj": {"kernel": dense((hidden, hidden)),
+                         "bias": jnp.zeros((hidden,), dtype)},
+            "fc1": {"kernel": dense((hidden, intermediate)),
+                    "bias": jnp.zeros((intermediate,), dtype)},
+            "fc2": {"kernel": dense((intermediate, hidden)),
+                    "bias": jnp.zeros((hidden,), dtype)},
+        })
+    return {
+        "patch_embedding": dense((hidden, 3, patch_size, patch_size)),
+        "class_embedding": dense((hidden,)),
+        "position_embedding": dense((n_pos, hidden)),
+        "pre_layernorm": {"weight": jnp.ones((hidden,), dtype),
+                          "bias": jnp.zeros((hidden,), dtype)},
+        "layers": layers,
+        "projector": {
+            "linear_1": {"kernel": dense((hidden, text_hidden)),
+                         "bias": jnp.zeros((text_hidden,), dtype)},
+            "linear_2": {"kernel": dense((text_hidden, text_hidden)),
+                         "bias": jnp.zeros((text_hidden,), dtype)},
+        },
+    }

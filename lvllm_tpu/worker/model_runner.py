@@ -110,6 +110,14 @@ class ModelRunner:
         # Set by EngineCore when LoRA serving is enabled.
         self.lora_manager = None
 
+        # Multimodal (LLaVA-family): per-request projected image features
+        # + placeholder positions (reference: mm input mapper + merge).
+        self._mm_feats: Dict[str, np.ndarray] = {}
+        self._mm_positions: Dict[str, np.ndarray] = {}
+        self._encode_images_fn = None
+        if getattr(self.model, "is_multimodal", False):
+            self._encode_images_fn = jax.jit(self.model.encode_images)
+
         # HBM + host-RAM expert tiering (SURVEY.md §2.11 equivalent).
         self.expert_store = None
         if config.offload_config.enabled and mc.is_moe:
@@ -286,7 +294,7 @@ class ModelRunner:
               penalty_args=None, grammar_mask=None, lora=None,
               token_adapter=None, async_args=None, greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
-              single_seq_prefill=False):
+              single_seq_prefill=False, mm_embeds=None, mm_mask=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -301,9 +309,13 @@ class ModelRunner:
             row_slots=row_slots,
             single_seq_prefill=single_seq_prefill,
         )
+        mm_kwargs = {}
+        if mm_embeds is not None:
+            mm_kwargs = dict(mm_embeds=mm_embeds, mm_mask=mm_mask)
         hidden, kv_caches = self.model(params, input_ids, positions,
                                        kv_caches, md, lora=lora,
-                                       token_adapter=token_adapter)
+                                       token_adapter=token_adapter,
+                                       **mm_kwargs)
         sampled, logprobs, topk = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask, greedy_only,
@@ -355,6 +367,8 @@ class ModelRunner:
         ib = self.input_batch
         for rid in so.finished_req_ids:
             ib.remove_request(rid)
+            self._mm_feats.pop(rid, None)
+            self._mm_positions.pop(rid, None)
         for rid in so.preempted_req_ids:
             ib.remove_request(rid)
         for nr in so.scheduled_new_reqs:
@@ -362,6 +376,9 @@ class ModelRunner:
                 nr.req_id, nr.prompt_token_ids, nr.prompt_token_ids,
                 nr.block_ids, nr.num_computed_tokens, nr.sampling_params,
                 lora_slot=nr.lora_int_id)
+            if getattr(nr, "mm_data", None) and \
+                    getattr(self.model, "is_multimodal", False):
+                self._encode_mm(nr.req_id, nr.prompt_token_ids, nr.mm_data)
         for cr in so.scheduled_cached_reqs:
             if cr.resumed_from_preemption:
                 # Re-register with full state (tokens/blocks re-learned).
@@ -384,6 +401,23 @@ class ModelRunner:
         for rid in so.finished_req_ids:
             self._sampling_params_cache.pop(rid, None)
             self._prompt_len_cache.pop(rid, None)
+
+    def _encode_mm(self, rid: str, prompt_token_ids, mm_data: dict) -> None:
+        """Encode a request's images once; cache projected features and
+        the placeholder positions within the prompt."""
+        import jax.numpy as jnp
+        pix = jnp.asarray(np.asarray(mm_data["pixel_values"], np.float32))
+        feats = self._encode_images_fn(self.params, pix)   # [B, N, H]
+        H = feats.shape[-1]
+        self._mm_feats[rid] = np.asarray(feats, np.float32).reshape(-1, H)
+        ids = np.asarray(prompt_token_ids)
+        img_tok = self.config.model_config.image_token_id
+        self._mm_positions[rid] = np.where(ids == img_tok)[0]
+        if len(self._mm_positions[rid]) != self._mm_feats[rid].shape[0]:
+            raise ValueError(
+                f"request {rid}: {len(self._mm_positions[rid])} image "
+                f"placeholder tokens vs {self._mm_feats[rid].shape[0]} "
+                f"image features")
 
     # ---- execution ---------------------------------------------------------
 
@@ -542,6 +576,29 @@ class ModelRunner:
                 rs[r] = ib.req_id_to_index[rid]
             row_slots = jnp.asarray(rs)
 
+        # Multimodal splice arrays for this step's scheduled chunks.
+        mm_args = {}
+        if self._encode_images_fn is not None:
+            hid = self.config.model_config.hidden_size
+            mm_mask_np = np.zeros(T, dtype=bool)
+            mm_embeds_np = np.zeros((T, hid), dtype=np.float32)
+            t0 = 0
+            for rid, n_tok in scheduled:
+                idx = ib.req_id_to_index[rid]
+                if rid in self._mm_feats:
+                    start = ib.num_computed_tokens[idx]
+                    pos = np.arange(start, start + n_tok)
+                    imgpos = self._mm_positions[rid]
+                    hit = np.isin(pos, imgpos)
+                    if hit.any():
+                        rows = t0 + np.nonzero(hit)[0]
+                        fidx = np.searchsorted(imgpos, pos[hit])
+                        mm_embeds_np[rows] = self._mm_feats[rid][fidx]
+                        mm_mask_np[rows] = True
+                t0 += n_tok
+            mm_args = dict(mm_embeds=jnp.asarray(mm_embeds_np),
+                           mm_mask=jnp.asarray(mm_mask_np))
+
         # Static chunk-parallel GDN path: exactly one scheduled request
         # with a long query segment (typical long-prefill chunk). Only
         # worth a distinct compile for hybrid linear-attention models.
@@ -568,7 +625,7 @@ class ModelRunner:
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
                 async_args=async_args, greedy_only=greedy_only,
                 row_slots=row_slots, want_topk_logprobs=want_topk,
-                single_seq_prefill=single_seq, **lora_args)
+                single_seq_prefill=single_seq, **mm_args, **lora_args)
             self.kv_caches = kv
 
         handle = StepHandle(
