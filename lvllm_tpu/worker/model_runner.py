@@ -299,7 +299,7 @@ class ModelRunner:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
             prev_sampled, ph_rows = async_args
-            fill = prev_sampled[ph_rows, -1]
+            fill = prev_sampled[0, ph_rows, -1]
             input_ids = jnp.where(input_ids < 0, fill, input_ids)
         md = AttentionMetadata(
             query_start_loc=query_start_loc,
@@ -320,7 +320,14 @@ class ModelRunner:
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask, greedy_only,
             want_topk_logprobs)
-        return kv_caches, sampled, logprobs, topk
+        # Pack tokens + bitcast logprobs into ONE i32 array so the host
+        # syncs the step with a single device->host fetch — on remote
+        # transports (axon tunnel, multi-host) every fetch is a full RTT.
+        packed = jnp.stack([
+            sampled,
+            jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32),
+                                         jnp.int32)])        # [2, R, S1]
+        return kv_caches, packed, topk
 
     MAX_TOPK_LOGPROBS = 8
 
@@ -619,8 +626,12 @@ class ModelRunner:
             sampled, logprobs = self._execute_staged(
                 *dev_args, penalty_args=penalty_args,
                 grammar_mask=grammar_mask)
+            packed = jnp.stack([
+                jnp.asarray(sampled),
+                jax.lax.bitcast_convert_type(
+                    jnp.asarray(logprobs).astype(jnp.float32), jnp.int32)])
         else:
-            kv, sampled, logprobs, topk = self._step_fn(
+            kv, packed, topk = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
                 async_args=async_args, greedy_only=greedy_only,
@@ -629,13 +640,13 @@ class ModelRunner:
             self.kv_caches = kv
 
         handle = StepHandle(
-            sampled=sampled, logprobs=logprobs, row_req_ids=row_req_ids,
+            sampled=packed, logprobs=None, row_req_ids=row_req_ids,
             row_drafts=row_drafts, row_samples=row_samples, S1=S1,
             async_mode=async_mode, seq_lens=seq_lens.copy(),
             topk_logprobs=topk[0] if topk else None,
             topk_ids=topk[1] if topk else None)
         self._prev_rows = {rid: r for r, rid in enumerate(row_req_ids)}
-        self._prev_sampled = sampled
+        self._prev_sampled = packed
         if async_mode:
             return handle
         return self.finalize(handle)
@@ -646,8 +657,13 @@ class ModelRunner:
         AsyncGPUModelRunnerOutput)."""
         ib = self.input_batch
         S1 = handle.S1
-        sampled_np = np.asarray(handle.sampled)      # [R, S1]
-        logprobs_np = np.asarray(handle.logprobs)
+        packed_np = np.asarray(handle.sampled)       # [2, R, S1] one fetch
+        sampled_np = packed_np[0]
+        logprobs_np = packed_np[1].view(np.float32)
+        topk_lp_np = topk_id_np = None
+        if handle.topk_logprobs is not None:
+            topk_lp_np = np.asarray(handle.topk_logprobs)
+            topk_id_np = np.asarray(handle.topk_ids)
 
         out = ModelRunnerOutput(sampled_token_ids={}, logprobs={})
         for r, rid in enumerate(handle.row_req_ids):
@@ -670,9 +686,9 @@ class ModelRunner:
                     lp = logprobs_np[r, S1 - 1 - k:]
                     out.logprobs[rid] = [float(x)
                                          for x in lp[:accepted + 1]]
-                    if handle.topk_logprobs is not None:
-                        tv = np.asarray(handle.topk_logprobs[r, S1 - 1])
-                        ti = np.asarray(handle.topk_ids[r, S1 - 1])
+                    if topk_lp_np is not None:
+                        tv = topk_lp_np[r, S1 - 1]
+                        ti = topk_id_np[r, S1 - 1]
                         nlp = int(ib.num_logprobs[idx])
                         out.topk_logprobs.setdefault(rid, []).append(
                             {int(t): float(v)
