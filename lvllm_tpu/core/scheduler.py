@@ -34,15 +34,19 @@ class Scheduler:
         scheduler_config: SchedulerConfig,
         cache_config: CacheConfig,
         num_kv_blocks: int,
+        dcp_world_size: int = 1,
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
         self.max_num_seqs = scheduler_config.max_num_seqs
         self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
-        self.block_size = cache_config.block_size
+        # Under DCP one pool block holds block_size tokens on EACH of the
+        # dcp_world_size context shards (reference: scheduler dcp awareness,
+        # sched/scheduler.py:155).
+        self.block_size = cache_config.block_size * dcp_world_size
 
         self.kv_cache_manager = KVCacheManager(
-            block_size=cache_config.block_size,
+            block_size=self.block_size,
             num_blocks=num_kv_blocks,
             max_model_len=scheduler_config.max_model_len,
             enable_caching=cache_config.enable_prefix_caching,

@@ -71,9 +71,10 @@ class EngineCore:
         logger.info("KV cache: %d blocks x %d tokens", self.num_kv_blocks,
                     config.cache_config.block_size)
 
-        self.scheduler = Scheduler(config.scheduler_config,
-                                   config.cache_config,
-                                   num_kv_blocks=self.num_kv_blocks)
+        self.scheduler = Scheduler(
+            config.scheduler_config, config.cache_config,
+            num_kv_blocks=self.num_kv_blocks,
+            dcp_world_size=config.parallel_config.decode_context_parallel_size)
         self.runner = ModelRunner(config, self.model, params,
                                   self.num_kv_blocks, mesh=mesh)
 

@@ -37,6 +37,8 @@ logger = init_logger(__name__)
 
 class DeepseekModel(Qwen3Model):
 
+    dcp_compatible = False  # MLA latent cache; DCP-MLA merge is a TODO
+
     def __init__(self, config: ModelConfig):
         super().__init__(config)
         c = config

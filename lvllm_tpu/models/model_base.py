@@ -28,6 +28,10 @@ class AttentionMetadata:
     # Hybrid (linear-attention) layers: persistent state slot per batch row
     # (index max_num_reqs = scratch); None for pure-paged models.
     row_slots: Optional[jax.Array] = None
+    # DCP (decode context parallel): [CP, T] per-shard local slot mapping;
+    # non-None switches attention to the context-sharded write+attend+merge
+    # path (ops/context_parallel.py dcp_write_and_attend).
+    dcp_slot_mapping: Optional[jax.Array] = None
     # STATIC (part of the jit cache key): the batch is one contiguous
     # request segment (long prefill) — linear-attention layers take the
     # chunk-parallel MXU path instead of the token scan (ops/gdn.py

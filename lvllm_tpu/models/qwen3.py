@@ -39,6 +39,10 @@ logger = init_logger(__name__)
 class Qwen3Model:
     """Dense + MoE Qwen3-family causal LM."""
 
+    # Standard paged attention supports the context-sharded (DCP) KV path;
+    # subclasses with bespoke caches (MLA latent, hybrid GDN) opt out.
+    dcp_compatible = True
+
     def __init__(self, config: ModelConfig):
         self.config = config
         # Set by the engine when running on a multi-device mesh; enables the
@@ -171,6 +175,20 @@ class Qwen3Model:
             q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
             k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
         q, k = apply_rope(q, k, positions, self.cos_sin)
+        if md.dcp_slot_mapping is not None:
+            from lvllm_tpu.ops.context_parallel import dcp_write_and_attend
+            assert c.sliding_window is None, "DCP + sliding window TBD"
+            out, kv_cache = dcp_write_and_attend(
+                q, k, v, kv_cache, md.block_table, positions,
+                md.query_start_loc, md.dcp_slot_mapping, self.mesh,
+                self.scale)
+            attn_flat = out.reshape(T, c.num_attention_heads * D)
+            out = attn_flat @ attn["o_proj"]["kernel"]
+            if lora is not None and "o_proj" in lora:
+                from lvllm_tpu.lora.layers import apply_lora
+                out = apply_lora(attn_flat, out, lora["o_proj"],
+                                 token_adapter)
+            return out, kv_cache
         kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
         out = ragged_paged_attention(
             q, kv_cache, md.block_table, md.query_start_loc, md.seq_lens,

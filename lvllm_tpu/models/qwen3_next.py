@@ -36,6 +36,8 @@ logger = init_logger(__name__)
 
 class Qwen3NextModel(Qwen3Model):
 
+    dcp_compatible = False  # hybrid GDN state caches are not paged-sharded
+
     def __init__(self, config: ModelConfig):
         config.attn_output_gate = True
         super().__init__(config)

@@ -18,36 +18,23 @@ import jax.numpy as jnp
 from lvllm_tpu.ops.attention import _token_request_map
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "sliding_window"))
-def ragged_paged_attention_with_lse(
+def _partial_attention_token_klen(
     q: jax.Array,                # [T, Hq, D]
     kv_cache: jax.Array,         # [2, NB, BS, Hkv, D] (local shard pages)
     block_table: jax.Array,      # [R, MAXB] local pages
-    query_start_loc: jax.Array,  # [R+1]
-    seq_lens: jax.Array,         # [R] — LOCAL kv length on this shard
+    req_idx: jax.Array,          # [T] request of each token
+    kv_len: jax.Array,           # [T] visible LOCAL key count per token
     scale: float,
     sliding_window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Partial attention over a KV shard → (out [T,Hq,D], lse [T,Hq]).
-
-    ``lse`` is log(sum(exp(scaled scores))) over this shard's keys; -inf
-    when the shard holds no keys for the token. Causal within the local
-    key sequence: each query covers ``seq_lens - q_len + pos + 1`` local
-    keys — for DCP decode (q_len=1) that is the whole shard; for cascade
-    suffixes it is the usual causal prefix.
-    """
+    """Core partial attention with an explicit per-token local key count
+    (the causal-visibility math differs between cascade suffixes and DCP
+    interleaving, so callers supply it)."""
     T, Hq, D = q.shape
-    R, MAXB = block_table.shape
     BS = kv_cache.shape[2]
     Hkv = kv_cache.shape[3]
     G = Hq // Hkv
-    C = MAXB * BS
-
-    req_idx = _token_request_map(query_start_loc, T, R)
-    q_start = query_start_loc[req_idx]
-    q_len = query_start_loc[req_idx + 1] - q_start
-    pos_in_q = jnp.arange(T, dtype=jnp.int32) - q_start
-    kv_len = seq_lens[req_idx] - q_len + pos_in_q + 1   # [T] causal local
+    C = block_table.shape[1] * BS
 
     def one_token(q_t, req, klen):
         pages = kv_cache[:, block_table[req]]
@@ -76,6 +63,35 @@ def ragged_paged_attention_with_lse(
     return out.astype(q.dtype), lse
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "sliding_window"))
+def ragged_paged_attention_with_lse(
+    q: jax.Array,                # [T, Hq, D]
+    kv_cache: jax.Array,         # [2, NB, BS, Hkv, D] (local shard pages)
+    block_table: jax.Array,      # [R, MAXB] local pages
+    query_start_loc: jax.Array,  # [R+1]
+    seq_lens: jax.Array,         # [R] — LOCAL kv length on this shard
+    scale: float,
+    sliding_window: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Partial attention over a KV shard → (out [T,Hq,D], lse [T,Hq]).
+
+    ``lse`` is log(sum(exp(scaled scores))) over this shard's keys; -inf
+    when the shard holds no keys for the token. Causal within the local
+    key sequence: each query covers ``seq_lens - q_len + pos + 1`` local
+    keys — for DCP decode (q_len=1) that is the whole shard; for cascade
+    suffixes it is the usual causal prefix.
+    """
+    T = q.shape[0]
+    R = block_table.shape[0]
+    req_idx = _token_request_map(query_start_loc, T, R)
+    q_start = query_start_loc[req_idx]
+    q_len = query_start_loc[req_idx + 1] - q_start
+    pos_in_q = jnp.arange(T, dtype=jnp.int32) - q_start
+    kv_len = seq_lens[req_idx] - q_len + pos_in_q + 1   # [T] causal local
+    return _partial_attention_token_klen(
+        q, kv_cache, block_table, req_idx, kv_len, scale, sliding_window)
+
+
 def merge_attention_partials(
     outs: jax.Array,  # [S, T, Hq, D] per-shard partial outputs
     lses: jax.Array,  # [S, T, Hq] per-shard log-sum-exp
@@ -102,3 +118,73 @@ def dcp_shard_seq_lens(seq_lens: jax.Array, shard_idx, num_shards: int,
     rem = seq_lens - full_groups * g * num_shards
     extra = jnp.clip(rem - shard_idx * g, 0, g)
     return full_groups * g + extra
+
+
+def dcp_write_and_attend(
+    q: jax.Array,                 # [T, Hq, D]
+    k: jax.Array,                 # [T, Hkv, D] new keys (global, all tokens)
+    v: jax.Array,                 # [T, Hkv, D]
+    kv_cache: jax.Array,          # [CP, 2, NBl, BS, Hkv, D] context-sharded
+    block_table: jax.Array,       # [R, MAXB] per-shard page ids (shared)
+    positions: jax.Array,         # [T] global position of each token
+    query_start_loc: jax.Array,   # [R+1]
+    dcp_slot_mapping: jax.Array,  # [CP, T] local slot per shard (null-block
+                                  #   slots for tokens a shard doesn't own)
+    mesh,
+    scale: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """The engine's DCP attention step: each context shard scatters the new
+    K/V it owns into its local pages, attends over its local KV with a
+    per-token visible-key count derived from the page-granularity
+    interleave, then the partials are LSE-merged via an all-gather over the
+    ``context`` axis (ICI). Returns (out [T, Hq, D], new kv_cache).
+
+    TPU-native equivalent of the reference's DCP decode path
+    (``cp_lse_ag_out_ar``, ``v1/attention/ops/common.py:237`` + interleaved
+    KV ``config/parallel.py:313``) with interleave group = page size, so
+    logical page j of a sequence lives on shard ``j % CP`` at local page
+    index ``j // CP`` — one shared block table addresses every shard.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from lvllm_tpu.ops.kv_cache import write_kv
+    from lvllm_tpu.parallel.mesh import AXIS_CONTEXT, AXIS_MODEL
+
+    CP = mesh.shape[AXIS_CONTEXT]
+    tp = mesh.shape[AXIS_MODEL]
+    BS = kv_cache.shape[3]
+    Hq, Hkv = q.shape[1], kv_cache.shape[4]
+    # Shard heads over the model axis when they divide (mirrors
+    # parallel/sharding.py kv_cache_spec); replicate otherwise.
+    head_ax = AXIS_MODEL if (Hq % tp == 0 and Hkv % tp == 0) else None
+    T = q.shape[0]
+    R = block_table.shape[0]
+
+    def body(q, k, v, kv, slot, bt, pos, qsl):
+        kv_local = kv[0]
+        kv_local = write_kv(kv_local, k, v, slot[0])
+        s = jax.lax.axis_index(AXIS_CONTEXT)
+        # Visible local keys for a token at global position p: the count of
+        # positions 0..p that page-interleave onto this shard (includes the
+        # token itself exactly on its owner shard, whose K was just written).
+        klen = dcp_shard_seq_lens(pos + 1, s, CP, interleave=BS)
+        req_idx = _token_request_map(qsl, T, R)
+        out, lse = _partial_attention_token_klen(
+            q, kv_local, bt, req_idx, klen, scale)
+        outs = jax.lax.all_gather(out.astype(jnp.float32), AXIS_CONTEXT)
+        lses = jax.lax.all_gather(lse, AXIS_CONTEXT)
+        merged = merge_attention_partials(outs, lses)
+        return merged.astype(q.dtype), kv_local[None]
+
+    hd = P(None, head_ax, None)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(hd, hd, hd,
+                  P(AXIS_CONTEXT, None, None, None, head_ax, None),
+                  P(AXIS_CONTEXT, None), P(), P(), P()),
+        out_specs=(hd, P(AXIS_CONTEXT, None, None, None, head_ax, None)),
+        check_vma=False,
+    )
+    return sharded(q, k, v, kv_cache, dcp_slot_mapping, block_table,
+                   positions, query_start_loc)

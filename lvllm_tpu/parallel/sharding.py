@@ -99,11 +99,18 @@ def param_specs(params, config: ModelConfig, mesh: Mesh):
     return tree_map_with_path(spec, params)
 
 
-def kv_cache_spec(config: ModelConfig, mesh: Mesh) -> P:
-    """[2, NB, BS, Hkv, D]: shard kv heads over the model axis."""
-    if config.num_kv_heads % mesh.shape[AXIS_MODEL] == 0:
-        return P(None, None, None, AXIS_MODEL, None)
-    return P()
+def kv_cache_spec(config: ModelConfig, mesh: Mesh, dcp: int = 1) -> P:
+    """[2, NB, BS, Hkv, D]: shard kv heads over the model axis. Under DCP
+    the cache gains a leading [CP] shard dim on the context axis."""
+    from lvllm_tpu.parallel.mesh import AXIS_CONTEXT
+    head_ax = (AXIS_MODEL
+               if config.num_kv_heads % mesh.shape[AXIS_MODEL] == 0
+               else None)
+    if dcp > 1:
+        return P(AXIS_CONTEXT, None, None, None, head_ax, None)
+    if head_ax is None:
+        return P()
+    return P(None, None, None, head_ax, None)
 
 
 def shard_params(params, config: ModelConfig, mesh: Mesh):

@@ -67,7 +67,20 @@ class ModelRunner:
         cc = config.cache_config
 
         self.block_size = cc.block_size
-        self.max_blocks_per_req = -(-mc.max_model_len // cc.block_size)
+        # DCP: KV pages interleaved over the mesh's "context" axis — one
+        # pool block covers block_size tokens on each of the dcp shards.
+        self.dcp = max(1, config.parallel_config.decode_context_parallel_size)
+        if self.dcp > 1:
+            from lvllm_tpu.parallel.mesh import AXIS_CONTEXT
+            assert mesh is not None and \
+                mesh.shape.get(AXIS_CONTEXT, 1) == self.dcp, \
+                "DCP needs a mesh with a matching 'context' axis"
+            assert getattr(model, "dcp_compatible", False), \
+                f"{type(model).__name__} does not support DCP"
+            assert not config.offload_config.enabled, \
+                "DCP + expert offload staging TBD"
+        self.max_blocks_per_req = -(-mc.max_model_len //
+                                    (cc.block_size * self.dcp))
         self.max_num_reqs = sc.max_num_seqs
         self.num_kv_blocks = num_kv_blocks
 
@@ -86,7 +99,7 @@ class ModelRunner:
         if mesh is not None:
             from jax.sharding import NamedSharding
             from lvllm_tpu.parallel.sharding import kv_cache_spec
-            spec = kv_cache_spec(mc, mesh)
+            spec = kv_cache_spec(mc, mesh, dcp=self.dcp)
             sharding = NamedSharding(mesh, spec)
             self.kv_caches = [
                 jax.device_put(kv, sharding) if not isinstance(kv, dict)
@@ -130,7 +143,7 @@ class ModelRunner:
         from lvllm_tpu.parallel.sharding import kv_cache_spec
 
         self.mesh = mesh
-        spec = kv_cache_spec(self.config.model_config, mesh)
+        spec = kv_cache_spec(self.config.model_config, mesh, dcp=self.dcp)
         sharding = NamedSharding(mesh, spec)
         self.kv_caches = [
             jax.device_put(kv, sharding) if not isinstance(kv, dict) else kv
@@ -143,6 +156,13 @@ class ModelRunner:
     def _make_caches(self, kv_dtype):
         mc = self.config.model_config
         cc = self.config.cache_config
+        if self.dcp > 1:
+            # [CP, 2, NB, BS, Hkv, D] — leading shard dim on the context
+            # axis; each shard stores the pages it owns by interleave.
+            shape = (self.dcp, 2, self.num_kv_blocks, cc.block_size,
+                     mc.kv_cache_heads, mc.kv_cache_dim)
+            return [jnp.zeros(shape, kv_dtype)
+                    for _ in range(mc.num_hidden_layers)]
         return [
             self.model.make_layer_cache(i, self.num_kv_blocks,
                                         cc.block_size, kv_dtype,
@@ -294,7 +314,8 @@ class ModelRunner:
               penalty_args=None, grammar_mask=None, lora=None,
               token_adapter=None, async_args=None, greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
-              single_seq_prefill=False, mm_embeds=None, mm_mask=None):
+              single_seq_prefill=False, mm_embeds=None, mm_mask=None,
+              dcp_slot_mapping=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -308,6 +329,7 @@ class ModelRunner:
             slot_mapping=slot_mapping,
             row_slots=row_slots,
             single_seq_prefill=single_seq_prefill,
+            dcp_slot_mapping=dcp_slot_mapping,
         )
         mm_kwargs = {}
         if mm_embeds is not None:
@@ -463,6 +485,8 @@ class ModelRunner:
         row_samples: List[bool] = []
         ph_rows = np.zeros(T, dtype=np.int32)
         has_placeholder = False
+        dcp_slot = (np.zeros((self.dcp, T), dtype=np.int32)
+                    if self.dcp > 1 else None)
         for rid, n_tok in scheduled:
             idx = ib.req_id_to_index[rid]
             drafts = so.scheduled_spec_decode_tokens.get(rid, [])
@@ -478,9 +502,20 @@ class ModelRunner:
             positions[t:t + n_tok] = np.arange(start, end)
             blocks = ib.block_table[idx]
             tok_pos = np.arange(start, end)
-            slot_mapping[t:t + n_tok] = (
-                blocks[tok_pos // self.block_size] * self.block_size +
-                tok_pos % self.block_size)
+            if self.dcp > 1:
+                # Page-granularity interleave: logical page j → shard
+                # j % CP, local page j // CP. Non-owner shards write the
+                # token into the null block (slot < block_size).
+                bs, cp = self.block_size, self.dcp
+                owner = (tok_pos // bs) % cp
+                lslot = (blocks[tok_pos // (bs * cp)] * bs + tok_pos % bs)
+                for s in range(cp):
+                    dcp_slot[s, t:t + n_tok] = np.where(
+                        owner == s, lslot, tok_pos % bs)
+            else:
+                slot_mapping[t:t + n_tok] = (
+                    blocks[tok_pos // self.block_size] * self.block_size +
+                    tok_pos % self.block_size)
             qsl[row + 1] = t + n_tok
             seq_lens[row] = end
             block_table[row] = blocks
@@ -636,7 +671,10 @@ class ModelRunner:
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
                 async_args=async_args, greedy_only=greedy_only,
                 row_slots=row_slots, want_topk_logprobs=want_topk,
-                single_seq_prefill=single_seq, **mm_args, **lora_args)
+                single_seq_prefill=single_seq,
+                dcp_slot_mapping=(jnp.asarray(dcp_slot)
+                                  if dcp_slot is not None else None),
+                **mm_args, **lora_args)
             self.kv_caches = kv
 
         handle = StepHandle(
