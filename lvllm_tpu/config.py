@@ -264,7 +264,7 @@ class SpeculativeConfig:
     """Speculative decoding (reference: config/speculative.py; proposers in
     v1/spec_decode/). method=None disables."""
 
-    method: Optional[str] = None   # None | "ngram" | "draft_model"
+    method: Optional[str] = None   # None | "ngram" | "draft_model" | "eagle"
     num_speculative_tokens: int = 4
     ngram_min: int = 2
     ngram_max: int = 4

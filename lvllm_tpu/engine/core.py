@@ -121,6 +121,18 @@ class EngineCore:
             self.proposer = DraftModelProposer(
                 dmc, k=sc.num_speculative_tokens,
                 block_size=config.cache_config.block_size, load_format=fmt)
+        elif sc.enabled and sc.method == "eagle":
+            # EAGLE lives runner-side: it consumes the target's hidden
+            # states each step (reference: v1/spec_decode/eagle.py).
+            from lvllm_tpu.spec_decode.eagle import EagleProposer
+            weights = None
+            if sc.draft_model and sc.draft_model != "dummy":
+                from lvllm_tpu.model_loader.loader import (
+                    safetensors_weight_iterator)
+                weights = safetensors_weight_iterator(sc.draft_model)
+            self.runner.eagle_proposer = EagleProposer(
+                config.model_config, k=sc.num_speculative_tokens,
+                block_size=config.cache_config.block_size, weights=weights)
 
     # ---- request API -------------------------------------------------------
 
@@ -195,6 +207,8 @@ class EngineCore:
                 self.metrics.on_tokens(req.request_id, len(new_toks))
             if req.is_finished:
                 self.metrics.on_request_finished(req.request_id)
+                if self.runner.eagle_proposer is not None:
+                    self.runner.eagle_proposer.free(req.request_id)
             if sm.has_grammar(req.request_id):
                 new = runner_output.sampled_token_ids.get(req.request_id, [])
                 sm.advance(req.request_id, new)

@@ -50,6 +50,8 @@ class LLM:
         seed: int = 0,
         tensor_parallel_size: int = 1,
         async_scheduling: bool = False,
+        speculative_config=None,
+        parallel_config=None,
         mesh=None,
     ) -> None:
         if model_config is None:
@@ -75,9 +77,11 @@ class LLM:
                 max_num_seqs=max_num_seqs,
                 max_model_len=model_config.max_model_len,
                 async_scheduling=async_scheduling),
-            parallel_config=ParallelConfig(
+            parallel_config=parallel_config or ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size),
         )
+        if speculative_config is not None:
+            config.speculative_config = speculative_config
         tokenizer = _maybe_load_tokenizer(model_config.model)
         self.engine = LLMEngine(config, load_format=load_format,
                                 tokenizer=tokenizer, mesh=mesh)

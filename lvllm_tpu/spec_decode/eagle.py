@@ -1,0 +1,297 @@
+"""EAGLE speculative-decoding proposer.
+
+Counterpart of the reference's EAGLE/EAGLE-3 proposer stack
+(``vllm/v1/spec_decode/llm_base_proposer.py``, ``eagle.py``; registry
+``_SPECULATIVE_DECODING_MODELS`` ``models/registry.py:570``): a one-layer
+draft head conditioned on the *target model's hidden states* — for target
+position p the head ingests the pair (feature h_p, token t_{p+1}) through
+
+    x = fc(concat(embed(t_{p+1}), h_p))  →  one decoder layer  →  feature
+    logits = lm_head(norm(feature))      →  draft for position p+2
+
+and during drafting feeds its own predicted features back autoregressively.
+
+TPU-native state design mirrors ``DraftModelProposer``: the head keeps its
+own paged KV cache with a per-request ``processed`` cursor; every engine
+step ingests the newly *accepted* pairs as a ragged chunk (overwriting any
+slots written by rejected drafts — rollback is cursor-only), then decodes
+up to k draft tokens. Target hidden states stay on device: the runner hands
+the proposer its full per-step hidden array and row offsets, and the ingest
+step slices it inside jit (no host round-trip of activations).
+
+Verification stays exact-match greedy in the runner, so a poorly-trained
+(or dummy) head degrades acceptance, never correctness.
+"""
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvllm_tpu.config import ModelConfig
+from lvllm_tpu.layers.common import rms_norm, silu_and_mul
+from lvllm_tpu.logger import init_logger
+from lvllm_tpu.ops.attention import ragged_paged_attention
+from lvllm_tpu.ops.kv_cache import new_kv_cache, write_kv
+from lvllm_tpu.ops.rope import apply_rope, compute_cos_sin_cache
+
+logger = init_logger(__name__)
+
+
+def _bucket(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+class EagleProposer:
+    """One-layer EAGLE head over the target's feature stream."""
+
+    def __init__(self, target_config: ModelConfig, k: int,
+                 block_size: int = 16, num_blocks: int = 512,
+                 weights=None, seed: int = 0):
+        c = target_config
+        self.k = k
+        self.config = c
+        self.block_size = block_size
+        self.dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        self.head_dim = c.head_dim
+        self.scale = c.head_dim ** -0.5
+        rot = int(c.head_dim * c.partial_rotary_factor)
+        self.cos_sin = compute_cos_sin_cache(
+            rot, c.max_position_embeddings, c.rope_theta, c.rope_scaling,
+            dtype=jnp.float32)
+        self.params = (self._load(weights) if weights is not None
+                       else self.init_params(seed))
+        self.kv_cache = new_kv_cache(num_blocks, block_size,
+                                     c.num_key_value_heads, c.head_dim,
+                                     self.dtype)
+        self._free_blocks = list(range(num_blocks - 1, 0, -1))
+        self._reqs: Dict[str, dict] = {}
+        self._max_blocks = -(-c.max_model_len // block_size)
+
+        self._ingest_fn = jax.jit(self._fwd_ingest, donate_argnums=(1,),
+                                  static_argnames=("tied",))
+        self._decode_fn = jax.jit(self._fwd_decode, donate_argnums=(1,),
+                                  static_argnames=("tied",))
+
+    # ---- params -------------------------------------------------------------
+
+    def init_params(self, seed: int) -> dict:
+        """Random head init (dummy load format; pure numpy — no eager
+        device RNG on the remote-compile path)."""
+        c = self.config
+        rng = np.random.default_rng(seed)
+        D, H = c.head_dim, c.hidden_size
+
+        def dense(shape, scale=0.02):
+            return jnp.asarray(
+                rng.standard_normal(shape).astype(np.float32) * scale,
+                self.dtype)
+
+        return {
+            "fc": dense((2 * H, H)),
+            "input_layernorm": jnp.ones((H,), self.dtype),
+            "post_attention_layernorm": jnp.ones((H,), self.dtype),
+            "norm": jnp.ones((H,), self.dtype),
+            "q_proj": dense((H, c.num_attention_heads * D)),
+            "k_proj": dense((H, c.num_key_value_heads * D)),
+            "v_proj": dense((H, c.num_key_value_heads * D)),
+            "o_proj": dense((c.num_attention_heads * D, H)),
+            "gate_up": dense((H, 2 * c.intermediate_size)),
+            "down": dense((c.intermediate_size, H)),
+        }
+
+    def _load(self, weights) -> dict:
+        """Map an EAGLE head checkpoint (HF layout: ``fc.weight``,
+        ``layers.0.self_attn...`` — e.g. yuhuili/EAGLE-* repos) onto the
+        params dict; embed/lm_head stay shared with the target."""
+        params = self.init_params(0)
+        gate = up = None
+        for name, w in weights:
+            name = name.removeprefix("model.")
+            if name == "fc.weight":
+                params["fc"] = jnp.asarray(w.T, self.dtype)
+            elif name.endswith("input_layernorm.weight"):
+                params["input_layernorm"] = jnp.asarray(w, self.dtype)
+            elif name.endswith("post_attention_layernorm.weight"):
+                params["post_attention_layernorm"] = jnp.asarray(
+                    w, self.dtype)
+            elif name == "norm.weight":
+                params["norm"] = jnp.asarray(w, self.dtype)
+            elif "self_attn" in name:
+                for p in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                    if f"{p}.weight" in name:
+                        params[p] = jnp.asarray(w.T, self.dtype)
+            elif "mlp.gate_proj.weight" in name:
+                gate = w
+            elif "mlp.up_proj.weight" in name:
+                up = w
+            elif "mlp.down_proj.weight" in name:
+                params["down"] = jnp.asarray(w.T, self.dtype)
+        if gate is not None and up is not None:
+            params["gate_up"] = jnp.asarray(
+                np.concatenate([gate, up], axis=0).T, self.dtype)
+        return params
+
+    # ---- forward ------------------------------------------------------------
+
+    def _layer(self, p, x, positions, kv_cache, slots, seq_len, blocks, n):
+        c = self.config
+        D = self.head_dim
+        B = x.shape[0]
+        h = rms_norm(x, p["input_layernorm"], c.rms_norm_eps)
+        q = (h @ p["q_proj"]).reshape(B, c.num_attention_heads, D)
+        k = (h @ p["k_proj"]).reshape(B, c.num_key_value_heads, D)
+        v = (h @ p["v_proj"]).reshape(B, c.num_key_value_heads, D)
+        q, k = apply_rope(q, k, positions, self.cos_sin)
+        kv_cache = write_kv(kv_cache, k, v, slots)
+        qsl = jnp.stack([jnp.zeros((), jnp.int32), n]).astype(jnp.int32)
+        out = ragged_paged_attention(
+            q, kv_cache, blocks[None], qsl, seq_len[None], scale=self.scale)
+        x = x + out.reshape(B, -1) @ p["o_proj"]
+        h = rms_norm(x, p["post_attention_layernorm"], c.rms_norm_eps)
+        x = x + silu_and_mul(h @ p["gate_up"]) @ p["down"]
+        return x, kv_cache
+
+    def _head(self, p, tokens, feats, positions, kv_cache, slots, seq_len,
+              blocks, n, last_idx, embed_w, lm_w, tied):
+        emb = embed_w[tokens].astype(self.dtype)
+        x = jnp.concatenate([emb, feats.astype(self.dtype)], axis=-1) \
+            @ p["fc"]
+        x, kv_cache = self._layer(p, x, positions, kv_cache, slots,
+                                  seq_len, blocks, n)
+        feat_out = x[last_idx]
+        hidden = rms_norm(feat_out, p["norm"], self.config.rms_norm_eps)
+        kernel = embed_w.T if tied else lm_w
+        logits = (hidden @ kernel).astype(jnp.float32)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return tok, feat_out, kv_cache
+
+    def _fwd_ingest(self, p, kv_cache, hidden_src, feat_offset, tokens,
+                    positions, slots, seq_len, blocks, n, last_idx,
+                    embed_w, lm_w, tied=False):
+        B = tokens.shape[0]
+        H = hidden_src.shape[-1]
+        padded = jnp.concatenate(
+            [hidden_src, jnp.zeros((B, H), hidden_src.dtype)])
+        feats = jax.lax.dynamic_slice_in_dim(padded, feat_offset, B)
+        return self._head(p, tokens, feats, positions, kv_cache, slots,
+                          seq_len, blocks, n, last_idx, embed_w, lm_w, tied)
+
+    def _fwd_decode(self, p, kv_cache, feat, tokens, positions, slots,
+                    seq_len, blocks, n, last_idx, embed_w, lm_w,
+                    tied=False):
+        B = tokens.shape[0]
+        feats = jnp.zeros((B, feat.shape[-1]), feat.dtype).at[0].set(feat)
+        return self._head(p, tokens, feats, positions, kv_cache, slots,
+                          seq_len, blocks, n, last_idx, embed_w, lm_w, tied)
+
+    # ---- request lifecycle ---------------------------------------------------
+
+    def free(self, rid: str) -> None:
+        st = self._reqs.pop(rid, None)
+        if st:
+            self._free_blocks.extend(reversed(st["blocks"]))
+
+    def _state(self, rid: str) -> dict:
+        if rid not in self._reqs:
+            self._reqs[rid] = {"processed": 0, "blocks": []}
+        return self._reqs[rid]
+
+    def _ensure_blocks(self, st: dict, num_tokens: int) -> bool:
+        need = -(-num_tokens // self.block_size)
+        while len(st["blocks"]) < need:
+            if not self._free_blocks:
+                return False
+            st["blocks"].append(self._free_blocks.pop())
+        return True
+
+    def _slots(self, st: dict, pos0: int, count: int, bucket: int):
+        slots = np.zeros(bucket, np.int32)  # pads → null block
+        for i in range(count):
+            q = pos0 + i
+            slots[i] = (st["blocks"][q // self.block_size] * self.block_size
+                        + q % self.block_size)
+        return slots
+
+    # ---- ingest + propose ----------------------------------------------------
+
+    def ingest_and_propose(
+        self,
+        rid: str,
+        hidden: jax.Array,        # [T, H] full-step target hidden (device)
+        row_t0: int,              # token-slice offset of this request's chunk
+        chunk_start: int,         # global position of the chunk's 1st token
+        accepted_end: int,        # computed tokens after this step's update
+        token_ids: np.ndarray,    # target token ids [>= accepted_end + 1]
+        want_drafts: bool,
+        room: int,
+        embed_w,                  # target embedding [V, H] (device, shared)
+        lm_w,                     # target lm_head kernel or None if tied
+    ) -> List[int]:
+        """Ingest pairs for target positions [cursor, accepted_end) from the
+        step's hidden states, then (optionally) decode up to k drafts."""
+        st = self._state(rid)
+        cursor = st["processed"]
+        if cursor < chunk_start:
+            # Prefix-cache hit skipped earlier positions: their features
+            # were never computed. Start from what we have — quality-only.
+            cursor = chunk_start
+        n_pairs = accepted_end - cursor
+        if n_pairs <= 0 and not want_drafts:
+            return []
+        if not self._ensure_blocks(
+                st, min(accepted_end + self.k, self.config.max_model_len)):
+            return []
+        tied = bool(self.config.tie_word_embeddings)
+        lm_arg = embed_w if lm_w is None else lm_w
+
+        feat = None
+        tok = -1
+        if n_pairs > 0:
+            B = _bucket(n_pairs)
+            tokens = np.zeros(B, np.int32)
+            tokens[:n_pairs] = token_ids[cursor + 1:accepted_end + 1]
+            positions = np.zeros(B, np.int32)
+            positions[:n_pairs] = np.arange(cursor, accepted_end)
+            slots = self._slots(st, cursor, n_pairs, B)
+            tok, feat, self.kv_cache = self._ingest_fn(
+                self.params, self.kv_cache, hidden,
+                jnp.asarray(row_t0 + (cursor - chunk_start), jnp.int32),
+                jnp.asarray(tokens),
+                jnp.asarray(positions), jnp.asarray(slots),
+                jnp.asarray(accepted_end, jnp.int32),
+                jnp.asarray(self._pad_blocks(st), jnp.int32),
+                jnp.asarray(n_pairs, jnp.int32),
+                n_pairs - 1, embed_w, lm_arg, tied=tied)
+            st["processed"] = accepted_end
+        if not want_drafts or n_pairs <= 0:
+            return []
+
+        drafts = [int(tok)]
+        B = 8
+        for j in range(1, min(self.k, max(room, 1))):
+            p = accepted_end + j - 1
+            if p + 2 >= self.config.max_model_len:
+                break
+            if not self._ensure_blocks(st, p + 1):
+                break
+            tokens = np.zeros(B, np.int32)
+            tokens[0] = drafts[-1]
+            positions = np.zeros(B, np.int32)
+            positions[0] = p
+            slots = self._slots(st, p, 1, B)
+            tok, feat, self.kv_cache = self._decode_fn(
+                self.params, self.kv_cache, feat, jnp.asarray(tokens),
+                jnp.asarray(positions), jnp.asarray(slots),
+                jnp.asarray(p + 1, jnp.int32),
+                jnp.asarray(self._pad_blocks(st), jnp.int32),
+                jnp.asarray(1, jnp.int32), 0, embed_w, lm_arg, tied=tied)
+            drafts.append(int(tok))
+        return drafts[:room]
+
+    def _pad_blocks(self, st: dict) -> List[int]:
+        return st["blocks"] + [0] * (self._max_blocks - len(st["blocks"]))

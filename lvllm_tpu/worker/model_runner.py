@@ -52,6 +52,12 @@ class StepHandle:
     # Optional [R, S1, K] top-k logprob values/ids (device).
     topk_logprobs: object = None
     topk_ids: object = None
+    # EAGLE: full-step hidden states [T, H] (device) + per-row chunk
+    # coordinates so the proposer can slice features inside jit.
+    hidden: object = None
+    row_starts: List[int] = field(default_factory=list)
+    row_t0s: List[int] = field(default_factory=list)
+    row_propose: List[bool] = field(default_factory=list)
 
 
 class ModelRunner:
@@ -118,10 +124,14 @@ class ModelRunner:
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
-                             "single_seq_prefill"))
+                             "single_seq_prefill", "want_hidden"))
 
         # Set by EngineCore when LoRA serving is enabled.
         self.lora_manager = None
+        # Set by EngineCore for EAGLE spec decoding (the proposer consumes
+        # the target's hidden states, so it lives runner-side — reference:
+        # propose_draft_token_ids in gpu_model_runner.py:4506).
+        self.eagle_proposer = None
 
         # Multimodal (LLaVA-family): per-request projected image features
         # + placeholder positions (reference: mm input mapper + merge).
@@ -151,7 +161,7 @@ class ModelRunner:
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
-                             "single_seq_prefill"))
+                             "single_seq_prefill", "want_hidden"))
 
     def _make_caches(self, kv_dtype):
         mc = self.config.model_config
@@ -315,7 +325,7 @@ class ModelRunner:
               token_adapter=None, async_args=None, greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
               single_seq_prefill=False, mm_embeds=None, mm_mask=None,
-              dcp_slot_mapping=None):
+              dcp_slot_mapping=None, want_hidden=False):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -349,7 +359,7 @@ class ModelRunner:
             sampled,
             jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32),
                                          jnp.int32)])        # [2, R, S1]
-        return kv_caches, packed, topk
+        return kv_caches, packed, topk, (hidden if want_hidden else None)
 
     MAX_TOPK_LOGPROBS = 8
 
@@ -398,8 +408,12 @@ class ModelRunner:
             ib.remove_request(rid)
             self._mm_feats.pop(rid, None)
             self._mm_positions.pop(rid, None)
+            if self.eagle_proposer is not None:
+                self.eagle_proposer.free(rid)
         for rid in so.preempted_req_ids:
             ib.remove_request(rid)
+            if self.eagle_proposer is not None:
+                self.eagle_proposer.free(rid)
         for nr in so.scheduled_new_reqs:
             ib.add_request(
                 nr.req_id, nr.prompt_token_ids, nr.prompt_token_ids,
@@ -485,6 +499,8 @@ class ModelRunner:
         row_samples: List[bool] = []
         ph_rows = np.zeros(T, dtype=np.int32)
         has_placeholder = False
+        row_starts: List[int] = []
+        row_t0s: List[int] = []
         dcp_slot = (np.zeros((self.dcp, T), dtype=np.int32)
                     if self.dcp > 1 else None)
         for rid, n_tok in scheduled:
@@ -530,6 +546,8 @@ class ModelRunner:
             row_req_ids.append(rid)
             row_drafts.append(drafts)
             row_samples.append(end >= ib.num_tokens[idx] + len(drafts))
+            row_starts.append(int(start))
+            row_t0s.append(int(t))
             if async_mode:
                 known = ib.num_tokens[idx]
                 if end > known:
@@ -656,6 +674,10 @@ class ModelRunner:
         want_topk = bool(np.any(ib.num_logprobs[active] > 0)) \
             if active else False
         topk = None
+        hidden = None
+        want_hidden = self.eagle_proposer is not None
+        if want_hidden:
+            assert not async_mode, "async scheduling excludes EAGLE"
         if self.expert_store is not None:
             assert not async_mode, "async scheduling + offload staging TBD"
             sampled, logprobs = self._execute_staged(
@@ -666,7 +688,7 @@ class ModelRunner:
                 jax.lax.bitcast_convert_type(
                     jnp.asarray(logprobs).astype(jnp.float32), jnp.int32)])
         else:
-            kv, packed, topk = self._step_fn(
+            kv, packed, topk, hidden = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
                 async_args=async_args, greedy_only=greedy_only,
@@ -674,15 +696,25 @@ class ModelRunner:
                 single_seq_prefill=single_seq,
                 dcp_slot_mapping=(jnp.asarray(dcp_slot)
                                   if dcp_slot is not None else None),
-                **mm_args, **lora_args)
+                want_hidden=want_hidden, **mm_args, **lora_args)
             self.kv_caches = kv
+
+        # EAGLE drafting happens for greedy, grammar-free rows only
+        # (verification is exact-match; grammar state can't be advanced
+        # ahead of acceptance — mirrors EngineCore._propose_drafts guards).
+        row_propose = [
+            bool(ib.temperature[ib.req_id_to_index[rid]] == 0.0
+                 and not (grammar_masks and rid in grammar_masks))
+            for rid in row_req_ids] if want_hidden else []
 
         handle = StepHandle(
             sampled=packed, logprobs=None, row_req_ids=row_req_ids,
             row_drafts=row_drafts, row_samples=row_samples, S1=S1,
             async_mode=async_mode, seq_lens=seq_lens.copy(),
             topk_logprobs=topk[0] if topk else None,
-            topk_ids=topk[1] if topk else None)
+            topk_ids=topk[1] if topk else None,
+            hidden=hidden, row_starts=row_starts, row_t0s=row_t0s,
+            row_propose=row_propose)
         self._prev_rows = {rid: r for r, rid in enumerate(row_req_ids)}
         self._prev_sampled = packed
         if async_mode:
@@ -740,4 +772,30 @@ class ModelRunner:
                         handle.seq_lens[r] - (k - accepted)
             elif not handle.async_mode:
                 ib.num_computed_tokens[idx] = handle.seq_lens[r]
+            if handle.hidden is not None:
+                self._eagle_step(handle, out, r, rid, idx)
         return out
+
+    def _eagle_step(self, handle, out, r: int, rid: str, idx: int) -> None:
+        """Feed this step's accepted positions to the EAGLE head and stash
+        next-step drafts in the runner output (scheduler consumes
+        ModelRunnerOutput.spec_token_ids)."""
+        ib = self.input_batch
+        mc = self.config.model_config
+        accepted_end = int(ib.num_computed_tokens[idx])
+        emitted = out.sampled_token_ids.get(rid)
+        want = bool(handle.row_propose[r] and emitted)
+        room = mc.max_model_len - int(ib.num_tokens[idx]) - 1
+        if room <= 0:
+            want = False
+        lm_w = None
+        if not mc.tie_word_embeddings:
+            lm_w = self.params["lm_head"]["kernel"]
+        drafts = self.eagle_proposer.ingest_and_propose(
+            rid, handle.hidden, handle.row_t0s[r], handle.row_starts[r],
+            accepted_end, ib.token_ids[idx], want, max(room, 0),
+            self.params["embed"]["weight"], lm_w)
+        if drafts:
+            if out.spec_token_ids is None:
+                out.spec_token_ids = {}
+            out.spec_token_ids[rid] = drafts[:self.num_spec]
