@@ -130,7 +130,8 @@ def cmd_serve(args) -> None:
                       load_format=args.load_format, tokenizer=tokenizer,
                       model_name=args.served_model_name or args.model,
                       mesh=_make_mesh_if_parallel(args),
-                      tool_parser=args.tool_call_parser))
+                      tool_parser=args.tool_call_parser,
+                      reasoning_parser=args.reasoning_parser))
 
 
 def cmd_complete(args) -> None:
@@ -212,6 +213,10 @@ def main(argv=None) -> None:
     p_serve.add_argument("--tool-call-parser", default="hermes",
                          help="hermes|llama3_json|mistral|deepseek_v3|"
                               "glm4|qwen3_coder")
+    p_serve.add_argument("--reasoning-parser", default="basic",
+                         help="basic|qwen3|glm45|deepseek_r1|deepseek_v3|"
+                              "kimi_k2|step3|minimax_m2|mistral|ernie45|"
+                              "hunyuan_a13b|granite|gptoss|identity")
     p_serve.set_defaults(func=cmd_serve)
 
     p_c = sub.add_parser("complete", help="one-shot completion")

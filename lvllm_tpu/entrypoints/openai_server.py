@@ -49,15 +49,17 @@ class OpenAIServer:
 
     def __init__(self, async_llm: AsyncLLM, model_name: str = "lvllm-model",
                  tool_parser: str = "hermes",
-                 enable_reasoning: bool = True):
-        from lvllm_tpu.tool_parsers import ReasoningParser, get_tool_parser
+                 enable_reasoning: bool = True,
+                 reasoning_parser: str = "basic"):
+        from lvllm_tpu.reasoning import get_reasoning_parser
+        from lvllm_tpu.tool_parsers import get_tool_parser
         self.llm = async_llm
         self.model_name = model_name
         self.start_time = time.time()
         self.tool_parser = get_tool_parser(tool_parser) if tool_parser \
             else None
-        self.reasoning_parser = ReasoningParser() if enable_reasoning \
-            else None
+        self.reasoning_parser = get_reasoning_parser(reasoning_parser) \
+            if enable_reasoning else None
         self.app = web.Application()
         self.app.router.add_get("/health", self.health)
         self.app.router.add_get("/v1/models", self.models)
@@ -518,12 +520,14 @@ async def serve(config: EngineConfig, host: str = "0.0.0.0",
                 port: int = 8000, load_format: str = "auto",
                 tokenizer=None, model_name: str = "lvllm-model",
                 mesh=None, tool_parser: str = "hermes",
-                reasoning: bool = True) -> None:
+                reasoning: bool = True,
+                reasoning_parser: str = "basic") -> None:
     llm = AsyncLLM(config, load_format=load_format, tokenizer=tokenizer,
                    mesh=mesh)
     await llm.start()
     server = OpenAIServer(llm, model_name, tool_parser=tool_parser,
-                          enable_reasoning=reasoning)
+                          enable_reasoning=reasoning,
+                          reasoning_parser=reasoning_parser)
     runner = web.AppRunner(server.app)
     await runner.setup()
     site = web.TCPSite(runner, host, port)
