@@ -221,6 +221,16 @@ class ParallelConfig:
     # reference config/parallel.py:308-331).
     decode_context_parallel_size: int = 1
     enable_expert_parallel: bool = False
+    # EP dispatch backend (reference: all2all_backend,
+    # config/parallel.py:172-181): "naive" = masked-local + psum
+    # (replicated activations, decode regime); "alltoall" = ragged
+    # all-to-all token exchange (DeepEP analog, prefill regime).
+    moe_backend: str = "naive"
+    # DBO / ubatching (reference: UBatchContext, v1/worker/ubatching.py +
+    # docs/design/dbo.md): >1 splits each MoE batch into this many
+    # independent micro-batches inside the step so XLA's latency-hiding
+    # scheduler overlaps one ubatch's all-to-all with another's GEMM.
+    moe_ubatches: int = 1
 
     @property
     def world_size(self) -> int:

@@ -65,6 +65,8 @@ class EngineCore:
             from lvllm_tpu.parallel.sharding import shard_params
             params = shard_params(params, config.model_config, mesh)
             self.model.mesh = mesh
+            self.model.moe_backend = config.parallel_config.moe_backend
+            self.model.moe_ubatches = config.parallel_config.moe_ubatches
         logger.info("model loaded in %.1fs", time.time() - t0)
 
         self.num_kv_blocks = determine_num_kv_blocks(config)

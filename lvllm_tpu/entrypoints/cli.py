@@ -25,6 +25,12 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     p.add_argument("--expert-parallel-size", "-ep", type=int, default=1)
+    p.add_argument("--decode-context-parallel-size", "-dcp", type=int,
+                   default=1)
+    p.add_argument("--moe-backend", default="naive",
+                   choices=["naive", "alltoall"])
+    p.add_argument("--moe-ubatches", type=int, default=1,
+                   help="DBO micro-batches for the alltoall EP backend")
     p.add_argument("--load-format", default="auto",
                    choices=["auto", "safetensors", "dummy"])
     p.add_argument("--no-prefix-caching", action="store_true")
@@ -98,7 +104,10 @@ def _build_config(args) -> EngineConfig:
             async_scheduling=args.async_scheduling),
         parallel_config=ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size,
-            expert_parallel_size=args.expert_parallel_size),
+            expert_parallel_size=args.expert_parallel_size,
+            decode_context_parallel_size=args.decode_context_parallel_size,
+            moe_backend=args.moe_backend,
+            moe_ubatches=args.moe_ubatches),
         offload_config=OffloadConfig(
             enabled=args.enable_expert_offload,
             hbm_resident_moe_layers=args.hbm_resident_moe_layers,
@@ -113,11 +122,13 @@ def _build_config(args) -> EngineConfig:
 
 
 def _make_mesh_if_parallel(args):
-    if args.tensor_parallel_size * args.expert_parallel_size > 1:
+    dcp = getattr(args, "decode_context_parallel_size", 1)
+    if args.tensor_parallel_size * args.expert_parallel_size * dcp > 1:
         from lvllm_tpu.parallel.mesh import make_mesh
         return make_mesh(ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size,
-            expert_parallel_size=args.expert_parallel_size))
+            expert_parallel_size=args.expert_parallel_size,
+            decode_context_parallel_size=dcp))
     return None
 
 

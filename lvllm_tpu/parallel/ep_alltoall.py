@@ -66,14 +66,22 @@ def fused_moe_ep_a2a(
     top_k: int,
     norm_topk_prob: bool = True,
     scoring_fn: str = "softmax",
+    ubatch: int = 1,
 ) -> jax.Array:
+    """``ubatch > 1`` is the DBO analog (reference: UBatchContext 2-thread
+    ping-pong, ``v1/worker/ubatching.py:20`` + docs/design/dbo.md): the
+    local token slab splits into independent micro-batches whose
+    dispatch→GEMM→combine chains carry no data dependency, so XLA's
+    latency-hiding scheduler overlaps one ubatch's all-to-all with the
+    other's expert GEMM — the SPMD expression of the reference's manual
+    compute/comm interleave."""
     ep = mesh.shape[AXIS_EXPERT]
     E = params.w1.shape[0]
     assert E % ep == 0
     E_local = E // ep
     emulate = jax.default_backend() not in ("tpu", "axon")
 
-    def shard_fn(x, router, w1, w2):
+    def chain_fn(x, router, w1, w2):
         T_l, H = x.shape
         N = T_l * top_k
         C = N * ep  # worst-case receive capacity
@@ -128,6 +136,14 @@ def fused_moe_ep_a2a(
         y = jnp.einsum("tkh,tk->th", y_pairs.reshape(T_l, top_k, H),
                        topk_w.astype(y_back.dtype))
         return y.astype(x.dtype)
+
+    def shard_fn(x, router, w1, w2):
+        n_ub = ubatch if x.shape[0] % max(ubatch, 1) == 0 else 1
+        if n_ub <= 1:
+            return chain_fn(x, router, w1, w2)
+        return jnp.concatenate(
+            [chain_fn(xc, router, w1, w2)
+             for xc in jnp.split(x, n_ub, axis=0)])
 
     out = shard_map(
         shard_fn, mesh=mesh,
