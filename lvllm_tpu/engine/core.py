@@ -23,9 +23,10 @@ from lvllm_tpu.worker.model_runner import ModelRunner
 logger = init_logger(__name__)
 
 
-def determine_num_kv_blocks(config: EngineConfig) -> int:
+def determine_num_kv_blocks(config: EngineConfig, model=None) -> int:
     """KV cache sizing (reference: Worker.determine_available_memory:332 —
-    profile a forward pass, give the rest to KV).
+    profile a forward pass, give the rest to KV; per-layer needs come from
+    the declarative KVCacheSpec system, kv_cache_interface.py).
 
     TPU variant: query device memory stats when available; otherwise use a
     conservative budget. An explicit cache_config.num_gpu_blocks wins.
@@ -34,9 +35,6 @@ def determine_num_kv_blocks(config: EngineConfig) -> int:
     if cc.num_gpu_blocks:
         return cc.num_gpu_blocks
     mc = config.model_config
-    bytes_per_token = (2 * mc.kv_cache_heads * mc.kv_cache_dim *
-                       mc.num_hidden_layers *
-                       (2 if mc.dtype == "bfloat16" else 4))
     try:
         dev = jax.devices()[0]
         stats = dev.memory_stats()
@@ -50,6 +48,17 @@ def determine_num_kv_blocks(config: EngineConfig) -> int:
         # capped to keep host/test meshes small.
         tokens = config.scheduler_config.max_num_seqs * mc.max_model_len
         return max(min(tokens // cc.block_size, 4096), 16)
+    if model is not None and hasattr(model, "kv_cache_specs"):
+        from lvllm_tpu.core.kv_cache_spec import num_blocks_for_budget
+        kv_dtype = (jnp.float8_e4m3fn if cc.kv_cache_dtype == "fp8" else
+                    jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32)
+        specs = model.kv_cache_specs(kv_dtype)
+        num = num_blocks_for_budget(specs, cc.block_size, avail,
+                                    config.scheduler_config.max_num_seqs)
+        return max(num, 16)
+    bytes_per_token = (2 * mc.kv_cache_heads * mc.kv_cache_dim *
+                       mc.num_hidden_layers *
+                       (2 if mc.dtype == "bfloat16" else 4))
     num = int(avail // (bytes_per_token * cc.block_size))
     return max(num, 16)
 
@@ -69,7 +78,7 @@ class EngineCore:
             self.model.moe_ubatches = config.parallel_config.moe_ubatches
         logger.info("model loaded in %.1fs", time.time() - t0)
 
-        self.num_kv_blocks = determine_num_kv_blocks(config)
+        self.num_kv_blocks = determine_num_kv_blocks(config, self.model)
         logger.info("KV cache: %d blocks x %d tokens", self.num_kv_blocks,
                     config.cache_config.block_size)
 

@@ -66,14 +66,30 @@ class Qwen3Model:
 
     # ---- cache layout ------------------------------------------------------
 
+    def kv_cache_spec(self, layer_idx: int, kv_dtype):
+        """Declarative per-layer cache spec (reference: KVCacheSpec
+        classes, v1/kv_cache_interface.py); hybrid models override per
+        layer type. Allocation and memory sizing derive from these."""
+        from lvllm_tpu.core.kv_cache_spec import (FullAttentionSpec,
+                                                  MLAAttentionSpec,
+                                                  SlidingWindowSpec)
+        c = self.config
+        if c.attention_type == "mla":
+            return MLAAttentionSpec(1, c.kv_cache_dim, kv_dtype)
+        if c.sliding_window:
+            return SlidingWindowSpec(c.kv_cache_heads, c.kv_cache_dim,
+                                     kv_dtype,
+                                     sliding_window=c.sliding_window)
+        return FullAttentionSpec(c.kv_cache_heads, c.kv_cache_dim, kv_dtype)
+
+    def kv_cache_specs(self, kv_dtype):
+        return [self.kv_cache_spec(i, kv_dtype)
+                for i in range(self.config.num_hidden_layers)]
+
     def make_layer_cache(self, layer_idx: int, num_blocks: int,
                          block_size: int, dtype, max_reqs: int):
-        """Per-layer cache allocation; hybrid models override per layer
-        type (reference: KVCacheSpec grouping, kv_cache_interface.py)."""
-        from lvllm_tpu.ops.kv_cache import new_kv_cache
-        c = self.config
-        return new_kv_cache(num_blocks, block_size, c.kv_cache_heads,
-                            c.kv_cache_dim, dtype)
+        return self.kv_cache_spec(layer_idx, dtype).make(
+            num_blocks, block_size, max_reqs)
 
     # ---- init -------------------------------------------------------------
 

@@ -44,23 +44,18 @@ class Qwen3NextModel(Qwen3Model):
 
     # ---- cache layout ------------------------------------------------------
 
-    def make_layer_cache(self, layer_idx: int, num_blocks: int,
-                         block_size: int, dtype, max_reqs: int):
+    def kv_cache_spec(self, layer_idx: int, kv_dtype):
         c = self.config
         if c.layer_type(layer_idx) == "linear_attention":
+            from lvllm_tpu.core.kv_cache_spec import LinearAttentionSpec
             conv_dim = (2 * c.linear_num_key_heads * c.linear_key_head_dim +
                         c.linear_num_value_heads * c.linear_value_head_dim)
-            return {
-                "conv": jnp.zeros((max_reqs + 1, conv_dim,
-                                   c.linear_conv_kernel_dim - 1),
-                                  jnp.float32),
-                "rec": jnp.zeros((max_reqs + 1, c.linear_num_value_heads,
-                                  c.linear_key_head_dim,
-                                  c.linear_value_head_dim), jnp.float32),
-            }
-        from lvllm_tpu.ops.kv_cache import new_kv_cache
-        return new_kv_cache(num_blocks, block_size, c.kv_cache_heads,
-                            c.kv_cache_dim, dtype)
+            return LinearAttentionSpec(
+                conv_dim=conv_dim, conv_width=c.linear_conv_kernel_dim,
+                num_v_heads=c.linear_num_value_heads,
+                k_head_dim=c.linear_key_head_dim,
+                v_head_dim=c.linear_value_head_dim)
+        return super().kv_cache_spec(layer_idx, kv_dtype)
 
     # ---- params ------------------------------------------------------------
 
