@@ -107,13 +107,15 @@ def main() -> None:
         steps=jnp.zeros((R,), jnp.int32),
     )
     kv = runner.kv_caches
-    kv, s0, _tk, _ = runner._step_fn(runner.params, kv, *args.values())
+    kv, s0, _tk, _ = runner._step_fn(runner.params, kv, *args.values(),
+                                     greedy_only=True)
     s0.block_until_ready()
     n_rep = 20
     t4 = time.time()
     outs_dev = []
     for _ in range(n_rep):
-        kv, s0, _tk, _ = runner._step_fn(runner.params, kv, *args.values())
+        kv, s0, _tk, _ = runner._step_fn(runner.params, kv, *args.values(),
+                                         greedy_only=True)
         outs_dev.append(s0)
     s0.block_until_ready()
     device_step_ms = (time.time() - t4) / n_rep * 1000

@@ -53,6 +53,10 @@ class SchedulerOutput:
     # sampled token is a placeholder until the step is finalized.
     async_mode: bool = False
     async_sampled_req_ids: set = field(default_factory=set)
+    # KV offload loads to perform BEFORE executing this step:
+    # req_id -> (host_slots, device_block_ids) (reference:
+    # OffloadingConnector load plan).
+    kv_loads: Dict[str, tuple] = field(default_factory=dict)
 
     @property
     def num_reqs(self) -> int:

@@ -35,6 +35,7 @@ class Scheduler:
         cache_config: CacheConfig,
         num_kv_blocks: int,
         dcp_world_size: int = 1,
+        kv_offload_manager=None,
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
@@ -51,6 +52,14 @@ class Scheduler:
             max_model_len=scheduler_config.max_model_len,
             enable_caching=cache_config.enable_prefix_caching,
         )
+
+        # Host-RAM KV offload (reference: CPUOffloadingManager wired via
+        # OffloadingConnector): finished requests' blocks get stored; new
+        # requests extend their prefix hit from the host tier.
+        self.kv_offload = kv_offload_manager
+        # (hashes, block_ids) the engine must copy out after this step,
+        # before the pool can reuse those blocks (drained by EngineCore).
+        self.pending_kv_stores: List[tuple] = []
 
         self.async_scheduling = scheduler_config.async_scheduling
         # Pause control (reference: PauseState, scheduler :1848):
@@ -190,6 +199,19 @@ class Scheduler:
                 new_computed_blocks, num_cached_tokens = \
                     self.kv_cache_manager.get_computed_blocks(req)
 
+            # Extend the device prefix hit from the host offload tier.
+            off_hits = 0
+            if (self.kv_offload is not None and not resumed
+                    and not getattr(req, "mm_data", None)):
+                hashes = self.kv_cache_manager.get_block_hashes(req)
+                n_dev = len(new_computed_blocks.blocks) \
+                    if new_computed_blocks else 0
+                # Leave >= 1 prompt token to compute (same rule as the
+                # device prefix cache).
+                max_hit = (req.num_prompt_tokens - 1) // self.block_size
+                off_hits = self.kv_offload.lookup(hashes[n_dev:max_hit])
+                num_cached_tokens += off_hits * self.block_size
+
             num_new_tokens = req.num_tokens - num_cached_tokens - \
                 req.num_computed_tokens
             if self.scheduler_config.long_prefill_token_threshold > 0:
@@ -223,6 +245,14 @@ class Scheduler:
             self.waiting.popleft()
             req.status = RequestStatus.RUNNING
             self.running.append(req)
+
+            if off_hits:
+                # The first off_hits fresh blocks back the host-tier hit;
+                # the engine copies them in before executing the step.
+                load_ids = new_blocks.get_block_ids()[:off_hits]
+                slots = self.kv_offload.get_slots(hashes[n_dev:n_dev +
+                                                         off_hits])
+                output.kv_loads[req.request_id] = (slots, load_ids)
 
             if resumed:
                 output.scheduled_cached_reqs.append(CachedRequestData(
@@ -404,6 +434,25 @@ class Scheduler:
         self._free_request(req)
 
     def _free_request(self, req: Request) -> None:
+        if self.kv_offload is not None and not getattr(req, "mm_data", None):
+            # Queue the request's full blocks for HBM→host copy. The pages
+            # stay valid until the pool reuses them, which can only happen
+            # in a later schedule() — the engine drains this list first
+            # (reference: offloading_connector request_finished hook).
+            hashes = self.kv_cache_manager.req_to_block_hashes.get(
+                req.request_id, [])
+            block_ids = self.kv_cache_manager.get_block_ids(req.request_id)
+            n = min(len(hashes), len(block_ids),
+                    req.num_computed_tokens // self.block_size)
+            if n > 0:
+                todo, slots = self.kv_offload.prepare_store(hashes[:n])
+                if todo:
+                    # Map stored hashes back to their block ids.
+                    pos = {self.kv_offload._key(h): i
+                           for i, h in enumerate(hashes[:n])}
+                    ids = [block_ids[pos[self.kv_offload._key(h)]]
+                           for h in todo]
+                    self.pending_kv_stores.append((ids, slots))
         self.kv_cache_manager.free(req)
         self.kv_cache_manager.free_block_hashes(req)
         self.finished_req_ids.append(req.request_id)

@@ -82,10 +82,41 @@ class EngineCore:
         logger.info("KV cache: %d blocks x %d tokens", self.num_kv_blocks,
                     config.cache_config.block_size)
 
+        # KV offload to host RAM (reference: CPUOffloadingManager +
+        # OffloadingConnector; budget via swap_space_gb like vllm's
+        # swap space). Paged-uniform models only.
+        self.kv_offload_manager = None
+        self._kv_offload_worker = None
+        cc = config.cache_config
+        if cc.swap_space_gb > 0:
+            from lvllm_tpu.core.kv_cache_spec import (FullAttentionSpec,
+                                                      page_bytes_per_block)
+            from lvllm_tpu.offload.kv_offload import (KVOffloadManager,
+                                                      KVOffloadWorker)
+            mc = config.model_config
+            kv_dtype = (jnp.float8_e4m3fn if cc.kv_cache_dtype == "fp8" else
+                        jnp.bfloat16 if mc.dtype == "bfloat16"
+                        else jnp.float32)
+            specs = self.model.kv_cache_specs(kv_dtype)
+            assert all(isinstance(s, FullAttentionSpec) for s in specs), \
+                "KV offload requires uniform paged caches"
+            assert config.parallel_config.decode_context_parallel_size <= 1,\
+                "KV offload + DCP TBD"
+            per_block = page_bytes_per_block(specs, cc.block_size)
+            n_host = max(int(cc.swap_space_gb * 1e9 // per_block), 1)
+            self.kv_offload_manager = KVOffloadManager(n_host)
+            self._kv_offload_worker = KVOffloadWorker(
+                n_host, mc.num_hidden_layers,
+                (cc.block_size, specs[0].num_kv_heads, specs[0].head_dim),
+                kv_dtype)
+            logger.info("KV offload tier: %d host blocks (%.2f GB)",
+                        n_host, self._kv_offload_worker.host_bytes() / 1e9)
+
         self.scheduler = Scheduler(
             config.scheduler_config, config.cache_config,
             num_kv_blocks=self.num_kv_blocks,
-            dcp_world_size=config.parallel_config.decode_context_parallel_size)
+            dcp_world_size=config.parallel_config.decode_context_parallel_size,
+            kv_offload_manager=self.kv_offload_manager)
         self.runner = ModelRunner(config, self.model, params,
                                   self.num_kv_blocks, mesh=mesh)
 
@@ -195,10 +226,12 @@ class EngineCore:
         if not self.scheduler.has_unfinished_requests():
             return [], {}, {}
         scheduler_output = self.scheduler.schedule()
+        self._kv_offload_load(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             # Nothing runnable (e.g. all waiting blocked on KV); runner still
             # needs the finished/preempted diffs.
             self.runner.execute_model(scheduler_output)
+            self._kv_offload_store()
             return [], {}, {}
         grammar_masks = None
         sm = self.structured_manager
@@ -227,8 +260,27 @@ class EngineCore:
                     sm.free(req.request_id)
         if self.proposer is not None:
             self._propose_drafts(stepped)
+        self._kv_offload_store()
         return stepped, (runner_output.logprobs or {}), \
             runner_output.topk_logprobs
+
+    def _kv_offload_load(self, scheduler_output) -> None:
+        """Copy host-tier pages into this step's freshly allocated blocks
+        (must run before execute_model)."""
+        if not scheduler_output.kv_loads:
+            return
+        for rid, (slots, ids) in scheduler_output.kv_loads.items():
+            self.runner.kv_caches = self._kv_offload_worker.load(
+                self.runner.kv_caches, slots, ids)
+
+    def _kv_offload_store(self) -> None:
+        """Drain finished requests' block copies HBM→host (pages stay valid
+        until the next schedule() reuses them)."""
+        if self.kv_offload_manager is None:
+            return
+        for ids, slots in self.scheduler.pending_kv_stores:
+            self._kv_offload_worker.store(self.runner.kv_caches, ids, slots)
+        self.scheduler.pending_kv_stores.clear()
 
     def _step_async(self) -> Tuple[List[Request], Dict[str, List[float]]]:
         """Pipelined step: dispatch this step, then finalize the previous
@@ -240,6 +292,7 @@ class EngineCore:
         sched = None
         if self.scheduler.has_unfinished_requests():
             sched = self.scheduler.schedule()
+            self._kv_offload_load(sched)
             if sched.total_num_scheduled_tokens > 0:
                 gm = None
                 sm = self.structured_manager
@@ -276,6 +329,7 @@ class EngineCore:
                     sm.advance(req.request_id, new_toks)
                     if req.is_finished:
                         sm.free(req.request_id)
+        self._kv_offload_store()
         if handle is not None:
             self._inflight = (sched, handle)
         return stepped, logprobs, topk_out

@@ -22,6 +22,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-num-batched-tokens", type=int, default=2048)
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--num-kv-blocks", type=int, default=None)
+    p.add_argument("--swap-space-gb", type=float, default=0.0,
+                   help="host-RAM KV offload tier size (0 = off)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     p.add_argument("--expert-parallel-size", "-ep", type=int, default=1)
@@ -96,7 +98,8 @@ def _build_config(args) -> EngineConfig:
             block_size=args.block_size,
             num_gpu_blocks=args.num_kv_blocks,
             enable_prefix_caching=not args.no_prefix_caching,
-            kv_cache_dtype=args.kv_cache_dtype),
+            kv_cache_dtype=args.kv_cache_dtype,
+            swap_space_gb=args.swap_space_gb),
         scheduler_config=SchedulerConfig(
             max_num_batched_tokens=args.max_num_batched_tokens,
             max_num_seqs=args.max_num_seqs,

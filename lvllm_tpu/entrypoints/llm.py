@@ -46,6 +46,7 @@ class LLM:
         block_size: int = 16,
         num_kv_blocks: Optional[int] = None,
         enable_prefix_caching: bool = True,
+        swap_space_gb: float = 0.0,
         dtype: str = "bfloat16",
         seed: int = 0,
         tensor_parallel_size: int = 1,
@@ -71,7 +72,8 @@ class LLM:
             cache_config=CacheConfig(
                 block_size=block_size,
                 num_gpu_blocks=num_kv_blocks,
-                enable_prefix_caching=enable_prefix_caching),
+                enable_prefix_caching=enable_prefix_caching,
+                swap_space_gb=swap_space_gb),
             scheduler_config=SchedulerConfig(
                 max_num_batched_tokens=max_num_batched_tokens,
                 max_num_seqs=max_num_seqs,
