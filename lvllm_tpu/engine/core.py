@@ -68,6 +68,8 @@ class EngineCore:
     def __init__(self, config: EngineConfig, load_format: str = "auto",
                  mesh=None, tokenizer=None):
         self.config = config
+        from lvllm_tpu.plugins import load_plugins
+        load_plugins()
         t0 = time.time()
         self.model, params = load_model(config.model_config, load_format)
         if mesh is not None:
