@@ -43,7 +43,7 @@ def main() -> None:
 
     llm = LLM(model_config=mc, load_format="dummy", max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=16,
-              num_kv_blocks=2048)
+              num_kv_blocks=2048, multi_step_decode=8)
 
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, mc.vocab_size, size=prompt_len).tolist()
@@ -70,12 +70,13 @@ def main() -> None:
         eng.step()
     t1 = time.time()
     steps = 0
-    decoded = 0
+    seen = {}
     while eng.has_unfinished_requests() and steps < decode_tokens - 2:
-        outs2 = eng.step()
-        decoded += len(outs2)
+        for o in eng.step():
+            seen[o.request_id] = len(o.outputs[0].token_ids)
         steps += 1
     decode_elapsed = time.time() - t1
+    decoded = sum(seen.values())
     decode_tps = decoded / decode_elapsed if decode_elapsed > 0 else 0.0
 
     eng.abort_request([f"bench-{i}" for i in range(batch)])
@@ -129,7 +130,7 @@ def main() -> None:
     if run_extras:
         llm_q = LLM(model_config=mc_q, load_format="dummy",
                     max_num_seqs=batch, max_num_batched_tokens=2048,
-                    block_size=16, num_kv_blocks=2048)
+                    block_size=16, num_kv_blocks=2048, multi_step_decode=8)
         eng_q = llm_q.engine
         for i, p in enumerate(prompts):
             eng_q.add_request(f"bq-{i}", p, sp)
@@ -138,12 +139,15 @@ def main() -> None:
         for _ in range(3):   # warm the decode-bucket executable
             eng_q.step()
         t3 = time.time()
-        steps_q = decoded_q = 0
+        steps_q = 0
+        seen_q = {}
         while eng_q.has_unfinished_requests() and steps_q < decode_tokens - 2:
-            decoded_q += len(eng_q.step())
+            for o in eng_q.step():
+                seen_q[o.request_id] = len(o.outputs[0].token_ids)
             steps_q += 1
         q_elapsed = time.time() - t3
-        decode_tps_q = decoded_q / q_elapsed if q_elapsed > 0 else 0.0
+        decode_tps_q = sum(seen_q.values()) / q_elapsed if q_elapsed > 0 \
+            else 0.0
         eng_q.abort_request([f"bq-{i}" for i in range(batch)])
 
     result = {

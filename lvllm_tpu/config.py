@@ -183,6 +183,13 @@ class SchedulerConfig:
     # device (reference: async_scheduling / AsyncScheduler + the runner's
     # AsyncGPUModelRunnerOutput double buffering).
     async_scheduling: bool = False
+    # Multi-step decode (TPU analog of capturing N steps in one CUDA
+    # graph): when every scheduled request is in steady 1-token decode,
+    # fold up to this many iterations into ONE jitted lax.scan — tokens
+    # are sampled on device and fed back without host round-trips, and
+    # the host fetches results once per horizon. Stop conditions are
+    # checked post-hoc (same multi-token truncation as spec decode).
+    multi_step_decode: int = 1
     long_prefill_token_threshold: int = 0  # 0 => no cap beyond budget
     policy: str = "fcfs"  # fcfs | priority
     # Padded token-bucket sizes for the jitted step (replaces CUDA-graph

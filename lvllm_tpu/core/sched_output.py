@@ -57,6 +57,10 @@ class SchedulerOutput:
     # req_id -> (host_slots, device_block_ids) (reference:
     # OffloadingConnector load plan).
     kv_loads: Dict[str, tuple] = field(default_factory=dict)
+    # Multi-step decode: the runner MAY run up to this many decode
+    # iterations on device for this schedule (KV blocks are pre-allocated
+    # with horizon-1 lookahead); accounting uses len(sampled).
+    decode_horizon: int = 1
 
     @property
     def num_reqs(self) -> int:

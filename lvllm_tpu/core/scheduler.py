@@ -136,6 +136,24 @@ class Scheduler:
         output.finished_req_ids = self.finished_req_ids
         self.finished_req_ids = []
 
+        # Multi-step decode horizon (config.multi_step_decode): viable only
+        # when the whole step is steady 1-token decode with nothing waiting
+        # to prefill; KV blocks get horizon-1 lookahead. The runner may
+        # still fall back to one step (grammar/penalty/LoRA rows) —
+        # accounting in update_from_output uses len(sampled) either way.
+        H = self.scheduler_config.multi_step_decode
+        horizon = 1
+        if (H > 1 and not self.waiting and self.pause_mode is None
+                and not self.async_scheduling and self.running
+                and all(r.num_tokens_with_spec - r.num_computed_tokens == 1
+                        and not r.spec_token_ids
+                        and r.num_computed_tokens >= r.num_prompt_tokens - 1
+                        for r in self.running)):
+            room = min(self.scheduler_config.max_model_len - r.num_tokens
+                       for r in self.running)
+            horizon = max(1, min(H, room))
+        output.decode_horizon = horizon
+
         # Phase 1: running requests (decode / continued chunked prefill).
         preempted: List[Request] = []
         idx = 0
@@ -154,7 +172,8 @@ class Scheduler:
 
             while True:
                 new_blocks = self.kv_cache_manager.allocate_slots(
-                    req, num_new_tokens)
+                    req, num_new_tokens,
+                    num_lookahead_tokens=horizon - 1)
                 if new_blocks is not None:
                     break
                 # Preempt the lowest-priority (last) running request.
@@ -356,6 +375,10 @@ class Scheduler:
                 num_accepted = max(len(sampled) - 1, 0)
                 num_rejected = num_draft - num_accepted
                 req.num_computed_tokens += num_scheduled - num_rejected
+            elif scheduler_output.decode_horizon > 1 and sampled:
+                # Multi-step decode: the runner wrote KV for every sampled
+                # token (len==horizon, or 1 if it fell back).
+                req.num_computed_tokens += len(sampled)
             else:
                 req.num_computed_tokens += num_scheduled
             req.spec_token_ids = []

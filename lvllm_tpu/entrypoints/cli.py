@@ -44,6 +44,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="weight-only quantization of MoE experts on load")
     p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "bfloat16", "fp8"])
+    p.add_argument("--multi-step-decode", type=int, default=1,
+                   help="fold N decode steps into one on-device scan")
     p.add_argument("--async-scheduling", action="store_true",
                    help="overlap host scheduling with device execution")
     p.add_argument("--enable-expert-offload", action="store_true",
@@ -103,6 +105,7 @@ def _build_config(args) -> EngineConfig:
         scheduler_config=SchedulerConfig(
             max_num_batched_tokens=args.max_num_batched_tokens,
             max_num_seqs=args.max_num_seqs,
+            multi_step_decode=args.multi_step_decode,
             max_model_len=mc.max_model_len,
             async_scheduling=args.async_scheduling),
         parallel_config=ParallelConfig(

@@ -51,6 +51,7 @@ class LLM:
         seed: int = 0,
         tensor_parallel_size: int = 1,
         async_scheduling: bool = False,
+        multi_step_decode: int = 1,
         speculative_config=None,
         parallel_config=None,
         mesh=None,
@@ -78,7 +79,8 @@ class LLM:
                 max_num_batched_tokens=max_num_batched_tokens,
                 max_num_seqs=max_num_seqs,
                 max_model_len=model_config.max_model_len,
-                async_scheduling=async_scheduling),
+                async_scheduling=async_scheduling,
+                multi_step_decode=multi_step_decode),
             parallel_config=parallel_config or ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size),
         )

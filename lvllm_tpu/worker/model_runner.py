@@ -125,6 +125,11 @@ class ModelRunner:
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
                              "single_seq_prefill", "want_hidden"))
+        # Multi-step decode: H iterations in one lax.scan (the TPU analog
+        # of capturing N decode steps in one CUDA graph).
+        self._multi_step_fn = jax.jit(
+            self._multi_step, donate_argnums=(1,),
+            static_argnames=("horizon", "greedy_only"))
 
         # Set by EngineCore when LoRA serving is enabled.
         self.lora_manager = None
@@ -398,6 +403,120 @@ class ModelRunner:
             topk = (vals.reshape(R, S1, K), ids.reshape(R, S1, K))
         return sampled.reshape(R, S1), logprobs.reshape(R, S1), topk
 
+    # ---- multi-step decode ---------------------------------------------------
+
+    def _multi_step(self, params, kv_caches, tokens, positions, seq_lens,
+                    block_table, temperature, top_k, top_p, min_p, seeds,
+                    steps, horizon, greedy_only=False):
+        """H decode iterations in one jitted lax.scan: tokens sampled on
+        device feed the next iteration's input; the host fetches ONE packed
+        [2, H, R] result. Sampling PRNG folds per-row decode position, so
+        outputs are bit-identical to H single steps."""
+        R = tokens.shape[0]
+        BS = self.block_size
+        qsl = jnp.arange(R + 1, dtype=jnp.int32)
+        rows = jnp.arange(R, dtype=jnp.int32)
+        st = SamplingTensors(temperature=temperature, top_k=top_k,
+                             top_p=top_p, min_p=min_p, keys=seeds)
+
+        def body(carry, _):
+            kv, toks, pos, sl, stp = carry
+            slot = block_table[rows, pos // BS] * BS + pos % BS
+            md = AttentionMetadata(query_start_loc=qsl, seq_lens=sl,
+                                   block_table=block_table,
+                                   slot_mapping=slot)
+            hidden, kv = self.model(params, toks, pos, kv, md)
+            logits = self.model.compute_logits(params, hidden)
+            new = sample(logits, st, stp, greedy_only=greedy_only)
+            lp = compute_logprobs(logits, new)
+            return (kv, new, pos + 1, sl + 1, stp + 1), (new, lp)
+
+        init = (kv_caches, tokens, positions, seq_lens, steps)
+        (kv_caches, *_), (toks_h, lps_h) = jax.lax.scan(
+            body, init, None, length=horizon)
+        packed = jnp.stack([
+            toks_h,
+            jax.lax.bitcast_convert_type(lps_h.astype(jnp.float32),
+                                         jnp.int32)])       # [2, H, R]
+        return kv_caches, packed
+
+    def _can_multi_step(self, so, grammar_masks) -> bool:
+        """Horizon execution excludes features that need per-step host
+        state (grammar advance, penalties history, top-k logprobs, LoRA)
+        or a different execution scheme (spec, offload, EAGLE, DCP,
+        hybrid state caches). The scheduler pre-allocated lookahead blocks
+        either way, so falling back to one step is always safe."""
+        if (self.num_spec or self.expert_store is not None
+                or self.eagle_proposer is not None or self.dcp > 1
+                or self.config.model_config.layer_types is not None
+                or grammar_masks):
+            return False
+        ib = self.input_batch
+        rows = [ib.req_id_to_index[rid] for rid in so.num_scheduled_tokens]
+        if not rows:
+            return False
+        if ib.has_penalty[rows].any() or (ib.num_logprobs[rows] > 0).any():
+            return False
+        if self.lora_manager is not None and ib.lora_slot[rows].any():
+            return False
+        return True
+
+    def _execute_multi_step(self, so: SchedulerOutput,
+                            horizon: int) -> ModelRunnerOutput:
+        ib = self.input_batch
+        R = self.max_num_reqs
+        scheduled = sorted(so.num_scheduled_tokens,
+                           key=lambda rid: ib.req_id_to_index[rid])
+        tokens = np.zeros(R, np.int32)
+        positions = np.zeros(R, np.int32)
+        # Inactive rows attend exactly their own null-block key (seq_len 1,
+        # not 0): a fully-masked softmax yields NaN rows whose K/V would be
+        # written to the null block and then poison active rows through the
+        # 0·NaN contraction over masked columns.
+        seq_lens = np.ones(R, np.int32)
+        block_table = np.zeros((R, self.max_blocks_per_req), np.int32)
+        steps = np.zeros(R, np.int32)
+        for r, rid in enumerate(scheduled):
+            idx = ib.req_id_to_index[rid]
+            pos = ib.num_computed_tokens[idx]
+            tokens[r] = ib.token_ids[idx, pos]
+            positions[r] = pos
+            seq_lens[r] = pos + 1
+            block_table[r] = ib.block_table[idx]
+            steps[r] = max(pos + 1 - ib.num_prompt_tokens[idx], 0)
+
+        rows = [ib.req_id_to_index[rid] for rid in scheduled]
+        pad_rows = rows + [0] * (R - len(rows))
+        greedy_only = bool(np.all(ib.temperature[rows] == 0.0))
+        self.step_counter += 1
+        kv, packed = self._multi_step_fn(
+            self.params, self.kv_caches,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(seq_lens), jnp.asarray(block_table),
+            jnp.asarray(ib.temperature[pad_rows]),
+            jnp.asarray(ib.top_k[pad_rows]),
+            jnp.asarray(ib.top_p[pad_rows]),
+            jnp.asarray(ib.min_p[pad_rows]),
+            jnp.asarray(ib.seeds[pad_rows]),
+            jnp.asarray(steps), horizon=horizon, greedy_only=greedy_only)
+        self.kv_caches = kv
+
+        packed_np = np.asarray(packed)                 # one fetch [2, H, R]
+        toks_np = packed_np[0]
+        lps_np = packed_np[1].view(np.float32)
+        out = ModelRunnerOutput(sampled_token_ids={}, logprobs={})
+        for r, rid in enumerate(scheduled):
+            idx = ib.req_id_to_index[rid]
+            emitted = [int(t) for t in toks_np[:, r]]
+            out.sampled_token_ids[rid] = emitted
+            if ib.wants_logprobs[idx]:
+                out.logprobs[rid] = [float(x) for x in lps_np[:, r]]
+            nt = ib.num_tokens[idx]
+            ib.token_ids[idx, nt:nt + horizon] = emitted
+            ib.num_tokens[idx] = nt + horizon
+            ib.num_computed_tokens[idx] = positions[r] + horizon
+        return out
+
     # ---- batch maintenance -------------------------------------------------
 
     def _update_states(self, so: SchedulerOutput) -> None:
@@ -473,6 +592,10 @@ class ModelRunner:
         self._update_states(so)
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
+        horizon = getattr(so, "decode_horizon", 1)
+        if horizon > 1 and not async_mode and \
+                self._can_multi_step(so, grammar_masks):
+            return self._execute_multi_step(so, horizon)
 
         ib = self.input_batch
         sc = self.config.scheduler_config
