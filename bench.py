@@ -43,7 +43,7 @@ def main() -> None:
 
     llm = LLM(model_config=mc, load_format="dummy", max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=16,
-              num_kv_blocks=2048, multi_step_decode=8)
+              num_kv_blocks=2048, multi_step_decode=16)
 
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, mc.vocab_size, size=prompt_len).tolist()
@@ -130,7 +130,7 @@ def main() -> None:
     if run_extras:
         llm_q = LLM(model_config=mc_q, load_format="dummy",
                     max_num_seqs=batch, max_num_batched_tokens=2048,
-                    block_size=16, num_kv_blocks=2048, multi_step_decode=8)
+                    block_size=16, num_kv_blocks=2048, multi_step_decode=16)
         eng_q = llm_q.engine
         for i, p in enumerate(prompts):
             eng_q.add_request(f"bq-{i}", p, sp)

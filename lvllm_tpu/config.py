@@ -228,6 +228,11 @@ class ParallelConfig:
     # reference config/parallel.py:308-331).
     decode_context_parallel_size: int = 1
     enable_expert_parallel: bool = False
+    # Sequence parallelism (reference: the compilation sequence_parallelism
+    # pass, SURVEY §2.3 SP): explicitly shard the norm/residual activation
+    # regions over the model axis so XLA turns the row-parallel all-reduce
+    # into reduce-scatter + all-gather around them.
+    enable_sequence_parallel: bool = False
     # EP dispatch backend (reference: all2all_backend,
     # config/parallel.py:172-181): "naive" = masked-local + psum
     # (replicated activations, decode regime); "alltoall" = ragged

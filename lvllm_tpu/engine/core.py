@@ -78,6 +78,8 @@ class EngineCore:
             self.model.mesh = mesh
             self.model.moe_backend = config.parallel_config.moe_backend
             self.model.moe_ubatches = config.parallel_config.moe_ubatches
+            self.model.sequence_parallel = \
+                config.parallel_config.enable_sequence_parallel
         logger.info("model loaded in %.1fs", time.time() - t0)
 
         self.num_kv_blocks = determine_num_kv_blocks(config, self.model)

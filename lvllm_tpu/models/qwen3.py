@@ -46,6 +46,9 @@ class Qwen3Model:
     # ParallelConfig.moe_backend / moe_ubatches).
     moe_backend = "naive"
     moe_ubatches = 1
+    # Explicit sequence-parallel activation sharding (set by the engine
+    # from ParallelConfig.enable_sequence_parallel).
+    sequence_parallel = False
 
     def __init__(self, config: ModelConfig):
         self.config = config
@@ -220,6 +223,21 @@ class Qwen3Model:
             out = apply_lora(attn_flat, out, lora["o_proj"], token_adapter)
         return out, kv_cache
 
+    def _sp_shard(self, x: jax.Array) -> jax.Array:
+        """Sequence-parallel activation constraint (SURVEY §2.3 SP; the
+        reference's sequence_parallelism compilation pass): shard the token
+        dim of the norm/residual region over the model axis so XLA derives
+        reduce-scatter + all-gather instead of a full all-reduce at the
+        row-parallel boundaries."""
+        if not self.sequence_parallel or self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from lvllm_tpu.parallel.mesh import AXIS_MODEL
+        if self.mesh.shape.get(AXIS_MODEL, 1) <= 1:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(AXIS_MODEL, None)))
+
     def _use_ep(self) -> bool:
         from lvllm_tpu.parallel.mesh import AXIS_EXPERT
         return (self.mesh is not None
@@ -302,6 +320,8 @@ class Qwen3Model:
         so host→HBM expert streaming can overlap compute."""
         c = self.config
         lp = layer_params
+        x = self._sp_shard(x)
+        residual = self._sp_shard(residual)
         h, residual = fused_add_rms_norm(
             x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
         attn_out, kv = self._attention(lp, h, positions, kv_cache,
