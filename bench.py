@@ -122,6 +122,38 @@ def main() -> None:
     device_step_ms = (time.time() - t4) / n_rep * 1000
     runner.kv_caches = kv
 
+    # Pure device prefill-step time: replay the 2048-token prefill bucket
+    # (16 requests x 128 tokens — the same executable the engine's batch
+    # prefill used) with chained donated caches.
+    Tp = batch * prompt_len
+    qsl_p = np.arange(R + 1) * prompt_len
+    tok_pos = np.tile(np.arange(prompt_len), batch)
+    blocks_p = np.arange(R * maxb).reshape(R, maxb) % 2000 + 1
+    slot_p = (blocks_p[np.repeat(np.arange(R), prompt_len),
+                       tok_pos // 16] * 16 + tok_pos % 16)
+    pargs = dict(args)
+    pargs.update(
+        input_ids=jnp.asarray(np.arange(Tp) % mc.vocab_size, jnp.int32),
+        positions=jnp.asarray(tok_pos, jnp.int32),
+        qsl=jnp.asarray(qsl_p, jnp.int32),
+        seq_lens=jnp.full((R,), prompt_len, jnp.int32),
+        block_table=jnp.asarray(blocks_p, jnp.int32),
+        slot_mapping=jnp.asarray(slot_p, jnp.int32),
+        logits_indices=jnp.asarray(
+            (qsl_p[1:] - 1).clip(0, Tp - 1)[:, None], jnp.int32),
+    )
+    kv, s1, _tk, _ = runner._step_fn(runner.params, kv, *pargs.values(),
+                                     greedy_only=True)
+    s1.block_until_ready()
+    t5 = time.time()
+    n_prefill = 8
+    for _ in range(n_prefill):
+        kv, s1, _tk, _ = runner._step_fn(runner.params, kv,
+                                         *pargs.values(), greedy_only=True)
+    s1.block_until_ready()
+    prefill_step_ms = (time.time() - t5) / n_prefill * 1000
+    runner.kv_caches = kv
+
     # Quantized (int8 weight-only experts) decode throughput — skipped when
     # the time budget is nearly spent so the primary metric always prints.
     decode_tps_q = None
@@ -162,6 +194,8 @@ def main() -> None:
             "device_step_ms": round(device_step_ms, 2),
             "device_decode_tokens_per_s": round(
                 batch / device_step_ms * 1000, 1),
+            "device_prefill_tokens_per_s": round(
+                batch * prompt_len / prefill_step_ms * 1000, 1),
             "backend": jax.default_backend(),
             "batch": batch,
         },

@@ -28,6 +28,10 @@ _ENV_REGISTRY: Dict[str, Callable[[], Any]] = {
     # (reference: LVLLM_MOE_USE_WEIGHT, envs.py:236).
     "LVLLM_MOE_USE_WEIGHT": lambda: os.environ.get(
         "LVLLM_MOE_USE_WEIGHT", "KEEP"),
+    # Disable the shared-prefix cascade-attention auto-detection
+    # (reference: VLLM_DISABLE_CASCADE_ATTN analog).
+    "LVLLM_DISABLE_CASCADE": lambda: os.environ.get(
+        "LVLLM_DISABLE_CASCADE", "0") in ("1", "true", "True"),
 }
 
 

@@ -32,6 +32,13 @@ class AttentionMetadata:
     # non-None switches attention to the context-sharded write+attend+merge
     # path (ops/context_parallel.py dcp_write_and_attend).
     dcp_slot_mapping: Optional[jax.Array] = None
+    # Cascade attention (shared-prefix): non-None prefix blocks switch
+    # attention to the two-phase path (ops/cascade.py). All four set
+    # together by the runner's detection (gpu_model_runner.py:2356 analog).
+    cascade_prefix_blocks: Optional[jax.Array] = None   # [NPB] page ids
+    cascade_prefix_len: Optional[jax.Array] = None      # scalar tokens
+    cascade_suffix_block_table: Optional[jax.Array] = None  # [R, MAXB]
+    cascade_suffix_seq_lens: Optional[jax.Array] = None     # [R]
     # STATIC (part of the jit cache key): the batch is one contiguous
     # request segment (long prefill) — linear-attention layers take the
     # chunk-parallel MXU path instead of the token scan (ops/gdn.py

@@ -213,9 +213,27 @@ class Qwen3Model:
                                  token_adapter)
             return out, kv_cache
         kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
-        out = ragged_paged_attention(
-            q, kv_cache, md.block_table, md.query_start_loc, md.seq_lens,
-            scale=self.scale, sliding_window=c.sliding_window)
+        if md.cascade_prefix_blocks is not None:
+            # Shared-prefix cascade: dense non-causal attention over the
+            # common prefix pages + ragged attention over unique suffixes,
+            # merged by LSE (ops/cascade.py; reference
+            # gpu_model_runner.py:2356-2489).
+            from lvllm_tpu.ops.cascade import cascade_attention
+            BS = kv_cache.shape[2]
+            pages = kv_cache[:, md.cascade_prefix_blocks]
+            P_ = pages.shape[1] * BS
+            Hkv = kv_cache.shape[3]
+            pk = pages[0].reshape(P_, Hkv, D)
+            pv = pages[1].reshape(P_, Hkv, D)
+            out = cascade_attention(
+                q, pk, pv, kv_cache, md.cascade_suffix_block_table,
+                md.query_start_loc, md.cascade_suffix_seq_lens, self.scale,
+                prefix_len=md.cascade_prefix_len)
+        else:
+            out = ragged_paged_attention(
+                q, kv_cache, md.block_table, md.query_start_loc,
+                md.seq_lens, scale=self.scale,
+                sliding_window=c.sliding_window)
         attn_flat = out.reshape(T, c.num_attention_heads * D)
         out = attn_flat @ attn["o_proj"]["kernel"]
         if lora is not None and "o_proj" in lora:

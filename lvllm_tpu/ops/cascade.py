@@ -24,21 +24,31 @@ def shared_prefix_attention_with_lse(
     prefix_k: jax.Array,  # [P, Hkv, D] shared prefix keys
     prefix_v: jax.Array,  # [P, Hkv, D]
     scale: float,
+    prefix_len: Optional[jax.Array] = None,  # scalar; None => all P valid
 ) -> Tuple[jax.Array, jax.Array]:
     """Every query attends the whole shared prefix (all queries sit after
-    it, so no mask). Returns (out [T, Hq, D], lse [T, Hq])."""
+    it, so no causal mask). ``prefix_len`` masks bucket-padding columns
+    when P is padded to a compile-stable size.
+    Returns (out [T, Hq, D], lse [T, Hq])."""
     T, Hq, D = q.shape
     P, Hkv, _ = prefix_k.shape
     G = Hq // Hkv
     qf = q.reshape(T, Hkv, G, D).astype(jnp.float32)
     kf = prefix_k.astype(jnp.float32)
     scores = jnp.einsum("thgd,phd->thgp", qf, kf) * scale
+    if prefix_len is not None:
+        cols = jnp.arange(P, dtype=jnp.int32)
+        scores = jnp.where(cols[None, None, None, :] < prefix_len,
+                           scores, -jnp.inf)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(jnp.isfinite(scores), p, 0.0)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.einsum("thgp,phd->thgd", p,
-                     prefix_v.astype(jnp.float32)) / denom
-    lse = (m[..., 0] + jnp.log(denom[..., 0])).reshape(T, Hq)
+    out = jnp.einsum("thgp,phd->thgd", p, prefix_v.astype(jnp.float32)) \
+        / jnp.maximum(denom, 1e-30)
+    lse = (m_safe[..., 0] +
+           jnp.log(jnp.maximum(denom[..., 0], 1e-30))).reshape(T, Hq)
     return out.reshape(T, Hq, D).astype(q.dtype), lse
 
 
@@ -51,10 +61,11 @@ def cascade_attention(
     query_start_loc: jax.Array,  # [R+1]
     suffix_seq_lens: jax.Array,  # [R] suffix-only lengths
     scale: float,
+    prefix_len: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Two-phase shared-prefix attention with LSE merge."""
     prefix_out, prefix_lse = shared_prefix_attention_with_lse(
-        q, prefix_k, prefix_v, scale)
+        q, prefix_k, prefix_v, scale, prefix_len=prefix_len)
     suffix_out, suffix_lse = ragged_paged_attention_with_lse(
         q, suffix_kv_cache, block_table, query_start_loc, suffix_seq_lens,
         scale=scale)

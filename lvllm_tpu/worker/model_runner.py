@@ -330,13 +330,14 @@ class ModelRunner:
               token_adapter=None, async_args=None, greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
               single_seq_prefill=False, mm_embeds=None, mm_mask=None,
-              dcp_slot_mapping=None, want_hidden=False):
+              dcp_slot_mapping=None, want_hidden=False, cascade_args=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
             prev_sampled, ph_rows = async_args
             fill = prev_sampled[0, ph_rows, -1]
             input_ids = jnp.where(input_ids < 0, fill, input_ids)
+        casc = cascade_args or (None, None, None, None)
         md = AttentionMetadata(
             query_start_loc=query_start_loc,
             seq_lens=seq_lens,
@@ -345,6 +346,10 @@ class ModelRunner:
             row_slots=row_slots,
             single_seq_prefill=single_seq_prefill,
             dcp_slot_mapping=dcp_slot_mapping,
+            cascade_prefix_blocks=casc[0],
+            cascade_prefix_len=casc[1],
+            cascade_suffix_block_table=casc[2],
+            cascade_suffix_seq_lens=casc[3],
         )
         mm_kwargs = {}
         if mm_embeds is not None:
@@ -782,6 +787,41 @@ class ModelRunner:
             mm_args = dict(mm_embeds=jnp.asarray(mm_embeds_np),
                            mm_mask=jnp.asarray(mm_mask_np))
 
+        # Cascade attention auto-detection (reference heuristic,
+        # gpu_model_runner.py:2356): many sharers + a common leading block
+        # run that every row's chunk starts after.
+        cascade_args = None
+        n_act = row
+        from lvllm_tpu import envs
+        from lvllm_tpu.ops.cascade import use_cascade_heuristic
+        mc = self.config.model_config
+        if (n_act >= 8 and self.dcp == 1 and mc.sliding_window is None
+                and not envs.LVLLM_DISABLE_CASCADE):
+            bt = block_table[:n_act]
+            limit = min(int(np.min(seq_lens[:n_act])) // self.block_size,
+                        min(row_starts) // self.block_size)
+            shared = 0
+            while shared < limit and np.all(bt[:, shared] == bt[0, shared]):
+                shared += 1
+            if use_cascade_heuristic(n_act, shared * self.block_size,
+                                     self.block_size):
+                npb = 1
+                while npb < shared:
+                    npb *= 2
+                prefix_blocks = np.zeros(npb, np.int32)
+                prefix_blocks[:shared] = bt[0, :shared]
+                suffix_table = np.zeros_like(block_table)
+                suffix_table[:, :self.max_blocks_per_req - shared] = \
+                    block_table[:, shared:]
+                suffix_lens = np.clip(
+                    seq_lens - shared * self.block_size, 0,
+                    None).astype(np.int32)
+                cascade_args = (
+                    jnp.asarray(prefix_blocks),
+                    jnp.asarray(shared * self.block_size, jnp.int32),
+                    jnp.asarray(suffix_table),
+                    jnp.asarray(suffix_lens))
+
         # Static chunk-parallel GDN path: exactly one scheduled request
         # with a long query segment (typical long-prefill chunk). Only
         # worth a distinct compile for hybrid linear-attention models.
@@ -819,7 +859,8 @@ class ModelRunner:
                 single_seq_prefill=single_seq,
                 dcp_slot_mapping=(jnp.asarray(dcp_slot)
                                   if dcp_slot is not None else None),
-                want_hidden=want_hidden, **mm_args, **lora_args)
+                want_hidden=want_hidden, cascade_args=cascade_args,
+                **mm_args, **lora_args)
             self.kv_caches = kv
 
         # EAGLE drafting happens for greedy, grammar-free rows only
