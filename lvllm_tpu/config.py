@@ -286,7 +286,11 @@ class SpeculativeConfig:
     """Speculative decoding (reference: config/speculative.py; proposers in
     v1/spec_decode/). method=None disables."""
 
-    method: Optional[str] = None   # None | "ngram" | "draft_model" | "eagle"
+    # None | "ngram" | "draft_model" | "eagle" | "eagle3"
+    method: Optional[str] = None
+    # eagle3: target layer indices whose hidden states feed the head
+    # (None => {1, L/2, L-2}).
+    eagle_aux_layers: Optional[tuple] = None
     num_speculative_tokens: int = 4
     ngram_min: int = 2
     ngram_max: int = 4

@@ -167,18 +167,26 @@ class EngineCore:
             self.proposer = DraftModelProposer(
                 dmc, k=sc.num_speculative_tokens,
                 block_size=config.cache_config.block_size, load_format=fmt)
-        elif sc.enabled and sc.method == "eagle":
+        elif sc.enabled and sc.method in ("eagle", "eagle3"):
             # EAGLE lives runner-side: it consumes the target's hidden
-            # states each step (reference: v1/spec_decode/eagle.py).
+            # states each step (reference: v1/spec_decode/eagle.py;
+            # eagle3 = multi-level feature fusion).
             from lvllm_tpu.spec_decode.eagle import EagleProposer
             weights = None
             if sc.draft_model and sc.draft_model != "dummy":
                 from lvllm_tpu.model_loader.loader import (
                     safetensors_weight_iterator)
                 weights = safetensors_weight_iterator(sc.draft_model)
+            aux = ()
+            if sc.method == "eagle3":
+                L = config.model_config.num_hidden_layers
+                aux = sc.eagle_aux_layers or \
+                    tuple(sorted({1, L // 2, max(L - 2, 0)} &
+                                 set(range(L)))) or (L - 1,)
             self.runner.eagle_proposer = EagleProposer(
                 config.model_config, k=sc.num_speculative_tokens,
-                block_size=config.cache_config.block_size, weights=weights)
+                block_size=config.cache_config.block_size, weights=weights,
+                mode=sc.method, aux_layers=aux)
 
     # ---- request API -------------------------------------------------------
 

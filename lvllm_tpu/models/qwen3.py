@@ -367,7 +367,12 @@ class Qwen3Model:
         token_adapter=None,
         mm_embeds=None,
         mm_mask=None,
+        aux_hidden_layers: Tuple[int, ...] = (),
     ) -> Tuple[jax.Array, KVCaches]:
+        """``aux_hidden_layers`` (static): also return the residual-stream
+        hidden after those layer indices, concatenated [T, len*H] — the
+        EAGLE-3 multi-level feature tap (reference: eagle3 aux_hidden_state
+        collection in the target forward)."""
         x = self.embed_tokens(params, input_ids)
         if mm_embeds is not None:
             # Multimodal splice (reference: merge_multimodal_embeddings):
@@ -375,12 +380,17 @@ class Qwen3Model:
             x = jnp.where(mm_mask[:, None], mm_embeds.astype(x.dtype), x)
         residual = jnp.zeros_like(x)
         new_caches: List[jax.Array] = []
+        aux: List[jax.Array] = []
         for i, lp in enumerate(params["layers"]):
             x, residual, kv = self.apply_layer(
                 lp, x, residual, positions, kv_caches[i], attn_metadata, i,
                 lora, token_adapter)
             new_caches.append(kv)
+            if i in aux_hidden_layers:
+                aux.append(x + residual)
         hidden = self.finalize_hidden(params, x, residual)
+        if aux_hidden_layers:
+            return hidden, new_caches, jnp.concatenate(aux, axis=-1)
         return hidden, new_caches
 
     def compute_logits(self, params: Params, hidden: jax.Array) -> jax.Array:

@@ -51,9 +51,19 @@ class EagleProposer:
 
     def __init__(self, target_config: ModelConfig, k: int,
                  block_size: int = 16, num_blocks: int = 512,
-                 weights=None, seed: int = 0):
+                 weights=None, seed: int = 0, mode: str = "eagle",
+                 aux_layers: tuple = ()):
+        """``mode='eagle3'``: the first ingest fuses hidden states tapped
+        from ``aux_layers`` of the target (concat [3H] → fc3 → feature);
+        drafting then feeds the head's own features as in EAGLE-1
+        (reference: eagle3 multi-level feature fusion,
+        v1/spec_decode/eagle.py)."""
         c = target_config
         self.k = k
+        self.mode = mode
+        self.aux_layers = tuple(aux_layers)
+        self.num_feats = max(len(self.aux_layers), 1) if mode == "eagle3" \
+            else 1
         self.config = c
         self.block_size = block_size
         self.dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
@@ -91,7 +101,10 @@ class EagleProposer:
                 rng.standard_normal(shape).astype(np.float32) * scale,
                 self.dtype)
 
+        extra = ({"fc3": dense((self.num_feats * H, H))}
+                 if self.mode == "eagle3" else {})
         return {
+            **extra,
             "fc": dense((2 * H, H)),
             "input_layernorm": jnp.ones((H,), self.dtype),
             "post_attention_layernorm": jnp.ones((H,), self.dtype),
@@ -109,11 +122,19 @@ class EagleProposer:
         ``layers.0.self_attn...`` — e.g. yuhuili/EAGLE-* repos) onto the
         params dict; embed/lm_head stay shared with the target."""
         params = self.init_params(0)
+        H = self.config.hidden_size
         gate = up = None
         for name, w in weights:
-            name = name.removeprefix("model.")
+            # eagle3 checkpoints name their single layer "midlayer".
+            name = name.removeprefix("model.").replace("midlayer.",
+                                                       "layers.0.")
             if name == "fc.weight":
-                params["fc"] = jnp.asarray(w.T, self.dtype)
+                # Width disambiguates: [H, 2H] = emb‖feat fuse, [H, kH] =
+                # eagle3 multi-level feature fuse.
+                if w.shape[1] == self.num_feats * H and self.num_feats > 1:
+                    params["fc3"] = jnp.asarray(w.T, self.dtype)
+                else:
+                    params["fc"] = jnp.asarray(w.T, self.dtype)
             elif name.endswith("input_layernorm.weight"):
                 params["input_layernorm"] = jnp.asarray(w, self.dtype)
             elif name.endswith("post_attention_layernorm.weight"):
@@ -159,6 +180,9 @@ class EagleProposer:
     def _head(self, p, tokens, feats, positions, kv_cache, slots, seq_len,
               blocks, n, last_idx, embed_w, lm_w, tied):
         emb = embed_w[tokens].astype(self.dtype)
+        if feats.shape[-1] != emb.shape[-1]:
+            # EAGLE-3 multi-level features: fuse [num_feats*H] → [H].
+            feats = feats.astype(self.dtype) @ p["fc3"]
         x = jnp.concatenate([emb, feats.astype(self.dtype)], axis=-1) \
             @ p["fc"]
         x, kv_cache = self._layer(p, x, positions, kv_cache, slots,

@@ -124,7 +124,8 @@ class ModelRunner:
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
-                             "single_seq_prefill", "want_hidden"))
+                             "single_seq_prefill", "want_hidden",
+                             "aux_layers"))
         # Multi-step decode: H iterations in one lax.scan (the TPU analog
         # of capturing N decode steps in one CUDA graph).
         self._multi_step_fn = jax.jit(
@@ -166,7 +167,8 @@ class ModelRunner:
         self._step_fn = jax.jit(
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
-                             "single_seq_prefill", "want_hidden"))
+                             "single_seq_prefill", "want_hidden",
+                             "aux_layers"))
 
     def _make_caches(self, kv_dtype):
         mc = self.config.model_config
@@ -330,7 +332,8 @@ class ModelRunner:
               token_adapter=None, async_args=None, greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
               single_seq_prefill=False, mm_embeds=None, mm_mask=None,
-              dcp_slot_mapping=None, want_hidden=False, cascade_args=None):
+              dcp_slot_mapping=None, want_hidden=False, cascade_args=None,
+              aux_layers=()):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -354,10 +357,17 @@ class ModelRunner:
         mm_kwargs = {}
         if mm_embeds is not None:
             mm_kwargs = dict(mm_embeds=mm_embeds, mm_mask=mm_mask)
-        hidden, kv_caches = self.model(params, input_ids, positions,
-                                       kv_caches, md, lora=lora,
-                                       token_adapter=token_adapter,
-                                       **mm_kwargs)
+        aux = None
+        if aux_layers:
+            hidden, kv_caches, aux = self.model(
+                params, input_ids, positions, kv_caches, md, lora=lora,
+                token_adapter=token_adapter, aux_hidden_layers=aux_layers,
+                **mm_kwargs)
+        else:
+            hidden, kv_caches = self.model(params, input_ids, positions,
+                                           kv_caches, md, lora=lora,
+                                           token_adapter=token_adapter,
+                                           **mm_kwargs)
         sampled, logprobs, topk = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask, greedy_only,
@@ -369,7 +379,8 @@ class ModelRunner:
             sampled,
             jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32),
                                          jnp.int32)])        # [2, R, S1]
-        return kv_caches, packed, topk, (hidden if want_hidden else None)
+        feats = aux if aux_layers else hidden
+        return kv_caches, packed, topk, (feats if want_hidden else None)
 
     MAX_TOPK_LOGPROBS = 8
 
@@ -839,6 +850,10 @@ class ModelRunner:
         topk = None
         hidden = None
         want_hidden = self.eagle_proposer is not None
+        eagle_aux = ()
+        if want_hidden and getattr(self.eagle_proposer, "mode",
+                                   "eagle") == "eagle3":
+            eagle_aux = tuple(self.eagle_proposer.aux_layers)
         if want_hidden:
             assert not async_mode, "async scheduling excludes EAGLE"
         if self.expert_store is not None:
@@ -860,7 +875,7 @@ class ModelRunner:
                 dcp_slot_mapping=(jnp.asarray(dcp_slot)
                                   if dcp_slot is not None else None),
                 want_hidden=want_hidden, cascade_args=cascade_args,
-                **mm_args, **lora_args)
+                aux_layers=eagle_aux, **mm_args, **lora_args)
             self.kv_caches = kv
 
         # EAGLE drafting happens for greedy, grammar-free rows only

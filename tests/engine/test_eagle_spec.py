@@ -61,6 +61,23 @@ def test_eagle_tied_embeddings():
     assert got == base
 
 
+def test_eagle3_lossless_vs_baseline():
+    base, _ = _run(_engine(), PROMPTS)
+    spec = SpeculativeConfig(method="eagle3", num_speculative_tokens=3)
+    got, _ = _run(_engine(spec), PROMPTS)
+    assert got == base
+
+
+def test_eagle3_uses_multi_level_features():
+    spec = SpeculativeConfig(method="eagle3", num_speculative_tokens=2)
+    eng = _engine(spec)
+    prop = eng.core.runner.eagle_proposer
+    assert prop.mode == "eagle3"
+    assert len(prop.aux_layers) >= 1
+    assert "fc3" in prop.params
+    _run(eng, PROMPTS, max_tokens=6)  # must execute the fused path
+
+
 def test_eagle_state_freed_on_finish():
     spec = SpeculativeConfig(method="eagle", num_speculative_tokens=2)
     eng = _engine(spec)
