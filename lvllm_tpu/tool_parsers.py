@@ -215,6 +215,103 @@ class Qwen3CoderToolParser:
         return content, calls
 
 
+class KimiK2ToolParser:
+    """Kimi K2 token-delimited tool sections (reference:
+    kimi_k2_tool_parser.py:41-52): ``<|tool_calls_section_begin|>`` wraps
+    ``<|tool_call_begin|> functions.NAME:IDX
+    <|tool_call_argument_begin|> {json} <|tool_call_end|>`` blocks."""
+
+    _call = re.compile(
+        r"<\|tool_call_begin\|>\s*(?P<id>[\w\.\-]+:\d+)\s*"
+        r"<\|tool_call_argument_begin\|>\s*(?P<args>.*?)\s*"
+        r"<\|tool_call_end\|>", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        if "<|tool_calls_section_begin|>" not in text:
+            return text, []
+        content, section = text.split("<|tool_calls_section_begin|>", 1)
+        calls = []
+        for m in self._call.finditer(section):
+            name = m.group("id").split(":", 1)[0]
+            name = name.removeprefix("functions.")
+            calls.append(ToolCall(name=name, arguments=m.group("args")))
+        return content.strip(), calls
+
+
+class PythonicToolParser:
+    """Pythonic call-list output (reference: pythonic_tool_parser.py /
+    llama4_pythonic): the model emits ``[foo(a=1), bar(x="s")]``."""
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        import ast
+        body = text.strip()
+        if body.startswith("<|python_start|>"):
+            body = body.split("<|python_start|>", 1)[1]
+            body = body.split("<|python_end|>", 1)[0].strip()
+        if not (body.startswith("[") and body.endswith("]")):
+            return text, []
+        try:
+            tree = ast.parse(body, mode="eval")
+        except SyntaxError:
+            return text, []
+        if not isinstance(tree.body, ast.List):
+            return text, []
+        calls = []
+        for node in tree.body.elts:
+            if not (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)):
+                return text, []
+            try:
+                args = {kw.arg: ast.literal_eval(kw.value)
+                        for kw in node.keywords}
+            except ValueError:
+                return text, []
+            calls.append(ToolCall(name=node.func.id,
+                                  arguments=json.dumps(args)))
+        return "", calls
+
+
+class InternLM2ToolParser:
+    """InternLM2 plugin actions (reference: internlm2_tool_parser.py):
+    ``<|action_start|><|plugin|>{json}<|action_end|>``."""
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        if "<|action_start|>" not in text:
+            return text, []
+        content, rest = text.split("<|action_start|>", 1)
+        body = rest.removeprefix("<|plugin|>")
+        body = body.split("<|action_end|>", 1)[0].strip()
+        try:
+            obj = json.loads(body)
+        except json.JSONDecodeError:
+            return text, []
+        args = obj.get("parameters", obj.get("arguments", {}))
+        return content.strip(), [ToolCall(
+            name=obj.get("name", ""), arguments=json.dumps(args))]
+
+
+class GraniteToolParser:
+    """Granite 3.x JSON-array calls (reference: granite_tool_parser.py:51):
+    optional ``<|tool_call|>``/``<tool_call>`` prefix + a JSON array of
+    {"name", "arguments"}."""
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        stripped = text.strip().removeprefix("<|tool_call|>") \
+            .removeprefix("<tool_call>").lstrip()
+        if not stripped.startswith("["):
+            return text, []
+        try:
+            arr = json.loads(stripped)
+        except json.JSONDecodeError:
+            return text, []
+        if not isinstance(arr, list):
+            return text, []
+        calls = [ToolCall(name=o.get("name", ""),
+                          arguments=json.dumps(o.get("arguments", {})))
+                 for o in arr if isinstance(o, dict)]
+        return "", calls
+
+
 _TOOL_PARSERS = {
     "hermes": HermesToolParser,
     "llama3_json": Llama3JsonToolParser,
@@ -223,6 +320,11 @@ _TOOL_PARSERS = {
     "glm4": Glm4ToolParser,
     "glm45": Glm4ToolParser,
     "qwen3_coder": Qwen3CoderToolParser,
+    "kimi_k2": KimiK2ToolParser,
+    "pythonic": PythonicToolParser,
+    "llama4_pythonic": PythonicToolParser,
+    "internlm": InternLM2ToolParser,
+    "granite": GraniteToolParser,
 }
 
 
