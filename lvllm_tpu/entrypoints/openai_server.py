@@ -66,6 +66,7 @@ class OpenAIServer:
         self.app.router.add_post("/v1/completions", self.completions)
         self.app.router.add_post("/v1/chat/completions",
                                  self.chat_completions)
+        self.app.router.add_post("/v1/responses", self.responses)
         self.app.router.add_post("/v1/embeddings", self.embeddings)
         self.app.router.add_post("/tokenize", self.tokenize)
         self.app.router.add_post("/detokenize", self.detokenize)
@@ -408,6 +409,67 @@ class OpenAIServer:
                 "finish_reason": finish_reason,
             }],
             "usage": self._usage(final),
+        })
+
+    async def responses(self, request: web.Request) -> web.Response:
+        """OpenAI Responses API (reference: entrypoints/openai responses
+        router): ``input`` is a string or message list; the reply is a
+        response object with output items (reasoning + message)."""
+        try:
+            body = await request.json()
+            inp = body.get("input")
+            if isinstance(inp, str):
+                messages = [{"role": "user", "content": inp}]
+            elif isinstance(inp, list):
+                messages = [m for m in inp
+                            if m.get("type", "message") == "message"]
+            else:
+                return self._error("input must be a string or list", 400)
+            if body.get("instructions"):
+                messages = [{"role": "system",
+                             "content": body["instructions"]}] + messages
+            prompt = self._apply_chat_template(messages)
+            sp = sampling_params_from_request(body)
+            if body.get("max_output_tokens"):
+                sp.max_tokens = int(body["max_output_tokens"])
+        except (ValueError, KeyError, TypeError) as e:
+            return self._error(str(e), 400)
+        rid = f"resp_{uuid.uuid4().hex[:24]}"
+        try:
+            final = None
+            async for out in self.llm.generate(prompt, sp, rid):
+                final = out
+        except ValueError as e:
+            return self._error(str(e), 400)
+        c = final.outputs[0]
+        text = c.text
+        output = []
+        if self.reasoning_parser is not None:
+            reasoning, text = self.reasoning_parser.extract(text)
+            if reasoning is not None:
+                output.append({
+                    "type": "reasoning", "id": f"rs_{rid}",
+                    "summary": [],
+                    "content": [{"type": "reasoning_text",
+                                 "text": reasoning}]})
+        output.append({
+            "type": "message", "id": f"msg_{rid}", "role": "assistant",
+            "status": "completed",
+            "content": [{"type": "output_text", "text": text,
+                         "annotations": []}]})
+        usage = self._usage(final)
+        return web.json_response({
+            "id": rid, "object": "response", "created_at": int(time.time()),
+            "status": ("incomplete" if c.finish_reason == "length"
+                       else "completed"),
+            "model": self.model_name,
+            "output": output,
+            "output_text": text,
+            "usage": {
+                "input_tokens": usage.get("prompt_tokens", 0),
+                "output_tokens": usage.get("completion_tokens", 0),
+                "total_tokens": usage.get("total_tokens", 0),
+            },
         })
 
     # ---- multimodal helpers ------------------------------------------------
