@@ -28,41 +28,54 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_Q = 8  # query tokens per tile (rows = TILE_Q * G per kv head)
+TILE_Q = 8  # decode-regime query tokens per tile (rows = TILE_Q * G)
+
+
+def pick_tile_q(num_tokens: int) -> int:
+    """Adaptive query tile: decode-ish batches keep small tiles (one live
+    token per request-tile anyway); prefill batches take 32-token tiles so
+    the per-tile grid overhead amortizes and ROWS=tile_q*G fills the MXU
+    (profiled: TILE_Q=8 made attention ~35% of the 2048-token prefill
+    step; 32/64 cut it ~3-4x)."""
+    if num_tokens <= 64:
+        return 8
+    return 32 if num_tokens <= 1024 else 64
 
 
 def build_tile_metadata(
     query_start_loc: np.ndarray,  # [R+1] host int32
     num_tiles: int,
+    tile_q: int = TILE_Q,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host-side tile map: walk requests, emit one entry per TILE_Q-chunk of
+    """Host-side tile map: walk requests, emit one entry per tile_q-chunk of
     each request's query segment.
 
     Returns (tile_req [NT], tile_qpos [NT] — offset of the tile inside the
-    request's segment, tile_token [NT, TILE_Q] — flat q indices, -1 = pad).
+    request's segment, tile_token [NT, tile_q] — flat q indices, -1 = pad).
     """
     R = len(query_start_loc) - 1
     tile_req = np.full(num_tiles, -1, dtype=np.int32)
     tile_qpos = np.zeros(num_tiles, dtype=np.int32)
-    tile_token = np.full((num_tiles, TILE_Q), -1, dtype=np.int32)
+    tile_token = np.full((num_tiles, tile_q), -1, dtype=np.int32)
     t = 0
     for r in range(R):
         start, end = query_start_loc[r], query_start_loc[r + 1]
         q_len = end - start
-        for off in range(0, q_len, TILE_Q):
+        for off in range(0, q_len, tile_q):
             if t >= num_tiles:
                 raise ValueError("tile metadata overflow")
             tile_req[t] = r
             tile_qpos[t] = off
-            n = min(TILE_Q, q_len - off)
+            n = min(tile_q, q_len - off)
             tile_token[t, :n] = np.arange(start + off, start + off + n)
             t += 1
     return tile_req, tile_qpos, tile_token
 
 
-def num_tiles_upper_bound(max_tokens: int, max_reqs: int) -> int:
+def num_tiles_upper_bound(max_tokens: int, max_reqs: int,
+                          tile_q: int = TILE_Q) -> int:
     """Static NT: every request wastes at most one partial tile."""
-    return -(-max_tokens // TILE_Q) + max_reqs
+    return -(-max_tokens // tile_q) + max_reqs
 
 
 def _attn_kernel(
@@ -89,6 +102,7 @@ def _attn_kernel(
     num_kv_heads: int,
     q_heads_per_kv: int,
     head_dim: int,
+    tile_q: int,
 ):
     t = pl.program_id(0)
     r = tile_req_ref[t]
@@ -99,7 +113,7 @@ def _attn_kernel(
         G = q_heads_per_kv
         Hkv = num_kv_heads
         D = head_dim
-        ROWS = TILE_Q * G
+        ROWS = tile_q * G
 
         seq_len = seq_lens_ref[r]
         q_len = qsl_ref[r + 1] - qsl_ref[r]
@@ -143,7 +157,7 @@ def _attn_kernel(
 
         # Per-kv-head flash state, carried through the chunk loop.
         # q laid out [Hkv, ROWS(=TILE_Q*G), D] so each head is one matmul.
-        q = q_tile_ref[0].reshape(TILE_Q, Hkv, G, D)
+        q = q_tile_ref[0].reshape(tile_q, Hkv, G, D)
         q = jnp.transpose(q, (1, 0, 2, 3)).reshape(Hkv, ROWS, D)
         q = q.astype(jnp.float32) * scale
 
@@ -218,13 +232,13 @@ def _attn_kernel(
         m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
 
         out = acc / jnp.maximum(l, 1e-20)                      # [Hkv,ROWS,D]
-        out = out.reshape(Hkv, TILE_Q, G, D)
-        out = jnp.transpose(out, (1, 0, 2, 3)).reshape(TILE_Q, Hkv * G, D)
+        out = out.reshape(Hkv, tile_q, G, D)
+        out = jnp.transpose(out, (1, 0, 2, 3)).reshape(tile_q, Hkv * G, D)
         out_tile_ref[0] = out.astype(out_tile_ref.dtype)
 
     @pl.when(r < 0)
     def _pad():
-        out_tile_ref[0] = jnp.zeros((TILE_Q, num_kv_heads * q_heads_per_kv,
+        out_tile_ref[0] = jnp.zeros((tile_q, num_kv_heads * q_heads_per_kv,
                                      head_dim), out_tile_ref.dtype)
 
 
@@ -240,23 +254,27 @@ def ragged_paged_attention_pallas(
     logits_soft_cap: Optional[float] = None,
     tile_req: Optional[jax.Array] = None,   # [NT] host-built (else device)
     tile_qpos: Optional[jax.Array] = None,
-    tile_token: Optional[jax.Array] = None,  # [NT, TILE_Q]
+    tile_token: Optional[jax.Array] = None,  # [NT, tile_q]
+    tile_q: Optional[int] = None,
 ) -> jax.Array:
     T, Hq, D = q.shape
     R = seq_lens.shape[0]
     BS = kv_cache.shape[2]
     Hkv = kv_cache.shape[3]
     G = Hq // Hkv
-    NT = num_tiles_upper_bound(T, R)
+    if tile_q is None:
+        tile_q = tile_token.shape[1] if tile_token is not None \
+            else pick_tile_q(T)
+    NT = num_tiles_upper_bound(T, R, tile_q)
 
     if tile_req is None:
         tile_req, tile_qpos, tile_token = device_tile_metadata(
-            query_start_loc, T, R)
+            query_start_loc, T, R, tile_q)
 
     # Gather queries into aligned tiles (pad rows read q[0], masked later by
-    # scatter). [NT, TILE_Q, Hq, D]
+    # scatter). [NT, tile_q, Hq, D]
     safe_idx = jnp.maximum(tile_token, 0)
-    q_tiles = q[safe_idx.reshape(-1)].reshape(NT, TILE_Q, Hq, D)
+    q_tiles = q[safe_idx.reshape(-1)].reshape(NT, tile_q, Hq, D)
 
     chunk_pages = max(1, 128 // BS)
     chunk_k = chunk_pages * BS
@@ -277,11 +295,11 @@ def ragged_paged_attention_pallas(
         num_scalar_prefetch=5,
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec((1, TILE_Q, Hq, D), lambda t, *_: (t, 0, 0, 0),
+            pl.BlockSpec((1, tile_q, Hq, D), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TILE_Q, Hq, D),
+        out_specs=pl.BlockSpec((1, tile_q, Hq, D),
                                lambda t, *_: (t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -301,12 +319,13 @@ def ragged_paged_attention_pallas(
         num_kv_heads=Hkv,
         q_heads_per_kv=G,
         head_dim=D,
+        tile_q=tile_q,
     )
 
     out_tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NT, TILE_Q, Hq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((NT, tile_q, Hq, D), q.dtype),
     )(tile_req, tile_qpos, seq_lens, query_start_loc, block_table,
       q_tiles, kv_cache)
 
@@ -317,20 +336,21 @@ def ragged_paged_attention_pallas(
     flat_idx = jnp.where(flat_idx < 0, T, flat_idx)
     out = jnp.zeros_like(q)
     out = out.at[flat_idx].set(
-        out_tiles.reshape(NT * TILE_Q, Hq, D), mode="drop")
+        out_tiles.reshape(NT * tile_q, Hq, D), mode="drop")
     return out
 
 
-def device_tile_metadata(query_start_loc: jax.Array, T: int, R: int):
+def device_tile_metadata(query_start_loc: jax.Array, T: int, R: int,
+                         tile_q: int = TILE_Q):
     """Device-side tile map (jnp; jit-friendly) — used when the host didn't
-    precompute one. One tile per (request, TILE_Q-chunk).
+    precompute one. One tile per (request, tile_q-chunk).
 
     Tiles are laid out at offset cdiv-prefix positions; computed with static
-    shapes: NT = cdiv(T, TILE_Q) + R.
+    shapes: NT = cdiv(T, tile_q) + R.
     """
-    NT = num_tiles_upper_bound(T, R)
+    NT = num_tiles_upper_bound(T, R, tile_q)
     q_lens = query_start_loc[1:] - query_start_loc[:-1]          # [R]
-    ntiles = -(-q_lens // TILE_Q)                                # cdiv
+    ntiles = -(-q_lens // tile_q)                                # cdiv
     tile_start_of_req = jnp.cumsum(ntiles) - ntiles              # [R]
 
     tile_idx = jnp.arange(NT, dtype=jnp.int32)
@@ -341,9 +361,9 @@ def device_tile_metadata(query_start_loc: jax.Array, T: int, R: int):
     within = tile_idx - tile_start_of_req[req_of_tile]
     valid = within < ntiles[req_of_tile]
     tile_req = jnp.where(valid, req_of_tile, -1).astype(jnp.int32)
-    tile_qpos = jnp.where(valid, within * TILE_Q, 0).astype(jnp.int32)
+    tile_qpos = jnp.where(valid, within * tile_q, 0).astype(jnp.int32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (NT, TILE_Q), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (NT, tile_q), 1)
     tok = query_start_loc[req_of_tile][:, None] + tile_qpos[:, None] + row
     tok_valid = valid[:, None] & (
         (tile_qpos[:, None] + row) < q_lens[req_of_tile][:, None])
