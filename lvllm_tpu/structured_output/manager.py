@@ -10,7 +10,8 @@ import numpy as np
 
 from lvllm_tpu.core.request import Request
 from lvllm_tpu.logger import init_logger
-from lvllm_tpu.structured_output.grammar import ChoiceGrammar, JsonGrammar
+from lvllm_tpu.structured_output.grammar import (ChoiceGrammar, JsonGrammar,
+                                                 RegexGrammar)
 
 logger = init_logger(__name__)
 
@@ -36,6 +37,12 @@ class StructuredOutputManager:
                 raise ValueError("guided_json requires a tokenizer")
             self.grammars[request.request_id] = JsonGrammar(
                 self.tokenizer, self.vocab_size, self.eos_token_id)
+        elif sp.guided_regex is not None:
+            if self.tokenizer is None:
+                raise ValueError("guided_regex requires a tokenizer")
+            self.grammars[request.request_id] = RegexGrammar(
+                sp.guided_regex, self.tokenizer, self.vocab_size,
+                self.eos_token_id)
 
     def has_grammar(self, request_id: str) -> bool:
         return request_id in self.grammars
