@@ -17,6 +17,15 @@ logger = init_logger(__name__)
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("model", help="model path or 'dummy'")
+    _add_engine_args_rest(p)
+
+
+def _add_engine_args_optional_model(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="dummy", help="model path or 'dummy'")
+    _add_engine_args_rest(p)
+
+
+def _add_engine_args_rest(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-model-len", type=int, default=None)
     p.add_argument("--max-num-seqs", type=int, default=128)
     p.add_argument("--max-num-batched-tokens", type=int, default=2048)
@@ -165,8 +174,37 @@ def cmd_complete(args) -> None:
 
 
 def cmd_bench(args) -> None:
-    import bench
-    bench.main()
+    """`bench` = the repo's headline benchmark; `bench latency|throughput|
+    serve` = the reference's `vllm bench` suites (benchmarks.py)."""
+    mode = getattr(args, "mode", "default")
+    if mode == "default":
+        import bench
+        bench.main()
+        return
+    from lvllm_tpu import benchmarks
+    if mode == "serve":
+        from lvllm_tpu.entrypoints.llm import _maybe_load_tokenizer
+        config = _build_config(args)
+        asyncio.run(benchmarks.bench_serve(
+            config, load_format=args.load_format,
+            tokenizer=_maybe_load_tokenizer(config.model_config.model),
+            num_prompts=args.num_prompts, input_len=args.input_len,
+            output_len=args.output_len, request_rate=args.request_rate,
+            mesh=_make_mesh_if_parallel(args)))
+        return
+    from lvllm_tpu.entrypoints.llm import LLM
+    llm = LLM.from_engine_config(_build_config(args),
+                                 load_format=args.load_format,
+                                 mesh=_make_mesh_if_parallel(args))
+    if mode == "latency":
+        benchmarks.bench_latency(llm, batch=args.batch,
+                                 input_len=args.input_len,
+                                 output_len=args.output_len,
+                                 iters=args.iters)
+    else:
+        benchmarks.bench_throughput(llm, num_prompts=args.num_prompts,
+                                    input_len=args.input_len,
+                                    output_len=args.output_len)
 
 
 def cmd_run_batch(args) -> None:
@@ -243,7 +281,18 @@ def main(argv=None) -> None:
     p_c.add_argument("--temperature", type=float, default=0.0)
     p_c.set_defaults(func=cmd_complete)
 
-    p_b = sub.add_parser("bench", help="run the benchmark")
+    p_b = sub.add_parser("bench", help="benchmarks: default|latency|"
+                                       "throughput|serve")
+    p_b.add_argument("mode", nargs="?", default="default",
+                     choices=["default", "latency", "throughput", "serve"])
+    _add_engine_args_optional_model(p_b)
+    p_b.add_argument("--batch", type=int, default=8)
+    p_b.add_argument("--num-prompts", type=int, default=64)
+    p_b.add_argument("--input-len", type=int, default=128)
+    p_b.add_argument("--output-len", type=int, default=32)
+    p_b.add_argument("--iters", type=int, default=5)
+    p_b.add_argument("--request-rate", type=float, default=None,
+                     help="Poisson arrivals/s for bench serve")
     p_b.set_defaults(func=cmd_bench)
 
     p_rb = sub.add_parser("run-batch", help="offline OpenAI batch API")
