@@ -278,6 +278,17 @@ class Qwen3Model:
                     shared_w2=moe.get("shared_w2"),
                     shared_gate=moe.get("shared_gate"))
                 if self._use_ep():
+                    from lvllm_tpu.parallel.mesh import AXIS_EXPERT
+                    ep = self.mesh.shape[AXIS_EXPERT]
+                    if (self.moe_backend == "alltoall"
+                            and x.shape[0] %
+                            (ep * max(self.moe_ubatches, 1)) == 0):
+                        from lvllm_tpu.parallel.ep_alltoall import (
+                            fused_moe_ep_a2a)
+                        return fused_moe_ep_a2a(
+                            x, qp, self.mesh, c.num_experts_per_tok,
+                            c.norm_topk_prob, c.router_scoring_fn,
+                            ubatch=self.moe_ubatches)
                     from lvllm_tpu.parallel.expert_parallel import (
                         fused_moe_ep_quant)
                     return fused_moe_ep_quant(

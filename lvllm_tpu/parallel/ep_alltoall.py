@@ -76,12 +76,31 @@ def fused_moe_ep_a2a(
     other's expert GEMM — the SPMD expression of the reference's manual
     compute/comm interleave."""
     ep = mesh.shape[AXIS_EXPERT]
-    E = params.w1.shape[0]
+    quant = hasattr(params, "w1_q")
+    if quant:
+        from lvllm_tpu import envs
+        from lvllm_tpu.layers.moe import _pick_tile_m
+        from lvllm_tpu.ops.pallas import quant_gemm
+        E = params.w1_q.shape[0]
+        weights = (params.w1_q, params.w1_scales, params.w2_q,
+                   params.w2_scales)
+        use_pallas = jax.default_backend() in ("tpu", "axon") and \
+            not envs.LVLLM_USE_REFERENCE_OPS
+        gmm = (quant_gemm.grouped_quant_matmul if use_pallas
+               else quant_gemm.grouped_quant_matmul_reference)
+        tile_m = _pick_tile_m(x.shape[0], top_k)
+    else:
+        E = params.w1.shape[0]
+        weights = (params.w1, params.w2)
     assert E % ep == 0
     E_local = E // ep
     emulate = jax.default_backend() not in ("tpu", "axon")
 
-    def chain_fn(x, router, w1, w2):
+    def chain_fn(x, router, *w):
+        if quant:
+            w1_q, w1_s, w2_q, w2_s = w
+        else:
+            w1, w2 = w
         T_l, H = x.shape
         N = T_l * top_k
         C = N * ep  # worst-case receive capacity
@@ -114,22 +133,38 @@ def fused_moe_ep_a2a(
         e_recv = a2a(e_send[:, None],
                      jnp.full((C, 1), E, jnp.int32))[:, 0]
 
-        # Compute local experts over received pairs. Sentinel E rows sort
-        # last and hit group_sizes 0.
+        # Compute local experts over received pairs. Sentinel rows (id
+        # E_local) compute garbage that is never shipped back (send/recv
+        # sizes exclude them).
         local_e = jnp.where(e_recv < E, e_recv - me * E_local, E_local)
-        perm = jnp.argsort(local_e).astype(jnp.int32)
-        xs = x_recv[perm]
-        gs = jnp.bincount(jnp.clip(local_e, 0, E_local), length=E_local + 1)
-        ys = grouped_expert_ffn(xs, gs[:E_local], w1, w2)
-        y_recv = jnp.zeros_like(ys).at[perm].set(ys)
+        if quant:
+            from lvllm_tpu.ops import moe_align
+            d = moe_align.align_tokens(
+                x_recv, jnp.clip(local_e, 0, E_local - 1)[:, None],
+                E_local, tile_m)
+            h = gmm(d.x_aligned, w1_q, w1_s, d.block_expert,
+                    method=params.method, tile_m=tile_m,
+                    group_size=params.group_size)
+            h = silu_and_mul(h)
+            y_al = gmm(h, w2_q, w2_s, d.block_expert,
+                       method=params.method, tile_m=tile_m,
+                       group_size=params.group_size)
+            y_recv = y_al[d.pair_pos].astype(x.dtype)
+        else:
+            perm = jnp.argsort(local_e).astype(jnp.int32)
+            xs = x_recv[perm]
+            gs = jnp.bincount(jnp.clip(local_e, 0, E_local),
+                              length=E_local + 1)
+            ys = grouped_expert_ffn(xs, gs[:E_local], w1, w2)
+            y_recv = jnp.zeros_like(ys).at[perm].set(ys)
 
         # Reverse exchange: my received slice from rank j goes back to j,
         # landing where j originally staged it (j's input_offsets[me] =
         # exclusive-cumsum of j's row of all_sizes at index me).
         rev_output_offsets = _exclusive_cumsum(all_sizes, axis=1)[:, me]
         y_back = _ragged_a2a(
-            y_recv, jnp.zeros((N, H), ys.dtype), recv_offsets, recv_sizes,
-            rev_output_offsets, send_sizes, emulate=emulate)
+            y_recv, jnp.zeros((N, H), y_recv.dtype), recv_offsets,
+            recv_sizes, rev_output_offsets, send_sizes, emulate=emulate)
 
         # Un-permute pairs and combine with routing weights.
         y_pairs = jnp.zeros((N, H), y_back.dtype).at[order].set(y_back)
@@ -137,20 +172,20 @@ def fused_moe_ep_a2a(
                        topk_w.astype(y_back.dtype))
         return y.astype(x.dtype)
 
-    def shard_fn(x, router, w1, w2):
+    def shard_fn(x, router, *w):
         n_ub = ubatch if x.shape[0] % max(ubatch, 1) == 0 else 1
         if n_ub <= 1:
-            return chain_fn(x, router, w1, w2)
+            return chain_fn(x, router, *w)
         return jnp.concatenate(
-            [chain_fn(xc, router, w1, w2)
+            [chain_fn(xc, router, *w)
              for xc in jnp.split(x, n_ub, axis=0)])
 
     out = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(AXIS_EXPERT), P(), P(AXIS_EXPERT), P(AXIS_EXPERT)),
+        in_specs=(P(AXIS_EXPERT), P()) + (P(AXIS_EXPERT),) * len(weights),
         out_specs=P(AXIS_EXPERT),
         check_vma=False,
-    )(x, params.router, params.w1, params.w2)
+    )(x, params.router, *weights)
 
     if params.shared_w1 is not None:
         sh = silu_and_mul(x @ params.shared_w1) @ params.shared_w2

@@ -40,6 +40,34 @@ def test_a2a_ubatch_matches_dense():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_a2a_quant_matches_dense_quant():
+    """Quantized (int8) experts through the a2a dispatch == the dense
+    quantized reference."""
+    import jax.numpy as jnp
+    from lvllm_tpu.layers.moe import QuantMoEParams, fused_moe_quant
+    from lvllm_tpu.ops.quant import quantize_int8_np
+
+    rng = np.random.default_rng(3)
+    E, H, I = 8, 128, 128
+    mesh = make_mesh(ParallelConfig(expert_parallel_size=4),
+                     jax.devices()[:4])
+    router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+    w1 = rng.standard_normal((E, H, 2 * I)).astype(np.float32) * 0.05
+    w2 = rng.standard_normal((E, I, H)).astype(np.float32) * 0.05
+    w1_q, w1_s = quantize_int8_np(w1, 128)
+    w2_q, w2_s = quantize_int8_np(w2, 128)
+    qp = QuantMoEParams(router=router, w1_q=jnp.asarray(w1_q),
+                        w1_scales=jnp.asarray(w1_s),
+                        w2_q=jnp.asarray(w2_q),
+                        w2_scales=jnp.asarray(w2_s), method="int8",
+                        group_size=128)
+    x = jnp.asarray(rng.standard_normal((32, H)), jnp.float32)
+    dense = fused_moe_quant(x, qp, 2, True, "softmax")
+    a2a = fused_moe_ep_a2a(x, qp, mesh, top_k=2, ubatch=2)
+    np.testing.assert_allclose(np.asarray(a2a), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_engine_alltoall_backend_matches_single():
     """Greedy generation with moe_backend=alltoall (+DBO) == unsharded."""
     def build(mesh, pc):
