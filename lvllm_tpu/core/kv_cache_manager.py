@@ -44,10 +44,17 @@ class KVCacheManager:
         max_model_len: int = 4096,
         enable_caching: bool = True,
         event_publisher=None,
+        sliding_window: Optional[int] = None,
     ) -> None:
         self.block_size = block_size
         self.max_model_len = max_model_len
         self.enable_caching = enable_caching
+        # Uniform sliding-window attention: blocks that fall fully out of
+        # every future window are freed eagerly and replaced by the null
+        # block (reference: SlidingWindowManager in
+        # single_type_kv_cache_manager.py).
+        self.sliding_window = sliding_window
+        self._num_swa_freed: Dict[str, int] = {}
         self.block_pool = BlockPool(num_blocks, enable_caching,
                                     event_publisher=event_publisher)
         # request_id -> blocks owned (index i covers tokens
@@ -155,6 +162,27 @@ class KVCacheManager:
                     req_blocks, block_hashes, num_cached, num_full_blocks)
                 self.num_cached_block[request.request_id] = num_full_blocks
 
+        # Sliding-window eviction: a block whose last token is already
+        # outside every future query's window can never be read again —
+        # queries at position p attend [p - W + 1, p].
+        if self.sliding_window is not None:
+            # Conservative: only tokens already outside the window of the
+            # CURRENT position (num_computed) — this step's new tokens may
+            # roll back under spec-decode rejection.
+            horizon = num_computed_tokens - self.sliding_window
+            dead = max(horizon // self.block_size, 0)
+            start = self._num_swa_freed.get(request.request_id, 0)
+            if dead > start:
+                null = self.block_pool.null_block
+                to_free = []
+                for i in range(start, min(dead, len(req_blocks))):
+                    if req_blocks[i] is not null:
+                        to_free.append(req_blocks[i])
+                        req_blocks[i] = null
+                if to_free:
+                    self.block_pool.free_blocks(to_free)
+                self._num_swa_freed[request.request_id] = dead
+
         return KVCacheBlocks(new_blocks)
 
     def get_blocks(self, request_id: str) -> List[KVCacheBlock]:
@@ -168,7 +196,10 @@ class KVCacheManager:
         freed tail-first so eviction order prefers deep suffix blocks."""
         blocks = self.req_to_blocks.pop(request.request_id, [])
         self.num_cached_block.pop(request.request_id, None)
-        self.block_pool.free_blocks(list(reversed(blocks)))
+        self._num_swa_freed.pop(request.request_id, None)
+        null = self.block_pool.null_block
+        self.block_pool.free_blocks(
+            [b for b in reversed(blocks) if b is not null])
 
     def free_block_hashes(self, request: Request) -> None:
         self.req_to_block_hashes.pop(request.request_id, None)

@@ -36,6 +36,7 @@ class Scheduler:
         num_kv_blocks: int,
         dcp_world_size: int = 1,
         kv_offload_manager=None,
+        sliding_window: Optional[int] = None,
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
@@ -51,6 +52,7 @@ class Scheduler:
             num_blocks=num_kv_blocks,
             max_model_len=scheduler_config.max_model_len,
             enable_caching=cache_config.enable_prefix_caching,
+            sliding_window=sliding_window,
         )
 
         # Host-RAM KV offload (reference: CPUOffloadingManager wired via

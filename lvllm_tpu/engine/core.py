@@ -116,11 +116,20 @@ class EngineCore:
             logger.info("KV offload tier: %d host blocks (%.2f GB)",
                         n_host, self._kv_offload_worker.host_bytes() / 1e9)
 
+        # Uniform sliding-window models free out-of-window blocks eagerly.
+        sw = None
+        if hasattr(self.model, "kv_cache_specs"):
+            from lvllm_tpu.core.kv_cache_spec import SlidingWindowSpec
+            specs = self.model.kv_cache_specs(jnp.bfloat16)
+            if specs and all(isinstance(s, SlidingWindowSpec)
+                             for s in specs):
+                sw = specs[0].sliding_window
         self.scheduler = Scheduler(
             config.scheduler_config, config.cache_config,
             num_kv_blocks=self.num_kv_blocks,
             dcp_world_size=config.parallel_config.decode_context_parallel_size,
-            kv_offload_manager=self.kv_offload_manager)
+            kv_offload_manager=self.kv_offload_manager,
+            sliding_window=sw)
         self.runner = ModelRunner(config, self.model, params,
                                   self.num_kv_blocks, mesh=mesh)
 
