@@ -48,6 +48,13 @@ class ModelConfig:
     # Qwen3-style per-head q/k norm.
     qk_norm: bool = True
     sliding_window: Optional[int] = None
+    # FFN activation over the fused gate/up projection:
+    # "silu" | "geglu" (Gemma) | "swiglu_oai" (gpt-oss clamped SwiGLU).
+    hidden_act: str = "silu"
+    # gpt-oss attention sinks: learned per-head logit in every softmax.
+    attention_sinks: bool = False
+    # gpt-oss per-expert biases (gate_up_proj_bias / down_proj_bias).
+    moe_bias: bool = False
 
     # MoE (0 experts => dense model).
     num_experts: int = 0
@@ -120,6 +127,18 @@ class ModelConfig:
         if self.layer_types is not None:
             return self.layer_types[layer_idx]
         return "full_attention"
+
+    def window_for_layer(self, layer_idx: int) -> Optional[int]:
+        """Per-layer sliding window (gpt-oss / Gemma alternate
+        sliding_attention and full_attention layers via layer_types)."""
+        if self.sliding_window is None:
+            return None
+        if self.layer_types is not None and \
+                "sliding_attention" in self.layer_types:
+            return (self.sliding_window
+                    if self.layer_types[layer_idx] == "sliding_attention"
+                    else None)
+        return self.sliding_window
 
     def is_moe_layer(self, layer_idx: int) -> bool:
         """Whether layer `layer_idx` uses the MoE FFN (reference:

@@ -44,3 +44,23 @@ def gelu_and_mul(gate_up: jax.Array) -> jax.Array:
     gate, up = jnp.split(gate_up, 2, axis=-1)
     return jax.nn.gelu(gate.astype(jnp.float32),
                        approximate=True).astype(gate.dtype) * up
+
+
+def swiglu_oai_and_mul(gate_up: jax.Array, *, alpha: float = 1.702,
+                       limit: float = 7.0) -> jax.Array:
+    """gpt-oss clamped SwiGLU (reference numerics: HF GptOssExperts.forward —
+    gate clamped to ≤limit, up to ±limit, glu = gate·σ(α·gate),
+    out = (up + 1)·glu)."""
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    gate = jnp.minimum(gate.astype(jnp.float32), limit)
+    up = jnp.clip(up.astype(jnp.float32), -limit, limit)
+    glu = gate * jax.nn.sigmoid(alpha * gate)
+    return ((up + 1.0) * glu).astype(gate_up.dtype)
+
+
+ACTIVATIONS = {
+    "silu": silu_and_mul,
+    "gelu": gelu_and_mul,
+    "geglu": gelu_and_mul,
+    "swiglu_oai": swiglu_oai_and_mul,
+}

@@ -38,6 +38,8 @@ class MoEParams(NamedTuple):
     shared_w1: Optional[jax.Array] = None  # [H, 2I_s]
     shared_w2: Optional[jax.Array] = None  # [I_s, H]
     shared_gate: Optional[jax.Array] = None  # [H, 1] sigmoid gate
+    w1_bias: Optional[jax.Array] = None  # [E, 2I] per-expert bias (gpt-oss)
+    w2_bias: Optional[jax.Array] = None  # [E, H]
 
 
 def route_tokens(
@@ -64,6 +66,14 @@ def route_tokens(
                         router.astype(jnp.float32))
     if router_bias is not None:
         logits = logits + router_bias.astype(jnp.float32)
+    if scoring_fn == "softmax_topk":
+        # gpt-oss convention (HF GptOssTopKRouter): top-k on raw logits,
+        # softmax over the k selected logits only.
+        topk_logits, topk_ids = jax.lax.top_k(logits, top_k)
+        topk_w = jax.nn.softmax(topk_logits, axis=-1)
+        if scaling_factor != 1.0:
+            topk_w = topk_w * scaling_factor
+        return topk_w, topk_ids.astype(jnp.int32)
     if scoring_fn == "softmax":
         scores = jax.nn.softmax(logits, axis=-1)
     elif scoring_fn == "sigmoid":
@@ -113,13 +123,24 @@ def grouped_expert_ffn(
     group_sizes: jax.Array,  # [E]
     w1: jax.Array,           # [E, H, 2I]
     w2: jax.Array,           # [E, I, H]
+    w1_bias: Optional[jax.Array] = None,   # [E, 2I]
+    w2_bias: Optional[jax.Array] = None,   # [E, H]
+    expert_sorted: Optional[jax.Array] = None,  # [N] expert id per row
+    activation: str = "silu",
 ) -> jax.Array:
-    """SwiGLU FFN through per-expert weights via ragged grouped GEMM."""
+    """Gated FFN through per-expert weights via ragged grouped GEMM.
+    Optional per-expert biases (gpt-oss) index by ``expert_sorted``."""
+    from lvllm_tpu.layers.common import ACTIVATIONS
+    act = ACTIVATIONS[activation]
     h = jax.lax.ragged_dot(x_sorted, w1, group_sizes,
                            preferred_element_type=jnp.float32)
-    h = silu_and_mul(h.astype(x_sorted.dtype))
+    if w1_bias is not None:
+        h = h + w1_bias[expert_sorted].astype(jnp.float32)
+    h = act(h.astype(x_sorted.dtype))
     out = jax.lax.ragged_dot(h, w2, group_sizes,
                              preferred_element_type=jnp.float32)
+    if w2_bias is not None:
+        out = out + w2_bias[expert_sorted].astype(jnp.float32)
     return out.astype(x_sorted.dtype)
 
 
@@ -133,6 +154,7 @@ def fused_moe(
     scaling_factor: float = 1.0,
     n_group: int = 1,
     topk_group: int = 1,
+    activation: str = "silu",
 ) -> jax.Array:
     """Single-shard fused MoE forward (EP=1)."""
     T, H = x.shape
@@ -146,7 +168,13 @@ def fused_moe(
     token_of_pair = order // top_k              # [T*K]
     x_sorted = x[token_of_pair]                 # [T*K, H]
 
-    y_sorted = grouped_expert_ffn(x_sorted, group_sizes, params.w1, params.w2)
+    expert_sorted = None
+    if params.w1_bias is not None or params.w2_bias is not None:
+        expert_sorted = topk_ids.reshape(-1)[order]
+    y_sorted = grouped_expert_ffn(
+        x_sorted, group_sizes, params.w1, params.w2,
+        w1_bias=params.w1_bias, w2_bias=params.w2_bias,
+        expert_sorted=expert_sorted, activation=activation)
 
     # Unpermute and combine with routing weights.
     y_flat = jnp.zeros((T * top_k, H), dtype=y_sorted.dtype)

@@ -52,6 +52,9 @@ def load_model_config(model_path: str,
     if hf.get("scoring_func") == "sigmoid" or arch.startswith("Glm4Moe") \
             or arch.startswith("DeepseekV3"):
         scoring_fn = "sigmoid"
+    if arch == "GptOssForCausalLM":
+        # gpt-oss routes by top-k on raw logits then softmax over the k.
+        scoring_fn = "softmax_topk"
     n_shared = (hf.get("n_shared_experts") or 0) or \
         (1 if hf.get("shared_expert_intermediate_size") else 0)
     shared_inter = hf.get("shared_expert_intermediate_size")
@@ -75,8 +78,12 @@ def load_model_config(model_path: str,
         rope_scaling=hf.get("rope_scaling"),
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
-        sliding_window=hf.get("sliding_window")
-        if hf.get("use_sliding_window") else None,
+        # Qwen-style configs gate the window behind use_sliding_window;
+        # Mistral/Gemma/gpt-oss set sliding_window unconditionally.
+        sliding_window=(hf.get("sliding_window")
+                        if hf.get("use_sliding_window",
+                                  "use_sliding_window" not in hf)
+                        else None),
         num_experts=num_experts,
         num_experts_per_tok=hf.get("num_experts_per_tok",
                                    hf.get("num_experts_per_token", 2)),
@@ -107,7 +114,13 @@ def load_model_config(model_path: str,
         v_head_dim=hf.get("v_head_dim", 128),
         layer_types=(tuple(hf["layer_types"])
                      if hf.get("layer_types") and
-                     "linear_attention" in hf["layer_types"] else None),
+                     ("linear_attention" in hf["layer_types"] or
+                      "sliding_attention" in hf["layer_types"]) else None),
+        hidden_act=("swiglu_oai" if arch == "GptOssForCausalLM"
+                    else "geglu" if hf.get("hidden_act", "silu") in
+                    ("gelu_pytorch_tanh", "gelu_new") else "silu"),
+        attention_sinks=arch == "GptOssForCausalLM",
+        moe_bias=arch == "GptOssForCausalLM",
         linear_num_value_heads=hf.get("linear_num_value_heads", 8),
         linear_num_key_heads=hf.get("linear_num_key_heads", 4),
         linear_key_head_dim=hf.get("linear_key_head_dim", 64),

@@ -87,7 +87,7 @@ class DeepseekModel(Qwen3Model):
 
     def _attention(self, lp: Params, x: jax.Array, positions: jax.Array,
                    kv_cache: jax.Array, md: AttentionMetadata,
-                   lora=None, token_adapter=None
+                   lora=None, token_adapter=None, layer_idx: int = 0
                    ) -> Tuple[jax.Array, jax.Array]:
         c = self.config
         H = c.num_attention_heads

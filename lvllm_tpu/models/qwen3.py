@@ -79,10 +79,10 @@ class Qwen3Model:
         c = self.config
         if c.attention_type == "mla":
             return MLAAttentionSpec(1, c.kv_cache_dim, kv_dtype)
-        if c.sliding_window:
+        window = c.window_for_layer(layer_idx)
+        if window:
             return SlidingWindowSpec(c.kv_cache_heads, c.kv_cache_dim,
-                                     kv_dtype,
-                                     sliding_window=c.sliding_window)
+                                     kv_dtype, sliding_window=window)
         return FullAttentionSpec(c.kv_cache_heads, c.kv_cache_dim, kv_dtype)
 
     def kv_cache_specs(self, kv_dtype):
@@ -148,6 +148,10 @@ class Qwen3Model:
             if c.qk_norm:
                 layer["self_attn"]["q_norm"] = {"weight": jnp.ones((D,), self.dtype)}
                 layer["self_attn"]["k_norm"] = {"weight": jnp.ones((D,), self.dtype)}
+            if c.attention_sinks:
+                layer["self_attn"]["sinks"] = jnp.asarray(
+                    nprng.standard_normal(c.num_attention_heads,
+                                          dtype=np.float32) * 0.02)
             if c.is_moe_layer(i):
                 layer["moe"] = {
                     "router": dense((c.hidden_size, c.num_experts)),
@@ -156,6 +160,14 @@ class Qwen3Model:
                     "w2": dense((c.num_experts, c.moe_intermediate_size,
                                  c.hidden_size)),
                 }
+                if c.moe_bias:
+                    layer["moe"]["router_bias"] = jnp.zeros(
+                        (c.num_experts,), self.dtype)
+                    layer["moe"]["w1_bias"] = jnp.zeros(
+                        (c.num_experts, 2 * c.moe_intermediate_size),
+                        self.dtype)
+                    layer["moe"]["w2_bias"] = jnp.zeros(
+                        (c.num_experts, c.hidden_size), self.dtype)
                 if c.num_shared_experts:
                     si = (c.shared_expert_intermediate_size or
                           c.moe_intermediate_size * c.num_shared_experts)
@@ -175,12 +187,14 @@ class Qwen3Model:
 
     def _attention(self, lp: Params, x: jax.Array, positions: jax.Array,
                    kv_cache: jax.Array, md: AttentionMetadata,
-                   lora=None, token_adapter=None
+                   lora=None, token_adapter=None, layer_idx: int = 0
                    ) -> Tuple[jax.Array, jax.Array]:
         c = self.config
         D = self.head_dim
         T = x.shape[0]
         attn = lp["self_attn"]
+        window = c.window_for_layer(layer_idx)
+        sinks = attn.get("sinks") if c.attention_sinks else None
 
         def proj(p, heads, target):
             y = x @ p["kernel"]
@@ -200,20 +214,23 @@ class Qwen3Model:
         q, k = apply_rope(q, k, positions, self.cos_sin)
         if md.dcp_slot_mapping is not None:
             from lvllm_tpu.ops.context_parallel import dcp_write_and_attend
-            assert c.sliding_window is None, "DCP + sliding window TBD"
+            assert window is None, "DCP + sliding window TBD"
+            assert sinks is None, "DCP + attention sinks TBD"
             out, kv_cache = dcp_write_and_attend(
                 q, k, v, kv_cache, md.block_table, positions,
                 md.query_start_loc, md.dcp_slot_mapping, self.mesh,
                 self.scale)
             attn_flat = out.reshape(T, c.num_attention_heads * D)
             out = attn_flat @ attn["o_proj"]["kernel"]
+            if "bias" in attn["o_proj"]:
+                out = out + attn["o_proj"]["bias"]
             if lora is not None and "o_proj" in lora:
                 from lvllm_tpu.lora.layers import apply_lora
                 out = apply_lora(attn_flat, out, lora["o_proj"],
                                  token_adapter)
             return out, kv_cache
         kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
-        if md.cascade_prefix_blocks is not None:
+        if md.cascade_prefix_blocks is not None and sinks is None:
             # Shared-prefix cascade: dense non-causal attention over the
             # common prefix pages + ragged attention over unique suffixes,
             # merged by LSE (ops/cascade.py; reference
@@ -233,9 +250,11 @@ class Qwen3Model:
             out = ragged_paged_attention(
                 q, kv_cache, md.block_table, md.query_start_loc,
                 md.seq_lens, scale=self.scale,
-                sliding_window=c.sliding_window)
+                sliding_window=window, sinks=sinks)
         attn_flat = out.reshape(T, c.num_attention_heads * D)
         out = attn_flat @ attn["o_proj"]["kernel"]
+        if "bias" in attn["o_proj"]:
+            out = out + attn["o_proj"]["bias"]
         if lora is not None and "o_proj" in lora:
             from lvllm_tpu.lora.layers import apply_lora
             out = apply_lora(attn_flat, out, lora["o_proj"], token_adapter)
@@ -303,7 +322,8 @@ class Qwen3Model:
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),
                 shared_w1=moe.get("shared_w1"), shared_w2=moe.get("shared_w2"),
-                shared_gate=moe.get("shared_gate"))
+                shared_gate=moe.get("shared_gate"),
+                w1_bias=moe.get("w1_bias"), w2_bias=moe.get("w2_bias"))
             if self._use_ep():
                 from lvllm_tpu.parallel.mesh import AXIS_EXPERT
                 ep = self.mesh.shape[AXIS_EXPERT]
@@ -323,9 +343,12 @@ class Qwen3Model:
                 x, mp, c.num_experts_per_tok, c.norm_topk_prob,
                 c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
                 scaling_factor=c.routed_scaling_factor,
-                n_group=c.n_group, topk_group=c.topk_group)
+                n_group=c.n_group, topk_group=c.topk_group,
+                activation=c.hidden_act)
         mlp = lp["mlp"]
-        return silu_and_mul(x @ mlp["gate_up"]["kernel"]) @ \
+        from lvllm_tpu.layers.common import ACTIVATIONS
+        act = ACTIVATIONS[c.hidden_act]
+        return act(x @ mlp["gate_up"]["kernel"]) @ \
             mlp["down"]["kernel"]
 
     def embed_tokens(self, params: Params, input_ids: jax.Array) -> jax.Array:
@@ -354,7 +377,8 @@ class Qwen3Model:
         h, residual = fused_add_rms_norm(
             x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
         attn_out, kv = self._attention(lp, h, positions, kv_cache,
-                                       attn_metadata, lora, token_adapter)
+                                       attn_metadata, lora, token_adapter,
+                                       layer_idx=layer_idx)
         h, residual = fused_add_rms_norm(
             attn_out, residual, lp["post_attention_layernorm"]["weight"],
             c.rms_norm_eps)

@@ -99,7 +99,7 @@ class Qwen3NextModel(Qwen3Model):
     # ---- layers ------------------------------------------------------------
 
     def _attention(self, lp, x, positions, kv_cache, md, lora=None,
-                   token_adapter=None):
+                   token_adapter=None, layer_idx: int = 0):
         c = self.config
         if "in_proj_qkvz" in lp["self_attn"]:
             return self._linear_attention(lp, x, positions, kv_cache, md)

@@ -53,6 +53,9 @@ def _register_builtin() -> None:
                  "LlavaNextForConditionalGeneration"):
         _REGISTRY[arch] = LlavaModel
 
+    from lvllm_tpu.models.gpt_oss import GptOssModel
+    _REGISTRY["GptOssForCausalLM"] = GptOssModel
+
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
                  "DeepseekForCausalLM"):

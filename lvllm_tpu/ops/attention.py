@@ -44,8 +44,13 @@ def ragged_paged_attention_reference(
     scale: float,
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,   # [Hq] f32 per-head sink logit
 ) -> jax.Array:
-    """Correctness-oracle ragged paged attention (GQA, causal)."""
+    """Correctness-oracle ragged paged attention (GQA, causal).
+
+    ``sinks`` (gpt-oss attention sinks, HF eager_attention_forward): a
+    learned per-head logit appended to every softmax — contributes to the
+    denominator only (the sink column's probability is dropped)."""
     T, Hq, D = q.shape
     R, MAXB = block_table.shape
     BS = kv_cache.shape[2]
@@ -78,7 +83,12 @@ def ragged_paged_attention_reference(
         if sliding_window is not None:
             mask &= c_idx >= (klen - sliding_window)
         scores = jnp.where(mask[None, None, :], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
+        if sinks is not None:
+            sink_col = sinks.astype(jnp.float32).reshape(Hkv, G, 1)
+            full = jnp.concatenate([scores, sink_col], axis=-1)
+            probs = jax.nn.softmax(full, axis=-1)[..., :-1]
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
         probs = jnp.where(valid, probs, 0.0)
         out = jnp.einsum("hgc,chd->hgd", probs, v.astype(jnp.float32))
         return out.reshape(Hq, D)
@@ -96,6 +106,7 @@ def ragged_paged_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, else the jnp reference."""
     # The Pallas kernel DMAs [BS, Hkv, D] pages; Mosaic requires the
@@ -110,9 +121,10 @@ def ragged_paged_attention(
             return ragged_paged_attention_pallas(
                 q, kv_cache, block_table, query_start_loc, seq_lens,
                 scale=scale, sliding_window=sliding_window,
-                logits_soft_cap=logits_soft_cap)
+                logits_soft_cap=logits_soft_cap, sinks=sinks)
         except ImportError:
             pass
     return ragged_paged_attention_reference(
         q, kv_cache, block_table, query_start_loc, seq_lens, scale=scale,
-        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap)
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        sinks=sinks)

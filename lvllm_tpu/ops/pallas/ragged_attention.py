@@ -103,6 +103,7 @@ def _attn_kernel(
     q_heads_per_kv: int,
     head_dim: int,
     tile_q: int,
+    sink_ref=None,     # [Hkv, ROWS] f32 VMEM (gpt-oss attention sinks)
 ):
     t = pl.program_id(0)
     r = tile_req_ref[t]
@@ -153,7 +154,16 @@ def _attn_kernel(
         # second-minor tiling of 2), so these copies are [BS, D] slabs and
         # load_slot re-inserts the unit head axis.
 
-        start_chunk_dma(0, 0)
+        # Sliding window: skip chunks entirely before the earliest row's
+        # window start (row 0 has the smallest context) — for short windows
+        # against long contexts this collapses the loop to O(window) work.
+        if sliding_window is not None:
+            first_col = seq_len - q_len + qpos0 + 1 - sliding_window
+            c_start = jnp.maximum(first_col // chunk_k, 0)
+        else:
+            c_start = jnp.int32(0)
+
+        start_chunk_dma(c_start, jax.lax.rem(c_start, 2))
 
         # Per-kv-head flash state, carried through the chunk loop.
         # q laid out [Hkv, ROWS(=TILE_Q*G), D] so each head is one matmul.
@@ -161,8 +171,16 @@ def _attn_kernel(
         q = jnp.transpose(q, (1, 0, 2, 3)).reshape(Hkv, ROWS, D)
         q = q.astype(jnp.float32) * scale
 
-        m0 = jnp.full((Hkv, ROWS, 1), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((Hkv, ROWS, 1), jnp.float32)
+        if sink_ref is not None:
+            # Attention sink = a pre-existing logit per row: start the
+            # flash recursion at m=sink, l=exp(sink-sink)=1, acc=0 — the
+            # sink then contributes exp(sink-m_final) to the denominator
+            # and nothing to the numerator (HF eager_attention_forward).
+            m0 = sink_ref[:].reshape(Hkv, ROWS, 1).astype(jnp.float32)
+            l0 = jnp.ones((Hkv, ROWS, 1), jnp.float32)
+        else:
+            m0 = jnp.full((Hkv, ROWS, 1), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((Hkv, ROWS, 1), jnp.float32)
         acc0 = jnp.zeros((Hkv, ROWS, D), jnp.float32)
 
         # Row-wise causal limit: row = tok*G + g → token index = row // G.
@@ -229,7 +247,8 @@ def _attn_kernel(
             new_acc = jnp.stack(outs_acc)
             return new_m, new_l, new_acc
 
-        m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(c_start, num_chunks, body,
+                                      (m0, l0, acc0))
 
         out = acc / jnp.maximum(l, 1e-20)                      # [Hkv,ROWS,D]
         out = out.reshape(Hkv, tile_q, G, D)
@@ -252,6 +271,7 @@ def ragged_paged_attention_pallas(
     scale: float,
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,       # [Hq] per-head sink logits
     tile_req: Optional[jax.Array] = None,   # [NT] host-built (else device)
     tile_qpos: Optional[jax.Array] = None,
     tile_token: Optional[jax.Array] = None,  # [NT, tile_q]
@@ -291,14 +311,27 @@ def ragged_paged_attention_pallas(
     if pad_b:
         block_table = jnp.pad(block_table, ((0, 0), (0, pad_b)))
 
+    in_specs = [
+        pl.BlockSpec((1, tile_q, Hq, D), lambda t, *_: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [q_tiles, kv_cache]
+    if sinks is not None:
+        # Per-row sink logits in the kernel's [Hkv, ROWS] layout
+        # (row = tok*G + g → q-head h*G + g).
+        ROWS = tile_q * G
+        sink_rows = jnp.tile(
+            sinks.astype(jnp.float32).reshape(Hkv, 1, G),
+            (1, tile_q, 1)).reshape(Hkv, ROWS)
+        in_specs.append(pl.BlockSpec((Hkv, ROWS), lambda t, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(sink_rows)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(NT,),
-        in_specs=[
-            pl.BlockSpec((1, tile_q, Hq, D), lambda t, *_: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_q, Hq, D),
                                lambda t, *_: (t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -321,13 +354,19 @@ def ragged_paged_attention_pallas(
         head_dim=D,
         tile_q=tile_q,
     )
+    if sinks is not None:
+        base = kernel
+
+        def kernel(tr, tq, sl, qsl_, bt, q_t, kv, snk, out, kb, vb, sm):
+            base(tr, tq, sl, qsl_, bt, q_t, kv, out, kb, vb, sm,
+                 sink_ref=snk)
 
     out_tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT, tile_q, Hq, D), q.dtype),
     )(tile_req, tile_qpos, seq_lens, query_start_loc, block_table,
-      q_tiles, kv_cache)
+      *inputs)
 
     # Scatter tiles back to flat [T, Hq, D]. Pad rows are marked -1, which
     # would WRAP to T-1 under jax negative indexing — remap them to T so

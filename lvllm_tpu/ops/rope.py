@@ -7,10 +7,78 @@ position — a single fused elementwise op under XLA.
 """
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _yarn_inv_freq(rot_dim: int, theta: float, scaling: dict
+                   ) -> Tuple[np.ndarray, float]:
+    """YaRN inverse frequencies + attention (mscale) factor.
+
+    Numerics reference: transformers modeling_rope_utils
+    ``_compute_yarn_parameters`` (used by gpt-oss, DeepSeek V3, Qwen long
+    contexts); the reference consumes the same HF rope_scaling dicts via
+    ``model_executor/layers/rotary_embedding``.
+    """
+    factor = float(scaling.get("factor", 1.0))
+    attention_factor = scaling.get("attention_factor")
+    mscale = scaling.get("mscale")
+    mscale_all_dim = scaling.get("mscale_all_dim")
+    orig_max = scaling.get("original_max_position_embeddings")
+
+    def get_mscale(scale, m=1.0):
+        if scale <= 1:
+            return 1.0
+        return 0.1 * m * math.log(scale) + 1.0
+
+    if attention_factor is None:
+        if mscale and mscale_all_dim:
+            attention_factor = float(
+                get_mscale(factor, mscale) / get_mscale(factor, mscale_all_dim))
+        else:
+            attention_factor = get_mscale(factor)
+    beta_fast = scaling.get("beta_fast") or 32.0
+    beta_slow = scaling.get("beta_slow") or 1.0
+
+    def correction_dim(num_rot):
+        return (rot_dim * math.log(orig_max / (num_rot * 2 * math.pi))
+                ) / (2 * math.log(theta))
+
+    low, high = correction_dim(beta_fast), correction_dim(beta_slow)
+    if scaling.get("truncate", True):
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, rot_dim - 1)
+    if low == high:
+        high += 0.001
+
+    pos_freqs = theta ** (np.arange(0, rot_dim, 2, dtype=np.float32) / rot_dim)
+    extrapolation = 1.0 / pos_freqs
+    interpolation = 1.0 / (factor * pos_freqs)
+    ramp = np.clip((np.arange(rot_dim // 2, dtype=np.float32) - low)
+                   / (high - low), 0, 1)
+    extrapolation_factor = 1 - ramp
+    inv_freq = (interpolation * (1 - extrapolation_factor)
+                + extrapolation * extrapolation_factor)
+    return inv_freq, float(attention_factor)
+
+
+def _llama3_inv_freq(inv_freq: np.ndarray, scaling: dict) -> np.ndarray:
+    """Llama-3.1 frequency warp (transformers _compute_llama3_parameters)."""
+    factor = float(scaling["factor"])
+    low_f = float(scaling["low_freq_factor"])
+    high_f = float(scaling["high_freq_factor"])
+    old_len = float(scaling["original_max_position_embeddings"])
+    low_wl, high_wl = old_len / low_f, old_len / high_f
+    wavelen = 2 * math.pi / inv_freq
+    scaled = np.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+    smooth = (old_len / wavelen - low_f) / (high_f - low_f)
+    smoothed = (1 - smooth) * scaled / factor + smooth * scaled
+    medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+    return np.where(medium, smoothed, scaled).astype(np.float32)
 
 
 def compute_cos_sin_cache(
@@ -20,22 +88,36 @@ def compute_cos_sin_cache(
     rope_scaling: Optional[dict] = None,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """[max_position, head_dim] with cos in [:, :d/2], sin in [:, d/2:]."""
+    """[max_position, head_dim] with cos in [:, :d/2], sin in [:, d/2:].
+
+    Supports HF rope_scaling types: linear, yarn (incl. DeepSeek mscale
+    variants; cos/sin scaled by the attention factor), llama3, dynamic
+    (identity at build time). Computed host-side in numpy — this is a
+    constant folded into the jitted step, never a device op at load.
+    """
     rot_dim = head_dim
     inv_freq = 1.0 / (theta ** (
-        jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim))
+        np.arange(0, rot_dim, 2, dtype=np.float32) / rot_dim))
+    attn_factor = 1.0
     if rope_scaling:
         stype = rope_scaling.get("rope_type", rope_scaling.get("type"))
         factor = float(rope_scaling.get("factor", 1.0))
         if stype == "linear":
             inv_freq = inv_freq / factor
-        elif stype in ("dynamic", None):
+        elif stype == "yarn":
+            scaling = dict(rope_scaling)
+            if not scaling.get("original_max_position_embeddings"):
+                scaling["original_max_position_embeddings"] = max_position
+            inv_freq, attn_factor = _yarn_inv_freq(rot_dim, theta, scaling)
+        elif stype == "llama3":
+            inv_freq = _llama3_inv_freq(inv_freq, rope_scaling)
+        elif stype in ("dynamic", "default", None):
             pass  # dynamic NTK applied at runtime for >max_position; skip
-        # yarn/llama3 variants land with the long-context work.
-    t = jnp.arange(max_position, dtype=jnp.float32)
-    freqs = jnp.outer(t, inv_freq)  # [P, d/2]
-    return jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)],
-                           axis=-1).astype(dtype)
+    t = np.arange(max_position, dtype=np.float32)
+    freqs = np.outer(t, inv_freq)  # [P, d/2]
+    cache = np.concatenate([np.cos(freqs), np.sin(freqs)],
+                           axis=-1) * attn_factor
+    return jnp.asarray(cache, dtype)
 
 
 def apply_rope(

@@ -21,9 +21,12 @@ from lvllm_tpu.model_loader.hf_config import load_model_config  # noqa: E402
 from lvllm_tpu.model_loader.loader import load_model  # noqa: E402
 
 
-def save_hf_model(cfg, tmpdir):
+def save_hf_model(cfg, tmpdir, attn_implementation=None):
     torch.manual_seed(0)
-    model = transformers.AutoModelForCausalLM.from_config(cfg)
+    kw = {}
+    if attn_implementation:
+        kw["attn_implementation"] = attn_implementation
+    model = transformers.AutoModelForCausalLM.from_config(cfg, **kw)
     model.eval()
     model.save_pretrained(tmpdir, safe_serialization=True)
     return model
@@ -261,6 +264,55 @@ def test_qwen3_next_engine_chunked_decode(tmp_path):
     hf_model = save_hf_model(cfg, tmp_path)
     # Long prompt forces chunked prefill (budget 64 < 100 tokens), which
     # must thread the GDN recurrent state across chunks correctly.
+    prompts = [[5, 50, 200, 7, 99, 123, 4],
+               [(i * 13 + 7) % 256 for i in range(100)]]
+    wants = []
+    for prompt in prompts:
+        with _torch.no_grad():
+            out = hf_model.generate(
+                _torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+                use_cache=False)
+        wants.append(out[0][len(prompt):].tolist())
+
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+    llm = LLM(model=str(tmp_path), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, num_kv_blocks=64)
+    outs = llm.generate(prompts, SamplingParams(
+        temperature=0.0, max_tokens=6))
+    for out, want in zip(outs, wants):
+        assert out.outputs[0].token_ids == want, (out.outputs[0].token_ids,
+                                                  want)
+
+
+def test_gpt_oss_parity(tmp_path):
+    """gpt-oss: attention sinks + alternating sliding window + clamped
+    SwiGLU experts with biases + softmax-after-top-k router + YaRN rope
+    (HF numerics: modeling_gpt_oss eager path)."""
+    cfg = transformers.GptOssConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=4, tie_word_embeddings=False)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [7, 90, 411, 28, 3, 505, 77, 123, 8, 266, 14]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "gpt-oss")
+
+
+def test_gpt_oss_engine_generates(tmp_path):
+    """gpt-oss through the full engine: hybrid sliding/full KV specs,
+    chunked prefill across the window boundary, greedy match vs HF."""
+    import torch as _torch
+    cfg = transformers.GptOssConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=16, tie_word_embeddings=False)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
     prompts = [[5, 50, 200, 7, 99, 123, 4],
                [(i * 13 + 7) % 256 for i in range(100)]]
     wants = []

@@ -47,17 +47,20 @@ def setup_case(rng, ctx_lens, q_lens, Hq, Hkv, D, bs, num_blocks, T_pad=None):
 
 
 def run_both(rng, ctx_lens, q_lens, Hq=4, Hkv=2, D=128, bs=16,
-             num_blocks=64, sliding_window=None, soft_cap=None, T_pad=None):
+             num_blocks=64, sliding_window=None, soft_cap=None, T_pad=None,
+             sinks=None):
     q, cache, table, qsl, seq_lens = setup_case(
         rng, ctx_lens, q_lens, Hq, Hkv, D, bs, num_blocks, T_pad)
     scale = D ** -0.5
     ref = ragged_paged_attention_reference(
         q, cache, table, qsl, seq_lens, scale=scale,
-        sliding_window=sliding_window, logits_soft_cap=soft_cap)
+        sliding_window=sliding_window, logits_soft_cap=soft_cap,
+        sinks=sinks)
     with pltpu_interpret():
         got = ra.ragged_paged_attention_pallas(
             q, cache, table, qsl, seq_lens, scale=scale,
-            sliding_window=sliding_window, logits_soft_cap=soft_cap)
+            sliding_window=sliding_window, logits_soft_cap=soft_cap,
+            sinks=sinks)
     T = sum(q_lens)
     np.testing.assert_allclose(np.asarray(got[:T]), np.asarray(ref[:T]),
                                rtol=2e-4, atol=2e-4)
@@ -127,3 +130,25 @@ def test_device_tile_metadata_matches_host():
     np.testing.assert_array_equal(h_req, np.asarray(d_req))
     np.testing.assert_array_equal(h_qpos, np.asarray(d_qpos))
     np.testing.assert_array_equal(h_tok, np.asarray(d_tok))
+
+
+def test_attention_sinks():
+    # gpt-oss sinks: per-head logit in every softmax denominator.
+    rng = np.random.default_rng(8)
+    sinks = jnp.asarray(rng.standard_normal(4).astype(np.float32) * 2.0)
+    run_both(rng, ctx_lens=[20, 33, 7], q_lens=[1, 5, 1], sinks=sinks)
+
+
+def test_sinks_with_sliding_window():
+    rng = np.random.default_rng(9)
+    sinks = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    run_both(rng, ctx_lens=[60, 30], q_lens=[4, 1], Hq=8, Hkv=2,
+             sliding_window=16, sinks=sinks)
+
+
+def test_sliding_window_long_context_chunk_skip():
+    # Window much smaller than context: the kernel must skip the
+    # out-of-window DMA chunks and still match the oracle.
+    rng = np.random.default_rng(10)
+    run_both(rng, ctx_lens=[600, 350], q_lens=[1, 3], num_blocks=80,
+             sliding_window=32)
