@@ -55,6 +55,22 @@ class ModelConfig:
     attention_sinks: bool = False
     # gpt-oss per-expert biases (gate_up_proj_bias / down_proj_bias).
     moe_bias: bool = False
+    # Gemma-family knobs: tanh soft caps on attention logits (Gemma2) and
+    # final LM-head logits (Gemma1/2), √H embedding scaling, explicit
+    # query scale (attention scale = query_pre_attn_scalar**-0.5), and a
+    # separate rope base for sliding_attention layers (Gemma3 local rope).
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    scale_embedding: bool = False
+    query_pre_attn_scalar: Optional[float] = None
+    rope_local_base_freq: Optional[float] = None
+    # SmolLM3/Llama4-style NoPE: per-layer 1 (rope) / 0 (no rope).
+    no_rope_layers: Optional[Tuple[int, ...]] = None
+    # Granite muP-style multipliers (all 1.0 = off).
+    embedding_multiplier: float = 1.0
+    attention_multiplier: Optional[float] = None  # used directly as scale
+    residual_multiplier: float = 1.0
+    logits_scaling: float = 1.0
 
     # MoE (0 experts => dense model).
     num_experts: int = 0

@@ -75,9 +75,12 @@ def load_model_config(model_path: str,
         head_dim=hf.get("head_dim"),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
         rope_theta=hf.get("rope_theta", 10000.0),
-        rope_scaling=hf.get("rope_scaling"),
+        rope_scaling=_patch_rope_scaling(hf),
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
-        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        # Gemma ties the LM head and HF leaves the (True) default out of
+        # config.json, so the fallback is per-family.
+        tie_word_embeddings=hf.get("tie_word_embeddings",
+                                   arch.startswith("Gemma")),
         # Qwen-style configs gate the window behind use_sliding_window;
         # Mistral/Gemma/gpt-oss set sliding_window unconditionally.
         sliding_window=(hf.get("sliding_window")
@@ -97,7 +100,8 @@ def load_model_config(model_path: str,
         bos_token_id=_first(hf.get("bos_token_id", 1)),
         qk_norm=hf.get("use_qk_norm",
                        arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
-                                "Qwen3NextForCausalLM")),
+                                "Qwen3NextForCausalLM",
+                                "Gemma3ForCausalLM")),
         attention_bias=hf.get(
             "attention_bias",
             arch in ("Qwen2ForCausalLM", "Qwen2MoeForCausalLM")),
@@ -117,10 +121,22 @@ def load_model_config(model_path: str,
                      ("linear_attention" in hf["layer_types"] or
                       "sliding_attention" in hf["layer_types"]) else None),
         hidden_act=("swiglu_oai" if arch == "GptOssForCausalLM"
-                    else "geglu" if hf.get("hidden_act", "silu") in
-                    ("gelu_pytorch_tanh", "gelu_new") else "silu"),
+                    else "geglu" if (hf.get("hidden_activation") or
+                                     hf.get("hidden_act") or "silu") in
+                    ("gelu_pytorch_tanh", "gelu_new", "gelu") else "silu"),
         attention_sinks=arch == "GptOssForCausalLM",
         moe_bias=arch == "GptOssForCausalLM",
+        attn_logit_softcap=hf.get("attn_logit_softcapping"),
+        final_logit_softcap=hf.get("final_logit_softcapping"),
+        scale_embedding=arch.startswith("Gemma"),
+        query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
+        rope_local_base_freq=hf.get("rope_local_base_freq"),
+        no_rope_layers=(tuple(hf["no_rope_layers"])
+                        if hf.get("no_rope_layers") else None),
+        embedding_multiplier=hf.get("embedding_multiplier", 1.0),
+        attention_multiplier=hf.get("attention_multiplier"),
+        residual_multiplier=hf.get("residual_multiplier", 1.0),
+        logits_scaling=hf.get("logits_scaling", 1.0),
         linear_num_value_heads=hf.get("linear_num_value_heads", 8),
         linear_num_key_heads=hf.get("linear_num_key_heads", 4),
         linear_key_head_dim=hf.get("linear_key_head_dim", 64),
@@ -142,3 +158,17 @@ def _first(v):
     if isinstance(v, (list, tuple)):
         return v[0]
     return v
+
+
+def _patch_rope_scaling(hf: dict) -> Optional[dict]:
+    """Thread top-level original_max_position_embeddings into the scaling
+    dict (Phi-3 longrope keeps it outside rope_scaling)."""
+    rs = hf.get("rope_scaling")
+    if rs is None:
+        return None
+    rs = dict(rs)
+    if "original_max_position_embeddings" not in rs and \
+            hf.get("original_max_position_embeddings"):
+        rs["original_max_position_embeddings"] = \
+            hf["original_max_position_embeddings"]
+    return rs

@@ -58,7 +58,12 @@ class Qwen3Model:
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         c = config
         self.head_dim = c.head_dim
-        self.scale = self.head_dim ** -0.5
+        if c.attention_multiplier is not None:
+            self.scale = c.attention_multiplier  # Granite: scale directly
+        elif c.query_pre_attn_scalar:
+            self.scale = c.query_pre_attn_scalar ** -0.5
+        else:
+            self.scale = self.head_dim ** -0.5
         # Static rope table, closed over by the jitted step (constant-folded
         # into the executable; not a trainable param). rot_dim < head_dim
         # for partial-rotary models (GLM: partial_rotary_factor=0.5).
@@ -195,6 +200,7 @@ class Qwen3Model:
         attn = lp["self_attn"]
         window = c.window_for_layer(layer_idx)
         sinks = attn.get("sinks") if c.attention_sinks else None
+        soft_cap = c.attn_logit_softcap
 
         def proj(p, heads, target):
             y = x @ p["kernel"]
@@ -211,11 +217,14 @@ class Qwen3Model:
         if c.qk_norm:
             q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
             k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
-        q, k = apply_rope(q, k, positions, self.cos_sin)
+        cos_sin = self.rope_cache(layer_idx)
+        if cos_sin is not None:
+            q, k = apply_rope(q, k, positions, cos_sin)
         if md.dcp_slot_mapping is not None:
             from lvllm_tpu.ops.context_parallel import dcp_write_and_attend
             assert window is None, "DCP + sliding window TBD"
             assert sinks is None, "DCP + attention sinks TBD"
+            assert soft_cap is None, "DCP + attn soft cap TBD"
             out, kv_cache = dcp_write_and_attend(
                 q, k, v, kv_cache, md.block_table, positions,
                 md.query_start_loc, md.dcp_slot_mapping, self.mesh,
@@ -230,7 +239,8 @@ class Qwen3Model:
                                  token_adapter)
             return out, kv_cache
         kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
-        if md.cascade_prefix_blocks is not None and sinks is None:
+        if md.cascade_prefix_blocks is not None and sinks is None \
+                and soft_cap is None:
             # Shared-prefix cascade: dense non-causal attention over the
             # common prefix pages + ragged attention over unique suffixes,
             # merged by LSE (ops/cascade.py; reference
@@ -250,7 +260,8 @@ class Qwen3Model:
             out = ragged_paged_attention(
                 q, kv_cache, md.block_table, md.query_start_loc,
                 md.seq_lens, scale=self.scale,
-                sliding_window=window, sinks=sinks)
+                sliding_window=window, logits_soft_cap=soft_cap,
+                sinks=sinks)
         attn_flat = out.reshape(T, c.num_attention_heads * D)
         out = attn_flat @ attn["o_proj"]["kernel"]
         if "bias" in attn["o_proj"]:
@@ -351,8 +362,25 @@ class Qwen3Model:
         return act(x @ mlp["gate_up"]["kernel"]) @ \
             mlp["down"]["kernel"]
 
+    def rope_cache(self, layer_idx: int):
+        """Per-layer rope table hook (Gemma3 uses a separate local-rope
+        base on sliding_attention layers; None = NoPE layer, SmolLM3)."""
+        nrl = self.config.no_rope_layers
+        if nrl is not None and not nrl[layer_idx]:
+            return None
+        return self.cos_sin
+
     def embed_tokens(self, params: Params, input_ids: jax.Array) -> jax.Array:
-        return params["embed"]["weight"][input_ids].astype(self.dtype)
+        x = params["embed"]["weight"][input_ids].astype(self.dtype)
+        if self.config.scale_embedding:
+            # Gemma scales embeddings by √H, rounded to the model dtype
+            # (HF uses a tensor normalizer in the embed dtype).
+            normalizer = jnp.asarray(
+                self.config.hidden_size ** 0.5, self.dtype)
+            x = x * normalizer
+        if self.config.embedding_multiplier != 1.0:
+            x = x * self.config.embedding_multiplier
+        return x
 
     def apply_layer(
         self,
@@ -379,10 +407,14 @@ class Qwen3Model:
         attn_out, kv = self._attention(lp, h, positions, kv_cache,
                                        attn_metadata, lora, token_adapter,
                                        layer_idx=layer_idx)
+        if c.residual_multiplier != 1.0:       # Granite muP
+            attn_out = attn_out * c.residual_multiplier
         h, residual = fused_add_rms_norm(
             attn_out, residual, lp["post_attention_layernorm"]["weight"],
             c.rms_norm_eps)
         x = self._ffn(lp, h, layer_idx)
+        if c.residual_multiplier != 1.0:
+            x = x * c.residual_multiplier
         return x, residual, kv
 
     def finalize_hidden(self, params: Params, x: jax.Array,
@@ -433,7 +465,13 @@ class Qwen3Model:
             kernel = params["embed"]["weight"].T
         else:
             kernel = params["lm_head"]["kernel"]
-        return (hidden @ kernel).astype(jnp.float32)
+        logits = (hidden @ kernel).astype(jnp.float32)
+        if self.config.logits_scaling != 1.0:  # Granite divides
+            logits = logits / self.config.logits_scaling
+        cap = self.config.final_logit_softcap
+        if cap:
+            logits = cap * jnp.tanh(logits / cap)
+        return logits
 
     # ---- weight loading ---------------------------------------------------
 

@@ -42,7 +42,10 @@ def _register_builtin() -> None:
                  "Qwen3MoeForCausalLM", "Qwen2MoeForCausalLM",
                  "LlamaForCausalLM", "MistralForCausalLM",
                  "MixtralForCausalLM", "Glm4MoeForCausalLM",
-                 "Glm4ForCausalLM"):
+                 "Glm4ForCausalLM",
+                 # llama-structured with config-driven deltas:
+                 # SmolLM3 = NoPE layers, Granite = muP multipliers.
+                 "SmolLM3ForCausalLM", "GraniteForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
@@ -55,6 +58,14 @@ def _register_builtin() -> None:
 
     from lvllm_tpu.models.gpt_oss import GptOssModel
     _REGISTRY["GptOssForCausalLM"] = GptOssModel
+
+    from lvllm_tpu.models.phi3 import Phi3Model
+    _REGISTRY["Phi3ForCausalLM"] = Phi3Model
+
+    from lvllm_tpu.models.gemma import GemmaModel
+    for arch in ("GemmaForCausalLM", "Gemma2ForCausalLM",
+                 "Gemma3ForCausalLM"):
+        _REGISTRY[arch] = GemmaModel
 
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",

@@ -111,6 +111,30 @@ def compute_cos_sin_cache(
             inv_freq, attn_factor = _yarn_inv_freq(rot_dim, theta, scaling)
         elif stype == "llama3":
             inv_freq = _llama3_inv_freq(inv_freq, rope_scaling)
+        elif stype in ("longrope", "su"):
+            # Phi-3 LongRoPE: per-frequency short/long rescale factors.
+            # Positions < original_max use the short factors, beyond use
+            # the long ones (the reference's Phi3LongRoPEScaledRotary-
+            # Embedding per-position switch; HF switches per seq_len —
+            # identical whenever the sequence fits the original window).
+            orig = int(rope_scaling.get("original_max_position_embeddings")
+                       or max_position)
+            factor = max_position / orig
+            attn_factor = rope_scaling.get("attention_factor")
+            if attn_factor is None:
+                attn_factor = (1.0 if factor <= 1.0 else
+                               math.sqrt(1 + math.log(factor)
+                                         / math.log(orig)))
+            short = np.asarray(rope_scaling["short_factor"], np.float32)
+            long_ = np.asarray(rope_scaling["long_factor"], np.float32)
+            inv_short = inv_freq / short
+            inv_long = inv_freq / long_
+            t = np.arange(max_position, dtype=np.float32)
+            freqs = np.where((t < orig)[:, None],
+                             np.outer(t, inv_short), np.outer(t, inv_long))
+            cache = np.concatenate([np.cos(freqs), np.sin(freqs)],
+                                   axis=-1) * attn_factor
+            return jnp.asarray(cache, dtype)
         elif stype in ("dynamic", "default", None):
             pass  # dynamic NTK applied at runtime for >max_position; skip
     t = np.arange(max_position, dtype=np.float32)

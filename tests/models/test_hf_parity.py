@@ -332,3 +332,105 @@ def test_gpt_oss_engine_generates(tmp_path):
     for out, want in zip(outs, wants):
         assert out.outputs[0].token_ids == want, (out.outputs[0].token_ids,
                                                   want)
+
+
+def test_gemma2_parity(tmp_path):
+    """Gemma2: zero-centered norms, 4-norm sandwich layers, GeGLU, √H
+    embedding scale, attention+final logit soft caps, alternating SWA."""
+    cfg = transformers.Gemma2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        sliding_window=4, query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [3, 33, 333, 44, 77, 411, 29, 8, 190, 254]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "gemma2")
+
+
+def test_gemma3_parity(tmp_path):
+    """Gemma3: adds per-head q/k norms and dual rope (local base on
+    sliding layers, scaled global rope on full layers)."""
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256,
+        rope_theta=1_000_000.0, rope_local_base_freq=10000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        sliding_window=4, query_pre_attn_scalar=16,
+        layer_types=["sliding_attention", "full_attention"])
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [9, 18, 27, 316, 45, 254, 63, 72]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "gemma3")
+
+
+def test_gemma1_parity(tmp_path):
+    """Gemma 1: llama-style two-norm layers + zero-centered norms, GeGLU,
+    √H embedding scale, tied head."""
+    cfg = transformers.GemmaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [12, 24, 48, 96, 192, 384, 255, 31]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "gemma1")
+
+
+def test_phi3_parity(tmp_path):
+    """Phi-3: fused qkv/gate_up checkpoint split + LongRoPE scaling
+    (short factors regime within the original window)."""
+    cfg = transformers.Phi3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, original_max_position_embeddings=128,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=2, bos_token_id=1,
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0, 1.05, 1.1, 1.15,
+                                       1.2, 1.25, 1.3, 1.35],
+                      "long_factor": [2.0, 2.25, 2.5, 2.75,
+                                      3.0, 3.25, 3.5, 4.0]},
+        sliding_window=None)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [6, 66, 166, 266, 366, 466, 52, 13]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "phi3")
+
+
+def test_smollm3_parity(tmp_path):
+    """SmolLM3: llama structure with NoPE (rope skipped on some layers)."""
+    cfg = transformers.SmolLM3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        no_rope_layers=[1, 1, 1, 0], tie_word_embeddings=False,
+        use_sliding_window=False, pad_token_id=0)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [8, 88, 188, 288, 388, 488, 41]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "smollm3")
+
+
+def test_granite_parity(tmp_path):
+    """Granite: muP multipliers on embeddings, attention scale, residual
+    deltas and logits."""
+    cfg = transformers.GraniteConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, embedding_multiplier=12.0,
+        attention_multiplier=0.03, residual_multiplier=0.22,
+        logits_scaling=8.0)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [14, 140, 240, 340, 440, 25, 52]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "granite")
