@@ -101,6 +101,17 @@ class ModelConfig:
     linear_conv_kernel_dim: int = 4
     # Gated attention output (Qwen3-Next full-attention layers).
     attn_output_gate: bool = False
+    # Mamba2 (SSD) mixer dims — used by layers typed "linear_attention"
+    # in Mamba2/Bamba-style models (0 heads = no mamba layers).
+    mamba_num_heads: int = 0
+    mamba_head_dim: int = 64
+    mamba_state_size: int = 128
+    mamba_n_groups: int = 1
+    mamba_conv_kernel: int = 4
+    mamba_expand: int = 2
+    mamba_conv_bias: bool = True
+    mamba_proj_bias: bool = False
+    time_step_limit: Optional[Tuple[float, float]] = None
 
     # MLA (DeepSeek latent attention). attention_type "mha" | "mla".
     attention_type: str = "mha"

@@ -124,6 +124,16 @@ class EngineCore:
             if specs and all(isinstance(s, SlidingWindowSpec)
                              for s in specs):
                 sw = specs[0].sliding_window
+        lt = config.model_config.layer_types
+        if lt is not None and "linear_attention" in lt and \
+                config.cache_config.enable_prefix_caching:
+            # Recurrent-state layers (GDN/mamba) have no per-block state
+            # checkpoints: a cross-request prefix hit would skip tokens the
+            # recurrent state never saw (the reference likewise disables
+            # prefix caching for mamba-family models).
+            logger.info("disabling prefix caching: model has "
+                        "recurrent-state (linear attention) layers")
+            config.cache_config.enable_prefix_caching = False
         self.scheduler = Scheduler(
             config.scheduler_config, config.cache_config,
             num_kv_blocks=self.num_kv_blocks,
@@ -176,6 +186,23 @@ class EngineCore:
             self.proposer = DraftModelProposer(
                 dmc, k=sc.num_speculative_tokens,
                 block_size=config.cache_config.block_size, load_format=fmt)
+        elif sc.enabled and sc.method == "suffix":
+            from lvllm_tpu.spec_decode.suffix import (SuffixConfig,
+                                                      SuffixProposer)
+            self.proposer = SuffixProposer(SuffixConfig(
+                num_speculative_tokens=sc.num_speculative_tokens))
+        elif sc.enabled and sc.method == "medusa":
+            # Medusa lives runner-side: k heads over the target's last
+            # hidden state (reference: v1/spec_decode/medusa.py).
+            from lvllm_tpu.spec_decode.medusa import MedusaProposer
+            weights = None
+            if sc.draft_model and sc.draft_model != "dummy":
+                from lvllm_tpu.model_loader.loader import (
+                    safetensors_weight_iterator)
+                weights = safetensors_weight_iterator(sc.draft_model)
+            self.runner.eagle_proposer = MedusaProposer(
+                config.model_config, k=sc.num_speculative_tokens,
+                weights=weights)
         elif sc.enabled and sc.method in ("eagle", "eagle3"):
             # EAGLE lives runner-side: it consumes the target's hidden
             # states each step (reference: v1/spec_decode/eagle.py;
@@ -379,6 +406,11 @@ class EngineCore:
             for req in stepped:
                 if req.is_finished:
                     self.proposer.free(req.request_id)
+        if hasattr(self.proposer, "observe_finished"):
+            # Suffix decoding learns from completed responses.
+            for req in stepped:
+                if req.is_finished:
+                    self.proposer.observe_finished(req.all_token_ids)
 
     def rebalance_experts(self, loads) -> dict:
         """EPLB live reshuffle (reference: eplb_state.rearrange +

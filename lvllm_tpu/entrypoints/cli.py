@@ -63,7 +63,8 @@ def _add_engine_args_rest(p: argparse.ArgumentParser) -> None:
                    help="layers pinned in HBM, range syntax e.g. '0-3,9'")
     p.add_argument("--offload-prefetch-window", type=int, default=1)
     p.add_argument("--speculative-method", default=None,
-                   choices=["ngram", "draft_model"])
+                   choices=["ngram", "draft_model", "eagle", "eagle3",
+                            "medusa", "suffix"])
     p.add_argument("--num-speculative-tokens", type=int, default=4)
     p.add_argument("--draft-model", default=None,
                    help="checkpoint path of the draft LM "

@@ -43,6 +43,25 @@ def load_model_config(model_path: str,
     num_experts = (hf.get("num_experts") or hf.get("n_routed_experts")
                    or hf.get("num_local_experts") or 0)
 
+    # Layer-type schedule. Mamba-family configs carry it as
+    # layers_block_type ("mamba"/"attention") or imply all-mamba
+    # (Mamba2ForCausalLM); normalize onto our vocabulary.
+    layer_types = hf.get("layer_types")
+    if not layer_types and hf.get("layers_block_type"):
+        layer_types = ["linear_attention" if t == "mamba" else
+                       "full_attention" for t in hf["layers_block_type"]]
+    if not layer_types and hf.get("attn_layer_indices"):
+        # Bamba-style: mamba everywhere except the listed indices.
+        attn_idx = set(hf["attn_layer_indices"])
+        layer_types = ["full_attention" if i in attn_idx else
+                       "linear_attention"
+                       for i in range(hf["num_hidden_layers"])]
+    if not layer_types and arch in ("Mamba2ForCausalLM",):
+        layer_types = ["linear_attention"] * hf["num_hidden_layers"]
+    keep_layer_types = bool(layer_types) and (
+        "linear_attention" in layer_types or
+        "sliding_attention" in layer_types)
+
     # Per-family fixups (reference: transformers_utils config patches).
     mlp_only = list(hf.get("mlp_only_layers", ()) or ())
     first_k_dense = hf.get("first_k_dense_replace", 0) or 0
@@ -69,11 +88,13 @@ def load_model_config(model_path: str,
         hidden_size=hf["hidden_size"],
         intermediate_size=hf.get("intermediate_size", 4 * hf["hidden_size"]),
         num_hidden_layers=hf["num_hidden_layers"],
-        num_attention_heads=hf["num_attention_heads"],
+        # Pure-SSM configs (Mamba2) carry no attention heads at all.
+        num_attention_heads=hf.get("num_attention_heads", 1),
         num_key_value_heads=hf.get("num_key_value_heads",
-                                   hf["num_attention_heads"]),
-        head_dim=hf.get("head_dim"),
-        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+                                   hf.get("num_attention_heads", 1)),
+        head_dim=hf.get("head_dim") if "num_attention_heads" in hf else None,
+        rms_norm_eps=hf.get("rms_norm_eps",
+                            hf.get("layer_norm_epsilon", 1e-6)),
         rope_theta=hf.get("rope_theta", 10000.0),
         rope_scaling=_patch_rope_scaling(hf),
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
@@ -116,10 +137,7 @@ def load_model_config(model_path: str,
         qk_nope_head_dim=hf.get("qk_nope_head_dim", 128),
         qk_rope_head_dim=hf.get("qk_rope_head_dim", 64),
         v_head_dim=hf.get("v_head_dim", 128),
-        layer_types=(tuple(hf["layer_types"])
-                     if hf.get("layer_types") and
-                     ("linear_attention" in hf["layer_types"] or
-                      "sliding_attention" in hf["layer_types"]) else None),
+        layer_types=tuple(layer_types) if keep_layer_types else None,
         hidden_act=("swiglu_oai" if arch == "GptOssForCausalLM"
                     else "geglu" if (hf.get("hidden_activation") or
                                      hf.get("hidden_act") or "silu") in
@@ -137,6 +155,26 @@ def load_model_config(model_path: str,
         attention_multiplier=hf.get("attention_multiplier"),
         residual_multiplier=hf.get("residual_multiplier", 1.0),
         logits_scaling=hf.get("logits_scaling", 1.0),
+        # Mamba2/Bamba SSD mixer dims (both naming conventions).
+        mamba_num_heads=(hf.get("mamba_n_heads") or
+                         (hf.get("num_heads") if "state_size" in hf else 0)
+                         or 0),
+        mamba_head_dim=(hf.get("mamba_d_head") or
+                        (hf.get("head_dim") if "state_size" in hf else 0)
+                        or 64),
+        mamba_state_size=(hf.get("mamba_d_state") or
+                          hf.get("state_size") or 128),
+        mamba_n_groups=(hf.get("mamba_n_groups") or
+                        hf.get("n_groups") or 1),
+        mamba_conv_kernel=(hf.get("mamba_d_conv") or
+                           hf.get("conv_kernel") or 4),
+        mamba_expand=hf.get("mamba_expand") or hf.get("expand") or 2,
+        mamba_conv_bias=hf.get("mamba_conv_bias",
+                               hf.get("use_conv_bias", True)),
+        mamba_proj_bias=hf.get("mamba_proj_bias",
+                               hf.get("use_bias", False)),
+        time_step_limit=(tuple(hf["time_step_limit"])
+                         if hf.get("time_step_limit") else None),
         linear_num_value_heads=hf.get("linear_num_value_heads", 8),
         linear_num_key_heads=hf.get("linear_num_key_heads", 4),
         linear_key_head_dim=hf.get("linear_key_head_dim", 64),

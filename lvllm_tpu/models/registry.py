@@ -62,6 +62,10 @@ def _register_builtin() -> None:
     from lvllm_tpu.models.phi3 import Phi3Model
     _REGISTRY["Phi3ForCausalLM"] = Phi3Model
 
+    from lvllm_tpu.models.mamba2 import BambaModel, Mamba2Model
+    _REGISTRY["Mamba2ForCausalLM"] = Mamba2Model
+    _REGISTRY["BambaForCausalLM"] = BambaModel
+
     from lvllm_tpu.models.gemma import GemmaModel
     for arch in ("GemmaForCausalLM", "Gemma2ForCausalLM",
                  "Gemma3ForCausalLM"):

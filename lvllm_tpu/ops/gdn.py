@@ -35,6 +35,7 @@ def causal_conv1d_ragged(
     weight: jax.Array,      # [C, K] depthwise kernel
     token_slot: jax.Array,  # [T] i32 (S = scratch)
     reset: jax.Array,       # [T] bool — reset the window at this token
+    bias: jax.Array = None,  # [C] optional (Mamba2 use_conv_bias)
 ) -> Tuple[jax.Array, jax.Array]:
     """Depthwise causal conv with per-request state, SiLU activation."""
     K = weight.shape[1]
@@ -51,6 +52,8 @@ def causal_conv1d_ragged(
     conv_state, ys = jax.lax.scan(
         step, conv_state.astype(jnp.float32),
         (x.astype(jnp.float32), token_slot, reset))
+    if bias is not None:
+        ys = ys + bias.astype(jnp.float32)
     return jax.nn.silu(ys).astype(x.dtype), conv_state.astype(jnp.float32)
 
 
@@ -59,6 +62,7 @@ def causal_conv1d_single(
     window: jax.Array,   # [C, K-1] entering rolling window
     weight: jax.Array,   # [C, K]
     seq_len: jax.Array,  # scalar i32: real length L (pads after are inert)
+    bias: jax.Array = None,  # [C] optional
 ) -> Tuple[jax.Array, jax.Array]:
     """Vectorized depthwise causal conv for one contiguous sequence —
     K shifted adds instead of a T-step scan. Returns (SiLU outputs [T, C],
@@ -68,6 +72,8 @@ def causal_conv1d_single(
     xf = x.astype(jnp.float32)
     xx = jnp.concatenate([window.astype(jnp.float32).T, xf], axis=0)
     y = sum(xx[j:j + T] * weight[:, j] for j in range(K))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
     new_window = jax.lax.dynamic_slice_in_dim(xx, seq_len, K - 1, axis=0)
     return jax.nn.silu(y).astype(x.dtype), new_window.T
 

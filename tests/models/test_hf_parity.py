@@ -434,3 +434,73 @@ def test_granite_parity(tmp_path):
     hf = hf_logits(hf_model, tokens)
     ours = our_logits(str(tmp_path), tokens)
     compare(hf, ours, "granite")
+
+
+def test_mamba2_parity(tmp_path):
+    """Pure-SSM Mamba2: conv+SSD recurrence per request slot, gated norm
+    (gate before norm), no attention layers at all."""
+    cfg = transformers.Mamba2Config(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_heads=16, head_dim=8, state_size=16, n_groups=2,
+        expand=2, conv_kernel=4, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    hf_model = save_hf_model(cfg, tmp_path)
+    tokens = [5, 55, 155, 255, 355, 455, 32, 64, 96]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "mamba2")
+
+
+def test_bamba_parity(tmp_path):
+    """Bamba hybrid: interleaved mamba2/attention layers + SwiGLU MLPs,
+    partial rotary on the attention layers."""
+    cfg = transformers.BambaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        mamba_n_heads=8, mamba_d_head=16, mamba_d_state=16,
+        mamba_n_groups=2, mamba_expand=2, mamba_d_conv=4,
+        attn_layer_indices=[1], max_position_embeddings=256,
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_model = save_hf_model(cfg, tmp_path, attn_implementation="eager")
+    tokens = [10, 110, 210, 310, 410, 51, 25, 17]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "bamba")
+
+
+def test_mamba2_engine_chunked_decode(tmp_path):
+    """Mamba2 through the engine: recurrent state across chunked prefill +
+    decode; prefix caching is auto-disabled for recurrent models so a
+    repeated prompt recomputes (and still matches HF greedy)."""
+    import torch as _torch
+    cfg = transformers.Mamba2Config(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_heads=16, head_dim=8, state_size=16, n_groups=2,
+        expand=2, conv_kernel=4, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    hf_model = save_hf_model(cfg, tmp_path)
+    prompts = [[5, 50, 200, 7, 99, 123, 4],
+               [(i * 11 + 3) % 256 for i in range(100)]]
+    wants = []
+    for prompt in prompts:
+        with _torch.no_grad():
+            out = hf_model.generate(
+                _torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+                use_cache=False)
+        wants.append(out[0][len(prompt):].tolist())
+
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+    llm = LLM(model=str(tmp_path), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=64, num_kv_blocks=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    outs = llm.generate(prompts, sp)
+    for out, want in zip(outs, wants):
+        assert out.outputs[0].token_ids == want, (out.outputs[0].token_ids,
+                                                  want)
+    # Repeat the long prompt: must NOT take a prefix-cache shortcut
+    # (recurrent state has no per-block checkpoints).
+    again = llm.generate([prompts[1]], sp)[0].outputs[0].token_ids
+    assert again == wants[1], (again, wants[1])
+    kvm = llm.engine.core.scheduler.kv_cache_manager
+    assert kvm.prefix_cache_hits == 0
