@@ -47,6 +47,10 @@ class ModelConfig:
     attention_bias: bool = False
     # Qwen3-style per-head q/k norm.
     qk_norm: bool = True
+    # MiniMax-M2-style q/k norm computed over ALL heads jointly (one RMS
+    # statistic per token across the flattened q / k vector; reference:
+    # MiniMaxText01RMSNormTP.forward_qk). Weight shape [heads*head_dim].
+    qk_norm_across_heads: bool = False
     sliding_window: Optional[int] = None
     # FFN activation over the fused gate/up projection:
     # "silu" | "geglu" (Gemma) | "swiglu_oai" (gpt-oss clamped SwiGLU).

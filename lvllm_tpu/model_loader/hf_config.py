@@ -74,6 +74,15 @@ def load_model_config(model_path: str,
     if arch == "GptOssForCausalLM":
         # gpt-oss routes by top-k on raw logits then softmax over the k.
         scoring_fn = "softmax_topk"
+    # MiniMax-M2 (reference: models/minimax_m2.py MiniMaxM2MoE): experts use
+    # the dense intermediate_size, rotary covers rotary_dim of head_dim, and
+    # q/k RMS-norm spans all heads jointly.
+    moe_inter = hf.get("moe_intermediate_size")
+    partial_rotary = hf.get("partial_rotary_factor", 1.0)
+    if arch == "MiniMaxM2ForCausalLM":
+        moe_inter = moe_inter or hf.get("intermediate_size")
+        if hf.get("rotary_dim") and hf.get("head_dim"):
+            partial_rotary = hf["rotary_dim"] / hf["head_dim"]
     n_shared = (hf.get("n_shared_experts") or 0) or \
         (1 if hf.get("shared_expert_intermediate_size") else 0)
     shared_inter = hf.get("shared_expert_intermediate_size")
@@ -111,7 +120,7 @@ def load_model_config(model_path: str,
         num_experts=num_experts,
         num_experts_per_tok=hf.get("num_experts_per_tok",
                                    hf.get("num_experts_per_token", 2)),
-        moe_intermediate_size=hf.get("moe_intermediate_size"),
+        moe_intermediate_size=moe_inter,
         num_shared_experts=n_shared,
         shared_expert_intermediate_size=shared_inter,
         norm_topk_prob=hf.get("norm_topk_prob", True),
@@ -122,13 +131,15 @@ def load_model_config(model_path: str,
         qk_norm=hf.get("use_qk_norm",
                        arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
                                 "Qwen3NextForCausalLM",
-                                "Gemma3ForCausalLM")),
+                                "Gemma3ForCausalLM",
+                                "MiniMaxM2ForCausalLM")),
+        qk_norm_across_heads=arch == "MiniMaxM2ForCausalLM",
         attention_bias=hf.get(
             "attention_bias",
             arch in ("Qwen2ForCausalLM", "Qwen2MoeForCausalLM")),
         router_scoring_fn=scoring_fn,
         routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
-        partial_rotary_factor=hf.get("partial_rotary_factor", 1.0),
+        partial_rotary_factor=partial_rotary,
         n_group=hf.get("n_group") or 1,
         topk_group=hf.get("topk_group") or 1,
         attention_type="mla" if arch.startswith("Deepseek") else "mha",

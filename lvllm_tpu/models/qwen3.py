@@ -151,8 +151,16 @@ class Qwen3Model:
                     layer["self_attn"][pname]["bias"] = jnp.zeros(
                         (width,), self.dtype)
             if c.qk_norm:
-                layer["self_attn"]["q_norm"] = {"weight": jnp.ones((D,), self.dtype)}
-                layer["self_attn"]["k_norm"] = {"weight": jnp.ones((D,), self.dtype)}
+                if c.qk_norm_across_heads:
+                    # MiniMax-M2: one norm over the full flattened q / k.
+                    qw = c.num_attention_heads * D
+                    kw = c.num_key_value_heads * D
+                else:
+                    qw = kw = D
+                layer["self_attn"]["q_norm"] = {
+                    "weight": jnp.ones((qw,), self.dtype)}
+                layer["self_attn"]["k_norm"] = {
+                    "weight": jnp.ones((kw,), self.dtype)}
             if c.attention_sinks:
                 layer["self_attn"]["sinks"] = jnp.asarray(
                     nprng.standard_normal(c.num_attention_heads,
@@ -215,8 +223,18 @@ class Qwen3Model:
         k = proj(attn["k_proj"], c.num_key_value_heads, "k_proj")
         v = proj(attn["v_proj"], c.num_key_value_heads, "v_proj")
         if c.qk_norm:
-            q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
-            k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
+            if c.qk_norm_across_heads:
+                # MiniMax-M2 (MiniMaxText01RMSNormTP.forward_qk): the RMS
+                # statistic spans all heads of the token's q (resp. k).
+                q = rms_norm(q.reshape(T, -1), attn["q_norm"]["weight"],
+                             c.rms_norm_eps).reshape(
+                                 T, c.num_attention_heads, D)
+                k = rms_norm(k.reshape(T, -1), attn["k_norm"]["weight"],
+                             c.rms_norm_eps).reshape(
+                                 T, c.num_key_value_heads, D)
+            else:
+                q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
+                k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
         cos_sin = self.rope_cache(layer_idx)
         if cos_sin is not None:
             q, k = apply_rope(q, k, positions, cos_sin)
@@ -551,7 +569,10 @@ class Qwen3Model:
                 elif re.match(r"(mlp|block_sparse_moe)\.gate\.weight", rest):
                     put(["layers", str(i), "moe", "router"], w,
                         transpose=True)
-                elif re.match(r"mlp\.gate\.e_score_correction_bias", rest):
+                elif re.match(r"mlp(\.gate)?\.e_score_correction_bias",
+                              rest):
+                    # DeepSeek/GLM keep the bias on the gate; MiniMax-M2
+                    # keeps it on the MoE module (use_routing_bias).
                     layer.setdefault("moe", {})["e_score_bias"] = \
                         jnp.asarray(w, jnp.float32)
                 elif m2 := re.match(
@@ -560,9 +581,10 @@ class Qwen3Model:
                     e, which = int(m2.group(1)), m2.group(2)
                     expert_parts[(i, which, e)] = w
                 elif m2 := re.match(
-                        r"block_sparse_moe\.experts\.(\d+)\.w([123])\.weight",
+                        r"(?:block_sparse_moe|mlp)\.experts\.(\d+)"
+                        r"\.w([123])\.weight",
                         rest):
-                    # Mixtral: w1=gate, w3=up, w2=down.
+                    # Mixtral / MiniMax-M2: w1=gate, w3=up, w2=down.
                     e, wn = int(m2.group(1)), m2.group(2)
                     which = {"1": "gate", "3": "up", "2": "down"}[wn]
                     expert_parts[(i, which, e)] = w

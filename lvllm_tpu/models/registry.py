@@ -45,7 +45,10 @@ def _register_builtin() -> None:
                  "Glm4ForCausalLM",
                  # llama-structured with config-driven deltas:
                  # SmolLM3 = NoPE layers, Granite = muP multipliers.
-                 "SmolLM3ForCausalLM", "GraniteForCausalLM"):
+                 "SmolLM3ForCausalLM", "GraniteForCausalLM",
+                 # MiniMax-M2: full-vector qk-norm + partial rotary +
+                 # sigmoid router, all config-driven (hf_config.py fixups).
+                 "MiniMaxM2ForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
