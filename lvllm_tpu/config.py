@@ -54,7 +54,26 @@ class ModelConfig:
     sliding_window: Optional[int] = None
     # FFN activation over the fused gate/up projection:
     # "silu" | "geglu" (Gemma) | "swiglu_oai" (gpt-oss clamped SwiGLU).
+    # Non-gated MLPs (mlp_gated=False) use "gelu_only" (GPT-2/Starcoder2)
+    # or "relu2" (Nemotron squared-ReLU).
     hidden_act: str = "silu"
+    # Layer norm flavor: "rmsnorm" | "layernorm" (weight+bias; GPT-2,
+    # Starcoder2, StableLM) | "layernorm1p" (zero-centered weight+1 with
+    # bias; Nemotron).
+    norm_type: str = "rmsnorm"
+    # False → single up_proj + activation + down_proj (GPT-2 c_fc/c_proj,
+    # Starcoder2, Nemotron).
+    mlp_gated: bool = True
+    # Bias terms on MLP projections (GPT-2 / Starcoder2) and on o_proj.
+    mlp_bias: bool = False
+    o_proj_bias: bool = False
+    # GPT-2 wpe-style learned absolute position embeddings (added to the
+    # token embedding; such models run with rope disabled).
+    learned_pos_embeddings: bool = False
+    # OLMo2-style post-norm: no pre-norm; RMSNorm is applied to each
+    # sublayer's OUTPUT before the residual add (post_attention_layernorm
+    # after attention, post_feedforward_layernorm after the MLP).
+    norm_after: bool = False
     # gpt-oss attention sinks: learned per-head logit in every softmax.
     attention_sinks: bool = False
     # gpt-oss per-expert biases (gate_up_proj_bias / down_proj_bias).

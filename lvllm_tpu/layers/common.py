@@ -33,6 +33,24 @@ def fused_add_rms_norm(
     return rms_norm(new_residual, weight, eps), new_residual
 
 
+def layer_norm(x: jax.Array, weight: jax.Array,
+               bias: Optional[jax.Array] = None,
+               eps: float = 1e-5, plus_one: bool = False) -> jax.Array:
+    """Classic LayerNorm in f32 (GPT-2/Starcoder2/StableLM families).
+    plus_one selects Nemotron's LayerNorm1P (zero-centered weight + 1)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if plus_one:
+        w = w + 1.0
+    out = out * w
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def silu_and_mul(gate_up: jax.Array) -> jax.Array:
     """SwiGLU activation over a concatenated [.., 2*I] gate/up projection
     (reference: silu_and_mul kernel)."""
@@ -63,4 +81,14 @@ ACTIVATIONS = {
     "gelu": gelu_and_mul,
     "geglu": gelu_and_mul,
     "swiglu_oai": swiglu_oai_and_mul,
+}
+
+# Non-gated MLP activations (mlp_gated=False families).
+ACTIVATIONS_SINGLE = {
+    "gelu_only": lambda x: jax.nn.gelu(
+        x.astype(jnp.float32), approximate=True).astype(x.dtype),
+    "relu2": lambda x: jnp.square(
+        jax.nn.relu(x.astype(jnp.float32))).astype(x.dtype),
+    "silu_only": lambda x: jax.nn.silu(
+        x.astype(jnp.float32)).astype(x.dtype),
 }

@@ -23,6 +23,16 @@ def load_model_config(model_path: str,
         hf = json.load(f)
 
     arch = (hf.get("architectures") or ["Qwen3ForCausalLM"])[0]
+    if arch == "GPT2LMHeadModel":
+        # GPT-2 configs use the legacy n_* keys; normalize up front.
+        hf = {**hf,
+              "hidden_size": hf["n_embd"],
+              "num_hidden_layers": hf["n_layer"],
+              "num_attention_heads": hf["n_head"],
+              "num_key_value_heads": hf["n_head"],
+              "intermediate_size": hf.get("n_inner") or 4 * hf["n_embd"],
+              "max_position_embeddings": hf.get("n_positions", 1024),
+              "tie_word_embeddings": True}
     vision_cfg = None
     image_token_id = None
     if arch in ("LlavaForConditionalGeneration",
@@ -83,6 +93,26 @@ def load_model_config(model_path: str,
         moe_inter = moe_inter or hf.get("intermediate_size")
         if hf.get("rotary_dim") and hf.get("head_dim"):
             partial_rotary = hf["rotary_dim"] / hf["head_dim"]
+    # Families off the RMSNorm+SwiGLU mainline (reference models/:
+    # gpt2.py, starcoder2.py, stablelm.py, nemotron.py, olmo2.py, olmoe.py).
+    norm_type = "rmsnorm"
+    mlp_gated = True
+    hidden_act_override = None
+    learned_pos = False
+    if arch == "GPT2LMHeadModel":
+        norm_type, mlp_gated, learned_pos = "layernorm", False, True
+        hidden_act_override = "gelu_only"
+    elif arch == "Starcoder2ForCausalLM":
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "gelu_only"
+    elif arch == "StableLmForCausalLM":
+        norm_type = "layernorm"
+    elif arch == "NemotronForCausalLM":
+        norm_type, mlp_gated = "layernorm1p", False
+        hidden_act_override = "relu2"
+    bias_all = (arch == "GPT2LMHeadModel" or
+                (arch == "Starcoder2ForCausalLM" and
+                 hf.get("use_bias", True)))
     n_shared = (hf.get("n_shared_experts") or 0) or \
         (1 if hf.get("shared_expert_intermediate_size") else 0)
     shared_inter = hf.get("shared_expert_intermediate_size")
@@ -102,8 +132,11 @@ def load_model_config(model_path: str,
         num_key_value_heads=hf.get("num_key_value_heads",
                                    hf.get("num_attention_heads", 1)),
         head_dim=hf.get("head_dim") if "num_attention_heads" in hf else None,
-        rms_norm_eps=hf.get("rms_norm_eps",
-                            hf.get("layer_norm_epsilon", 1e-6)),
+        rms_norm_eps=(hf.get("rms_norm_eps") or
+                      hf.get("layer_norm_epsilon") or
+                      hf.get("layer_norm_eps") or      # StableLM
+                      hf.get("norm_epsilon") or        # Starcoder2
+                      hf.get("norm_eps") or 1e-6),     # Nemotron
         rope_theta=hf.get("rope_theta", 10000.0),
         rope_scaling=_patch_rope_scaling(hf),
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
@@ -132,11 +165,24 @@ def load_model_config(model_path: str,
                        arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
                                 "Qwen3NextForCausalLM",
                                 "Gemma3ForCausalLM",
-                                "MiniMaxM2ForCausalLM")),
-        qk_norm_across_heads=arch == "MiniMaxM2ForCausalLM",
-        attention_bias=hf.get(
-            "attention_bias",
-            arch in ("Qwen2ForCausalLM", "Qwen2MoeForCausalLM")),
+                                "MiniMaxM2ForCausalLM",
+                                "Olmo2ForCausalLM", "Olmo3ForCausalLM",
+                                "OlmoeForCausalLM")),
+        qk_norm_across_heads=arch in (
+            "MiniMaxM2ForCausalLM",
+            # OLMo2/OLMoE norm q over all heads jointly (HF Olmo2Attention).
+            "Olmo2ForCausalLM", "Olmo3ForCausalLM", "OlmoeForCausalLM"),
+        norm_type=norm_type,
+        mlp_gated=mlp_gated,
+        mlp_bias=bias_all,
+        o_proj_bias=bias_all,
+        learned_pos_embeddings=learned_pos,
+        norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM"),
+        attention_bias=(bias_all or hf.get("use_qkv_bias", False) or
+                        hf.get(
+                            "attention_bias",
+                            arch in ("Qwen2ForCausalLM",
+                                     "Qwen2MoeForCausalLM"))),
         router_scoring_fn=scoring_fn,
         routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
         partial_rotary_factor=partial_rotary,
@@ -149,7 +195,8 @@ def load_model_config(model_path: str,
         qk_rope_head_dim=hf.get("qk_rope_head_dim", 64),
         v_head_dim=hf.get("v_head_dim", 128),
         layer_types=tuple(layer_types) if keep_layer_types else None,
-        hidden_act=("swiglu_oai" if arch == "GptOssForCausalLM"
+        hidden_act=(hidden_act_override if hidden_act_override
+                    else "swiglu_oai" if arch == "GptOssForCausalLM"
                     else "geglu" if (hf.get("hidden_activation") or
                                      hf.get("hidden_act") or "silu") in
                     ("gelu_pytorch_tanh", "gelu_new", "gelu") else "silu"),
@@ -161,7 +208,10 @@ def load_model_config(model_path: str,
         query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
         rope_local_base_freq=hf.get("rope_local_base_freq"),
         no_rope_layers=(tuple(hf["no_rope_layers"])
-                        if hf.get("no_rope_layers") else None),
+                        if hf.get("no_rope_layers")
+                        # GPT-2: learned absolute positions, no rope.
+                        else (0,) * hf["num_hidden_layers"]
+                        if arch == "GPT2LMHeadModel" else None),
         embedding_multiplier=hf.get("embedding_multiplier", 1.0),
         attention_multiplier=hf.get("attention_multiplier"),
         residual_multiplier=hf.get("residual_multiplier", 1.0),

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lvllm_tpu.config import ModelConfig
-from lvllm_tpu.layers.common import fused_add_rms_norm, rms_norm, silu_and_mul
+from lvllm_tpu.layers.common import (fused_add_rms_norm, layer_norm,
+                                     rms_norm, silu_and_mul)
 from lvllm_tpu.layers.moe import (MoEParams, QuantMoEParams, fused_moe,
                                   fused_moe_quant)
 from lvllm_tpu.models.model_base import AttentionMetadata, KVCaches, Params
@@ -99,6 +100,34 @@ class Qwen3Model:
         return self.kv_cache_spec(layer_idx, dtype).make(
             num_blocks, block_size, max_reqs)
 
+    # ---- norms --------------------------------------------------------------
+
+    def _norm(self, node: Params, x: jax.Array) -> jax.Array:
+        """Apply this model's norm flavor (rmsnorm / layernorm /
+        layernorm1p) from a param node holding weight (+ optional bias)."""
+        nt = self.config.norm_type
+        if nt == "rmsnorm":
+            return rms_norm(x, node["weight"], self.config.rms_norm_eps)
+        return layer_norm(x, node["weight"], node.get("bias"),
+                          self.config.rms_norm_eps,
+                          plus_one=nt == "layernorm1p")
+
+    def _add_norm(self, node: Params, x: jax.Array, residual: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+        """residual += x (f32); return (norm(residual), residual)."""
+        if self.config.norm_type == "rmsnorm":
+            return fused_add_rms_norm(x, residual, node["weight"],
+                                      self.config.rms_norm_eps)
+        new_residual = (x.astype(jnp.float32) +
+                        residual.astype(jnp.float32)).astype(x.dtype)
+        return self._norm(node, new_residual), new_residual
+
+    def _norm_node(self, nprng, biased: bool) -> Dict[str, Any]:
+        node = {"weight": jnp.ones((self.config.hidden_size,), self.dtype)}
+        if biased:
+            node["bias"] = jnp.zeros((self.config.hidden_size,), self.dtype)
+        return node
+
     # ---- init -------------------------------------------------------------
 
     def init_params(self, rng) -> Params:
@@ -119,20 +148,35 @@ class Qwen3Model:
             arr = nprng.standard_normal(size=shape, dtype=np.float32) * scale
             return jnp.asarray(arr, self.dtype)
 
+        norm_bias = c.norm_type in ("layernorm", "layernorm1p")
         params: Params = {
             "embed": {"weight": dense((c.vocab_size, c.hidden_size))},
-            "norm": {"weight": jnp.ones((c.hidden_size,), self.dtype)},
+            "norm": self._norm_node(nprng, norm_bias),
             "layers": [],
         }
+        if c.learned_pos_embeddings:
+            params["pos_embed"] = {"weight": dense(
+                (c.max_position_embeddings, c.hidden_size))}
         if not c.tie_word_embeddings:
             params["lm_head"] = {
                 "kernel": dense((c.hidden_size, c.vocab_size))}
         for i in range(c.num_hidden_layers):
+            if c.norm_after:
+                # OLMo2: norms on sublayer outputs, no pre-norms.
+                norms = {
+                    "post_attention_layernorm": self._norm_node(
+                        nprng, norm_bias),
+                    "post_feedforward_layernorm": self._norm_node(
+                        nprng, norm_bias),
+                }
+            else:
+                norms = {
+                    "input_layernorm": self._norm_node(nprng, norm_bias),
+                    "post_attention_layernorm": self._norm_node(
+                        nprng, norm_bias),
+                }
             layer: Dict[str, Any] = {
-                "input_layernorm": {
-                    "weight": jnp.ones((c.hidden_size,), self.dtype)},
-                "post_attention_layernorm": {
-                    "weight": jnp.ones((c.hidden_size,), self.dtype)},
+                **norms,
                 "self_attn": {
                     "q_proj": {"kernel": dense(
                         (c.hidden_size, c.num_attention_heads * D))},
@@ -150,6 +194,9 @@ class Qwen3Model:
                                      ("v_proj", c.num_key_value_heads * D)):
                     layer["self_attn"][pname]["bias"] = jnp.zeros(
                         (width,), self.dtype)
+            if c.o_proj_bias:
+                layer["self_attn"]["o_proj"]["bias"] = jnp.zeros(
+                    (c.hidden_size,), self.dtype)
             if c.qk_norm:
                 if c.qk_norm_across_heads:
                     # MiniMax-M2: one norm over the full flattened q / k.
@@ -186,13 +233,25 @@ class Qwen3Model:
                           c.moe_intermediate_size * c.num_shared_experts)
                     layer["moe"]["shared_w1"] = dense((c.hidden_size, 2 * si))
                     layer["moe"]["shared_w2"] = dense((si, c.hidden_size))
-            else:
+            elif c.mlp_gated:
                 layer["mlp"] = {
                     "gate_up": {"kernel": dense(
                         (c.hidden_size, 2 * c.intermediate_size))},
                     "down": {"kernel": dense(
                         (c.intermediate_size, c.hidden_size))},
                 }
+            else:
+                layer["mlp"] = {
+                    "up": {"kernel": dense(
+                        (c.hidden_size, c.intermediate_size))},
+                    "down": {"kernel": dense(
+                        (c.intermediate_size, c.hidden_size))},
+                }
+            if "mlp" in layer and c.mlp_bias:
+                for pname in layer["mlp"]:
+                    out_w = layer["mlp"][pname]["kernel"].shape[-1]
+                    layer["mlp"][pname]["bias"] = jnp.zeros(
+                        (out_w,), self.dtype)
             params["layers"].append(layer)
         return params
 
@@ -375,10 +434,26 @@ class Qwen3Model:
                 n_group=c.n_group, topk_group=c.topk_group,
                 activation=c.hidden_act)
         mlp = lp["mlp"]
+        if "up" in mlp:
+            # Non-gated MLP (GPT-2 c_fc/c_proj, Starcoder2, Nemotron relu²).
+            from lvllm_tpu.layers.common import ACTIVATIONS_SINGLE
+            act = ACTIVATIONS_SINGLE[c.hidden_act]
+            h = x @ mlp["up"]["kernel"]
+            if "bias" in mlp["up"]:
+                h = h + mlp["up"]["bias"]
+            y = act(h) @ mlp["down"]["kernel"]
+            if "bias" in mlp["down"]:
+                y = y + mlp["down"]["bias"]
+            return y
         from lvllm_tpu.layers.common import ACTIVATIONS
         act = ACTIVATIONS[c.hidden_act]
-        return act(x @ mlp["gate_up"]["kernel"]) @ \
-            mlp["down"]["kernel"]
+        h = x @ mlp["gate_up"]["kernel"]
+        if "bias" in mlp["gate_up"]:
+            h = h + mlp["gate_up"]["bias"]
+        y = act(h) @ mlp["down"]["kernel"]
+        if "bias" in mlp["down"]:
+            y = y + mlp["down"]["bias"]
+        return y
 
     def rope_cache(self, layer_idx: int):
         """Per-layer rope table hook (Gemma3 uses a separate local-rope
@@ -388,8 +463,13 @@ class Qwen3Model:
             return None
         return self.cos_sin
 
-    def embed_tokens(self, params: Params, input_ids: jax.Array) -> jax.Array:
+    def embed_tokens(self, params: Params, input_ids: jax.Array,
+                     positions: jax.Array = None) -> jax.Array:
         x = params["embed"]["weight"][input_ids].astype(self.dtype)
+        if "pos_embed" in params and positions is not None:
+            # GPT-2 wpe learned absolute positions.
+            x = x + params["pos_embed"]["weight"][positions].astype(
+                self.dtype)
         if self.config.scale_embedding:
             # Gemma scales embeddings by √H, rounded to the model dtype
             # (HF uses a tensor normalizer in the embed dtype).
@@ -420,16 +500,28 @@ class Qwen3Model:
         lp = layer_params
         x = self._sp_shard(x)
         residual = self._sp_shard(residual)
-        h, residual = fused_add_rms_norm(
-            x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+        if c.norm_after:
+            # OLMo2 ordering: attend the raw hidden state, norm the
+            # sublayer output, then residual-add.
+            hidden = (x.astype(jnp.float32) +
+                      residual.astype(jnp.float32)).astype(x.dtype)
+            attn_out, kv = self._attention(
+                lp, hidden, positions, kv_cache, attn_metadata, lora,
+                token_adapter, layer_idx=layer_idx)
+            attn_out = self._norm(lp["post_attention_layernorm"], attn_out)
+            hidden = (hidden.astype(jnp.float32) +
+                      attn_out.astype(jnp.float32)).astype(x.dtype)
+            ffn_out = self._ffn(lp, hidden, layer_idx)
+            ffn_out = self._norm(lp["post_feedforward_layernorm"], ffn_out)
+            return ffn_out, hidden, kv
+        h, residual = self._add_norm(lp["input_layernorm"], x, residual)
         attn_out, kv = self._attention(lp, h, positions, kv_cache,
                                        attn_metadata, lora, token_adapter,
                                        layer_idx=layer_idx)
         if c.residual_multiplier != 1.0:       # Granite muP
             attn_out = attn_out * c.residual_multiplier
-        h, residual = fused_add_rms_norm(
-            attn_out, residual, lp["post_attention_layernorm"]["weight"],
-            c.rms_norm_eps)
+        h, residual = self._add_norm(
+            lp["post_attention_layernorm"], attn_out, residual)
         x = self._ffn(lp, h, layer_idx)
         if c.residual_multiplier != 1.0:
             x = x * c.residual_multiplier
@@ -437,8 +529,7 @@ class Qwen3Model:
 
     def finalize_hidden(self, params: Params, x: jax.Array,
                         residual: jax.Array) -> jax.Array:
-        hidden, _ = fused_add_rms_norm(
-            x, residual, params["norm"]["weight"], self.config.rms_norm_eps)
+        hidden, _ = self._add_norm(params["norm"], x, residual)
         return hidden
 
     def __call__(
@@ -458,7 +549,7 @@ class Qwen3Model:
         hidden after those layer indices, concatenated [T, len*H] — the
         EAGLE-3 multi-level feature tap (reference: eagle3 aux_hidden_state
         collection in the target forward)."""
-        x = self.embed_tokens(params, input_ids)
+        x = self.embed_tokens(params, input_ids, positions)
         if mm_embeds is not None:
             # Multimodal splice (reference: merge_multimodal_embeddings):
             # rows flagged by mm_mask take precomputed image features.
@@ -493,10 +584,74 @@ class Qwen3Model:
 
     # ---- weight loading ---------------------------------------------------
 
+    def _adapt_weights(self, weights: Iterable[Tuple[str, np.ndarray]]
+                       ) -> Iterable[Tuple[str, np.ndarray]]:
+        """Per-family checkpoint-name normalization into the canonical
+        llama-style naming the main mapping understands. GPT-2 is the big
+        one: Conv1D tensors are stored [in, out] (transposed vs nn.Linear)
+        and qkv is fused in c_attn (reference: models/gpt2.py load_weights
+        Conv1D handling)."""
+        arch = self.config.architecture
+        if arch == "GPT2LMHeadModel":
+            H = self.config.hidden_size
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name == "wpe.weight":
+                    yield "pos_embed.weight", w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(r"ln_([12])\.(weight|bias)", rest):
+                        slot = ("input_layernorm" if m2.group(1) == "1"
+                                else "post_attention_layernorm")
+                        yield p + f"{slot}.{m2.group(2)}", w
+                    elif rest == "attn.c_attn.weight":
+                        q, k, v = np.split(np.ascontiguousarray(w.T), 3)
+                        yield p + "self_attn.q_proj.weight", q
+                        yield p + "self_attn.k_proj.weight", k
+                        yield p + "self_attn.v_proj.weight", v
+                    elif rest == "attn.c_attn.bias":
+                        q, k, v = np.split(w, 3)
+                        yield p + "self_attn.q_proj.bias", q
+                        yield p + "self_attn.k_proj.bias", k
+                        yield p + "self_attn.v_proj.bias", v
+                    elif rest == "attn.c_proj.weight":
+                        yield p + "self_attn.o_proj.weight", \
+                            np.ascontiguousarray(w.T)
+                    elif rest == "attn.c_proj.bias":
+                        yield p + "self_attn.o_proj.bias", w
+                    elif rest == "mlp.c_fc.weight":
+                        yield p + "mlp.up_proj.weight", \
+                            np.ascontiguousarray(w.T)
+                    elif rest == "mlp.c_fc.bias":
+                        yield p + "mlp.up_proj.bias", w
+                    elif rest == "mlp.c_proj.weight":
+                        yield p + "mlp.down_proj.weight", \
+                            np.ascontiguousarray(w.T)
+                    elif rest == "mlp.c_proj.bias":
+                        yield p + "mlp.down_proj.bias", w
+                    else:
+                        yield name, w
+                else:
+                    yield name, w
+        elif arch == "Starcoder2ForCausalLM":
+            # mlp.c_fc/c_proj are plain Linears (not Conv1D) — rename only.
+            for name, w in weights:
+                name = name.replace("mlp.c_fc.", "mlp.up_proj.")
+                name = name.replace("mlp.c_proj.", "mlp.down_proj.")
+                yield name, w
+        else:
+            yield from weights
+
     def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]) -> Params:
         """Map HF checkpoint names → params tree (reference:
         qwen3_moe.py load_weights stacked_params_mapping)."""
         c = self.config
+        weights = self._adapt_weights(weights)
         params = self.init_params(0)
         # Accumulators for per-expert tensors → stacked [E, ...] arrays.
         expert_parts: Dict[Tuple[int, str, int], np.ndarray] = {}
@@ -529,28 +684,40 @@ class Qwen3Model:
             name = name.removeprefix("model.")
             if name == "embed_tokens.weight":
                 put(["embed", "weight"], w)
-            elif name == "norm.weight":
-                put(["norm", "weight"], w)
+            elif name in ("norm.weight", "norm.bias"):
+                put(["norm", name.split(".")[-1]], w)
+            elif name == "pos_embed.weight":
+                put(["pos_embed", "weight"], w)
             elif name == "lm_head.weight":
                 if not c.tie_word_embeddings:
                     put(["lm_head", "kernel"], w, transpose=True)
             elif m := re.match(r"layers\.(\d+)\.(.+)", name):
                 i, rest = int(m.group(1)), m.group(2)
                 layer = params["layers"][i]
-                if rest in ("input_layernorm.weight",
-                            "post_attention_layernorm.weight"):
+                if re.match(
+                        r"(input_layernorm|post_attention_layernorm|"
+                        r"post_feedforward_layernorm)\.(weight|bias)$",
+                        rest):
                     put(["layers", str(i)] + rest.split("."), w)
                 elif m2 := re.match(
                         r"self_attn\.(q|k|v|o)_proj\.weight", rest):
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_proj", "kernel"], w, transpose=True)
                 elif m2 := re.match(
-                        r"self_attn\.(q|k|v)_proj\.bias", rest):
+                        r"self_attn\.(q|k|v|o)_proj\.bias", rest):
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_proj", "bias"], w)
                 elif m2 := re.match(r"self_attn\.(q|k)_norm\.weight", rest):
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_norm", "weight"], w)
+                elif not c.mlp_gated and (m2 := re.match(
+                        r"mlp\.(up|down)_proj\.(weight|bias)", rest)):
+                    # Non-gated MLP (GPT-2/Starcoder2/Nemotron): up and
+                    # down load directly, no gate fusion.
+                    which, kind = m2.group(1), m2.group(2)
+                    put(["layers", str(i), "mlp", which,
+                         "kernel" if kind == "weight" else "bias"], w,
+                        transpose=kind == "weight")
                 elif m2 := re.match(
                         r"mlp\.(gate|up|down)_proj\.weight", rest):
                     which = m2.group(1)

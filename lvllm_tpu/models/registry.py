@@ -48,7 +48,15 @@ def _register_builtin() -> None:
                  "SmolLM3ForCausalLM", "GraniteForCausalLM",
                  # MiniMax-M2: full-vector qk-norm + partial rotary +
                  # sigmoid router, all config-driven (hf_config.py fixups).
-                 "MiniMaxM2ForCausalLM"):
+                 "MiniMaxM2ForCausalLM",
+                 # LayerNorm / non-gated-MLP families (norm_type,
+                 # mlp_gated, learned_pos_embeddings config knobs):
+                 "GPT2LMHeadModel", "Starcoder2ForCausalLM",
+                 "StableLmForCausalLM", "NemotronForCausalLM",
+                 # OLMo family: post-norm ordering (norm_after) and
+                 # across-heads qk-norm.
+                 "Olmo2ForCausalLM", "Olmo3ForCausalLM",
+                 "OlmoeForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel

@@ -114,7 +114,7 @@ class PipelineRunner:
                     query_start_loc=qsl, seq_lens=seq_lens,
                     block_table=block_table, slot_mapping=slot_mapping)
                 if first:
-                    x = model_ref.embed_tokens(sp, input_ids)
+                    x = model_ref.embed_tokens(sp, input_ids, positions)
                     residual = jnp.zeros_like(x)
                 new_kvs = []
                 for j, i in enumerate(rng):

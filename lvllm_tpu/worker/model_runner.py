@@ -304,7 +304,7 @@ class ModelRunner:
         # Warm the prefetch pipeline for the first streamed layers.
         store.advance(-1, self.streamed_moe_layers)
 
-        x = self._embed_fn(self.params, input_ids)
+        x = self._embed_fn(self.params, input_ids, positions)
         residual = jnp.zeros_like(x)
         for i, lp in enumerate(self.params["layers"]):
             if i in self.moe_layers and not store.is_resident(i):
