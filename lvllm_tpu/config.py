@@ -51,6 +51,11 @@ class ModelConfig:
     # statistic per token across the flattened q / k vector; reference:
     # MiniMaxText01RMSNormTP.forward_qk). Weight shape [heads*head_dim].
     qk_norm_across_heads: bool = False
+    # Hunyuan applies the per-head q/k norm AFTER rope (query_layernorm /
+    # key_layernorm); Qwen3-style norms apply before.
+    qk_norm_after_rope: bool = False
+    # DBRX clip_qkv: clamp fused qkv projections to ±clip_qkv.
+    clip_qkv: Optional[float] = None
     sliding_window: Optional[int] = None
     # FFN activation over the fused gate/up projection:
     # "silu" | "geglu" (Gemma) | "swiglu_oai" (gpt-oss clamped SwiGLU).

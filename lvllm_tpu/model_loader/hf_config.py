@@ -23,6 +23,23 @@ def load_model_config(model_path: str,
         hf = json.load(f)
 
     arch = (hf.get("architectures") or ["Qwen3ForCausalLM"])[0]
+    if arch == "DbrxForCausalLM":
+        # DBRX nests attention/ffn settings (reference: models/dbrx.py).
+        attn = hf.get("attn_config") or {}
+        ffn = hf.get("ffn_config") or {}
+        hf = {**hf,
+              "hidden_size": hf["d_model"],
+              "num_hidden_layers": hf["n_layers"],
+              "num_attention_heads": hf["n_heads"],
+              "num_key_value_heads": attn.get("kv_n_heads",
+                                              hf["n_heads"]),
+              "max_position_embeddings": hf.get("max_seq_len", 32768),
+              "rope_theta": attn.get("rope_theta", 10000.0),
+              "clip_qkv": attn.get("clip_qkv"),
+              "num_experts": ffn.get("moe_num_experts", 0),
+              "num_experts_per_tok": ffn.get("moe_top_k", 4),
+              "moe_intermediate_size": ffn.get("ffn_hidden_size"),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
     if arch == "GPT2LMHeadModel":
         # GPT-2 configs use the legacy n_* keys; normalize up front.
         hf = {**hf,
@@ -50,8 +67,11 @@ def load_model_config(model_path: str,
         outer_arch = arch
         hf = {**hf, **text}
         arch = outer_arch
-    num_experts = (hf.get("num_experts") or hf.get("n_routed_experts")
-                   or hf.get("num_local_experts") or 0)
+    num_experts = _first(hf.get("num_experts") or hf.get("n_routed_experts")
+                         or hf.get("num_local_experts")
+                         or hf.get("moe_num_experts") or 0)
+    if arch == "HunYuanDenseV1ForCausalLM":
+        num_experts = 0
 
     # Layer-type schedule. Mamba-family configs carry it as
     # layers_block_type ("mamba"/"attention") or imply all-mamba
@@ -87,12 +107,29 @@ def load_model_config(model_path: str,
     # MiniMax-M2 (reference: models/minimax_m2.py MiniMaxM2MoE): experts use
     # the dense intermediate_size, rotary covers rotary_dim of head_dim, and
     # q/k RMS-norm spans all heads jointly.
-    moe_inter = hf.get("moe_intermediate_size")
+    moe_inter = _first(hf.get("moe_intermediate_size"))
     partial_rotary = hf.get("partial_rotary_factor", 1.0)
     if arch == "MiniMaxM2ForCausalLM":
         moe_inter = moe_inter or hf.get("intermediate_size")
         if hf.get("rotary_dim") and hf.get("head_dim"):
             partial_rotary = hf["rotary_dim"] / hf["head_dim"]
+    if arch == "HunYuanMoEV1ForCausalLM":
+        # Hunyuan experts and the always-on shared MLP both use the dense
+        # intermediate_size (HF HunYuanMoEV1MLP).
+        moe_inter = moe_inter or hf.get("intermediate_size")
+    if arch == "Dots1ForCausalLM":
+        scoring_fn = "sigmoid"
+    # ERNIE 4.5 MoE layer schedule: MoE iff (i+1) % interval == 0 and
+    # start <= i <= end (HF Ernie4_5_MoeDecoderLayer).
+    if arch == "Ernie4_5_MoeForCausalLM":
+        interval = hf.get("moe_layer_interval", 1)
+        start = hf.get("moe_layer_start_index", 0)
+        end = hf.get("moe_layer_end_index", -1)
+        if end < 0:
+            end = hf["num_hidden_layers"] + end
+        mlp_only.extend(
+            i for i in range(hf["num_hidden_layers"])
+            if not ((i + 1) % interval == 0 and start <= i <= end))
     # Families off the RMSNorm+SwiGLU mainline (reference models/:
     # gpt2.py, starcoder2.py, stablelm.py, nemotron.py, olmo2.py, olmoe.py).
     norm_type = "rmsnorm"
@@ -110,12 +147,21 @@ def load_model_config(model_path: str,
     elif arch == "NemotronForCausalLM":
         norm_type, mlp_gated = "layernorm1p", False
         hidden_act_override = "relu2"
+    elif arch == "DbrxForCausalLM":
+        norm_type = "layernorm"  # bias-free LayerNorm (loader leaves 0s)
     bias_all = (arch == "GPT2LMHeadModel" or
                 (arch == "Starcoder2ForCausalLM" and
-                 hf.get("use_bias", True)))
-    n_shared = (hf.get("n_shared_experts") or 0) or \
+                 hf.get("use_bias", True)) or
+                # ERNIE 4.5 use_bias puts biases on qkv/o and the MLP.
+                (arch.startswith("Ernie4_5") and
+                 hf.get("use_bias", False)))
+    n_shared = (hf.get("n_shared_experts") or
+                hf.get("moe_num_shared_experts") or 0) or \
         (1 if hf.get("shared_expert_intermediate_size") else 0)
     shared_inter = hf.get("shared_expert_intermediate_size")
+    if arch == "HunYuanMoEV1ForCausalLM":
+        # One always-on shared MLP sized like a dense FFN.
+        n_shared, shared_inter = 1, hf.get("intermediate_size")
     if n_shared and shared_inter is None:
         shared_inter = n_shared * (hf.get("moe_intermediate_size") or 0)
 
@@ -151,8 +197,11 @@ def load_model_config(model_path: str,
                                   "use_sliding_window" not in hf)
                         else None),
         num_experts=num_experts,
-        num_experts_per_tok=hf.get("num_experts_per_tok",
-                                   hf.get("num_experts_per_token", 2)),
+        num_experts_per_tok=_first(
+            hf.get("num_experts_per_tok") or
+            hf.get("num_experts_per_token") or
+            hf.get("moe_k") or              # ERNIE 4.5
+            hf.get("moe_topk") or 2),       # Hunyuan
         moe_intermediate_size=moe_inter,
         num_shared_experts=n_shared,
         shared_expert_intermediate_size=shared_inter,
@@ -167,7 +216,13 @@ def load_model_config(model_path: str,
                                 "Gemma3ForCausalLM",
                                 "MiniMaxM2ForCausalLM",
                                 "Olmo2ForCausalLM", "Olmo3ForCausalLM",
-                                "OlmoeForCausalLM")),
+                                "OlmoeForCausalLM",
+                                "HunYuanMoEV1ForCausalLM",
+                                "HunYuanDenseV1ForCausalLM",
+                                "Dots1ForCausalLM")),
+        qk_norm_after_rope=arch in ("HunYuanMoEV1ForCausalLM",
+                                    "HunYuanDenseV1ForCausalLM"),
+        clip_qkv=hf.get("clip_qkv"),
         qk_norm_across_heads=arch in (
             "MiniMaxM2ForCausalLM",
             # OLMo2/OLMoE norm q over all heads jointly (HF Olmo2Attention).
@@ -179,6 +234,8 @@ def load_model_config(model_path: str,
         learned_pos_embeddings=learned_pos,
         norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM"),
         attention_bias=(bias_all or hf.get("use_qkv_bias", False) or
+                        (arch.startswith("Ernie4_5") and
+                         hf.get("use_bias", False)) or
                         hf.get(
                             "attention_bias",
                             arch in ("Qwen2ForCausalLM",

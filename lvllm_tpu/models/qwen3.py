@@ -281,7 +281,12 @@ class Qwen3Model:
         q = proj(attn["q_proj"], c.num_attention_heads, "q_proj")
         k = proj(attn["k_proj"], c.num_key_value_heads, "k_proj")
         v = proj(attn["v_proj"], c.num_key_value_heads, "v_proj")
-        if c.qk_norm:
+        if c.clip_qkv is not None:    # DBRX clamps the fused qkv output
+            q = jnp.clip(q, -c.clip_qkv, c.clip_qkv)
+            k = jnp.clip(k, -c.clip_qkv, c.clip_qkv)
+            v = jnp.clip(v, -c.clip_qkv, c.clip_qkv)
+
+        def qk_norm(q, k):
             if c.qk_norm_across_heads:
                 # MiniMax-M2 (MiniMaxText01RMSNormTP.forward_qk): the RMS
                 # statistic spans all heads of the token's q (resp. k).
@@ -294,9 +299,15 @@ class Qwen3Model:
             else:
                 q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
                 k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
+            return q, k
+
+        if c.qk_norm and not c.qk_norm_after_rope:
+            q, k = qk_norm(q, k)
         cos_sin = self.rope_cache(layer_idx)
         if cos_sin is not None:
             q, k = apply_rope(q, k, positions, cos_sin)
+        if c.qk_norm and c.qk_norm_after_rope:    # Hunyuan ordering
+            q, k = qk_norm(q, k)
         if md.dcp_slot_mapping is not None:
             from lvllm_tpu.ops.context_parallel import dcp_write_and_attend
             assert window is None, "DCP + sliding window TBD"
@@ -638,6 +649,53 @@ class Qwen3Model:
                         yield name, w
                 else:
                     yield name, w
+        elif arch == "DbrxForCausalLM":
+            # DBRX (reference: models/dbrx.py): fused Wqkv, expert weights
+            # stacked [E*I, H] as raw Parameters w1 (gate) / v1 (up) / w2
+            # (down, consumed untransposed: intermediate @ w2).
+            c = self.config
+            D = c.head_dim
+            qw = c.num_attention_heads * D
+            kvw = c.num_key_value_heads * D
+            E, I = c.num_experts, c.moe_intermediate_size
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name == "norm_f.weight":
+                    yield "norm.weight", w
+                elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if rest == "norm_attn_norm.norm_1.weight":
+                        yield p + "input_layernorm.weight", w
+                    elif rest == "norm_attn_norm.norm_2.weight":
+                        yield p + "post_attention_layernorm.weight", w
+                    elif rest == "norm_attn_norm.attn.Wqkv.weight":
+                        yield p + "self_attn.q_proj.weight", w[:qw]
+                        yield p + "self_attn.k_proj.weight", w[qw:qw + kvw]
+                        yield p + "self_attn.v_proj.weight", w[qw + kvw:]
+                    elif rest == "norm_attn_norm.attn.out_proj.weight":
+                        yield p + "self_attn.o_proj.weight", w
+                    elif rest == "ffn.router.layer.weight":
+                        yield p + "mlp.gate.weight", w
+                    elif m2 := re.match(r"ffn\.experts\.mlp\.(w1|v1|w2)",
+                                        rest):
+                        which = {"w1": "gate_proj", "v1": "up_proj",
+                                 "w2": "down_proj"}[m2.group(1)]
+                        we = w.reshape(E, I, -1)
+                        for e in range(E):
+                            part = we[e]
+                            if which == "down_proj":
+                                # stored [I, H] row-major = our [in, out];
+                                # emit HF orientation for the main loop.
+                                part = np.ascontiguousarray(part.T)
+                            yield (p + f"mlp.experts.{e}.{which}.weight",
+                                   part)
+                    else:
+                        yield name, w
+                else:
+                    yield name, w
         elif arch == "Starcoder2ForCausalLM":
             # mlp.c_fc/c_proj are plain Linears (not Conv1D) — rename only.
             for name, w in weights:
@@ -707,9 +765,28 @@ class Qwen3Model:
                         r"self_attn\.(q|k|v|o)_proj\.bias", rest):
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_proj", "bias"], w)
-                elif m2 := re.match(r"self_attn\.(q|k)_norm\.weight", rest):
+                elif m2 := re.match(
+                        r"self_attn\.(?:(q|k)_norm|(query|key)_layernorm)"
+                        r"\.weight", rest):
+                    # Hunyuan names them query_layernorm/key_layernorm.
+                    which = m2.group(1) or m2.group(2)[0]
                     put(["layers", str(i), "self_attn",
-                         f"{m2.group(1)}_norm", "weight"], w)
+                         f"{which}_norm", "weight"], w)
+                elif m2 := re.match(
+                        r"mlp\.(gate|up|down)_proj\.bias", rest):
+                    # Gated-MLP biases (ERNIE use_bias): gate‖up fuse.
+                    which = m2.group(1)
+                    if which == "down" or not c.mlp_gated:
+                        put(["layers", str(i), "mlp",
+                             "down" if which == "down" else which,
+                             "bias"], w)
+                    else:
+                        gate_parts[(i, which + "_bias")] = w
+                        g = gate_parts.get((i, "gate_bias"))
+                        u = gate_parts.get((i, "up_bias"))
+                        if g is not None and u is not None:
+                            put(["layers", str(i), "mlp", "gate_up",
+                                 "bias"], np.concatenate([g, u], axis=0))
                 elif not c.mlp_gated and (m2 := re.match(
                         r"mlp\.(up|down)_proj\.(weight|bias)", rest)):
                     # Non-gated MLP (GPT-2/Starcoder2/Nemotron): up and
@@ -733,15 +810,18 @@ class Qwen3Model:
                                  "kernel"],
                                 np.concatenate([g, u], axis=0),
                                 transpose=True)
-                elif re.match(r"(mlp|block_sparse_moe)\.gate\.weight", rest):
+                elif re.match(
+                        r"(mlp|block_sparse_moe)\.gate(\.wg)?\.weight",
+                        rest):  # Hunyuan router lives at mlp.gate.wg
                     put(["layers", str(i), "moe", "router"], w,
                         transpose=True)
-                elif re.match(r"mlp(\.gate)?\.e_score_correction_bias",
-                              rest):
-                    # DeepSeek/GLM keep the bias on the gate; MiniMax-M2
-                    # keeps it on the MoE module (use_routing_bias).
+                elif re.match(
+                        r"mlp(\.gate|\.moe_statics)?"
+                        r"\.e_score_correction_bias", rest):
+                    # DeepSeek/GLM keep the bias on the gate; MiniMax-M2 on
+                    # the MoE module; ERNIE 4.5 under moe_statics [1, E].
                     layer.setdefault("moe", {})["e_score_bias"] = \
-                        jnp.asarray(w, jnp.float32)
+                        jnp.asarray(w.reshape(-1), jnp.float32)
                 elif m2 := re.match(
                         r"mlp\.experts\.(\d+)\.(gate|up|down)_proj\.weight",
                         rest):
@@ -756,9 +836,11 @@ class Qwen3Model:
                     which = {"1": "gate", "3": "up", "2": "down"}[wn]
                     expert_parts[(i, which, e)] = w
                 elif m2 := re.match(
-                        r"mlp\.shared_experts?\.(gate|up|down)_proj\.weight",
+                        r"mlp\.(?:shared_experts?|shared_mlp)"
+                        r"\.(gate|up|down)_proj\.weight",
                         rest):
-                    # GLM (shared_experts) / Qwen2-MoE (shared_expert).
+                    # GLM (shared_experts) / Qwen2-MoE (shared_expert) /
+                    # Hunyuan (shared_mlp).
                     shared_parts[(i, m2.group(1))] = w
                     try_fuse_shared(i)
                 else:

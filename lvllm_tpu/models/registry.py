@@ -56,7 +56,15 @@ def _register_builtin() -> None:
                  # OLMo family: post-norm ordering (norm_after) and
                  # across-heads qk-norm.
                  "Olmo2ForCausalLM", "Olmo3ForCausalLM",
-                 "OlmoeForCausalLM"):
+                 "OlmoeForCausalLM",
+                 # MoE breadth: ERNIE 4.5 (dense+MoE, moe_statics bias),
+                 # Hunyuan V1 (qk-norm after rope, shared MLP), DBRX
+                 # (fused Wqkv + clip_qkv + stacked experts), Dots1
+                 # (DeepSeek-V3-style routing + qk-norm), Seed-OSS.
+                 "Ernie4_5ForCausalLM", "Ernie4_5_MoeForCausalLM",
+                 "HunYuanDenseV1ForCausalLM", "HunYuanMoEV1ForCausalLM",
+                 "DbrxForCausalLM", "Dots1ForCausalLM",
+                 "SeedOssForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
