@@ -79,6 +79,12 @@ class ModelConfig:
     # sublayer's OUTPUT before the residual add (post_attention_layernorm
     # after attention, post_feedforward_layernorm after the MLP).
     norm_after: bool = False
+    # Parallel residual: x = x + attn(norm(x)) + mlp(norm'(x)).
+    # "single" shares one norm (Phi, Falcon-7B); "dual" norms attention
+    # and MLP inputs separately (GPT-NeoX, Falcon-40B ln_attn/ln_mlp).
+    parallel_residual: Optional[str] = None
+    # Phi puts a bias on the LM head.
+    lm_head_bias: bool = False
     # gpt-oss attention sinks: learned per-head logit in every softmax.
     attention_sinks: bool = False
     # gpt-oss per-expert biases (gate_up_proj_bias / down_proj_bias).

@@ -40,16 +40,30 @@ def load_model_config(model_path: str,
               "num_experts_per_tok": ffn.get("moe_top_k", 4),
               "moe_intermediate_size": ffn.get("ffn_hidden_size"),
               "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
-    if arch == "GPT2LMHeadModel":
-        # GPT-2 configs use the legacy n_* keys; normalize up front.
+    if arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM"):
+        # GPT-2 / GPTBigCode configs use the legacy n_* keys; GPTBigCode
+        # additionally runs MQA (multi_query → 1 kv head).
         hf = {**hf,
               "hidden_size": hf["n_embd"],
               "num_hidden_layers": hf["n_layer"],
               "num_attention_heads": hf["n_head"],
-              "num_key_value_heads": hf["n_head"],
+              "num_key_value_heads": (1 if hf.get("multi_query", False)
+                                      else hf["n_head"]),
               "intermediate_size": hf.get("n_inner") or 4 * hf["n_embd"],
               "max_position_embeddings": hf.get("n_positions", 1024),
-              "tie_word_embeddings": True}
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+    if arch in ("FalconForCausalLM", "RWForCausalLM"):
+        if hf.get("alibi"):
+            raise ValueError("Falcon alibi variants are not supported")
+        hf = {**hf,
+              "num_key_value_heads": (
+                  hf.get("num_kv_heads") or hf["num_attention_heads"]
+                  if hf.get("new_decoder_architecture")
+                  else 1 if hf.get("multi_query", True)
+                  else hf["num_attention_heads"]),
+              "intermediate_size": (hf.get("ffn_hidden_size") or
+                                    4 * hf["hidden_size"]),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
     vision_cfg = None
     image_token_id = None
     if arch in ("LlavaForConditionalGeneration",
@@ -117,6 +131,8 @@ def load_model_config(model_path: str,
         # Hunyuan experts and the always-on shared MLP both use the dense
         # intermediate_size (HF HunYuanMoEV1MLP).
         moe_inter = moe_inter or hf.get("intermediate_size")
+    if arch == "GPTNeoXForCausalLM" and hf.get("rotary_pct"):
+        partial_rotary = hf["rotary_pct"]
     if arch == "Dots1ForCausalLM":
         scoring_fn = "sigmoid"
     # ERNIE 4.5 MoE layer schedule: MoE iff (i+1) % interval == 0 and
@@ -136,9 +152,29 @@ def load_model_config(model_path: str,
     mlp_gated = True
     hidden_act_override = None
     learned_pos = False
-    if arch == "GPT2LMHeadModel":
+    parallel_residual = None
+    lm_head_bias = False
+    if arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM"):
         norm_type, mlp_gated, learned_pos = "layernorm", False, True
         hidden_act_override = "gelu_only"
+    elif arch == "GPTNeoXForCausalLM":
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "gelu_only"
+        if hf.get("use_parallel_residual", True):
+            parallel_residual = "dual"   # x + attn(ln1 x) + mlp(ln2 x)
+    elif arch == "PhiForCausalLM":
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "gelu_only"
+        parallel_residual = "single"     # one shared input_layernorm
+        lm_head_bias = True
+    elif arch in ("FalconForCausalLM", "RWForCausalLM"):
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "gelu_only"
+        if hf.get("parallel_attn", True):
+            dual = (hf.get("num_ln_in_parallel_attn") == 2 or
+                    (hf.get("num_ln_in_parallel_attn") is None and
+                     hf.get("new_decoder_architecture")))
+            parallel_residual = "dual" if dual else "single"
     elif arch == "Starcoder2ForCausalLM":
         norm_type, mlp_gated = "layernorm", False
         hidden_act_override = "gelu_only"
@@ -149,7 +185,12 @@ def load_model_config(model_path: str,
         hidden_act_override = "relu2"
     elif arch == "DbrxForCausalLM":
         norm_type = "layernorm"  # bias-free LayerNorm (loader leaves 0s)
-    bias_all = (arch == "GPT2LMHeadModel" or
+    bias_all = (arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM",
+                         "PhiForCausalLM") or
+                (arch == "GPTNeoXForCausalLM" and
+                 hf.get("attention_bias", True)) or
+                (arch in ("FalconForCausalLM", "RWForCausalLM") and
+                 hf.get("bias", False)) or
                 (arch == "Starcoder2ForCausalLM" and
                  hf.get("use_bias", True)) or
                 # ERNIE 4.5 use_bias puts biases on qkv/o and the MLP.
@@ -223,6 +264,8 @@ def load_model_config(model_path: str,
         qk_norm_after_rope=arch in ("HunYuanMoEV1ForCausalLM",
                                     "HunYuanDenseV1ForCausalLM"),
         clip_qkv=hf.get("clip_qkv"),
+        parallel_residual=parallel_residual,
+        lm_head_bias=lm_head_bias,
         qk_norm_across_heads=arch in (
             "MiniMaxM2ForCausalLM",
             # OLMo2/OLMoE norm q over all heads jointly (HF Olmo2Attention).
@@ -266,9 +309,10 @@ def load_model_config(model_path: str,
         rope_local_base_freq=hf.get("rope_local_base_freq"),
         no_rope_layers=(tuple(hf["no_rope_layers"])
                         if hf.get("no_rope_layers")
-                        # GPT-2: learned absolute positions, no rope.
+                        # GPT-2/GPTBigCode: learned positions, no rope.
                         else (0,) * hf["num_hidden_layers"]
-                        if arch == "GPT2LMHeadModel" else None),
+                        if arch in ("GPT2LMHeadModel",
+                                    "GPTBigCodeForCausalLM") else None),
         embedding_multiplier=hf.get("embedding_multiplier", 1.0),
         attention_multiplier=hf.get("attention_multiplier"),
         residual_multiplier=hf.get("residual_multiplier", 1.0),

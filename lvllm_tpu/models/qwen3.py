@@ -160,6 +160,9 @@ class Qwen3Model:
         if not c.tie_word_embeddings:
             params["lm_head"] = {
                 "kernel": dense((c.hidden_size, c.vocab_size))}
+            if c.lm_head_bias:
+                params["lm_head"]["bias"] = jnp.zeros(
+                    (c.vocab_size,), self.dtype)
         for i in range(c.num_hidden_layers):
             if c.norm_after:
                 # OLMo2: norms on sublayer outputs, no pre-norms.
@@ -168,6 +171,10 @@ class Qwen3Model:
                         nprng, norm_bias),
                     "post_feedforward_layernorm": self._norm_node(
                         nprng, norm_bias),
+                }
+            elif c.parallel_residual == "single":
+                norms = {
+                    "input_layernorm": self._norm_node(nprng, norm_bias),
                 }
             else:
                 norms = {
@@ -511,6 +518,22 @@ class Qwen3Model:
         lp = layer_params
         x = self._sp_shard(x)
         residual = self._sp_shard(residual)
+        if c.parallel_residual:
+            # x = x + attn(norm(x)) + mlp(norm'(x)) (GPT-NeoX / Phi /
+            # Falcon parallel blocks).
+            hidden = (x.astype(jnp.float32) +
+                      residual.astype(jnp.float32)).astype(x.dtype)
+            h_attn = self._norm(lp["input_layernorm"], hidden)
+            h_mlp = (h_attn if c.parallel_residual == "single"
+                     else self._norm(lp["post_attention_layernorm"],
+                                     hidden))
+            attn_out, kv = self._attention(
+                lp, h_attn, positions, kv_cache, attn_metadata, lora,
+                token_adapter, layer_idx=layer_idx)
+            ffn_out = self._ffn(lp, h_mlp, layer_idx)
+            out = (attn_out.astype(jnp.float32) +
+                   ffn_out.astype(jnp.float32)).astype(x.dtype)
+            return out, hidden, kv
         if c.norm_after:
             # OLMo2 ordering: attend the raw hidden state, norm the
             # sublayer output, then residual-add.
@@ -586,6 +609,9 @@ class Qwen3Model:
         else:
             kernel = params["lm_head"]["kernel"]
         logits = (hidden @ kernel).astype(jnp.float32)
+        if not self.config.tie_word_embeddings and \
+                "bias" in params.get("lm_head", {}):
+            logits = logits + params["lm_head"]["bias"].astype(jnp.float32)
         if self.config.logits_scaling != 1.0:  # Granite divides
             logits = logits / self.config.logits_scaling
         cap = self.config.final_logit_softcap
@@ -645,6 +671,151 @@ class Qwen3Model:
                             np.ascontiguousarray(w.T)
                     elif rest == "mlp.c_proj.bias":
                         yield p + "mlp.down_proj.bias", w
+                    else:
+                        yield name, w
+                else:
+                    yield name, w
+        elif arch == "GPTNeoXForCausalLM":
+            # NeoX fuses qkv per head: rows [h*3D:(h+1)*3D] hold q|k|v for
+            # head h (HF GPTNeoXAttention hidden_shape view).
+            c = self.config
+            Hh, D = c.num_attention_heads, c.head_dim
+            for name, w in weights:
+                name = name.removeprefix("gpt_neox.")
+                if name == "embed_in.weight":
+                    yield "embed_tokens.weight", w
+                elif name.startswith("final_layer_norm."):
+                    yield "norm." + name.split(".")[-1], w
+                elif name.startswith("embed_out."):
+                    yield "lm_head." + name.split(".")[-1], w
+                elif m := re.match(r"layers\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(
+                            r"attention\.query_key_value\.(weight|bias)",
+                            rest):
+                        kind = m2.group(1)
+                        parts = w.reshape(Hh, 3, D, -1) if kind == "weight" \
+                            else w.reshape(Hh, 3, D)
+                        for j, which in enumerate(("q", "k", "v")):
+                            part = parts[:, j].reshape(
+                                Hh * D, -1) if kind == "weight" \
+                                else parts[:, j].reshape(Hh * D)
+                            yield (p + f"self_attn.{which}_proj.{kind}",
+                                   part)
+                    elif m2 := re.match(r"attention\.dense\.(weight|bias)",
+                                        rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    elif m2 := re.match(
+                            r"mlp\.dense_h_to_4h\.(weight|bias)", rest):
+                        yield p + "mlp.up_proj." + m2.group(1), w
+                    elif m2 := re.match(
+                            r"mlp\.dense_4h_to_h\.(weight|bias)", rest):
+                        yield p + "mlp.down_proj." + m2.group(1), w
+                    else:
+                        yield name, w
+                else:
+                    yield name, w
+        elif arch == "PhiForCausalLM":
+            for name, w in weights:
+                name = name.replace("self_attn.dense.", "self_attn.o_proj.")
+                name = name.replace("mlp.fc1.", "mlp.up_proj.")
+                name = name.replace("mlp.fc2.", "mlp.down_proj.")
+                name = name.replace("final_layernorm.", "norm.")
+                yield name, w
+        elif arch in ("FalconForCausalLM", "RWForCausalLM"):
+            # Falcon fused qkv layouts (HF FalconAttention._split_heads):
+            # new_decoder_architecture → [kv_groups, q_per_group+2, D];
+            # multi_query → [Hq+2, D]; else per-head [Hq, 3, D].
+            c = self.config
+            Hq, Hkv, D = (c.num_attention_heads, c.num_key_value_heads,
+                          c.head_dim)
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "word_embeddings.weight":
+                    yield "embed_tokens.weight", w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(
+                            r"self_attention\.query_key_value"
+                            r"\.(weight|bias)", rest):
+                        kind = m2.group(1)
+                        tail = w.shape[1:] if kind == "weight" else ()
+                        if Hkv > 1 and Hq != Hkv:   # new arch, grouped
+                            g = w.reshape(Hkv, Hq // Hkv + 2, D, *tail)
+                            q = g[:, :-2].reshape(Hq * D, *tail)
+                            k = g[:, -2].reshape(Hkv * D, *tail)
+                            v = g[:, -1].reshape(Hkv * D, *tail)
+                        elif Hkv == 1:              # multi-query (7B)
+                            g = w.reshape(Hq + 2, D, *tail)
+                            q = g[:-2].reshape(Hq * D, *tail)
+                            k = g[-2].reshape(D, *tail)
+                            v = g[-1].reshape(D, *tail)
+                        else:                        # per-head interleave
+                            g = w.reshape(Hq, 3, D, *tail)
+                            q = g[:, 0].reshape(Hq * D, *tail)
+                            k = g[:, 1].reshape(Hq * D, *tail)
+                            v = g[:, 2].reshape(Hq * D, *tail)
+                        yield p + "self_attn.q_proj." + kind, q
+                        yield p + "self_attn.k_proj." + kind, k
+                        yield p + "self_attn.v_proj." + kind, v
+                    elif m2 := re.match(
+                            r"self_attention\.dense\.(weight|bias)", rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    elif m2 := re.match(
+                            r"mlp\.dense_h_to_4h\.(weight|bias)", rest):
+                        yield p + "mlp.up_proj." + m2.group(1), w
+                    elif m2 := re.match(
+                            r"mlp\.dense_4h_to_h\.(weight|bias)", rest):
+                        yield p + "mlp.down_proj." + m2.group(1), w
+                    elif m2 := re.match(r"ln_attn\.(weight|bias)", rest):
+                        yield p + "input_layernorm." + m2.group(1), w
+                    elif m2 := re.match(r"ln_mlp\.(weight|bias)", rest):
+                        yield (p + "post_attention_layernorm." +
+                               m2.group(1), w)
+                    else:
+                        yield name, w
+                else:
+                    yield name, w
+        elif arch == "GPTBigCodeForCausalLM":
+            # Starcoder-1/Santacoder: GPT-2 layout but nn.Linear (no Conv1D
+            # transpose) and MQA: c_attn rows = [Hq*D | D | D].
+            c = self.config
+            qw = c.num_attention_heads * c.head_dim
+            kvw = c.num_key_value_heads * c.head_dim
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name == "wpe.weight":
+                    yield "pos_embed.weight", w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(r"ln_([12])\.(weight|bias)", rest):
+                        slot = ("input_layernorm" if m2.group(1) == "1"
+                                else "post_attention_layernorm")
+                        yield p + f"{slot}.{m2.group(2)}", w
+                    elif m2 := re.match(r"attn\.c_attn\.(weight|bias)",
+                                        rest):
+                        kind = m2.group(1)
+                        yield p + "self_attn.q_proj." + kind, w[:qw]
+                        yield p + "self_attn.k_proj." + kind, \
+                            w[qw:qw + kvw]
+                        yield p + "self_attn.v_proj." + kind, w[qw + kvw:]
+                    elif m2 := re.match(r"attn\.c_proj\.(weight|bias)",
+                                        rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    elif m2 := re.match(r"mlp\.c_fc\.(weight|bias)", rest):
+                        yield p + "mlp.up_proj." + m2.group(1), w
+                    elif m2 := re.match(r"mlp\.c_proj\.(weight|bias)",
+                                        rest):
+                        yield p + "mlp.down_proj." + m2.group(1), w
                     else:
                         yield name, w
                 else:
@@ -749,6 +920,9 @@ class Qwen3Model:
             elif name == "lm_head.weight":
                 if not c.tie_word_embeddings:
                     put(["lm_head", "kernel"], w, transpose=True)
+            elif name == "lm_head.bias":
+                if not c.tie_word_embeddings and c.lm_head_bias:
+                    put(["lm_head", "bias"], w)
             elif m := re.match(r"layers\.(\d+)\.(.+)", name):
                 i, rest = int(m.group(1)), m.group(2)
                 layer = params["layers"][i]

@@ -64,7 +64,14 @@ def _register_builtin() -> None:
                  "Ernie4_5ForCausalLM", "Ernie4_5_MoeForCausalLM",
                  "HunYuanDenseV1ForCausalLM", "HunYuanMoEV1ForCausalLM",
                  "DbrxForCausalLM", "Dots1ForCausalLM",
-                 "SeedOssForCausalLM"):
+                 "SeedOssForCausalLM",
+                 # Parallel-residual families (parallel_residual knob):
+                 # GPT-NeoX/Pythia (dual norms), Phi-1/2 (single norm,
+                 # biased lm_head), Falcon (fused MQA qkv layouts),
+                 # GPTBigCode/Starcoder-1 (MQA + learned positions).
+                 "GPTNeoXForCausalLM", "PhiForCausalLM",
+                 "FalconForCausalLM", "RWForCausalLM",
+                 "GPTBigCodeForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
