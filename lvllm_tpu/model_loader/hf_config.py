@@ -133,6 +133,14 @@ def load_model_config(model_path: str,
         moe_inter = moe_inter or hf.get("intermediate_size")
     if arch == "GPTNeoXForCausalLM" and hf.get("rotary_pct"):
         partial_rotary = hf["rotary_pct"]
+    if arch == "GraniteMoeForCausalLM":
+        # GraniteMoE routes by topk-then-softmax (GraniteMoeTopKGating),
+        # experts sized by the dense intermediate_size.
+        scoring_fn = "softmax_topk"
+        moe_inter = moe_inter or hf.get("intermediate_size")
+    if arch in ("BaichuanForCausalLM", "BaiChuanForCausalLM") and \
+            hf.get("hidden_size") == 5120:
+        raise ValueError("Baichuan-13B (alibi attention) is not supported")
     if arch == "Dots1ForCausalLM":
         scoring_fn = "sigmoid"
     # ERNIE 4.5 MoE layer schedule: MoE iff (i+1) % interval == 0 and
@@ -260,7 +268,8 @@ def load_model_config(model_path: str,
                                 "OlmoeForCausalLM",
                                 "HunYuanMoEV1ForCausalLM",
                                 "HunYuanDenseV1ForCausalLM",
-                                "Dots1ForCausalLM")),
+                                "Dots1ForCausalLM",
+                                "Exaone4ForCausalLM")),
         qk_norm_after_rope=arch in ("HunYuanMoEV1ForCausalLM",
                                     "HunYuanDenseV1ForCausalLM"),
         clip_qkv=hf.get("clip_qkv"),
@@ -275,8 +284,11 @@ def load_model_config(model_path: str,
         mlp_bias=bias_all,
         o_proj_bias=bias_all,
         learned_pos_embeddings=learned_pos,
-        norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM"),
+        norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
+                            "Exaone4ForCausalLM"),
         attention_bias=(bias_all or hf.get("use_qkv_bias", False) or
+                        (arch == "InternLM2ForCausalLM" and
+                         hf.get("bias", False)) or
                         (arch.startswith("Ernie4_5") and
                          hf.get("use_bias", False)) or
                         hf.get(
@@ -307,7 +319,12 @@ def load_model_config(model_path: str,
         scale_embedding=arch.startswith("Gemma"),
         query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
         rope_local_base_freq=hf.get("rope_local_base_freq"),
-        no_rope_layers=(tuple(hf["no_rope_layers"])
+        no_rope_layers=(tuple(
+                            1 if t == "sliding_attention" else 0
+                            for t in layer_types)
+                        if (arch == "Exaone4ForCausalLM" and
+                            hf.get("sliding_window") and layer_types)
+                        else tuple(hf["no_rope_layers"])
                         if hf.get("no_rope_layers")
                         # GPT-2/GPTBigCode: learned positions, no rope.
                         else (0,) * hf["num_hidden_layers"]

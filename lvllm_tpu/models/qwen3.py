@@ -675,6 +675,95 @@ class Qwen3Model:
                         yield name, w
                 else:
                     yield name, w
+        elif arch == "InternLM2ForCausalLM":
+            # InternLM2 fuses qkv grouped by kv-head (wqkv rows =
+            # [kv, q_per_group+2, D]) and renames everything
+            # (reference: models/internlm2.py).
+            c = self.config
+            Hq, Hkv, D = (c.num_attention_heads, c.num_key_value_heads,
+                          c.head_dim)
+            for name, w in weights:
+                name = name.removeprefix("model.")
+                if name == "tok_embeddings.weight":
+                    yield "embed_tokens.weight", w
+                elif name == "output.weight":
+                    yield "lm_head.weight", w
+                elif m := re.match(r"layers\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(r"attention\.wqkv\.(weight|bias)",
+                                      rest):
+                        kind = m2.group(1)
+                        tail = w.shape[1:] if kind == "weight" else ()
+                        g = w.reshape(Hkv, Hq // Hkv + 2, D, *tail)
+                        yield (p + "self_attn.q_proj." + kind,
+                               g[:, :-2].reshape(Hq * D, *tail))
+                        yield (p + "self_attn.k_proj." + kind,
+                               g[:, -2].reshape(Hkv * D, *tail))
+                        yield (p + "self_attn.v_proj." + kind,
+                               g[:, -1].reshape(Hkv * D, *tail))
+                    elif m2 := re.match(r"attention\.wo\.(weight|bias)",
+                                        rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    elif m2 := re.match(r"feed_forward\.w([123])\.weight",
+                                        rest):
+                        which = {"1": "gate", "3": "up",
+                                 "2": "down"}[m2.group(1)]
+                        yield p + f"mlp.{which}_proj.weight", w
+                    elif rest == "attention_norm.weight":
+                        yield p + "input_layernorm.weight", w
+                    elif rest == "ffn_norm.weight":
+                        yield p + "post_attention_layernorm.weight", w
+                    else:
+                        yield name, w
+                else:
+                    yield name, w
+        elif arch in ("BaichuanForCausalLM", "BaiChuanForCausalLM"):
+            # Baichuan W_pack = plain [q|k|v] concat; Baichuan2 NormHead
+            # row-normalizes the LM head at load (reference:
+            # models/baichuan.py NormHead handling).
+            c = self.config
+            qw = c.num_attention_heads * c.head_dim
+            for name, w in weights:
+                if name == "lm_head.weight" and c.vocab_size == 125696:
+                    norms = np.linalg.norm(w, axis=-1, keepdims=True)
+                    yield name, w / np.maximum(norms, 1e-12)
+                elif m := re.match(
+                        r"model\.layers\.(\d+)\.self_attn\.W_pack\.weight",
+                        name):
+                    p = f"model.layers.{m.group(1)}.self_attn."
+                    yield p + "q_proj.weight", w[:qw]
+                    yield p + "k_proj.weight", w[qw:2 * qw]
+                    yield p + "v_proj.weight", w[2 * qw:]
+                else:
+                    yield name, w
+        elif arch == "GraniteMoeForCausalLM":
+            # GraniteMoE stacks experts: input_linear [E, 2I, H] (gate‖up
+            # halves of the output dim), output_linear [E, H, I]; router
+            # at block_sparse_moe.router.layer.
+            c = self.config
+            E, I = c.num_experts, c.moe_intermediate_size
+            for name, w in weights:
+                if m := re.match(
+                        r"model\.layers\.(\d+)\.block_sparse_moe\.(.+)",
+                        name):
+                    p = f"model.layers.{m.group(1)}.mlp."
+                    rest = m.group(2)
+                    if rest == "router.layer.weight":
+                        yield p + "gate.weight", w
+                    elif rest == "input_linear.weight":
+                        for e in range(E):
+                            yield (p + f"experts.{e}.gate_proj.weight",
+                                   w[e, :I])
+                            yield (p + f"experts.{e}.up_proj.weight",
+                                   w[e, I:])
+                    elif rest == "output_linear.weight":
+                        for e in range(E):
+                            yield p + f"experts.{e}.down_proj.weight", w[e]
+                    else:
+                        yield name, w
+                else:
+                    yield name, w
         elif arch == "GPTNeoXForCausalLM":
             # NeoX fuses qkv per head: rows [h*3D:(h+1)*3D] hold q|k|v for
             # head h (HF GPTNeoXAttention hidden_shape view).

@@ -71,7 +71,13 @@ def _register_builtin() -> None:
                  # GPTBigCode/Starcoder-1 (MQA + learned positions).
                  "GPTNeoXForCausalLM", "PhiForCausalLM",
                  "FalconForCausalLM", "RWForCausalLM",
-                 "GPTBigCodeForCausalLM"):
+                 "GPTBigCodeForCausalLM",
+                 # InternLM2 (fused wqkv), Baichuan (W_pack + NormHead),
+                 # GraniteMoE (stacked experts, topk-softmax router),
+                 # EXAONE-4 (post-norm + hybrid-NoPE sliding pattern).
+                 "InternLM2ForCausalLM", "BaichuanForCausalLM",
+                 "BaiChuanForCausalLM", "GraniteMoeForCausalLM",
+                 "Exaone4ForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
