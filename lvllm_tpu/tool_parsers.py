@@ -312,6 +312,431 @@ class GraniteToolParser:
         return "", calls
 
 
+def _json_or_str(v: str):
+    v = v.strip()
+    try:
+        return json.loads(v)
+    except json.JSONDecodeError:
+        return v
+
+
+class SeedOssToolParser:
+    """Seed-OSS XML blocks (reference: seed_oss_tool_parser.py:36-55):
+    ``<seed:tool_call><function=NAME><parameter=K>V</parameter>...
+    </function></seed:tool_call>``."""
+
+    BLOCK_RE = re.compile(r"<seed:tool_call>(.*?)</seed:tool_call>",
+                          re.DOTALL)
+    FUNC_RE = re.compile(r"<function=([^>\n]+)>(.*?)</function>", re.DOTALL)
+    PARAM_RE = re.compile(r"<parameter=([^>\n]+)>(.*?)</parameter>",
+                          re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for block in self.BLOCK_RE.finditer(text):
+            for name, body in self.FUNC_RE.findall(block.group(1)):
+                args = {k.strip(): _json_or_str(v)
+                        for k, v in self.PARAM_RE.findall(body)}
+                calls.append(ToolCall(name=name.strip(),
+                                      arguments=json.dumps(args)))
+        return self.BLOCK_RE.sub("", text).strip(), calls
+
+
+class Step3ToolParser:
+    """Step-3 steptml invocations (reference: step3_tool_parser.py:42-67):
+    ``<｜tool_calls_begin｜><｜tool_call_begin｜>function<｜tool_sep｜>
+    <steptml:invoke name="NAME"><steptml:parameter name="K">V
+    </steptml:parameter></steptml:invoke><｜tool_call_end｜>…
+    <｜tool_calls_end｜>``."""
+
+    ENVELOPE_RE = re.compile(
+        r"<｜tool_calls_begin｜>.*?(?:<｜tool_calls_end｜>|$)", re.DOTALL)
+    CALL_RE = re.compile(
+        r"<｜tool_call_begin｜>(.*?)<｜tool_call_end｜>", re.DOTALL)
+    INVOKE_RE = re.compile(r'<steptml:invoke name="([^"]+)">')
+    PARAM_RE = re.compile(
+        r'<steptml:parameter name="([^"]+)">([^<]*)</steptml:parameter>')
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for m in self.CALL_RE.finditer(text):
+            body = m.group(1)
+            if "<｜tool_sep｜>" in body:
+                kind, body = body.split("<｜tool_sep｜>", 1)
+                if kind.strip() != "function":
+                    continue
+            nm = self.INVOKE_RE.search(body)
+            if not nm:
+                continue
+            args = {k: _json_or_str(v)
+                    for k, v in self.PARAM_RE.findall(body)}
+            calls.append(ToolCall(name=nm.group(1),
+                                  arguments=json.dumps(args)))
+        return self.ENVELOPE_RE.sub("", text).strip(), calls
+
+
+class MiniMaxM2ToolParser:
+    """MiniMax-M2 XML blocks (reference: minimax_m2_tool_parser.py:39-55):
+    ``<minimax:tool_call><invoke name="NAME"><parameter name="K">V
+    </parameter></invoke></minimax:tool_call>``."""
+
+    BLOCK_RE = re.compile(r"<minimax:tool_call>(.*?)</minimax:tool_call>",
+                          re.DOTALL)
+    INVOKE_RE = re.compile(r'<invoke name="([^"]+)">(.*?)</invoke>',
+                           re.DOTALL)
+    PARAM_RE = re.compile(r'<parameter name="([^"]+)">(.*?)</parameter>',
+                          re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for block in self.BLOCK_RE.finditer(text):
+            for name, body in self.INVOKE_RE.findall(block.group(1)):
+                args = {k: _json_or_str(v)
+                        for k, v in self.PARAM_RE.findall(body)}
+                calls.append(ToolCall(name=name,
+                                      arguments=json.dumps(args)))
+        return self.BLOCK_RE.sub("", text).strip(), calls
+
+
+class MiniMaxToolParser:
+    """MiniMax-Text JSON-lines blocks (reference:
+    minimax_tool_parser.py:45-48,185): ``<tool_calls>`` wraps one JSON
+    object per line."""
+
+    BLOCK_RE = re.compile(r"<tool_calls>(.*?)(?:</tool_calls>|$)",
+                          re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for block in self.BLOCK_RE.finditer(text):
+            for line in block.group(1).splitlines():
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                args = obj.get("arguments", obj.get("parameters", {}))
+                if not isinstance(args, str):
+                    args = json.dumps(args)
+                if obj.get("name"):
+                    calls.append(ToolCall(name=obj["name"], arguments=args))
+        return self.BLOCK_RE.sub("", text).strip(), calls
+
+
+class Ernie45ToolParser:
+    """ERNIE 4.5 ``<tool_call>{json}</tool_call>`` blocks, with optional
+    ``<response>`` wrapper (reference: ernie45_tool_parser.py:41-50)."""
+
+    TOOL_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>",
+                         re.DOTALL)
+    RESP_RE = re.compile(r"</?response>")
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for m in self.TOOL_RE.finditer(text):
+            try:
+                obj = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                continue
+            args = obj.get("arguments", {})
+            if not isinstance(args, str):
+                args = json.dumps(args)
+            if obj.get("name"):
+                calls.append(ToolCall(name=obj["name"], arguments=args))
+        content = self.TOOL_RE.sub("", text)
+        return self.RESP_RE.sub("", content).strip(), calls
+
+
+class JambaToolParser:
+    """Jamba ``<tool_calls>[{...}, ...]</tool_calls>`` JSON array
+    (reference: jamba_tool_parser.py:49-50)."""
+
+    BLOCK_RE = re.compile(r"<tool_calls>\s*(\[.*?\])\s*</tool_calls>",
+                          re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        m = self.BLOCK_RE.search(text)
+        if not m:
+            return text, []
+        try:
+            arr = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            return text, []
+        calls = [ToolCall(name=o.get("name", ""),
+                          arguments=json.dumps(o.get("arguments", {})))
+                 for o in arr if isinstance(o, dict) and o.get("name")]
+        return self.BLOCK_RE.sub("", text).strip(), calls
+
+
+class Phi4MiniToolParser:
+    """Phi-4-mini ``functools[{...}, ...]`` calls (reference:
+    phi4mini_tool_parser.py:54-78)."""
+
+    BLOCK_RE = re.compile(r"functools\[(.*?)\]", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        m = self.BLOCK_RE.search(text)
+        if not m:
+            return text, []
+        try:
+            arr = json.loads("[" + m.group(1) + "]")
+        except json.JSONDecodeError:
+            return text, []
+        calls = []
+        for o in arr:
+            if not (isinstance(o, dict) and o.get("name")):
+                continue
+            args = o.get("arguments", o.get("parameters", {}))
+            if not isinstance(args, str):
+                args = json.dumps(args)
+            calls.append(ToolCall(name=o["name"], arguments=args))
+        return self.BLOCK_RE.sub("", text).strip(), calls
+
+
+class LongcatToolParser:
+    """LongCat ``<longcat_tool_call>{json}</longcat_tool_call>``
+    (reference: longcat_tool_parser.py:15-19)."""
+
+    TOOL_RE = re.compile(
+        r"<longcat_tool_call>\s*(\{.*?\})\s*</longcat_tool_call>",
+        re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for m in self.TOOL_RE.finditer(text):
+            try:
+                obj = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                continue
+            args = obj.get("arguments", {})
+            if not isinstance(args, str):
+                args = json.dumps(args)
+            if obj.get("name"):
+                calls.append(ToolCall(name=obj["name"], arguments=args))
+        return self.TOOL_RE.sub("", text).strip(), calls
+
+
+class Olmo3ToolParser:
+    """OLMo-3 pythonic calls, one per line inside ``<function_calls>``
+    (reference: olmo3_tool_parser.py:78-90)."""
+
+    BLOCK_RE = re.compile(r"<function_calls>(.*?)</function_calls>",
+                          re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        import ast
+        m = self.BLOCK_RE.search(text)
+        body = m.group(1) if m else text
+        lines = [ln.strip() for ln in body.splitlines() if ln.strip()]
+        if not lines:
+            return text, []
+        calls = []
+        for ln in lines:
+            try:
+                node = ast.parse(ln, mode="eval").body
+            except SyntaxError:
+                return text, []
+            if not (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)):
+                return text, []
+            try:
+                args = {kw.arg: ast.literal_eval(kw.value)
+                        for kw in node.keywords}
+            except ValueError:
+                return text, []
+            calls.append(ToolCall(name=node.func.id,
+                                  arguments=json.dumps(args)))
+        content = self.BLOCK_RE.sub("", text).strip() if m else ""
+        return content, calls
+
+
+class HunyuanA13BToolParser:
+    """Hunyuan-A13B ``<tool_calls>[{json}]</tool_calls>`` with optional
+    ``<answer>`` section (reference: hunyuan_a13b_tool_parser.py:52-66)."""
+
+    BLOCK_RE = re.compile(r"<tool_calls>([\s\S]*?)</tool_calls>", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        m = self.BLOCK_RE.search(text)
+        if not m:
+            return text, []
+        try:
+            arr = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            return text, []
+        if isinstance(arr, dict):
+            arr = [arr]
+        calls = []
+        for o in arr:
+            if not (isinstance(o, dict) and o.get("name")):
+                continue
+            args = o.get("arguments", {})
+            if not isinstance(args, str):
+                args = json.dumps(args)
+            calls.append(ToolCall(name=o["name"], arguments=args))
+        content = self.BLOCK_RE.sub("", text)
+        content = re.sub(r"</?answer>", "", content)
+        return content.strip(), calls
+
+
+class XLAMToolParser:
+    """xLAM bare / fenced JSON-array calls (reference:
+    xlam_tool_parser.py:96-140): ``[{"name": ..., "arguments": {...}}]``
+    possibly inside a ```json fence or after [TOOL_CALLS]."""
+
+    FENCE_RE = re.compile(r"```(?:json)?\s*(\[.*?\])\s*```", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        body, content = None, text
+        m = self.FENCE_RE.search(text)
+        if m:
+            body = m.group(1)
+            content = self.FENCE_RE.sub("", text).strip()
+        elif "[TOOL_CALLS]" in text:
+            content, _, body = text.partition("[TOOL_CALLS]")
+            content = content.strip()
+        elif text.strip().startswith("["):
+            body, content = text.strip(), ""
+        if body is None:
+            return text, []
+        try:
+            arr = json.loads(body)
+        except json.JSONDecodeError:
+            return text, []
+        if not isinstance(arr, list):
+            return text, []
+        calls = []
+        for o in arr:
+            if not (isinstance(o, dict) and o.get("name")):
+                return text, []
+            args = o.get("arguments", o.get("parameters", {}))
+            if not isinstance(args, str):
+                args = json.dumps(args)
+            calls.append(ToolCall(name=o["name"], arguments=args))
+        return content, calls
+
+
+class DeepseekV31ToolParser:
+    """DeepSeek V3.1 compact blocks (reference:
+    deepseekv31_tool_parser.py:40-45): ``<｜tool▁call▁begin｜>NAME
+    <｜tool▁sep｜>{args}<｜tool▁call▁end｜>`` — no json fences, no
+    per-call "function" type tag."""
+
+    CALL_RE = re.compile(
+        r"<｜tool▁call▁begin｜>(?P<name>[^\n<]+?)<｜tool▁sep｜>"
+        r"(?P<args>.*?)<｜tool▁call▁end｜>", re.DOTALL)
+    ENVELOPE_RE = re.compile(
+        r"<｜tool▁calls▁begin｜>.*?(?:<｜tool▁calls▁end｜>|$)", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for m in self.CALL_RE.finditer(text):
+            try:
+                args = json.dumps(json.loads(m.group("args")))
+            except json.JSONDecodeError:
+                continue
+            calls.append(ToolCall(name=m.group("name").strip(),
+                                  arguments=args))
+        content = self.ENVELOPE_RE.sub("", text)
+        content = self.CALL_RE.sub("", content)
+        return content.strip(), calls
+
+
+class Granite4ToolParser:
+    """Granite-4 per-block JSON objects (reference:
+    granite4_tool_parser.py:58-80): ``<tool_call>{json}</tool_call>``
+    segments, object per block (vs Granite-3's one JSON array)."""
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        return HermesToolParser().extract(text)
+
+
+class GigaChat3ToolParser:
+    """GigaChat-3 function calls (reference: gigachat3_tool_parser.py:29-34):
+    ``content<|message_sep|>function call<|role_sep|>\\n{json}`` or
+    ``content<|function_call|>{json}``."""
+
+    CALL_RE = re.compile(
+        r"(?:function call<\|role_sep\|>\n?|<\|function_call\|>)(.*)",
+        re.DOTALL)
+    CONTENT_RE = re.compile(r"^(.*?)(?:<\|message_sep\|>|<\|function_call\|>)",
+                            re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        m = self.CALL_RE.search(text)
+        if not m:
+            return text, []
+        try:
+            obj = json.loads(m.group(1).strip())
+        except json.JSONDecodeError:
+            return text, []
+        if not (isinstance(obj, dict) and obj.get("name")):
+            return text, []
+        args = obj.get("arguments", {})
+        if not isinstance(args, str):
+            args = json.dumps(args)
+        cm = self.CONTENT_RE.match(text)
+        content = cm.group(1).strip() if cm else ""
+        return content, [ToolCall(name=obj["name"], arguments=args)]
+
+
+class Qwen3XmlToolParser:
+    """Qwen3 XML-attribute blocks (reference: qwen3xml_tool_parser.py:
+    253-260): ``<tool_call><function name="NAME"><parameter name="K">V
+    </parameter></function></tool_call>`` — also accepts the
+    qwen3_coder ``<function=NAME>`` spelling."""
+
+    BLOCK_RE = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    FUNC_RE = re.compile(
+        r'<function(?: name="([^"]+)"|=([^>\n]+))>(.*?)</function>',
+        re.DOTALL)
+    PARAM_RE = re.compile(
+        r'<parameter(?: name="([^"]+)"|=([^>\n]+))>(.*?)</parameter>',
+        re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for block in self.BLOCK_RE.finditer(text):
+            for n1, n2, body in self.FUNC_RE.findall(block.group(1)):
+                args = {(k1 or k2).strip(): _json_or_str(v)
+                        for k1, k2, v in self.PARAM_RE.findall(body)}
+                calls.append(ToolCall(name=(n1 or n2).strip(),
+                                      arguments=json.dumps(args)))
+        return self.BLOCK_RE.sub("", text).strip(), calls
+
+
+class OpenAIToolParser:
+    """gpt-oss harmony channels (reference: openai_tool_parser.py:49-90):
+    ``<|channel|>commentary to=functions.NAME <|constrain|>json
+    <|message|>{args}<|call|>`` tool calls; ``<|channel|>final
+    <|message|>text`` carries user-visible content."""
+
+    CALL_RE = re.compile(
+        r"<\|channel\|>commentary to=functions\.([\w\.\-]+)"
+        r"[^<]*(?:<\|constrain\|>[^<]*)?<\|message\|>(.*?)"
+        r"(?:<\|call\|>|$)", re.DOTALL)
+    FINAL_RE = re.compile(
+        r"<\|channel\|>final<\|message\|>(.*?)(?:<\|end\|>|<\|return\|>|$)",
+        re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        if "<|channel|>" not in text:
+            return text, []
+        calls = []
+        for name, args in self.CALL_RE.findall(text):
+            args = args.strip()
+            try:
+                json.loads(args)
+            except json.JSONDecodeError:
+                continue
+            calls.append(ToolCall(name=name, arguments=args))
+        fm = self.FINAL_RE.search(text)
+        content = fm.group(1).strip() if fm else ""
+        return content, calls
+
+
 _TOOL_PARSERS = {
     "hermes": HermesToolParser,
     "llama3_json": Llama3JsonToolParser,
@@ -325,6 +750,23 @@ _TOOL_PARSERS = {
     "llama4_pythonic": PythonicToolParser,
     "internlm": InternLM2ToolParser,
     "granite": GraniteToolParser,
+    "seed_oss": SeedOssToolParser,
+    "step3": Step3ToolParser,
+    "minimax_m2": MiniMaxM2ToolParser,
+    "minimax": MiniMaxToolParser,
+    "ernie45": Ernie45ToolParser,
+    "jamba": JambaToolParser,
+    "phi4_mini_json": Phi4MiniToolParser,
+    "longcat": LongcatToolParser,
+    "olmo3": Olmo3ToolParser,
+    "hunyuan_a13b": HunyuanA13BToolParser,
+    "xlam": XLAMToolParser,
+    "deepseek_v31": DeepseekV31ToolParser,
+    "granite4": Granite4ToolParser,
+    "gigachat3": GigaChat3ToolParser,
+    "qwen3_xml": Qwen3XmlToolParser,
+    "openai": OpenAIToolParser,
+    "gptoss": OpenAIToolParser,
 }
 
 
