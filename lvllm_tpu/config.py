@@ -100,6 +100,15 @@ class ModelConfig:
     rope_local_base_freq: Optional[float] = None
     # SmolLM3/Llama4-style NoPE: per-layer 1 (rope) / 0 (no rope).
     no_rope_layers: Optional[Tuple[int, ...]] = None
+    # ALiBi positional bias (Bloom / MPT / Baichuan-13B): per-head slopes
+    # added to attention logits as slope * (key_pos - query_pos); such
+    # models run with rope disabled.
+    alibi: bool = False
+    # Bloom word_embeddings_layernorm: LayerNorm on the embedding output.
+    embedding_norm: bool = False
+    # GPT-J/Cohere-style interleaved rotary (pairs (x0,x1),(x2,x3)…
+    # instead of the NeoX half-split).
+    rope_interleaved: bool = False
     # Granite muP-style multipliers (all 1.0 = off).
     embedding_multiplier: float = 1.0
     attention_multiplier: Optional[float] = None  # used directly as scale

@@ -89,6 +89,9 @@ ACTIVATIONS_SINGLE = {
         x.astype(jnp.float32), approximate=True).astype(x.dtype),
     "relu2": lambda x: jnp.square(
         jax.nn.relu(x.astype(jnp.float32))).astype(x.dtype),
+    "gelu_exact": lambda x: jax.nn.gelu(
+        x.astype(jnp.float32), approximate=False).astype(x.dtype),
+    "relu": lambda x: jax.nn.relu(x.astype(jnp.float32)).astype(x.dtype),
     "silu_only": lambda x: jax.nn.silu(
         x.astype(jnp.float32)).astype(x.dtype),
 }

@@ -52,6 +52,32 @@ def load_model_config(model_path: str,
               "intermediate_size": hf.get("n_inner") or 4 * hf["n_embd"],
               "max_position_embeddings": hf.get("n_positions", 1024),
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+    if arch == "BloomForCausalLM":
+        # Bloom configs use n_layer/n_head; no intermediate_size (4×H),
+        # no max positions (ALiBi).
+        hf = {**hf,
+              "num_hidden_layers": hf["n_layer"],
+              "num_attention_heads": hf["n_head"],
+              "num_key_value_heads": hf["n_head"],
+              "intermediate_size": 4 * hf["hidden_size"],
+              "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-5),
+              "max_position_embeddings": hf.get("seq_length", 8192),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+    if arch in ("MptForCausalLM", "MPTForCausalLM"):
+        attn = hf.get("attn_config") or {}
+        hf = {**hf,
+              "hidden_size": hf["d_model"],
+              "num_hidden_layers": hf["n_layers"],
+              "num_attention_heads": hf["n_heads"],
+              "num_key_value_heads": attn.get("kv_n_heads", hf["n_heads"]),
+              "intermediate_size": int(
+                  hf.get("expansion_ratio", 4) * hf["d_model"]),
+              "clip_qkv": attn.get("clip_qkv"),
+              "max_position_embeddings": hf.get("max_seq_len", 2048),
+              "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-5),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+        if not attn.get("alibi", True):
+            raise ValueError("MPT without ALiBi (rope) is not supported")
     if arch in ("FalconForCausalLM", "RWForCausalLM"):
         if hf.get("alibi"):
             raise ValueError("Falcon alibi variants are not supported")
@@ -138,9 +164,13 @@ def load_model_config(model_path: str,
         # experts sized by the dense intermediate_size.
         scoring_fn = "softmax_topk"
         moe_inter = moe_inter or hf.get("intermediate_size")
-    if arch in ("BaichuanForCausalLM", "BaiChuanForCausalLM") and \
-            hf.get("hidden_size") == 5120:
-        raise ValueError("Baichuan-13B (alibi attention) is not supported")
+    # ALiBi families: Bloom, MPT, Baichuan-13B (the 13B checkpoints are
+    # distinguished from rope-based 7B by hidden size, as the reference's
+    # models/baichuan.py does by position_embedding).
+    use_alibi = (arch in ("BloomForCausalLM", "MptForCausalLM",
+                          "MPTForCausalLM") or
+                 (arch in ("BaichuanForCausalLM", "BaiChuanForCausalLM")
+                  and hf.get("hidden_size") == 5120))
     if arch == "Dots1ForCausalLM":
         scoring_fn = "sigmoid"
     # ERNIE 4.5 MoE layer schedule: MoE iff (i+1) % interval == 0 and
@@ -193,8 +223,16 @@ def load_model_config(model_path: str,
         hidden_act_override = "relu2"
     elif arch == "DbrxForCausalLM":
         norm_type = "layernorm"  # bias-free LayerNorm (loader leaves 0s)
+    elif arch == "BloomForCausalLM":
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "gelu_only"   # bloom_gelu = tanh approx
+    elif arch in ("MptForCausalLM", "MPTForCausalLM"):
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "gelu_exact"  # nn.GELU(approximate="none")
     bias_all = (arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM",
-                         "PhiForCausalLM") or
+                         "PhiForCausalLM", "BloomForCausalLM") or
+                (arch in ("MptForCausalLM", "MPTForCausalLM") and
+                 not hf.get("no_bias", True)) or
                 (arch == "GPTNeoXForCausalLM" and
                  hf.get("attention_bias", True)) or
                 (arch in ("FalconForCausalLM", "RWForCausalLM") and
@@ -326,10 +364,14 @@ def load_model_config(model_path: str,
                             hf.get("sliding_window") and layer_types)
                         else tuple(hf["no_rope_layers"])
                         if hf.get("no_rope_layers")
-                        # GPT-2/GPTBigCode: learned positions, no rope.
+                        # GPT-2/GPTBigCode: learned positions, no rope;
+                        # ALiBi families: slopes replace rope entirely.
                         else (0,) * hf["num_hidden_layers"]
-                        if arch in ("GPT2LMHeadModel",
-                                    "GPTBigCodeForCausalLM") else None),
+                        if (use_alibi or
+                            arch in ("GPT2LMHeadModel",
+                                     "GPTBigCodeForCausalLM")) else None),
+        alibi=use_alibi,
+        embedding_norm=arch == "BloomForCausalLM",
         embedding_multiplier=hf.get("embedding_multiplier", 1.0),
         attention_multiplier=hf.get("attention_multiplier"),
         residual_multiplier=hf.get("residual_multiplier", 1.0),

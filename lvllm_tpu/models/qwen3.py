@@ -72,6 +72,13 @@ class Qwen3Model:
         self.cos_sin = compute_cos_sin_cache(
             rot_dim, c.max_position_embeddings, c.rope_theta,
             c.rope_scaling, dtype=jnp.float32)
+        # ALiBi families (Bloom/MPT/Baichuan-13B) replace rope with
+        # per-head logit slopes (ops/attention.alibi_slopes).
+        if c.alibi:
+            from lvllm_tpu.ops.attention import alibi_slopes
+            self.alibi_slopes = alibi_slopes(c.num_attention_heads)
+        else:
+            self.alibi_slopes = None
 
     # ---- cache layout ------------------------------------------------------
 
@@ -157,6 +164,9 @@ class Qwen3Model:
         if c.learned_pos_embeddings:
             params["pos_embed"] = {"weight": dense(
                 (c.max_position_embeddings, c.hidden_size))}
+        if c.embedding_norm:
+            # Bloom word_embeddings_layernorm.
+            params["embed_norm"] = self._norm_node(nprng, norm_bias)
         if not c.tie_word_embeddings:
             params["lm_head"] = {
                 "kernel": dense((c.hidden_size, c.vocab_size))}
@@ -312,7 +322,11 @@ class Qwen3Model:
             q, k = qk_norm(q, k)
         cos_sin = self.rope_cache(layer_idx)
         if cos_sin is not None:
-            q, k = apply_rope(q, k, positions, cos_sin)
+            if c.rope_interleaved:
+                from lvllm_tpu.ops.rope import apply_rope_interleaved
+                q, k = apply_rope_interleaved(q, k, positions, cos_sin)
+            else:
+                q, k = apply_rope(q, k, positions, cos_sin)
         if c.qk_norm and c.qk_norm_after_rope:    # Hunyuan ordering
             q, k = qk_norm(q, k)
         if md.dcp_slot_mapping is not None:
@@ -320,6 +334,7 @@ class Qwen3Model:
             assert window is None, "DCP + sliding window TBD"
             assert sinks is None, "DCP + attention sinks TBD"
             assert soft_cap is None, "DCP + attn soft cap TBD"
+            assert self.alibi_slopes is None, "DCP + ALiBi TBD"
             out, kv_cache = dcp_write_and_attend(
                 q, k, v, kv_cache, md.block_table, positions,
                 md.query_start_loc, md.dcp_slot_mapping, self.mesh,
@@ -335,7 +350,7 @@ class Qwen3Model:
             return out, kv_cache
         kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
         if md.cascade_prefix_blocks is not None and sinks is None \
-                and soft_cap is None:
+                and soft_cap is None and self.alibi_slopes is None:
             # Shared-prefix cascade: dense non-causal attention over the
             # common prefix pages + ragged attention over unique suffixes,
             # merged by LSE (ops/cascade.py; reference
@@ -356,7 +371,7 @@ class Qwen3Model:
                 q, kv_cache, md.block_table, md.query_start_loc,
                 md.seq_lens, scale=self.scale,
                 sliding_window=window, logits_soft_cap=soft_cap,
-                sinks=sinks)
+                sinks=sinks, alibi_slopes=self.alibi_slopes)
         attn_flat = out.reshape(T, c.num_attention_heads * D)
         out = attn_flat @ attn["o_proj"]["kernel"]
         if "bias" in attn["o_proj"]:
@@ -488,6 +503,8 @@ class Qwen3Model:
             # GPT-2 wpe learned absolute positions.
             x = x + params["pos_embed"]["weight"][positions].astype(
                 self.dtype)
+        if "embed_norm" in params:
+            x = self._norm(params["embed_norm"], x)
         if self.config.scale_embedding:
             # Gemma scales embeddings by √H, rounded to the model dtype
             # (HF uses a tensor normalizer in the embed dtype).
@@ -962,6 +979,83 @@ class Qwen3Model:
                 name = name.replace("mlp.c_fc.", "mlp.up_proj.")
                 name = name.replace("mlp.c_proj.", "mlp.down_proj.")
                 yield name, w
+        elif arch == "BloomForCausalLM":
+            # Bloom (HF BloomAttention._split_heads): fused qkv interleaved
+            # per head [Hh, 3, D]; embedding layernorm; ALiBi positions.
+            c = self.config
+            Hh, D = c.num_attention_heads, c.head_dim
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "word_embeddings.weight":
+                    yield "embed_tokens.weight", w
+                elif name.startswith("word_embeddings_layernorm."):
+                    yield "embed_norm." + name.split(".")[-1], w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(
+                            r"self_attention\.query_key_value"
+                            r"\.(weight|bias)", rest):
+                        kind = m2.group(1)
+                        parts = (w.reshape(Hh, 3, D, -1)
+                                 if kind == "weight"
+                                 else w.reshape(Hh, 3, D))
+                        for j, which in enumerate(("q", "k", "v")):
+                            part = (parts[:, j].reshape(Hh * D, -1)
+                                    if kind == "weight"
+                                    else parts[:, j].reshape(Hh * D))
+                            yield (p + f"self_attn.{which}_proj.{kind}",
+                                   part)
+                    elif m2 := re.match(
+                            r"self_attention\.dense\.(weight|bias)", rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    elif m2 := re.match(
+                            r"mlp\.dense_h_to_4h\.(weight|bias)", rest):
+                        yield p + "mlp.up_proj." + m2.group(1), w
+                    elif m2 := re.match(
+                            r"mlp\.dense_4h_to_h\.(weight|bias)", rest):
+                        yield p + "mlp.down_proj." + m2.group(1), w
+                    else:
+                        yield p + rest, w
+                else:
+                    yield name, w
+        elif arch in ("MptForCausalLM", "MPTForCausalLM"):
+            # MPT (HF MptAttention): plain-concat Wqkv [q|k|v], norm_1/2,
+            # ffn.up_proj/down_proj, tied wte head, ALiBi.
+            c = self.config
+            qw = c.num_attention_heads * c.head_dim
+            kvw = c.num_key_value_heads * c.head_dim
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name.startswith("norm_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(r"norm_([12])\.(weight|bias)", rest):
+                        slot = ("input_layernorm" if m2.group(1) == "1"
+                                else "post_attention_layernorm")
+                        yield p + f"{slot}.{m2.group(2)}", w
+                    elif m2 := re.match(r"attn\.Wqkv\.(weight|bias)", rest):
+                        kind = m2.group(1)
+                        yield p + "self_attn.q_proj." + kind, w[:qw]
+                        yield p + "self_attn.k_proj." + kind, \
+                            w[qw:qw + kvw]
+                        yield p + "self_attn.v_proj." + kind, w[qw + kvw:]
+                    elif m2 := re.match(r"attn\.out_proj\.(weight|bias)",
+                                        rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    elif m2 := re.match(r"ffn\.(up|down)_proj\.(weight|bias)",
+                                        rest):
+                        yield p + f"mlp.{m2.group(1)}_proj.{m2.group(2)}", w
+                    else:
+                        yield p + rest, w
+                else:
+                    yield name, w
         else:
             yield from weights
 
@@ -1006,6 +1100,8 @@ class Qwen3Model:
                 put(["norm", name.split(".")[-1]], w)
             elif name == "pos_embed.weight":
                 put(["pos_embed", "weight"], w)
+            elif name in ("embed_norm.weight", "embed_norm.bias"):
+                put(["embed_norm", name.split(".")[-1]], w)
             elif name == "lm_head.weight":
                 if not c.tie_word_embeddings:
                     put(["lm_head", "kernel"], w, transpose=True)

@@ -77,7 +77,10 @@ def _register_builtin() -> None:
                  # EXAONE-4 (post-norm + hybrid-NoPE sliding pattern).
                  "InternLM2ForCausalLM", "BaichuanForCausalLM",
                  "BaiChuanForCausalLM", "GraniteMoeForCausalLM",
-                 "Exaone4ForCausalLM"):
+                 "Exaone4ForCausalLM",
+                 # ALiBi families (Bloom fused-qkv + embedding layernorm,
+                 # MPT Wqkv; Baichuan-13B covered by the Baichuan entry).
+                 "BloomForCausalLM", "MptForCausalLM", "MPTForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel

@@ -17,8 +17,25 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lvllm_tpu import envs
+
+
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi head slopes (train-short-test-long paper; numerics
+    match HF ``build_alibi_tensor`` for Bloom and Baichuan-13B, and MPT's
+    ``build_mpt_alibi_tensor`` for power-of-two head counts)."""
+    import math
+    closest = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    slopes = base ** np.arange(1, closest + 1, dtype=np.float32)
+    if closest < num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        extra = extra_base ** np.arange(
+            1, 2 * (num_heads - closest) + 1, 2, dtype=np.float32)
+        slopes = np.concatenate([slopes, extra])
+    return jnp.asarray(slopes, jnp.float32)
 
 
 def _token_request_map(query_start_loc: jax.Array, num_tokens: int,
@@ -45,12 +62,17 @@ def ragged_paged_attention_reference(
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,   # [Hq] f32 per-head sink logit
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq] f32 ALiBi slopes
 ) -> jax.Array:
     """Correctness-oracle ragged paged attention (GQA, causal).
 
     ``sinks`` (gpt-oss attention sinks, HF eager_attention_forward): a
     learned per-head logit appended to every softmax — contributes to the
-    denominator only (the sink column's probability is dropped)."""
+    denominator only (the sink column's probability is dropped).
+
+    ``alibi_slopes`` (Bloom/MPT/Baichuan-13B, HF build_alibi_tensor): adds
+    slope_h * (key_pos - query_pos) to the logits — 0 on self, increasingly
+    negative into the past (shift-invariant-equal to HF's slope*key_pos)."""
     T, Hq, D = q.shape
     R, MAXB = block_table.shape
     BS = kv_cache.shape[2]
@@ -79,6 +101,10 @@ def ragged_paged_attention_reference(
         if logits_soft_cap is not None:
             scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
         c_idx = jnp.arange(C, dtype=jnp.int32)
+        if alibi_slopes is not None:
+            slopes = alibi_slopes.astype(jnp.float32).reshape(Hkv, G, 1)
+            scores = scores + slopes * (
+                c_idx[None, None, :] - (klen - 1)).astype(jnp.float32)
         mask = c_idx < klen
         if sliding_window is not None:
             mask &= c_idx >= (klen - sliding_window)
@@ -107,6 +133,7 @@ def ragged_paged_attention(
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, else the jnp reference."""
     # The Pallas kernel DMAs [BS, Hkv, D] pages; Mosaic requires the
@@ -121,10 +148,11 @@ def ragged_paged_attention(
             return ragged_paged_attention_pallas(
                 q, kv_cache, block_table, query_start_loc, seq_lens,
                 scale=scale, sliding_window=sliding_window,
-                logits_soft_cap=logits_soft_cap, sinks=sinks)
+                logits_soft_cap=logits_soft_cap, sinks=sinks,
+                alibi_slopes=alibi_slopes)
         except ImportError:
             pass
     return ragged_paged_attention_reference(
         q, kv_cache, block_table, query_start_loc, seq_lens, scale=scale,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        sinks=sinks)
+        sinks=sinks, alibi_slopes=alibi_slopes)

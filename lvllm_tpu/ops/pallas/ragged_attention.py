@@ -104,6 +104,7 @@ def _attn_kernel(
     head_dim: int,
     tile_q: int,
     sink_ref=None,     # [Hkv, ROWS] f32 VMEM (gpt-oss attention sinks)
+    alibi_ref=None,    # [Hkv, ROWS] f32 VMEM (ALiBi per-row slopes)
 ):
     t = pl.program_id(0)
     r = tile_req_ref[t]
@@ -226,6 +227,11 @@ def _attn_kernel(
                     preferred_element_type=jnp.float32)  # [ROWS, CHUNK_K]
                 if logits_soft_cap is not None:
                     s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+                if alibi_ref is not None:
+                    # slope * (key_pos - query_pos); query_pos = row_ctx-1.
+                    slope = alibi_ref[h].reshape(ROWS, 1)
+                    s = s + slope * (col_idx - (row_ctx - 1)).astype(
+                        jnp.float32)
                 s = jnp.where(mask, s, -jnp.inf)
                 m_h = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
                 # Guard fully-masked rows (m == -inf): exp(-inf - -inf)=nan.
@@ -272,6 +278,7 @@ def ragged_paged_attention_pallas(
     sliding_window: Optional[int] = None,
     logits_soft_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,       # [Hq] per-head sink logits
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq] per-head ALiBi slopes
     tile_req: Optional[jax.Array] = None,   # [NT] host-built (else device)
     tile_qpos: Optional[jax.Array] = None,
     tile_token: Optional[jax.Array] = None,  # [NT, tile_q]
@@ -317,16 +324,22 @@ def ragged_paged_attention_pallas(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [q_tiles, kv_cache]
-    if sinks is not None:
-        # Per-row sink logits in the kernel's [Hkv, ROWS] layout
+
+    def per_row(vals):
+        # Per-row values in the kernel's [Hkv, ROWS] layout
         # (row = tok*G + g → q-head h*G + g).
         ROWS = tile_q * G
-        sink_rows = jnp.tile(
-            sinks.astype(jnp.float32).reshape(Hkv, 1, G),
-            (1, tile_q, 1)).reshape(Hkv, ROWS)
-        in_specs.append(pl.BlockSpec((Hkv, ROWS), lambda t, *_: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        inputs.append(sink_rows)
+        return jnp.tile(vals.astype(jnp.float32).reshape(Hkv, 1, G),
+                        (1, tile_q, 1)).reshape(Hkv, ROWS)
+
+    n_extra = 0
+    for vals in (sinks, alibi_slopes):
+        if vals is not None:
+            in_specs.append(pl.BlockSpec(
+                (Hkv, tile_q * G), lambda t, *_: (0, 0),
+                memory_space=pltpu.VMEM))
+            inputs.append(per_row(vals))
+            n_extra += 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -354,12 +367,23 @@ def ragged_paged_attention_pallas(
         head_dim=D,
         tile_q=tile_q,
     )
-    if sinks is not None:
+    if n_extra:
         base = kernel
+        has_sinks = sinks is not None
+        has_alibi = alibi_slopes is not None
 
-        def kernel(tr, tq, sl, qsl_, bt, q_t, kv, snk, out, kb, vb, sm):
-            base(tr, tq, sl, qsl_, bt, q_t, kv, out, kb, vb, sm,
-                 sink_ref=snk)
+        def kernel(*args):
+            scalars, rest = args[:5], args[5:]
+            q_t, kv = rest[0], rest[1]
+            extras = rest[2:2 + n_extra]
+            out, kb, vb, sm = rest[2 + n_extra:]
+            kw, j = {}, 0
+            if has_sinks:
+                kw["sink_ref"] = extras[j]
+                j += 1
+            if has_alibi:
+                kw["alibi_ref"] = extras[j]
+            base(*scalars, q_t, kv, out, kb, vb, sm, **kw)
 
     out_tiles = pl.pallas_call(
         kernel,

@@ -181,17 +181,23 @@ def apply_rope_interleaved(
 ) -> Tuple[jax.Array, jax.Array]:
     """GPT-J/DeepSeek-style interleaved rotation: pairs are (x0,x1),(x2,x3)…
     rotated by freq i — the complex view_as_complex convention in the HF
-    DeepSeek implementation (modeling_deepseek_v2.apply_rotary_emb)."""
-    d = q.shape[-1]
+    DeepSeek implementation (modeling_deepseek_v2.apply_rotary_emb).
+    Supports partial rotary (rot_dim < head_dim, GPT-J rotary_dim=64):
+    only the first rot_dim features rotate."""
+    rot_dim = cos_sin_cache.shape[-1]
     cs = cos_sin_cache[positions]
-    cos = cs[:, : d // 2][:, None, :]     # [T, 1, d/2]
-    sin = cs[:, d // 2:][:, None, :]
+    cos = cs[:, : rot_dim // 2][:, None, :]     # [T, 1, rot/2]
+    sin = cs[:, rot_dim // 2:][:, None, :]
 
     def rot(x):
-        xr = x.astype(jnp.float32).reshape(*x.shape[:-1], d // 2, 2)
-        x0, x1 = xr[..., 0], xr[..., 1]
+        xr, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+        p = xr.astype(jnp.float32).reshape(*xr.shape[:-1], rot_dim // 2, 2)
+        x0, x1 = p[..., 0], p[..., 1]
         o0 = x0 * cos - x1 * sin
         o1 = x1 * cos + x0 * sin
-        return jnp.stack([o0, o1], axis=-1).reshape(x.shape).astype(x.dtype)
+        out = jnp.stack([o0, o1], axis=-1).reshape(xr.shape).astype(x.dtype)
+        if x_pass.shape[-1]:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out
 
     return rot(q), rot(k)

@@ -48,19 +48,19 @@ def setup_case(rng, ctx_lens, q_lens, Hq, Hkv, D, bs, num_blocks, T_pad=None):
 
 def run_both(rng, ctx_lens, q_lens, Hq=4, Hkv=2, D=128, bs=16,
              num_blocks=64, sliding_window=None, soft_cap=None, T_pad=None,
-             sinks=None):
+             sinks=None, alibi=None):
     q, cache, table, qsl, seq_lens = setup_case(
         rng, ctx_lens, q_lens, Hq, Hkv, D, bs, num_blocks, T_pad)
     scale = D ** -0.5
     ref = ragged_paged_attention_reference(
         q, cache, table, qsl, seq_lens, scale=scale,
         sliding_window=sliding_window, logits_soft_cap=soft_cap,
-        sinks=sinks)
+        sinks=sinks, alibi_slopes=alibi)
     with pltpu_interpret():
         got = ra.ragged_paged_attention_pallas(
             q, cache, table, qsl, seq_lens, scale=scale,
             sliding_window=sliding_window, logits_soft_cap=soft_cap,
-            sinks=sinks)
+            sinks=sinks, alibi_slopes=alibi)
     T = sum(q_lens)
     np.testing.assert_allclose(np.asarray(got[:T]), np.asarray(ref[:T]),
                                rtol=2e-4, atol=2e-4)
@@ -152,3 +152,18 @@ def test_sliding_window_long_context_chunk_skip():
     rng = np.random.default_rng(10)
     run_both(rng, ctx_lens=[600, 350], q_lens=[1, 3], num_blocks=80,
              sliding_window=32)
+
+
+def test_alibi():
+    # ALiBi slopes (Bloom/MPT/Baichuan-13B): distance bias on the logits.
+    rng = np.random.default_rng(11)
+    from lvllm_tpu.ops.attention import alibi_slopes
+    run_both(rng, ctx_lens=[20, 33, 7], q_lens=[1, 5, 1],
+             alibi=alibi_slopes(4))
+
+
+def test_alibi_multi_chunk():
+    rng = np.random.default_rng(12)
+    from lvllm_tpu.ops.attention import alibi_slopes
+    run_both(rng, ctx_lens=[300, 150], q_lens=[4, 1], Hq=8, Hkv=2,
+             num_blocks=48, alibi=alibi_slopes(8))
