@@ -54,6 +54,13 @@ class ModelConfig:
     # Hunyuan applies the per-head q/k norm AFTER rope (query_layernorm /
     # key_layernorm); Qwen3-style norms apply before.
     qk_norm_after_rope: bool = False
+    # q/k norm flavor: "rmsnorm" (Qwen3) or "layernorm" (mean-centered;
+    # Cohere use_qk_norm, Persimmon q/k_layernorm).
+    qk_norm_type: str = "rmsnorm"
+    # Persimmon's q/k LayerNorms carry biases.
+    qk_norm_bias: bool = False
+    # Cohere qk-norm keeps separate weights per head ([heads, head_dim]).
+    qk_norm_per_head: bool = False
     # DBRX clip_qkv: clamp fused qkv projections to ±clip_qkv.
     clip_qkv: Optional[float] = None
     sliding_window: Optional[int] = None

@@ -78,6 +78,29 @@ def load_model_config(model_path: str,
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
         if not attn.get("alibi", True):
             raise ValueError("MPT without ALiBi (rope) is not supported")
+    if arch == "GPTJForCausalLM":
+        hf = {**hf,
+              "hidden_size": hf["n_embd"],
+              "num_hidden_layers": hf["n_layer"],
+              "num_attention_heads": hf["n_head"],
+              "num_key_value_heads": hf["n_head"],
+              "intermediate_size": hf.get("n_inner") or 4 * hf["n_embd"],
+              "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-5),
+              "max_position_embeddings": hf.get("n_positions", 2048),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+    if arch == "OPTForCausalLM":
+        if hf.get("word_embed_proj_dim", hf["hidden_size"]) != \
+                hf["hidden_size"]:
+            raise ValueError("OPT word_embed_proj_dim != hidden_size "
+                             "(projected-embedding variants) unsupported")
+        if not hf.get("do_layer_norm_before", True):
+            raise ValueError("OPT post-layernorm (350m) unsupported")
+        hf = {**hf,
+              "num_key_value_heads": hf["num_attention_heads"],
+              "intermediate_size": hf.get("ffn_dim",
+                                          4 * hf["hidden_size"]),
+              "rms_norm_eps": 1e-5,
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
     if arch in ("FalconForCausalLM", "RWForCausalLM"):
         if hf.get("alibi"):
             raise ValueError("Falcon alibi variants are not supported")
@@ -159,11 +182,17 @@ def load_model_config(model_path: str,
         moe_inter = moe_inter or hf.get("intermediate_size")
     if arch == "GPTNeoXForCausalLM" and hf.get("rotary_pct"):
         partial_rotary = hf["rotary_pct"]
-    if arch == "GraniteMoeForCausalLM":
+    if arch in ("GraniteMoeForCausalLM", "GraniteMoeSharedForCausalLM"):
         # GraniteMoE routes by topk-then-softmax (GraniteMoeTopKGating),
-        # experts sized by the dense intermediate_size.
+        # experts sized by the dense intermediate_size; the Shared variant
+        # adds an always-on MLP (shared_intermediate_size).
         scoring_fn = "softmax_topk"
         moe_inter = moe_inter or hf.get("intermediate_size")
+    if arch == "GPTJForCausalLM" and hf.get("rotary_dim"):
+        partial_rotary = hf["rotary_dim"] / (hf["hidden_size"] //
+                                             hf["num_attention_heads"])
+    if arch == "PersimmonForCausalLM":
+        partial_rotary = hf.get("partial_rotary_factor", 0.5)
     # ALiBi families: Bloom, MPT, Baichuan-13B (the 13B checkpoints are
     # distinguished from rope-based 7B by hidden size, as the reference's
     # models/baichuan.py does by position_embedding).
@@ -229,8 +258,38 @@ def load_model_config(model_path: str,
     elif arch in ("MptForCausalLM", "MPTForCausalLM"):
         norm_type, mlp_gated = "layernorm", False
         hidden_act_override = "gelu_exact"  # nn.GELU(approximate="none")
+    elif arch == "OPTForCausalLM":
+        norm_type, mlp_gated, learned_pos = "layernorm", False, True
+        hidden_act_override = hf.get("activation_function", "relu")
+        if hidden_act_override in ("gelu", "gelu_new"):
+            hidden_act_override = "gelu_only"
+    elif arch == "GPTJForCausalLM":
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "gelu_only"
+        parallel_residual = "single"
+        lm_head_bias = True
+    elif arch in ("CohereForCausalLM", "Cohere2ForCausalLM"):
+        # Command-R: bias-free LayerNorm, one shared input norm feeding
+        # parallel attn+MLP, gated SiLU MLP, interleaved rope, scaled
+        # tied-head logits (reference: models/commandr.py).
+        norm_type = "layernorm"
+        parallel_residual = "single"
+    elif arch == "PersimmonForCausalLM":
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "relu2"
+    elif arch in ("OlmoForCausalLM", "OrionForCausalLM"):
+        # OLMo-v1: non-parametric LayerNorm (no weights in the ckpt — the
+        # unit/zero init is exact); Orion: standard biased LayerNorm.
+        norm_type = "layernorm"
+    elif arch == "ArceeForCausalLM":
+        # Arcee AFM: llama layout with a non-gated ReLU² MLP.
+        mlp_gated = False
+        hidden_act_override = "relu2"
     bias_all = (arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM",
-                         "PhiForCausalLM", "BloomForCausalLM") or
+                         "PhiForCausalLM", "BloomForCausalLM",
+                         "PersimmonForCausalLM") or
+                (arch == "OPTForCausalLM" and
+                 hf.get("enable_bias", True)) or
                 (arch in ("MptForCausalLM", "MPTForCausalLM") and
                  not hf.get("no_bias", True)) or
                 (arch == "GPTNeoXForCausalLM" and
@@ -249,6 +308,9 @@ def load_model_config(model_path: str,
     if arch == "HunYuanMoEV1ForCausalLM":
         # One always-on shared MLP sized like a dense FFN.
         n_shared, shared_inter = 1, hf.get("intermediate_size")
+    if arch == "GraniteMoeSharedForCausalLM" and \
+            hf.get("shared_intermediate_size"):
+        n_shared, shared_inter = 1, hf["shared_intermediate_size"]
     if n_shared and shared_inter is None:
         shared_inter = n_shared * (hf.get("moe_intermediate_size") or 0)
 
@@ -273,10 +335,11 @@ def load_model_config(model_path: str,
         rope_theta=hf.get("rope_theta", 10000.0),
         rope_scaling=_patch_rope_scaling(hf),
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
-        # Gemma ties the LM head and HF leaves the (True) default out of
-        # config.json, so the fallback is per-family.
+        # Gemma/Cohere tie the LM head and HF leaves the (True) default
+        # out of config.json, so the fallback is per-family.
         tie_word_embeddings=hf.get("tie_word_embeddings",
-                                   arch.startswith("Gemma")),
+                                   arch.startswith("Gemma") or
+                                   arch.startswith("Cohere")),
         # Qwen-style configs gate the window behind use_sliding_window;
         # Mistral/Gemma/gpt-oss set sliding_window unconditionally.
         sliding_window=(hf.get("sliding_window")
@@ -298,18 +361,28 @@ def load_model_config(model_path: str,
         eos_token_id=_first(hf.get("eos_token_id", 2)),
         bos_token_id=_first(hf.get("bos_token_id", 1)),
         qk_norm=hf.get("use_qk_norm",
-                       arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
-                                "Qwen3NextForCausalLM",
-                                "Gemma3ForCausalLM",
-                                "MiniMaxM2ForCausalLM",
-                                "Olmo2ForCausalLM", "Olmo3ForCausalLM",
-                                "OlmoeForCausalLM",
-                                "HunYuanMoEV1ForCausalLM",
-                                "HunYuanDenseV1ForCausalLM",
-                                "Dots1ForCausalLM",
-                                "Exaone4ForCausalLM")),
+                       hf.get("qk_layernorm",
+                              arch in ("Qwen3ForCausalLM",
+                                       "Qwen3MoeForCausalLM",
+                                       "Qwen3NextForCausalLM",
+                                       "Gemma3ForCausalLM",
+                                       "MiniMaxM2ForCausalLM",
+                                       "Olmo2ForCausalLM",
+                                       "Olmo3ForCausalLM",
+                                       "OlmoeForCausalLM",
+                                       "HunYuanMoEV1ForCausalLM",
+                                       "HunYuanDenseV1ForCausalLM",
+                                       "Dots1ForCausalLM",
+                                       "Exaone4ForCausalLM"))),
         qk_norm_after_rope=arch in ("HunYuanMoEV1ForCausalLM",
                                     "HunYuanDenseV1ForCausalLM"),
+        qk_norm_type=("layernorm" if arch in ("CohereForCausalLM",
+                                              "Cohere2ForCausalLM",
+                                              "PersimmonForCausalLM")
+                      else "rmsnorm"),
+        qk_norm_bias=arch == "PersimmonForCausalLM",
+        qk_norm_per_head=arch in ("CohereForCausalLM",
+                                  "Cohere2ForCausalLM"),
         clip_qkv=hf.get("clip_qkv"),
         parallel_residual=parallel_residual,
         lm_head_bias=lm_head_bias,
@@ -319,14 +392,21 @@ def load_model_config(model_path: str,
             "Olmo2ForCausalLM", "Olmo3ForCausalLM", "OlmoeForCausalLM"),
         norm_type=norm_type,
         mlp_gated=mlp_gated,
-        mlp_bias=bias_all,
-        o_proj_bias=bias_all,
+        # GPT-J biases its fc_in/fc_out but not the attention projections.
+        mlp_bias=bias_all or arch == "GPTJForCausalLM",
+        o_proj_bias=(bias_all or
+                     (arch == "InternLMForCausalLM" and
+                      hf.get("bias", True))),
+        rope_interleaved=arch in ("GPTJForCausalLM", "CohereForCausalLM",
+                                  "Cohere2ForCausalLM"),
         learned_pos_embeddings=learned_pos,
         norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
                             "Exaone4ForCausalLM"),
         attention_bias=(bias_all or hf.get("use_qkv_bias", False) or
                         (arch == "InternLM2ForCausalLM" and
                          hf.get("bias", False)) or
+                        (arch == "InternLMForCausalLM" and
+                         hf.get("bias", True)) or
                         (arch.startswith("Ernie4_5") and
                          hf.get("use_bias", False)) or
                         hf.get(
@@ -364,18 +444,30 @@ def load_model_config(model_path: str,
                             hf.get("sliding_window") and layer_types)
                         else tuple(hf["no_rope_layers"])
                         if hf.get("no_rope_layers")
-                        # GPT-2/GPTBigCode: learned positions, no rope;
-                        # ALiBi families: slopes replace rope entirely.
-                        else (0,) * hf["num_hidden_layers"]
-                        if (use_alibi or
-                            arch in ("GPT2LMHeadModel",
-                                     "GPTBigCodeForCausalLM")) else None),
+                        # Cohere2: rope only on sliding_attention layers
+                        # (full-attention layers are NoPE).
+                        else (tuple(1 if t == "sliding_attention" else 0
+                                    for t in layer_types)
+                              if arch == "Cohere2ForCausalLM" and
+                              layer_types
+                              # GPT-2/GPTBigCode/OPT: learned positions, no
+                              # rope; ALiBi families: slopes replace rope.
+                              else (0,) * hf["num_hidden_layers"]
+                              if (use_alibi or
+                                  arch in ("GPT2LMHeadModel",
+                                           "GPTBigCodeForCausalLM",
+                                           "OPTForCausalLM")) else None)),
         alibi=use_alibi,
         embedding_norm=arch == "BloomForCausalLM",
         embedding_multiplier=hf.get("embedding_multiplier", 1.0),
         attention_multiplier=hf.get("attention_multiplier"),
         residual_multiplier=hf.get("residual_multiplier", 1.0),
-        logits_scaling=hf.get("logits_scaling", 1.0),
+        # Cohere multiplies logits by logit_scale; logits_scaling divides
+        # (Granite convention), so invert.
+        logits_scaling=(1.0 / hf["logit_scale"]
+                        if arch.startswith("Cohere") and
+                        hf.get("logit_scale")
+                        else hf.get("logits_scaling", 1.0)),
         # Mamba2/Bamba SSD mixer dims (both naming conventions).
         mamba_num_heads=(hf.get("mamba_n_heads") or
                          (hf.get("num_heads") if "state_size" in hf else 0)

@@ -217,14 +217,19 @@ class Qwen3Model:
             if c.qk_norm:
                 if c.qk_norm_across_heads:
                     # MiniMax-M2: one norm over the full flattened q / k.
-                    qw = c.num_attention_heads * D
-                    kw = c.num_key_value_heads * D
+                    qw, kw = ((c.num_attention_heads * D,),
+                              (c.num_key_value_heads * D,))
+                elif c.qk_norm_per_head:
+                    # Cohere: separate weights per head.
+                    qw, kw = ((c.num_attention_heads, D),
+                              (c.num_key_value_heads, D))
                 else:
-                    qw = kw = D
-                layer["self_attn"]["q_norm"] = {
-                    "weight": jnp.ones((qw,), self.dtype)}
-                layer["self_attn"]["k_norm"] = {
-                    "weight": jnp.ones((kw,), self.dtype)}
+                    qw = kw = (D,)
+                for nname, shape in (("q_norm", qw), ("k_norm", kw)):
+                    node = {"weight": jnp.ones(shape, self.dtype)}
+                    if c.qk_norm_bias:
+                        node["bias"] = jnp.zeros(shape, self.dtype)
+                    layer["self_attn"][nname] = node
             if c.attention_sinks:
                 layer["self_attn"]["sinks"] = jnp.asarray(
                     nprng.standard_normal(c.num_attention_heads,
@@ -313,6 +318,23 @@ class Qwen3Model:
                 k = rms_norm(k.reshape(T, -1), attn["k_norm"]["weight"],
                              c.rms_norm_eps).reshape(
                                  T, c.num_key_value_heads, D)
+            elif (c.qk_norm_type == "layernorm" or c.qk_norm_bias
+                  or c.qk_norm_per_head):
+                # Cohere (CohereLayerNorm over head_dim, per-head weights)
+                # / Persimmon (q/k_layernorm with bias): mean-centered.
+                def ln(x, node):
+                    xf = x.astype(jnp.float32)
+                    if c.qk_norm_type == "layernorm":
+                        xf = xf - xf.mean(-1, keepdims=True)
+                    y = xf * jax.lax.rsqrt(
+                        jnp.square(xf).mean(-1, keepdims=True)
+                        + c.rms_norm_eps)
+                    y = y * node["weight"].astype(jnp.float32)
+                    if "bias" in node:
+                        y = y + node["bias"].astype(jnp.float32)
+                    return y.astype(x.dtype)
+                q = ln(q, attn["q_norm"])
+                k = ln(k, attn["k_norm"])
             else:
                 q = rms_norm(q, attn["q_norm"]["weight"], c.rms_norm_eps)
                 k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
@@ -754,14 +776,110 @@ class Qwen3Model:
                     yield p + "v_proj.weight", w[2 * qw:]
                 else:
                     yield name, w
-        elif arch == "GraniteMoeForCausalLM":
+        elif arch == "OPTForCausalLM":
+            # OPT (HF OPTDecoder): learned positions with offset 2 (rows
+            # sliced off here so wpe[pos] is direct), per-layer
+            # self_attn_layer_norm / final_layer_norm naming, fc1/fc2 MLP.
+            for name, w in weights:
+                name = name.removeprefix("model.").removeprefix("decoder.")
+                if name == "embed_positions.weight":
+                    yield "pos_embed.weight", w[2:]
+                elif m := re.match(r"layers\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    rest = rest.replace("self_attn_layer_norm.",
+                                        "input_layernorm.")
+                    rest = rest.replace("final_layer_norm.",
+                                        "post_attention_layernorm.")
+                    rest = rest.replace("self_attn.out_proj.",
+                                        "self_attn.o_proj.")
+                    rest = rest.replace("fc1.", "mlp.up_proj.")
+                    rest = rest.replace("fc2.", "mlp.down_proj.")
+                    yield p + rest, w
+                elif name.startswith("final_layer_norm."):
+                    yield "norm." + name.split(".")[-1], w
+                else:
+                    yield name, w
+        elif arch == "GPTJForCausalLM":
+            # GPT-J (HF GPTJBlock): one shared ln_1 (parallel residual),
+            # separate q/k/v/out projections, fc_in/fc_out MLP, biased
+            # untied lm_head.
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    rest = m.group(2)
+                    rest = rest.replace("ln_1.", "input_layernorm.")
+                    if rest.startswith("attn."):
+                        rest = "self_attn." + rest[len("attn."):]
+                    rest = rest.replace("self_attn.out_proj.",
+                                        "self_attn.o_proj.")
+                    rest = rest.replace("mlp.fc_in.", "mlp.up_proj.")
+                    rest = rest.replace("mlp.fc_out.", "mlp.down_proj.")
+                    yield f"layers.{m.group(1)}." + rest, w
+                else:
+                    yield name, w
+        elif arch == "PersimmonForCausalLM":
+            # Persimmon (HF PersimmonAttention): fused per-head qkv
+            # [Hh, 3, D], biased q/k layernorms, dense_h_to_4h MLP.
+            c = self.config
+            Hh, D = c.num_attention_heads, c.head_dim
+            for name, w in weights:
+                name = name.removeprefix("model.")
+                if name.startswith("final_layernorm."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"layers\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(
+                            r"self_attn\.query_key_value\.(weight|bias)",
+                            rest):
+                        kind = m2.group(1)
+                        parts = (w.reshape(Hh, 3, D, -1)
+                                 if kind == "weight"
+                                 else w.reshape(Hh, 3, D))
+                        for j, which in enumerate(("q", "k", "v")):
+                            part = (parts[:, j].reshape(Hh * D, -1)
+                                    if kind == "weight"
+                                    else parts[:, j].reshape(Hh * D))
+                            yield (p + f"self_attn.{which}_proj.{kind}",
+                                   part)
+                    else:
+                        rest = rest.replace("self_attn.dense.",
+                                            "self_attn.o_proj.")
+                        rest = rest.replace("mlp.dense_h_to_4h.",
+                                            "mlp.up_proj.")
+                        rest = rest.replace("mlp.dense_4h_to_h.",
+                                            "mlp.down_proj.")
+                        yield p + rest, w
+                else:
+                    yield name, w
+        elif arch in ("GraniteMoeForCausalLM",
+                      "GraniteMoeSharedForCausalLM"):
             # GraniteMoE stacks experts: input_linear [E, 2I, H] (gate‖up
             # halves of the output dim), output_linear [E, H, I]; router
             # at block_sparse_moe.router.layer.
             c = self.config
             E, I = c.num_experts, c.moe_intermediate_size
+            Is = self.config.shared_expert_intermediate_size or 0
             for name, w in weights:
                 if m := re.match(
+                        r"model\.layers\.(\d+)\.shared_mlp\.(.+)", name):
+                    # GraniteMoeShared always-on MLP: input_linear rows =
+                    # [gate(Is) | up(Is)], output_linear = down.
+                    p = f"model.layers.{m.group(1)}.mlp."
+                    rest = m.group(2)
+                    if rest == "input_linear.weight":
+                        yield p + "shared_experts.gate_proj.weight", w[:Is]
+                        yield p + "shared_experts.up_proj.weight", w[Is:]
+                    elif rest == "output_linear.weight":
+                        yield p + "shared_experts.down_proj.weight", w
+                    else:
+                        yield name, w
+                elif m := re.match(
                         r"model\.layers\.(\d+)\.block_sparse_moe\.(.+)",
                         name):
                     p = f"model.layers.{m.group(1)}.mlp."
@@ -1125,12 +1243,13 @@ class Qwen3Model:
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_proj", "bias"], w)
                 elif m2 := re.match(
-                        r"self_attn\.(?:(q|k)_norm|(query|key)_layernorm)"
-                        r"\.weight", rest):
-                    # Hunyuan names them query_layernorm/key_layernorm.
-                    which = m2.group(1) or m2.group(2)[0]
+                        r"self_attn\.(?:(q|k)_norm|"
+                        r"(query|key|q|k)_layernorm)\.(weight|bias)", rest):
+                    # Hunyuan: query_layernorm/key_layernorm; Persimmon:
+                    # q/k_layernorm with biases.
+                    which = (m2.group(1) or m2.group(2))[0]
                     put(["layers", str(i), "self_attn",
-                         f"{which}_norm", "weight"], w)
+                         f"{which}_norm", m2.group(3)], w)
                 elif m2 := re.match(
                         r"mlp\.(gate|up|down)_proj\.bias", rest):
                     # Gated-MLP biases (ERNIE use_bias): gate‖up fuse.

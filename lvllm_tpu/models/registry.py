@@ -80,7 +80,22 @@ def _register_builtin() -> None:
                  "Exaone4ForCausalLM",
                  # ALiBi families (Bloom fused-qkv + embedding layernorm,
                  # MPT Wqkv; Baichuan-13B covered by the Baichuan entry).
-                 "BloomForCausalLM", "MptForCausalLM", "MPTForCausalLM"):
+                 "BloomForCausalLM", "MptForCausalLM", "MPTForCausalLM",
+                 # OPT (learned pos offset-2, relu MLP), GPT-J (parallel
+                 # residual + partial interleaved rope), Cohere/Cohere2
+                 # (parallel block, interleaved rope, scaled logits,
+                 # per-head qk layernorm), Persimmon (fused qkv + biased
+                 # qk layernorm), OLMo-v1 (non-parametric LayerNorm),
+                 # Orion (LayerNorm llama), Arcee (ReLU² MLP),
+                 # GraniteMoeShared, InternLM-v1 (biased attention), and
+                 # llama-clone aliases (Aquila, Xverse, LLaMA).
+                 "OPTForCausalLM", "GPTJForCausalLM",
+                 "CohereForCausalLM", "Cohere2ForCausalLM",
+                 "PersimmonForCausalLM", "OlmoForCausalLM",
+                 "OrionForCausalLM", "ArceeForCausalLM",
+                 "GraniteMoeSharedForCausalLM", "InternLMForCausalLM",
+                 "LLaMAForCausalLM", "AquilaForCausalLM", "AquilaModel",
+                 "XverseForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
