@@ -182,6 +182,11 @@ class ModelConfig:
     # placeholder token id spliced with image features.
     vision_config: Optional[dict] = None
     image_token_id: Optional[int] = None
+    # Qwen2-VL family: M-RoPE feature sections (t/h/w) + extra vision
+    # marker tokens (reference: MRotaryEmbedding, get_rope_index).
+    mrope_section: Optional[Tuple[int, ...]] = None
+    video_token_id: Optional[int] = None
+    vision_start_token_id: Optional[int] = None
 
     # Special tokens (filled by tokenizer glue when available).
     eos_token_id: int = 2

@@ -74,16 +74,28 @@ class AsyncLLM:
         if mm_data is not None and mc.image_token_id is not None:
             # Expand un-expanded placeholders (one <image> per image) to
             # the model's per-image token count (reference: llava input
-            # processor image_seq_length expansion).
-            n_img_tok = self._num_image_tokens()
-            n_images = np.asarray(mm_data["pixel_values"]).shape[0]
+            # processor image_seq_length expansion). Qwen2-VL grids give a
+            # per-image count; fixed-resolution towers a constant.
+            if "image_grid_thw" in mm_data:
+                merge = (mc.vision_config or {}).get(
+                    "spatial_merge_size", 2)
+                counts = [int(t * h * w) // (merge * merge)
+                          for t, h, w in np.asarray(
+                              mm_data["image_grid_thw"]).reshape(-1, 3)]
+            else:
+                counts = ([self._num_image_tokens()] *
+                          np.asarray(mm_data["pixel_values"]).shape[0])
             n_ph = sum(1 for t in prompt_token_ids
                        if t == mc.image_token_id)
-            if n_ph == n_images and n_ph * n_img_tok != n_ph:
+            if n_ph == len(counts) and any(c != 1 for c in counts):
                 expanded = []
+                i = 0
                 for t in prompt_token_ids:
-                    expanded.extend([t] * n_img_tok
-                                    if t == mc.image_token_id else [t])
+                    if t == mc.image_token_id:
+                        expanded.extend([t] * counts[i])
+                        i += 1
+                    else:
+                        expanded.append(t)
                 prompt_token_ids = expanded
         return Request(request_id=request_id,
                        prompt_token_ids=prompt_token_ids,

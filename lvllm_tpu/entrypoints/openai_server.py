@@ -479,7 +479,9 @@ class OpenAIServer:
         messages, replacing them with the <image> marker; returns stacked
         pixel_values or None (reference: chat_utils mm content parsing)."""
         mc = self.llm.config.model_config
+        qwen_vl = mc.mrope_section is not None
         pixel_list = []
+        grids = []
         for m in messages:
             c = m.get("content")
             if not isinstance(c, list):
@@ -490,13 +492,31 @@ class OpenAIServer:
                     if mc.image_token_id is None:
                         raise ValueError(
                             "model does not accept image input")
-                    from lvllm_tpu.multimodal import pixels_from_data_url
                     url = b.get("image_url")
                     if isinstance(url, dict):
                         url = url.get("url", "")
                     vc = mc.vision_config or {}
-                    pixel_list.append(pixels_from_data_url(
-                        url, vc.get("image_size", 336)))
+                    if qwen_vl:
+                        # Dynamic-resolution flat patches + grid (Qwen-VL).
+                        import base64
+                        import io
+                        from PIL import Image
+                        from lvllm_tpu.multimodal import qwen_vl_patches
+                        if not url.startswith("data:"):
+                            raise ValueError("only data: image URLs are "
+                                             "supported (no egress)")
+                        _, _, b64 = url.partition("base64,")
+                        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+                        flat, grid = qwen_vl_patches(
+                            img, vc.get("patch_size", 14),
+                            vc.get("spatial_merge_size", 2),
+                            vc.get("temporal_patch_size", 2))
+                        pixel_list.append(flat)
+                        grids.append(grid)
+                    else:
+                        from lvllm_tpu.multimodal import pixels_from_data_url
+                        pixel_list.append(pixels_from_data_url(
+                            url, vc.get("image_size", 336)))
                     parts.append("<image>")
                 elif isinstance(b, dict):
                     parts.append(b.get("text", ""))
@@ -504,6 +524,10 @@ class OpenAIServer:
         if not pixel_list:
             return None
         from lvllm_tpu.multimodal import stack_images
+        if grids:
+            import numpy as np
+            return {"pixel_values": stack_images(pixel_list),
+                    "image_grid_thw": np.asarray(grids, np.int64)}
         return stack_images(pixel_list)
 
     def _splice_image_tokens(self, prompt: str, pixels):
@@ -516,6 +540,8 @@ class OpenAIServer:
                 ids.append(mc.image_token_id)
             if seg:
                 ids.extend(self.llm.tokenizer.encode(seg))
+        if isinstance(pixels, dict):
+            return ids, pixels
         return ids, {"pixel_values": pixels}
 
     # ---- helpers -----------------------------------------------------------

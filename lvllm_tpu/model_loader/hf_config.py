@@ -22,7 +22,11 @@ def load_model_config(model_path: str,
     with open(cfg_path) as f:
         hf = json.load(f)
 
-    arch = (hf.get("architectures") or ["Qwen3ForCausalLM"])[0]
+    # Composite multimodal configs may carry architectures only in
+    # text_config (e.g. Qwen2-VL saved by newer transformers).
+    arch = (hf.get("architectures") or
+            (hf.get("text_config") or {}).get("architectures") or
+            ["Qwen3ForCausalLM"])[0]
     if arch == "DbrxForCausalLM":
         # DBRX nests attention/ffn settings (reference: models/dbrx.py).
         attn = hf.get("attn_config") or {}
@@ -115,6 +119,29 @@ def load_model_config(model_path: str,
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
     vision_cfg = None
     image_token_id = None
+    mrope_section = None
+    video_token_id = None
+    vision_start_token_id = None
+    if arch in ("Qwen2VLForConditionalGeneration",
+                "Qwen2_5_VLForConditionalGeneration",
+                "Qwen2VLForCausalLM"):
+        # Qwen2-VL family: vision tower + M-RoPE sections. Newer
+        # transformers nests the text fields under text_config; older
+        # checkpoints keep them at top level — support both.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("image_token_id", 151655)
+        video_token_id = hf.get("video_token_id", 151656)
+        vision_start_token_id = hf.get("vision_start_token_id", 151652)
+        text = dict(hf.get("text_config") or {})
+        outer_arch = arch
+        hf = {**hf, **text}
+        arch = outer_arch
+        rs = hf.get("rope_scaling") or {}
+        if rs.get("mrope_section"):
+            mrope_section = tuple(int(s) for s in rs["mrope_section"])
+        # mrope reuses the default rope tables; drop the scaling dict so
+        # the generic rope path doesn't see type="mrope"/"default".
+        hf = {**hf, "rope_scaling": None}
     if arch in ("LlavaForConditionalGeneration",
                 "LlavaNextForConditionalGeneration"):
         # Nested multimodal config: flatten text_config into the main
@@ -412,7 +439,10 @@ def load_model_config(model_path: str,
                         hf.get(
                             "attention_bias",
                             arch in ("Qwen2ForCausalLM",
-                                     "Qwen2MoeForCausalLM"))),
+                                     "Qwen2MoeForCausalLM",
+                                     "Qwen2VLForCausalLM",
+                                     "Qwen2VLForConditionalGeneration",
+                                     "Qwen2_5_VLForConditionalGeneration"))),
         router_scoring_fn=scoring_fn,
         routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
         partial_rotary_factor=partial_rotary,
@@ -495,6 +525,9 @@ def load_model_config(model_path: str,
         linear_conv_kernel_dim=hf.get("linear_conv_kernel_dim", 4),
         vision_config=vision_cfg,
         image_token_id=image_token_id,
+        mrope_section=mrope_section,
+        video_token_id=video_token_id,
+        vision_start_token_id=vision_start_token_id,
     )
     from lvllm_tpu.model_loader.quant_ckpt import detect_ckpt_quant
     mc.ckpt_quant = detect_ckpt_quant(hf)

@@ -344,7 +344,12 @@ class Qwen3Model:
             q, k = qk_norm(q, k)
         cos_sin = self.rope_cache(layer_idx)
         if cos_sin is not None:
-            if c.rope_interleaved:
+            if c.mrope_section:
+                # Qwen2-VL M-RoPE: positions is [3, T] (t/h/w streams).
+                from lvllm_tpu.ops.rope import apply_mrope
+                q, k = apply_mrope(q, k, positions, cos_sin,
+                                   c.mrope_section)
+            elif c.rope_interleaved:
                 from lvllm_tpu.ops.rope import apply_rope_interleaved
                 q, k = apply_rope_interleaved(q, k, positions, cos_sin)
             else:

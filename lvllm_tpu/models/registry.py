@@ -105,6 +105,10 @@ def _register_builtin() -> None:
     for arch in ("LlavaForConditionalGeneration",
                  "LlavaNextForConditionalGeneration"):
         _REGISTRY[arch] = LlavaModel
+    from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
+    for arch in ("Qwen2VLForConditionalGeneration",
+                 "Qwen2_5_VLForConditionalGeneration"):
+        _REGISTRY[arch] = Qwen2VLModel
 
     from lvllm_tpu.models.gpt_oss import GptOssModel
     _REGISTRY["GptOssForCausalLM"] = GptOssModel

@@ -173,6 +173,52 @@ def apply_rope(
     return rot(q), rot(k)
 
 
+def apply_mrope(
+    q: jax.Array,          # [T, Hq, D]
+    k: jax.Array,          # [T, Hkv, D]
+    positions: jax.Array,  # [3, T] int32 — (temporal, height, width) streams
+    cos_sin_cache: jax.Array,  # [P, rot_dim]
+    mrope_section,         # e.g. (16, 24, 24); sums to rot_dim // 2
+) -> Tuple[jax.Array, jax.Array]:
+    """Multimodal rotary (M-RoPE, Qwen2-VL family).
+
+    Counterpart of the reference's MRotaryEmbedding
+    (``model_executor/layers/rotary_embedding/mrope.py``) / HF
+    ``apply_multimodal_rotary_pos_emb``: the rotary feature dim is split
+    into sections, section ``i`` rotating by position stream ``i % 3``
+    (temporal / height / width). Text tokens carry identical streams, so
+    this degrades to standard RoPE for pure text."""
+    rot_dim = cos_sin_cache.shape[-1]
+    half = rot_dim // 2
+    assert sum(mrope_section) == half, (mrope_section, half)
+    cs = cos_sin_cache[positions]               # [3, T, rot_dim]
+    cos3 = cs[..., :half]                        # [3, T, half]
+    sin3 = cs[..., half:]
+
+    # Assemble [T, half] by taking section i from stream i % 3.
+    parts_c, parts_s = [], []
+    off = 0
+    for i, sec in enumerate(mrope_section):
+        parts_c.append(cos3[i % 3, :, off:off + sec])
+        parts_s.append(sin3[i % 3, :, off:off + sec])
+        off += sec
+    cos = jnp.concatenate(parts_c, axis=-1)[:, None, :]   # [T, 1, half]
+    sin = jnp.concatenate(parts_s, axis=-1)[:, None, :]
+
+    def rot(x):
+        xr, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+        x1 = xr[..., :half].astype(jnp.float32)
+        x2 = xr[..., half:].astype(jnp.float32)
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+        if x_pass.shape[-1]:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out
+
+    return rot(q), rot(k)
+
+
 def apply_rope_interleaved(
     q: jax.Array,          # [T, Hq, D]
     k: jax.Array,          # [T, Hk, D]

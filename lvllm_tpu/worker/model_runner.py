@@ -145,7 +145,18 @@ class ModelRunner:
         self._mm_positions: Dict[str, np.ndarray] = {}
         self._encode_images_fn = None
         if getattr(self.model, "is_multimodal", False):
-            self._encode_images_fn = jax.jit(self.model.encode_images)
+            if getattr(self.model, "mm_dynamic", False):
+                # Variable-grid towers (Qwen2-VL) manage their own jit
+                # cache per grid shape; flag doubles as dispatch marker.
+                self._encode_images_fn = self.model.encode_mm
+            else:
+                self._encode_images_fn = jax.jit(self.model.encode_images)
+        # M-RoPE (Qwen2-VL family): per-request [3, L] prompt positions +
+        # decode delta (reference: mrope_positions/mrope_position_delta in
+        # gpu_model_runner.py:2489).
+        self.uses_mrope = getattr(self.model, "uses_mrope", False)
+        self._mrope_pos: Dict[str, np.ndarray] = {}
+        self._mrope_delta: Dict[str, int] = {}
 
         # HBM + host-RAM expert tiering (SURVEY.md §2.11 equivalent).
         self.expert_store = None
@@ -423,7 +434,7 @@ class ModelRunner:
 
     def _multi_step(self, params, kv_caches, tokens, positions, seq_lens,
                     block_table, temperature, top_k, top_p, min_p, seeds,
-                    steps, horizon, greedy_only=False):
+                    steps, horizon, greedy_only=False, mrope_delta=None):
         """H decode iterations in one jitted lax.scan: tokens sampled on
         device feed the next iteration's input; the host fetches ONE packed
         [2, H, R] result. Sampling PRNG folds per-row decode position, so
@@ -441,7 +452,11 @@ class ModelRunner:
             md = AttentionMetadata(query_start_loc=qsl, seq_lens=sl,
                                    block_table=block_table,
                                    slot_mapping=slot)
-            hidden, kv = self.model(params, toks, pos, kv, md)
+            # Decode M-RoPE positions: all three streams equal pos+delta.
+            model_pos = (pos if mrope_delta is None else
+                         jnp.broadcast_to((pos + mrope_delta)[None],
+                                          (3, R)))
+            hidden, kv = self.model(params, toks, model_pos, kv, md)
             logits = self.model.compute_logits(params, hidden)
             new = sample(logits, st, stp, greedy_only=greedy_only)
             lp = compute_logprobs(logits, new)
@@ -504,6 +519,12 @@ class ModelRunner:
         rows = [ib.req_id_to_index[rid] for rid in scheduled]
         pad_rows = rows + [0] * (R - len(rows))
         greedy_only = bool(np.all(ib.temperature[rows] == 0.0))
+        mrope_kw = {}
+        if self.uses_mrope:
+            deltas = np.zeros(R, np.int32)
+            for r, rid in enumerate(scheduled):
+                deltas[r] = self._mrope_delta.get(rid, 0)
+            mrope_kw = {"mrope_delta": jnp.asarray(deltas)}
         self.step_counter += 1
         kv, packed = self._multi_step_fn(
             self.params, self.kv_caches,
@@ -514,7 +535,8 @@ class ModelRunner:
             jnp.asarray(ib.top_p[pad_rows]),
             jnp.asarray(ib.min_p[pad_rows]),
             jnp.asarray(ib.seeds[pad_rows]),
-            jnp.asarray(steps), horizon=horizon, greedy_only=greedy_only)
+            jnp.asarray(steps), horizon=horizon, greedy_only=greedy_only,
+            **mrope_kw)
         self.kv_caches = kv
 
         packed_np = np.asarray(packed)                 # one fetch [2, H, R]
@@ -543,6 +565,8 @@ class ModelRunner:
             ib.remove_request(rid)
             self._mm_feats.pop(rid, None)
             self._mm_positions.pop(rid, None)
+            self._mrope_pos.pop(rid, None)
+            self._mrope_delta.pop(rid, None)
             if self.eagle_proposer is not None:
                 self.eagle_proposer.free(rid)
         for rid in so.preempted_req_ids:
@@ -584,11 +608,26 @@ class ModelRunner:
         """Encode a request's images once; cache projected features and
         the placeholder positions within the prompt."""
         import jax.numpy as jnp
+        ids = np.asarray(prompt_token_ids)
+        if getattr(self.model, "mm_dynamic", False):
+            feats = self._encode_images_fn(self.params, mm_data)
+            self._mm_feats[rid] = np.asarray(feats, np.float32)
+            if self.uses_mrope:
+                pos3, delta = self.model.mm_positions(ids, mm_data)
+                self._mrope_pos[rid] = pos3
+                self._mrope_delta[rid] = delta
+            img_tok = self.config.model_config.image_token_id
+            self._mm_positions[rid] = np.where(ids == img_tok)[0]
+            if len(self._mm_positions[rid]) != self._mm_feats[rid].shape[0]:
+                raise ValueError(
+                    f"request {rid}: {len(self._mm_positions[rid])} image "
+                    f"placeholder tokens vs {self._mm_feats[rid].shape[0]} "
+                    f"image features")
+            return
         pix = jnp.asarray(np.asarray(mm_data["pixel_values"], np.float32))
         feats = self._encode_images_fn(self.params, pix)   # [B, N, H]
         H = feats.shape[-1]
         self._mm_feats[rid] = np.asarray(feats, np.float32).reshape(-1, H)
-        ids = np.asarray(prompt_token_ids)
         img_tok = self.config.model_config.image_token_id
         self._mm_positions[rid] = np.where(ids == img_tok)[0]
         if len(self._mm_positions[rid]) != self._mm_feats[rid].shape[0]:
@@ -621,6 +660,9 @@ class ModelRunner:
         S1 = self.num_spec + 1
         input_ids = np.zeros(T, dtype=np.int32)
         positions = np.zeros(T, dtype=np.int32)
+        # M-RoPE position streams [3, T]; text-only rows mirror positions.
+        mrope_np = (np.zeros((3, T), dtype=np.int32)
+                    if self.uses_mrope else None)
         slot_mapping = np.zeros(T, dtype=np.int32)
         qsl = np.zeros(R + 1, dtype=np.int32)
         seq_lens = np.zeros(R, dtype=np.int32)
@@ -655,6 +697,19 @@ class ModelRunner:
             end = start + n_tok
             input_ids[t:t + n_tok] = ib.token_ids[idx, start:end]
             positions[t:t + n_tok] = np.arange(start, end)
+            if mrope_np is not None:
+                mp = self._mrope_pos.get(rid)
+                if mp is None:
+                    mrope_np[:, t:t + n_tok] = positions[t:t + n_tok]
+                else:
+                    delta = self._mrope_delta.get(rid, 0)
+                    L_pre = mp.shape[1]
+                    n_pre = max(min(end, L_pre) - start, 0)
+                    if n_pre:
+                        mrope_np[:, t:t + n_pre] = mp[:, start:start + n_pre]
+                    if n_pre < n_tok:
+                        tail = np.arange(start + n_pre, end) + delta
+                        mrope_np[:, t + n_pre:t + n_tok] = tail
             blocks = ib.block_table[idx]
             tok_pos = np.arange(start, end)
             if self.dcp > 1:
@@ -759,7 +814,8 @@ class ModelRunner:
 
         self.step_counter += 1
         dev_args = (
-            jnp.asarray(input_ids), jnp.asarray(positions),
+            jnp.asarray(input_ids),
+            jnp.asarray(mrope_np if mrope_np is not None else positions),
             jnp.asarray(qsl), jnp.asarray(seq_lens), jnp.asarray(block_table),
             jnp.asarray(slot_mapping), jnp.asarray(logits_indices),
             jnp.asarray(temperature), jnp.asarray(top_k), jnp.asarray(top_p),
