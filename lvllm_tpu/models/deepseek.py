@@ -37,7 +37,11 @@ logger = init_logger(__name__)
 
 class DeepseekModel(Qwen3Model):
 
-    dcp_compatible = False  # MLA latent cache; DCP-MLA merge is a TODO
+    # MLA rides the DCP path too: the latent cache is a 1-head paged cache
+    # (k-plane = c_kv‖k_pe, v-plane = c_kv), so page-interleaved partial
+    # attention + LSE merge applies unchanged (reference: MLA DCP
+    # allgather merge, mla_attention.py:745-770).
+    dcp_compatible = True
 
     def __init__(self, config: ModelConfig):
         super().__init__(config)
@@ -114,15 +118,41 @@ class DeepseekModel(Qwen3Model):
                                             self.cos_sin)
         k_pe = k_pe[:, 0, :]
 
-        kv_cache = write_mla_cache(kv_cache, c_kv, k_pe, md.slot_mapping)
-
         # Absorb q_nope into latent space: q_lat[h] = W_uk[h] @ q_nope[h].
         q_lat = jnp.einsum("thd,hdc->thc", q_nope.astype(jnp.float32),
                            attn["w_uk"].astype(jnp.float32))
-        ctx = mla_attention(
-            q_lat.astype(x.dtype), q_pe, kv_cache, md.block_table,
-            md.query_start_loc, md.seq_lens, scale=self.scale,
-            kv_lora_rank=Dc)                              # [T, H, Dc]
+
+        if md.dcp_slot_mapping is not None:
+            # DCP-MLA: the latent planes are ordinary 1-head K/V rows, so
+            # the generic page-interleaved partial-attention + LSE merge
+            # serves MLA directly; q = q_lat‖q_pe‖0 dots against the
+            # k-plane, the v-plane returns c_kv (sliced below).
+            from lvllm_tpu.ops.context_parallel import dcp_write_and_attend
+            Dpad = kv_cache.shape[-1]
+            pad = Dpad - Dc - dr
+            k_plane = jnp.concatenate(
+                [c_kv, k_pe] +
+                ([jnp.zeros((T, pad), c_kv.dtype)] if pad else []),
+                axis=-1)[:, None, :]
+            v_plane = jnp.concatenate(
+                [c_kv, jnp.zeros((T, Dpad - Dc), c_kv.dtype)],
+                axis=-1)[:, None, :]
+            q_cat = jnp.concatenate(
+                [q_lat.astype(x.dtype), q_pe] +
+                ([jnp.zeros((T, H, pad), x.dtype)] if pad else []),
+                axis=-1)
+            ctx_pad, kv_cache = dcp_write_and_attend(
+                q_cat, k_plane, v_plane, kv_cache, md.block_table,
+                positions, md.query_start_loc, md.dcp_slot_mapping,
+                self.mesh, self.scale)
+            ctx = ctx_pad[..., :Dc]                       # [T, H, Dc]
+        else:
+            kv_cache = write_mla_cache(kv_cache, c_kv, k_pe,
+                                       md.slot_mapping)
+            ctx = mla_attention(
+                q_lat.astype(x.dtype), q_pe, kv_cache, md.block_table,
+                md.query_start_loc, md.seq_lens, scale=self.scale,
+                kv_lora_rank=Dc)                          # [T, H, Dc]
         out = jnp.einsum("thc,hvc->thv", ctx.astype(jnp.float32),
                          attn["w_uv"].astype(jnp.float32))
         out = out.reshape(T, H * dv).astype(x.dtype)

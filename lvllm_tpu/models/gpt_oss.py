@@ -38,7 +38,9 @@ def _deinterleave(gu: np.ndarray) -> np.ndarray:
 
 class GptOssModel(Qwen3Model):
 
-    dcp_compatible = False  # sinks change the LSE merge; TODO sink-aware DCP
+    # Sinks join the DCP LSE merge as a virtual shard and sliding windows
+    # mask over global key positions (ops/context_parallel.py).
+    dcp_compatible = True
 
     def __init__(self, config: ModelConfig):
         super().__init__(config)

@@ -358,14 +358,12 @@ class Qwen3Model:
             q, k = qk_norm(q, k)
         if md.dcp_slot_mapping is not None:
             from lvllm_tpu.ops.context_parallel import dcp_write_and_attend
-            assert window is None, "DCP + sliding window TBD"
-            assert sinks is None, "DCP + attention sinks TBD"
-            assert soft_cap is None, "DCP + attn soft cap TBD"
-            assert self.alibi_slopes is None, "DCP + ALiBi TBD"
             out, kv_cache = dcp_write_and_attend(
                 q, k, v, kv_cache, md.block_table, positions,
                 md.query_start_loc, md.dcp_slot_mapping, self.mesh,
-                self.scale)
+                self.scale, sliding_window=window,
+                logits_soft_cap=soft_cap, sinks=sinks,
+                alibi_slopes=self.alibi_slopes)
             attn_flat = out.reshape(T, c.num_attention_heads * D)
             out = attn_flat @ attn["o_proj"]["kernel"]
             if "bias" in attn["o_proj"]:

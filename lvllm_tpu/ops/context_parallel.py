@@ -26,26 +26,49 @@ def _partial_attention_token_klen(
     kv_len: jax.Array,           # [T] visible LOCAL key count per token
     scale: float,
     sliding_window: Optional[int] = None,
+    global_pos: Optional[jax.Array] = None,   # [T] query global position
+    col_global: Optional[jax.Array] = None,   # [C] global pos of local slots
+    logits_soft_cap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq]
 ) -> Tuple[jax.Array, jax.Array]:
     """Core partial attention with an explicit per-token local key count
     (the causal-visibility math differs between cascade suffixes and DCP
-    interleaving, so callers supply it)."""
+    interleaving, so callers supply it).
+
+    With ``col_global``/``global_pos`` (the DCP page-interleave mapping),
+    sliding-window masking and ALiBi biases are computed over GLOBAL key
+    positions — matching the reference's DCP support for SWA/ALiBi layers;
+    without them the window falls back to local-index semantics (cascade
+    suffixes, single-shard callers)."""
     T, Hq, D = q.shape
     BS = kv_cache.shape[2]
     Hkv = kv_cache.shape[3]
     G = Hq // Hkv
     C = block_table.shape[1] * BS
+    if global_pos is None:
+        global_pos = jnp.zeros_like(kv_len)
+    slopes = (alibi_slopes.astype(jnp.float32).reshape(Hkv, G, 1)
+              if alibi_slopes is not None else None)
 
-    def one_token(q_t, req, klen):
+    def one_token(q_t, req, klen, gpos):
         pages = kv_cache[:, block_table[req]]
         k = pages[0].reshape(C, Hkv, D).astype(jnp.float32)
         v = pages[1].reshape(C, Hkv, D).astype(jnp.float32)
         qg = q_t.reshape(Hkv, G, D).astype(jnp.float32)
         scores = jnp.einsum("hgd,chd->hgc", qg, k) * scale
+        if logits_soft_cap is not None:
+            scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
         c_idx = jnp.arange(C, dtype=jnp.int32)
         mask = c_idx < klen
         if sliding_window is not None:
-            mask &= c_idx >= (klen - sliding_window)
+            if col_global is not None:
+                mask &= col_global >= (gpos + 1 - sliding_window)
+            else:
+                mask &= c_idx >= (klen - sliding_window)
+        if slopes is not None:
+            cols = col_global if col_global is not None else c_idx
+            scores = scores + slopes * (cols - gpos)[None, None, :].astype(
+                jnp.float32)
         scores = jnp.where(mask[None, None, :], scores, -jnp.inf)
         m = jnp.max(scores, axis=-1, keepdims=True)
         m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -59,7 +82,7 @@ def _partial_attention_token_klen(
                         -jnp.inf)
         return out.reshape(Hq, D), lse.reshape(Hq)
 
-    out, lse = jax.vmap(one_token)(q, req_idx, kv_len)
+    out, lse = jax.vmap(one_token)(q, req_idx, kv_len, global_pos)
     return out.astype(q.dtype), lse
 
 
@@ -95,10 +118,22 @@ def ragged_paged_attention_with_lse(
 def merge_attention_partials(
     outs: jax.Array,  # [S, T, Hq, D] per-shard partial outputs
     lses: jax.Array,  # [S, T, Hq] per-shard log-sum-exp
+    sinks: Optional[jax.Array] = None,  # [Hq] attention-sink logits
 ) -> jax.Array:
     """LSE-corrected combine of S partial attentions (the reference's
     correction kernel ops/common.py:10-110): weights w_s = exp(lse_s - max)
-    normalized over shards; empty shards (lse=-inf) contribute 0."""
+    normalized over shards; empty shards (lse=-inf) contribute 0.
+
+    ``sinks`` (gpt-oss) joins the merge as one extra virtual shard with a
+    zero numerator — the sink logit enters the global softmax denominator
+    exactly once."""
+    if sinks is not None:
+        T, Hq = lses.shape[1], lses.shape[2]
+        sink_lse = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[None, None, :], (1, T, Hq))
+        lses = jnp.concatenate([lses, sink_lse], axis=0)
+        outs = jnp.concatenate(
+            [outs, jnp.zeros((1,) + outs.shape[1:], outs.dtype)], axis=0)
     m = jnp.max(lses, axis=0, keepdims=True)                  # [1, T, Hq]
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     w = jnp.where(jnp.isfinite(lses), jnp.exp(lses - m_safe), 0.0)
@@ -132,6 +167,10 @@ def dcp_write_and_attend(
                                   #   slots for tokens a shard doesn't own)
     mesh,
     scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,          # [Hq]
+    alibi_slopes: Optional[jax.Array] = None,   # [Hq]
 ) -> Tuple[jax.Array, jax.Array]:
     """The engine's DCP attention step: each context shard scatters the new
     K/V it owns into its local pages, attends over its local KV with a
@@ -170,11 +209,23 @@ def dcp_write_and_attend(
         # token itself exactly on its owner shard, whose K was just written).
         klen = dcp_shard_seq_lens(pos + 1, s, CP, interleave=BS)
         req_idx = _token_request_map(qsl, T, R)
+        # Global position of local slot c under page interleave: logical
+        # page (c // BS) on this shard is global page (c // BS) * CP + s.
+        C = bt.shape[1] * BS
+        c_idx = jnp.arange(C, dtype=jnp.int32)
+        col_global = ((c_idx // BS) * CP + s) * BS + c_idx % BS
+        need_global = (sliding_window is not None
+                       or alibi_slopes is not None)
         out, lse = _partial_attention_token_klen(
-            q, kv_local, bt, req_idx, klen, scale)
+            q, kv_local, bt, req_idx, klen, scale,
+            sliding_window=sliding_window,
+            global_pos=pos if need_global else None,
+            col_global=col_global if need_global else None,
+            logits_soft_cap=logits_soft_cap,
+            alibi_slopes=alibi_slopes)
         outs = jax.lax.all_gather(out.astype(jnp.float32), AXIS_CONTEXT)
         lses = jax.lax.all_gather(lse, AXIS_CONTEXT)
-        merged = merge_attention_partials(outs, lses)
+        merged = merge_attention_partials(outs, lses, sinks=sinks)
         return merged.astype(q.dtype), kv_local[None]
 
     hd = P(None, head_ax, None)
