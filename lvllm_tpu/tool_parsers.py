@@ -737,6 +737,192 @@ class OpenAIToolParser:
         return content, calls
 
 
+class DeepseekV32ToolParser:
+    """DeepSeek V3.2 DSML blocks (reference: tool_parsers/
+    deepseekv32_tool_parser): ``<｜DSML｜function_calls>`` wrapping
+    ``<｜DSML｜invoke name="F">`` with ``<｜DSML｜parameter name="K"
+    string="true|false">V</｜DSML｜parameter>`` entries; string="false"
+    values parse as JSON scalars."""
+
+    START = "<｜DSML｜function_calls>"
+    END = "</｜DSML｜function_calls>"
+    INVOKE_RE = re.compile(
+        r'<｜DSML｜invoke\s+name="([^"]+)"\s*>(.*?)</｜DSML｜invoke>',
+        re.DOTALL)
+    PARAM_RE = re.compile(
+        r'<｜DSML｜parameter\s+name="([^"]+)"\s+string="(true|false)"\s*>'
+        r'(.*?)</｜DSML｜parameter>', re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        if self.START not in text:
+            return text, []
+        block_re = re.compile(re.escape(self.START) + r"(.*?)" +
+                              re.escape(self.END), re.DOTALL)
+        calls = []
+        for bm in block_re.finditer(text):
+            for name, body in self.INVOKE_RE.findall(bm.group(1)):
+                args = {}
+                for k, is_str, v in self.PARAM_RE.findall(body):
+                    if v.lower() == "null":
+                        args[k] = None
+                    elif is_str == "true":
+                        args[k] = v
+                    else:
+                        args[k] = _json_or_str(v)
+                calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        content = block_re.sub("", text).strip()
+        return content, calls
+
+
+class DeepseekV4ToolParser(DeepseekV32ToolParser):
+    """DeepSeek V4 (reference: tool_parsers/deepseekv4_tool_parser):
+    identical DSML grammar under ``<｜DSML｜tool_calls>``."""
+
+    START = "<｜DSML｜tool_calls>"
+    END = "</｜DSML｜tool_calls>"
+
+
+class FunctionGemmaToolParser:
+    """FunctionGemma (reference: tool_parsers/functiongemma_tool_parser):
+    ``<start_function_call>call:NAME{k:<escape>v<escape>,...}
+    <end_function_call>``."""
+
+    CALL_RE = re.compile(
+        r"<start_function_call>call:(\w+)\{(.*?)\}<end_function_call>",
+        re.DOTALL)
+    ARG_RE = re.compile(r"(\w+):<escape>(.*?)<escape>", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for name, body in self.CALL_RE.findall(text):
+            args = {k: _json_or_str(v) for k, v in self.ARG_RE.findall(body)}
+            calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        content = self.CALL_RE.sub("", text).strip()
+        return content, calls
+
+
+class Gemma4ToolParser:
+    """Gemma 4 (reference: tool_parsers/gemma4_tool_parser):
+    ``<|tool_call>call:NAME{key:<|"|>str<|"|>,num:42,nested:{...},
+    list:[...]}<tool_call|>`` — strings delimited by ``<|"|>``, bare
+    scalars are numbers/bools/null."""
+
+    CALL_RE = re.compile(r"<\|tool_call>call:(\w+)\{(.*?)\}<tool_call\|>",
+                         re.DOTALL)
+    SD = '<|"|>'
+
+    def _scalar(self, s: str):
+        s = s.strip()
+        if s == "true":
+            return True
+        if s == "false":
+            return False
+        if s.lower() in ("null", "none", "nil"):
+            return None
+        try:
+            return float(s) if "." in s else int(s)
+        except ValueError:
+            return s
+
+    def _value(self, s: str, i: int):
+        """Parse one value at s[i:]; returns (value, next_index)."""
+        sd = self.SD
+        if s.startswith(sd, i):
+            j = s.find(sd, i + len(sd))
+            if j < 0:
+                return s[i + len(sd):], len(s)
+            return s[i + len(sd):j], j + len(sd)
+        if s.startswith("{", i):
+            obj, j = self._object(s, i + 1)
+            return obj, j
+        if s.startswith("[", i):
+            items = []
+            i += 1
+            while i < len(s) and s[i] != "]":
+                v, i = self._value(s, i)
+                items.append(v)
+                if i < len(s) and s[i] == ",":
+                    i += 1
+            return items, i + 1
+        j = i
+        depth = 0
+        while j < len(s) and (depth > 0 or s[j] not in ",}]"):
+            depth += s[j] in "{["
+            depth -= s[j] in "}]"
+            j += 1
+        return self._scalar(s[i:j]), j
+
+    def _object(self, s: str, i: int):
+        out = {}
+        while i < len(s) and s[i] != "}":
+            j = s.find(":", i)
+            if j < 0:
+                break
+            key = s[i:j].strip().strip(",")
+            v, i = self._value(s, j + 1)
+            out[key] = v
+            if i < len(s) and s[i] == ",":
+                i += 1
+        return out, i + 1
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for name, body in self.CALL_RE.findall(text):
+            args, _ = self._object(body + "}", 0)
+            calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        content = self.CALL_RE.sub("", text).strip()
+        return content, calls
+
+
+class Granite20bFCToolParser:
+    """granite-20b-functioncalling (reference: tool_parsers/
+    granite_20b_fc_tool_parser): ``<function_call> {"name":..,
+    "arguments":{..}}`` repeated, JSON raw-decoded between markers."""
+
+    BOT = "<function_call>"
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        if self.BOT not in text:
+            return text, []
+        dec = json.JSONDecoder()
+        calls = []
+        marks = [m.end() for m in re.finditer(re.escape(self.BOT), text)]
+        try:
+            for i, start in enumerate(marks):
+                chunk = text[start:marks[i + 1] - len(self.BOT)
+                             if i + 1 < len(marks) else None]
+                obj, _ = dec.raw_decode(chunk.strip())
+                calls.append(ToolCall(
+                    name=obj["name"],
+                    arguments=json.dumps(obj.get("arguments", {}))))
+        except (json.JSONDecodeError, KeyError):
+            return text, []
+        content = text[:text.find(self.BOT)].strip()
+        return content, calls
+
+
+class HunyuanV3ToolParser:
+    """Hunyuan V3 (reference: tool_parsers/hy_v3_tool_parser):
+    ``<tool_calls><tool_call>NAME<tool_sep><arg_key>K</arg_key>
+    <arg_value>V</arg_value>...</tool_call>...</tool_calls>``."""
+
+    CALL_RE = re.compile(r"<tool_call>(.*?)<tool_sep>(.*?)</tool_call>",
+                         re.DOTALL)
+    ARG_RE = re.compile(r"<arg_key>(.*?)</arg_key>\s*"
+                        r"<arg_value>(.*?)</arg_value>", re.DOTALL)
+    WRAP_RE = re.compile(r"<tool_calls>.*?(</tool_calls>|$)", re.DOTALL)
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        calls = []
+        for name, body in self.CALL_RE.findall(text):
+            args = {k.strip(): _json_or_str(v.strip())
+                    for k, v in self.ARG_RE.findall(body)}
+            calls.append(ToolCall(name=name.strip(),
+                                  arguments=json.dumps(args)))
+        content = self.WRAP_RE.sub("", text).strip()
+        return content, calls
+
+
 _TOOL_PARSERS = {
     "hermes": HermesToolParser,
     "llama3_json": Llama3JsonToolParser,
@@ -765,8 +951,21 @@ _TOOL_PARSERS = {
     "granite4": Granite4ToolParser,
     "gigachat3": GigaChat3ToolParser,
     "qwen3_xml": Qwen3XmlToolParser,
+    "mimo": Qwen3XmlToolParser,
     "openai": OpenAIToolParser,
     "gptoss": OpenAIToolParser,
+    "deepseek_v32": DeepseekV32ToolParser,
+    "deepseek_v4": DeepseekV4ToolParser,
+    "functiongemma": FunctionGemmaToolParser,
+    "gemma4": Gemma4ToolParser,
+    # GLM-4.7 allows the name inline before <arg_key> (and bare
+    # <tool_call>name</tool_call>) — both handled by the GLM-4 parser.
+    "glm47": Glm4ToolParser,
+    "granite-20b-fc": Granite20bFCToolParser,
+    "hy_v3": HunyuanV3ToolParser,
+    "llama4_json": Llama3JsonToolParser,
+    # Step-3.5 emits the <function=NAME><parameter=K> XML-ish grammar.
+    "step3p5": Qwen3CoderToolParser,
 }
 
 
