@@ -383,13 +383,23 @@ class EngineCore:
         return stepped, logprobs, topk_out
 
     def _propose_drafts(self, stepped: List[Request]) -> None:
-        """Attach next-step draft tokens (greedy requests only — drafts are
-        verified by exact-match against the model's own samples, which is
-        lossless only at temperature 0)."""
+        """Attach next-step draft tokens. Greedy requests verify by
+        exact-match; non-greedy requests verify by stochastic rejection
+        sampling on device (ops/sampling.rejection_sample — lossless for
+        our deterministic proposers, reference rejection_sampler.py).
+        Rows with penalties are skipped at temperature > 0: the verify
+        positions share one history snapshot, which is only exact when
+        penalties are off (greedy keeps the reference's approximation)."""
         max_len = self.config.model_config.max_model_len
         k = self.config.speculative_config.num_speculative_tokens
         for req in stepped:
-            if req.is_finished or req.sampling_params.temperature != 0.0:
+            if req.is_finished:
+                continue
+            sp = req.sampling_params
+            if sp.temperature != 0.0 and (
+                    sp.repetition_penalty != 1.0
+                    or sp.presence_penalty != 0.0
+                    or sp.frequency_penalty != 0.0):
                 continue
             if self.structured_manager.has_grammar(req.request_id):
                 continue  # drafts can't be grammar-checked ahead of time

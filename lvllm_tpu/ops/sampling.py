@@ -156,6 +156,84 @@ def sample(
     return jnp.where(st.temperature == 0.0, greedy_ids, sampled)
 
 
+def rejection_sample(
+    logits: jax.Array,        # [B, V] f32 (post penalties/grammar)
+    st: SamplingTensors,
+    steps: jax.Array,         # [B] i32 per-request decode position
+    draft_tokens: jax.Array,  # [B] i32; -1 = no draft at this slot
+    regular: jax.Array,       # [B] i32 fallback (output of ``sample``)
+) -> jax.Array:
+    """Lossless stochastic verification of deterministic draft proposals
+    (reference: ``vllm/v1/sample/rejection_sampler.py``).
+
+    All our proposers (ngram, suffix, draft-model greedy chain, EAGLE,
+    medusa) are deterministic, so the proposal distribution q is one-hot
+    at the draft token d. Speculative sampling then reduces to:
+
+      accept d with prob p(d)            (u < p(d)/q(d), q(d)=1)
+      else emit a recovery token from    (p - delta_d)+ / (1 - p(d))
+
+    where p is the SAME filtered/renormalized target distribution that
+    ``sample`` draws from (temperature + top-k/top-p/min-p masking).
+    The combined law is exactly p (speculative-sampling theorem), and the
+    recovery token can never equal d — so the host's exact-match prefix
+    scan over (sampled == draft) remains a correct acceptance test.
+
+    Slots with no draft, or temperature 0 (greedy exact-match path), pass
+    ``regular`` through. Runs in full-vocab space: this trace only exists
+    when a non-greedy row has drafts scheduled, and exactness of the kept
+    set matters more than the top-k-cap fast path here.
+    """
+    B, V = logits.shape
+    temp = jnp.maximum(st.temperature, 1e-6)[:, None]
+    scaled = logits.astype(jnp.float32) / temp
+    lse = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+
+    # Kept-token mask, identical to sample()'s full_branch semantics.
+    sort_idx = jnp.argsort(-scaled, axis=-1)                   # [B, V]
+    sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
+    probs_sorted = jnp.exp(sorted_logits - lse)
+    cumsum = jnp.cumsum(probs_sorted, axis=-1)
+    rv = jnp.arange(V, dtype=jnp.int32)[None, :]
+    k = jnp.where(st.top_k <= 0, V, st.top_k)[:, None]
+    keep_sorted = (rv < k) & ((cumsum - probs_sorted) < st.top_p[:, None]) \
+        & (probs_sorted >= st.min_p[:, None] * probs_sorted[:, :1])
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, V))
+    keep = jnp.zeros((B, V), jnp.bool_).at[rows, sort_idx].set(keep_sorted)
+
+    p_full = jnp.exp(scaled - lse)                             # [B, V]
+    z = jnp.sum(jnp.where(keep, p_full, 0.0), axis=-1, keepdims=True)
+    d = jnp.clip(draft_tokens, 0, V - 1)[:, None]
+    d_kept = jnp.take_along_axis(keep, d, axis=-1)[:, 0]
+    p_d = jnp.where(
+        d_kept,
+        jnp.take_along_axis(p_full, d, axis=-1)[:, 0] /
+        jnp.maximum(z[:, 0], 1e-20),
+        0.0)
+
+    # Independent sub-streams off the per-(request, position) key: fold 1
+    # for the acceptance uniform, 2 for the recovery Gumbel draw (the base
+    # key itself feeds sample()'s Gumbel).
+    keys = make_keys(st.keys, steps)
+    u = jax.vmap(lambda kk: jax.random.uniform(
+        jax.random.fold_in(kk, 1), dtype=jnp.float32))(keys)
+    accept = u < p_d
+
+    g = jax.vmap(lambda kk: jax.random.gumbel(
+        jax.random.fold_in(kk, 2), (V,), dtype=jnp.float32))(keys)
+    tok_ids = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    recovery_keep = keep & (tok_ids != d)
+    # (p - delta_d)+ renormalized == p restricted to keep \ {d}: Gumbel
+    # argmax over the masked logits samples it exactly. If keep == {d},
+    # p_d == 1 and u < 1 always accepts, so the empty mask is never read.
+    masked = jnp.where(recovery_keep, scaled + g, -jnp.inf)
+    recovery = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+
+    verified = jnp.where(accept, draft_tokens, recovery)
+    use = (draft_tokens >= 0) & (st.temperature > 0.0)
+    return jnp.where(use, verified, regular)
+
+
 def compute_logprobs(
     logits: jax.Array,      # [B, V]
     token_ids: jax.Array,   # [B]

@@ -27,7 +27,8 @@ from lvllm_tpu.models.model_base import AttentionMetadata
 from lvllm_tpu.ops.kv_cache import new_kv_cache
 from lvllm_tpu.ops.sampling import (SamplingTensors,
                                     apply_penalties_from_history,
-                                    compute_logprobs, sample)
+                                    compute_logprobs, rejection_sample,
+                                    sample)
 from lvllm_tpu.worker.input_batch import InputBatch
 
 logger = init_logger(__name__)
@@ -292,17 +293,19 @@ class ModelRunner:
 
     def _tail(self, params, x, residual, logits_indices, temperature, top_k,
               top_p, min_p, seeds, steps, penalty_args=None,
-              grammar_mask=None):
+              grammar_mask=None, draft_mat=None):
         hidden = self.model.finalize_hidden(params, x, residual)
         out = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
-            min_p, seeds, steps, penalty_args, grammar_mask)
+            min_p, seeds, steps, penalty_args, grammar_mask,
+            draft_mat=draft_mat)
         return out[0], out[1]
 
     def _execute_staged(self, input_ids, positions, qsl, seq_lens,
                         block_table, slot_mapping, logits_indices,
                         temperature, top_k, top_p, min_p, seeds, steps,
-                        penalty_args=None, grammar_mask=None):
+                        penalty_args=None, grammar_mask=None,
+                        draft_mat=None):
         """Layer-by-layer dispatch with host→HBM expert streaming overlapped
         via JAX async dispatch (the fork's prefetch-window decode path,
         SURVEY.md §2.11.6, rebuilt without CUDA streams)."""
@@ -332,7 +335,7 @@ class ModelRunner:
         return self._tail_fn(self.params, x, residual, logits_indices,
                              temperature, top_k, top_p, min_p, seeds, steps,
                              penalty_args=penalty_args,
-                             grammar_mask=grammar_mask)
+                             grammar_mask=grammar_mask, draft_mat=draft_mat)
 
     # ---- jitted step -------------------------------------------------------
 
@@ -344,7 +347,7 @@ class ModelRunner:
               row_slots=None, want_topk_logprobs=False,
               single_seq_prefill=False, mm_embeds=None, mm_mask=None,
               dcp_slot_mapping=None, want_hidden=False, cascade_args=None,
-              aux_layers=()):
+              aux_layers=(), draft_mat=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -382,7 +385,7 @@ class ModelRunner:
         sampled, logprobs, topk = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask, greedy_only,
-            want_topk_logprobs)
+            want_topk_logprobs, draft_mat=draft_mat)
         # Pack tokens + bitcast logprobs into ONE i32 array so the host
         # syncs the step with a single device->host fetch — on remote
         # transports (axon tunnel, multi-host) every fetch is a full RTT.
@@ -398,7 +401,8 @@ class ModelRunner:
     def _sample_from_hidden(self, params, hidden, logits_indices,
                             temperature, top_k, top_p, min_p, seeds, steps,
                             penalty_args, grammar_mask=None,
-                            greedy_only=False, want_topk_logprobs=False):
+                            greedy_only=False, want_topk_logprobs=False,
+                            draft_mat=None):
         """Sample at every verification position: logits_indices [R, S+1]
         (S=0 without spec decode). Sampling params are broadcast per row;
         the PRNG fold offsets by position so each slot draws independently.
@@ -421,6 +425,11 @@ class ModelRunner:
         steps_mat = (steps[:, None] +
                      jnp.arange(S1, dtype=jnp.int32)[None, :]).reshape(-1)
         sampled = sample(logits, st, steps_mat, greedy_only=greedy_only)
+        if draft_mat is not None:
+            # Stochastic (lossless) verification for non-greedy rows with
+            # drafts; greedy rows keep the host exact-match path.
+            sampled = rejection_sample(logits, st, steps_mat,
+                                       draft_mat.reshape(-1), sampled)
         logprobs = compute_logprobs(logits, sampled)
         topk = None
         if want_topk_logprobs:
@@ -668,6 +677,7 @@ class ModelRunner:
         seq_lens = np.zeros(R, dtype=np.int32)
         block_table = np.zeros((R, self.max_blocks_per_req), dtype=np.int32)
         logits_indices = np.zeros((R, S1), dtype=np.int32)
+        draft_np = np.full((R, S1), -1, dtype=np.int32)
 
         # Order requests by their batch slot for a stable layout.
         scheduled = [(rid, n) for rid, n in so.num_scheduled_tokens.items()]
@@ -737,6 +747,10 @@ class ModelRunner:
             for j in range(S1):
                 back = min(S1 - 1 - j, k)
                 logits_indices[row, j] = max(last - back, t)
+            # Column S1-1-k+i samples the token that verifies drafts[i];
+            # -1 marks draft-free columns (incl. the bonus slot S1-1).
+            for i, dtok in enumerate(drafts):
+                draft_np[row, S1 - 1 - k + i] = dtok
             row_req_ids.append(rid)
             row_drafts.append(drafts)
             row_samples.append(end >= ib.num_tokens[idx] + len(drafts))
@@ -901,6 +915,12 @@ class ModelRunner:
         active = [ib.req_id_to_index[rid] for rid in row_req_ids]
         greedy_only = bool(np.all(ib.temperature[active] == 0.0)) \
             if active else True
+        # Stochastic rejection sampling: only ship the draft matrix (and
+        # take the extra trace) when a non-greedy row has drafts staged.
+        draft_mat = None
+        if any(row_drafts[r] and ib.temperature[active[r]] > 0.0
+               for r in range(len(row_req_ids))):
+            draft_mat = jnp.asarray(draft_np)
         want_topk = bool(np.any(ib.num_logprobs[active] > 0)) \
             if active else False
         topk = None
@@ -916,7 +936,7 @@ class ModelRunner:
             assert not async_mode, "async scheduling + offload staging TBD"
             sampled, logprobs = self._execute_staged(
                 *dev_args, penalty_args=penalty_args,
-                grammar_mask=grammar_mask)
+                grammar_mask=grammar_mask, draft_mat=draft_mat)
             packed = jnp.stack([
                 jnp.asarray(sampled),
                 jax.lax.bitcast_convert_type(
@@ -931,15 +951,19 @@ class ModelRunner:
                 dcp_slot_mapping=(jnp.asarray(dcp_slot)
                                   if dcp_slot is not None else None),
                 want_hidden=want_hidden, cascade_args=cascade_args,
-                aux_layers=eagle_aux, **mm_args, **lora_args)
+                aux_layers=eagle_aux, draft_mat=draft_mat,
+                **mm_args, **lora_args)
             self.kv_caches = kv
 
-        # EAGLE drafting happens for greedy, grammar-free rows only
-        # (verification is exact-match; grammar state can't be advanced
-        # ahead of acceptance — mirrors EngineCore._propose_drafts guards).
+        # EAGLE drafting: grammar rows are excluded (grammar state can't
+        # advance ahead of acceptance), and penalty rows at temperature > 0
+        # (verify positions share one history snapshot) — mirrors
+        # EngineCore._propose_drafts. Greedy rows verify by exact-match;
+        # non-greedy by stochastic rejection sampling.
         row_propose = [
-            bool(ib.temperature[ib.req_id_to_index[rid]] == 0.0
-                 and not (grammar_masks and rid in grammar_masks))
+            bool(not (grammar_masks and rid in grammar_masks)
+                 and (ib.temperature[ib.req_id_to_index[rid]] == 0.0
+                      or not ib.has_penalty[ib.req_id_to_index[rid]]))
             for rid in row_req_ids] if want_hidden else []
 
         handle = StepHandle(

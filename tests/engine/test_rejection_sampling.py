@@ -1,0 +1,182 @@
+"""Stochastic rejection sampling (lossless spec decode at temperature > 0).
+
+Reference: vllm/v1/sample/rejection_sampler.py — accept draft d with prob
+p(d) (one-hot proposal), else recover from (p - delta_d)+ renormalized.
+The op-level tests check the combined output law IS the target sampling
+distribution; the engine test runs ngram spec decode at temperature > 0.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                              SchedulerConfig, SpeculativeConfig)
+from lvllm_tpu.engine.llm_engine import LLMEngine
+from lvllm_tpu.ops.sampling import SamplingTensors, rejection_sample
+from lvllm_tpu.sampling_params import SamplingParams
+
+V = 8
+
+
+def _run_op(logits_row, draft, n, top_k=0, top_p=1.0, min_p=0.0,
+            temperature=1.0):
+    """Run rejection_sample over n independent seeds for one logits row."""
+    logits = jnp.tile(jnp.asarray(logits_row, jnp.float32)[None], (n, 1))
+    st = SamplingTensors(
+        temperature=jnp.full((n,), temperature, jnp.float32),
+        top_k=jnp.full((n,), top_k, jnp.int32),
+        top_p=jnp.full((n,), top_p, jnp.float32),
+        min_p=jnp.full((n,), min_p, jnp.float32),
+        keys=jnp.arange(n, dtype=jnp.uint32))
+    steps = jnp.zeros((n,), jnp.int32)
+    drafts = jnp.full((n,), draft, jnp.int32)
+    regular = jnp.full((n,), -7, jnp.int32)  # sentinel: must not appear
+    out = rejection_sample(logits, st, steps, drafts, regular)
+    return np.asarray(out)
+
+
+def _empirical(tokens, v=V):
+    return np.bincount(tokens, minlength=v) / len(tokens)
+
+
+def test_combined_law_matches_target():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=V) * 1.5
+    p = np.exp(logits - logits.max())
+    p /= p.sum()
+    n = 16384
+    for draft in (int(np.argmax(p)), int(np.argmin(p)), 3):
+        toks = _run_op(logits, draft, n)
+        assert (toks != -7).all()
+        emp = _empirical(toks)
+        tv = 0.5 * np.abs(emp - p).sum()
+        assert tv < 0.03, (draft, tv, emp, p)
+
+
+def test_recovery_never_equals_draft_when_rejected():
+    # Draft has low target prob → mostly rejected; rejected slots must not
+    # emit the draft (this is what keeps the host's exact-match scan
+    # a valid acceptance test).
+    logits = np.zeros(V)
+    logits[0] = 5.0
+    toks = _run_op(logits, draft=7, n=4096)
+    p7 = float(jnp.exp(jnp.asarray(logits[7]) -
+                       jax.scipy.special.logsumexp(jnp.asarray(logits))))
+    frac7 = (toks == 7).mean()
+    assert abs(frac7 - p7) < 0.01  # only genuine accepts produce the draft
+
+
+def test_top_p_filter_respected():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=V) * 2.0
+    # Expected filtered distribution (top_p = 0.7, full-vocab semantics:
+    # keep tokens while cumulative-before < top_p).
+    scaled = logits - logits.max()
+    p = np.exp(scaled) / np.exp(scaled).sum()
+    order = np.argsort(-p)
+    cum = np.cumsum(p[order])
+    keep_sorted = (cum - p[order]) < 0.7
+    keep = np.zeros(V, bool)
+    keep[order[keep_sorted]] = True
+    p_f = np.where(keep, p, 0.0)
+    p_f /= p_f.sum()
+
+    dropped = int(order[~keep_sorted][0])
+    n = 16384
+    toks = _run_op(logits, draft=dropped, n=n, top_p=0.7)
+    # Draft outside the kept set: never accepted, never recovered.
+    assert not (toks == dropped).any()
+    emp = _empirical(toks)
+    tv = 0.5 * np.abs(emp - p_f).sum()
+    assert tv < 0.03, (tv, emp, p_f)
+
+
+def test_top_k_one_always_argmax():
+    logits = np.array([0.1, 3.0, 0.2, 0.0, -1.0, 0.5, 0.3, 0.9])
+    toks = _run_op(logits, draft=1, n=512, top_k=1)
+    assert (toks == 1).all()  # draft == argmax == the whole kept set
+    toks = _run_op(logits, draft=4, n=512, top_k=1)
+    assert (toks == 1).all()  # reject draft, recover argmax
+
+
+def _build_engine(spec: bool, seed=11):
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3ForCausalLM", dtype="float32",
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, max_model_len=256, eos_token_id=-1,
+        seed=seed)
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=128),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=256,
+                                         max_num_seqs=4, max_model_len=256),
+        speculative_config=SpeculativeConfig(
+            method="ngram" if spec else None, num_speculative_tokens=3,
+            ngram_min=2, ngram_max=3),
+    )
+    return LLMEngine(cfg, load_format="dummy")
+
+
+def _run_engine(engine, prompts, temperature, max_tokens=24, seed=123):
+    outs = {}
+    sp = SamplingParams(temperature=temperature, max_tokens=max_tokens,
+                        seed=seed)
+    for i, p in enumerate(prompts):
+        engine.add_request(f"r{i}", p, sp)
+    steps = 0
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = o
+        steps += 1
+        assert steps < 10000
+    return [outs[f"r{i}"].outputs[0].token_ids
+            for i in range(len(prompts))], steps
+
+
+def test_engine_nongreedy_spec_completes_and_accepts():
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7, 8, 7, 8, 7, 8, 7]]
+    toks, steps = _run_engine(_build_engine(True), prompts, temperature=0.8)
+    for t in toks:
+        assert len(t) == 24
+        assert all(0 <= x < 64 for x in t)
+    # Low-entropy dummy model + repetitive prompts: some drafts must be
+    # accepted, i.e. fewer engine steps than tokens generated.
+    assert steps < 2 * 24
+
+
+def test_engine_nongreedy_spec_seeded_reproducible():
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2]]
+    a, _ = _run_engine(_build_engine(True), prompts, temperature=0.8)
+    b, _ = _run_engine(_build_engine(True), prompts, temperature=0.8)
+    assert a == b
+
+
+def test_engine_mixed_greedy_and_sampled_spec():
+    engine = _build_engine(True)
+    engine.add_request("g", [1, 2, 3, 1, 2, 3], SamplingParams(
+        temperature=0.0, max_tokens=16))
+    engine.add_request("s", [7, 8, 7, 8, 7], SamplingParams(
+        temperature=0.9, max_tokens=16, seed=7))
+    outs = {}
+    steps = 0
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = o
+        steps += 1
+        assert steps < 10000
+    assert len(outs["g"].outputs[0].token_ids) == 16
+    assert len(outs["s"].outputs[0].token_ids) == 16
+    # Greedy row must be unaffected by the sampled row sharing the batch:
+    base = _build_engine(True)
+    base.add_request("g", [1, 2, 3, 1, 2, 3], SamplingParams(
+        temperature=0.0, max_tokens=16))
+    ref = {}
+    while base.has_unfinished_requests():
+        for o in base.step():
+            if o.finished:
+                ref[o.request_id] = o
+    assert ref["g"].outputs[0].token_ids == outs["g"].outputs[0].token_ids
