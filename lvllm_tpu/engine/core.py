@@ -71,7 +71,8 @@ class EngineCore:
         from lvllm_tpu.plugins import load_plugins
         load_plugins()
         t0 = time.time()
-        self.model, params = load_model(config.model_config, load_format)
+        self.model, params = load_model(config.model_config, load_format,
+                                        offload_config=config.offload_config)
         if mesh is not None:
             from lvllm_tpu.parallel.sharding import shard_params
             params = shard_params(params, config.model_config, mesh)
@@ -134,6 +135,16 @@ class EngineCore:
             logger.info("disabling prefix caching: model has "
                         "recurrent-state (linear attention) layers")
             config.cache_config.enable_prefix_caching = False
+        # PP: batch-queue stepping (reference: step_with_batch_queue,
+        # v1/engine/core.py:443) — keep up to pp scheduler outputs in
+        # flight so a later batch's early stages overlap this batch's
+        # late stages. Rides the async-scheduling machinery (optimistic
+        # bookkeeping + on-device placeholder tokens).
+        pp = config.parallel_config.pipeline_parallel_size
+        self._batch_queue_depth = max(1, pp)
+        if pp > 1 and not config.scheduler_config.async_scheduling:
+            config.scheduler_config.async_scheduling = True
+            logger.info("PP=%d: batch-queue (async) stepping enabled", pp)
         self.scheduler = Scheduler(
             config.scheduler_config, config.cache_config,
             num_kv_blocks=self.num_kv_blocks,
@@ -160,9 +171,11 @@ class EngineCore:
             tokenizer, config.model_config.vocab_size,
             config.model_config.eos_token_id)
 
-        # Async scheduling: one step in flight (scheduler bookkeeping is
-        # optimistic; results finalized one step late).
-        self._inflight = None
+        # Async scheduling / PP batch queue: up to _batch_queue_depth steps
+        # in flight (scheduler bookkeeping is optimistic; results finalized
+        # depth steps late).
+        from collections import deque
+        self._inflight_q = deque()
 
         self.proposer = None
         sc = config.speculative_config
@@ -262,7 +275,7 @@ class EngineCore:
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests() or \
-            self._inflight is not None
+            bool(self._inflight_q)
 
     # ---- stepping ----------------------------------------------------------
 
@@ -331,9 +344,10 @@ class EngineCore:
         self.scheduler.pending_kv_stores.clear()
 
     def _step_async(self) -> Tuple[List[Request], Dict[str, List[float]]]:
-        """Pipelined step: dispatch this step, then finalize the previous
-        one while the device runs (reference: async_scheduling +
-        step_with_batch_queue shape)."""
+        """Pipelined step: dispatch this step, then finalize the oldest
+        in-flight one while the device runs. Queue depth 1 = classic async
+        scheduling; depth pp = the PP batch queue (reference:
+        async_scheduling + step_with_batch_queue, v1/engine/core.py:443)."""
         assert self.proposer is None, "async excludes spec decode"
         topk_out = {}
         handle = None
@@ -356,18 +370,24 @@ class EngineCore:
                                                    async_mode=True)
             else:
                 self.runner.execute_model(sched)
+        if handle is not None:
+            self._inflight_q.append((sched, handle))
 
         stepped: List[Request] = []
         logprobs: Dict[str, List[float]] = {}
-        if self._inflight is not None:
-            prev_sched, prev_handle = self._inflight
-            self._inflight = None
+        # Keep at most depth steps in flight; when nothing new was
+        # dispatched, drain one per idle step so results keep flowing.
+        keep = (self._batch_queue_depth if handle is not None
+                else max(len(self._inflight_q) - 1, 0))
+        while len(self._inflight_q) > keep:
+            prev_sched, prev_handle = self._inflight_q.popleft()
             out = self.runner.finalize(prev_handle)
-            stepped = self.scheduler.update_from_output(prev_sched, out)
-            logprobs = out.logprobs or {}
-            topk_out = out.topk_logprobs
+            stepped_now = self.scheduler.update_from_output(prev_sched, out)
+            stepped.extend(stepped_now)
+            logprobs.update(out.logprobs or {})
+            topk_out.update(out.topk_logprobs)
             sm = self.structured_manager
-            for req in stepped:
+            for req in stepped_now:
                 new_toks = out.sampled_token_ids.get(req.request_id, [])
                 if new_toks:
                     self.metrics.on_tokens(req.request_id, len(new_toks))
@@ -378,8 +398,6 @@ class EngineCore:
                     if req.is_finished:
                         sm.free(req.request_id)
         self._kv_offload_store()
-        if handle is not None:
-            self._inflight = (sched, handle)
         return stepped, logprobs, topk_out
 
     def _propose_drafts(self, stepped: List[Request]) -> None:
@@ -530,7 +548,7 @@ class EngineCore:
         import time as _time
         self.scheduler.pause("drain")
         deadline = _time.time() + timeout_s
-        while (self.scheduler.running or self._inflight is not None):
+        while (self.scheduler.running or self._inflight_q):
             if _time.time() > deadline:
                 return False
             self.step()

@@ -54,6 +54,7 @@ class LLM:
         multi_step_decode: int = 1,
         speculative_config=None,
         parallel_config=None,
+        offload_config=None,
         mesh=None,
     ) -> None:
         if model_config is None:
@@ -84,6 +85,8 @@ class LLM:
             parallel_config=parallel_config or ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size),
         )
+        if offload_config is not None:
+            config.offload_config = offload_config
         if speculative_config is not None:
             config.speculative_config = speculative_config
         tokenizer = _maybe_load_tokenizer(model_config.model)

@@ -56,7 +56,10 @@ def quantize_moe_weights(params, config: ModelConfig):
         if moe is None or "w1" not in moe:
             continue
         for name in ("w1", "w2"):
-            w = np.asarray(moe.pop(name)).astype(np.float32)
+            # No f32 upcast here: the quantizers convert group-wise
+            # internally (a standalone astype of multi-GB bf16 zeros costs
+            # minutes on the shape probe for nothing).
+            w = np.asarray(moe.pop(name))
             if method == "int4":
                 qw, s = quant.quantize_int4_np(w, 128)
             elif method == "int8":
@@ -73,14 +76,174 @@ def quantize_moe_weights(params, config: ModelConfig):
     return params
 
 
-def load_model(config: ModelConfig, load_format: str = "auto"):
+_REAL_DEFAULT_RNG = np.random.default_rng
+
+
+class _ProbeRng:
+    """numpy Generator stand-in for the shape probe: big tensors come back
+    as zeros (regenerated on device later), small ones as real randoms so
+    routers/norms keep realistic values."""
+
+    BIG_ELEMS = 1 << 20
+
+    def __init__(self, seed=None):
+        self._rng = _REAL_DEFAULT_RNG(seed)
+
+    def _n(self, size):
+        return int(np.prod(size)) if size is not None else 1
+
+    def standard_normal(self, size=None, dtype=np.float64):
+        if self._n(size) >= self.BIG_ELEMS:
+            return np.zeros(size, dtype)
+        return self._rng.standard_normal(size=size, dtype=dtype)
+
+    def uniform(self, low=0.0, high=1.0, size=None):
+        if self._n(size) >= self.BIG_ELEMS:
+            return np.full(size, (low + high) / 2.0)
+        return self._rng.uniform(low, high, size)
+
+    def __getattr__(self, name):
+        return getattr(self._rng, name)
+
+
+def _shape_only_quant_patches():
+    """Shape-true, zero-work stand-ins for the host quantizers (the probe
+    tree's big leaves are zeros; quantizing them for real would stream tens
+    of GB through the host for nothing)."""
+    import jax.numpy as jnp
+
+    def q4(w, group_size=128):
+        *lead, K, N = w.shape
+        return (np.zeros((*lead, K // 2, N), np.int8),
+                np.zeros((*lead, K // group_size, N), np.float32))
+
+    def q8(w, group_size=128):
+        *lead, K, N = w.shape
+        return (np.zeros((*lead, K, N), np.int8),
+                np.zeros((*lead, K // group_size, N), np.float32))
+
+    def qf8(w):
+        *lead, K, N = w.shape
+        return (np.zeros((*lead, K, N), jnp.float8_e4m3fn),
+                np.zeros((*lead, N), np.float32))
+
+    return {"quantize_int4_np": q4, "quantize_int8_np": q8,
+            "quantize_fp8_np": qf8}
+
+
+# jnp constructors routed to numpy during the shape probe so init_params
+# performs no device transfers and triggers no eager remote compiles.
+_PROBE_JNP_FNS = ("asarray", "array", "zeros", "ones", "full", "arange",
+                  "zeros_like", "ones_like", "full_like", "linspace",
+                  "concatenate", "stack", "tile", "repeat", "eye", "where")
+
+
+def init_params_on_device(model, config: ModelConfig, seed: int = 0,
+                          host_layers=()):
+    """Dummy init with the big tensors generated ON the device.
+
+    Host→device upload of multi-GB dummy weights dominates startup on
+    remote-transport backends (the dev tunnel moves ~30 MB/s; an 8B-class
+    model would take >10 min). Instead: (1) probe the exact param tree
+    host-side with zeros for every large leaf (numpy-only, no device
+    traffic), then (2) regenerate all large leaves inside ONE jitted
+    program from a PRNG key — a single compile, no bulk transfer. Small
+    leaves (norms, routers, biases) keep their real host randoms and
+    transfer normally (a few MB).
+
+    ``host_layers``: MoE layer indices whose expert tensors must END UP in
+    host RAM (expert-offload streamed tier) — those leaves are left as
+    host numpy so the TieredExpertStore takes them without a device
+    round-trip. Values stay zeros; streaming cost depends only on bytes.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from lvllm_tpu.ops import quant
+
+    t0 = _time.time()
+    saved_jnp = {n: getattr(jnp, n) for n in _PROBE_JNP_FNS}
+    saved_q = {n: getattr(quant, n) for n in _shape_only_quant_patches()}
+    try:
+        np.random.default_rng = _ProbeRng
+        for n in _PROBE_JNP_FNS:
+            setattr(jnp, n, getattr(np, n))
+        for n, f in _shape_only_quant_patches().items():
+            setattr(quant, n, f)
+        params = model.init_params(seed)
+        params = quantize_moe_weights(params, config)
+    finally:
+        np.random.default_rng = _REAL_DEFAULT_RNG
+        for n, f in saved_jnp.items():
+            setattr(jnp, n, f)
+        for n, f in saved_q.items():
+            setattr(quant, n, f)
+
+    # Leaves that must stay host-side (streamed expert tier).
+    host_ids = set()
+    expert_keys = ("w1", "w2", "w1_q", "w1_scales", "w2_q", "w2_scales")
+    for i in host_layers:
+        moe = params["layers"][i].get("moe") or {}
+        for k in expert_keys:
+            if k in moe:
+                host_ids.add(id(moe[k]))
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    big_idx = [i for i, l in enumerate(leaves)
+               if getattr(l, "nbytes", 0) >= (1 << 20)
+               and id(l) not in host_ids]
+
+    def _gen(key):
+        out = []
+        for j, i in enumerate(big_idx):
+            l = leaves[i]
+            k = jax.random.fold_in(key, j)
+            if np.issubdtype(l.dtype, np.integer):
+                arr = jax.random.randint(k, l.shape, -7, 8, jnp.int32
+                                         ).astype(l.dtype)
+            else:
+                arr = (jax.random.normal(k, l.shape, jnp.float32) * 0.02
+                       ).astype(l.dtype)
+            out.append(arr)
+        return out
+
+    big_dev = jax.jit(_gen)(jax.random.key(seed))
+    for j, i in enumerate(big_idx):
+        leaves[i] = big_dev[j]
+    # Small leaves: normal (async) transfers — a few MB total.
+    for i, l in enumerate(leaves):
+        if isinstance(l, np.ndarray) and id(l) not in host_ids:
+            leaves[i] = jnp.asarray(l)
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    total = sum(l.nbytes for l in leaves)
+    logger.info("device dummy init: %d large leaves generated on device, "
+                "%.2f GB total, %.1fs", len(big_idx), total / 1e9,
+                _time.time() - t0)
+    return params
+
+
+def load_model(config: ModelConfig, load_format: str = "auto",
+               offload_config=None):
     """Build the model and its params.
 
-    load_format: "dummy" → random init; "auto"/"safetensors" → stream from
-    config.model directory.
+    load_format: "dummy" → random init; "dummy_device" → random init with
+    large tensors generated on device (no bulk host→device upload);
+    "auto"/"safetensors" → stream from config.model directory.
     Returns (model, params).
     """
     model = build_model(config)
+    if load_format == "dummy_device":
+        logger.info("initializing device dummy weights for %s",
+                    config.architecture)
+        host_layers = ()
+        if offload_config is not None and offload_config.enabled:
+            resident = offload_config.resident_layer_set()
+            host_layers = tuple(
+                i for i in range(config.num_hidden_layers)
+                if config.is_moe_layer(i) and i not in resident)
+        return model, init_params_on_device(model, config, config.seed,
+                                            host_layers)
     if load_format == "dummy" or config.model == "dummy":
         logger.info("initializing dummy weights for %s", config.architecture)
         params = model.init_params(config.seed)

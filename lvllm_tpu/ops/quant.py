@@ -75,6 +75,7 @@ def quantize_int8_np(w: np.ndarray, group_size: int = 128
 
 def quantize_fp8_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-output-channel FP8 e4m3 (reference: fp8 channel scheme)."""
+    w = np.asarray(w, np.float32)
     amax = np.abs(w).max(axis=-2, keepdims=True).astype(np.float32)  # [...,1,N]
     scales = np.maximum(amax / 448.0, 1e-10)
     q = np.clip(w / scales, -448.0, 448.0)

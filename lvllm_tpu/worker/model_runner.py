@@ -164,6 +164,19 @@ class ModelRunner:
         if config.offload_config.enabled and mc.is_moe:
             self._init_offload()
 
+        # Pipeline parallelism: layer-staged execution across devices
+        # (reference: pipeline_parallel_size consumed by EngineCore's
+        # step_with_batch_queue, v1/engine/core.py:443; stage-edge
+        # send/recv of IntermediateTensors, models/utils.py:620).
+        self.pp = config.parallel_config.pipeline_parallel_size
+        if self.pp > 1:
+            assert mesh is None, \
+                "PP v1 uses per-stage devices; in-stage TP/EP meshes TBD"
+            assert self.expert_store is None and self.dcp == 1 and \
+                self.num_spec == 0 and mc.layer_types is None, \
+                "PP excludes offload staging / DCP / spec decode / hybrid"
+            self._init_pipeline()
+
     def reshard(self, mesh) -> None:
         """Re-place KV caches for a new mesh and drop the step compile
         cache (elastic EP; see EngineCore.scale_expert_parallel)."""
@@ -337,6 +350,133 @@ class ModelRunner:
                              penalty_args=penalty_args,
                              grammar_mask=grammar_mask, draft_mat=draft_mat)
 
+    # ---- pipeline-parallel staged execution --------------------------------
+
+    def _init_pipeline(self) -> None:
+        """Partition layers into ``pp`` contiguous stages, place each
+        stage's params + KV slice on its own device, and jit one stage
+        function per stage. The first stage embeds (and resolves async
+        placeholder tokens); the last runs final norm + logits + sampling,
+        so only [T, H] activations cross stage edges."""
+        from lvllm_tpu.parallel.pipeline import partition_layers
+
+        mc = self.config.model_config
+        devices = jax.devices()
+        assert len(devices) >= self.pp, \
+            f"pp={self.pp} needs {self.pp} devices, have {len(devices)}"
+        self.pp_devices = list(devices[:self.pp])
+        self.pp_stages = partition_layers(mc.num_hidden_layers, self.pp)
+
+        def put(tree, dev):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dev), tree)
+
+        params = self.params
+        S = self.pp
+        self.pp_stage_params = []
+        for s, rng in enumerate(self.pp_stages):
+            sp = {"layers": [params["layers"][i] for i in rng]}
+            if s == 0:
+                sp["embed"] = params["embed"]
+            if s == S - 1:
+                sp["norm"] = params["norm"]
+                if "lm_head" in params:
+                    sp["lm_head"] = params["lm_head"]
+                if mc.tie_word_embeddings:
+                    sp["embed"] = params["embed"]
+            self.pp_stage_params.append(put(sp, self.pp_devices[s]))
+            for i in rng:
+                self.kv_caches[i] = jax.device_put(self.kv_caches[i],
+                                                   self.pp_devices[s])
+        # Stage copies own the weights now; drop the fused tree so HBM on
+        # the default device is not double-booked.
+        self.params = None
+
+        model = self.model
+
+        def make_stage(s: int, rng: range):
+            first, last = s == 0, s == S - 1
+
+            def stage_fn(sp, kvs, x, residual, input_ids, positions, qsl,
+                         seq_lens, block_table, slot_mapping,
+                         logits_indices, temperature, top_k, top_p, min_p,
+                         seeds, steps, penalty_args=None, grammar_mask=None,
+                         async_args=None, greedy_only=False,
+                         want_topk_logprobs=False):
+                md = AttentionMetadata(
+                    query_start_loc=qsl, seq_lens=seq_lens,
+                    block_table=block_table, slot_mapping=slot_mapping)
+                if first:
+                    if async_args is not None:
+                        prev_sampled, ph_rows = async_args
+                        fill = prev_sampled[0, ph_rows, -1]
+                        input_ids = jnp.where(input_ids < 0, fill, input_ids)
+                    x = model.embed_tokens(sp, input_ids, positions)
+                    residual = jnp.zeros_like(x)
+                new_kvs = []
+                for j, i in enumerate(rng):
+                    x, residual, kv = model.apply_layer(
+                        sp["layers"][j], x, residual, positions, kvs[j],
+                        md, i)
+                    new_kvs.append(kv)
+                if not last:
+                    return x, residual, new_kvs
+                hidden = model.finalize_hidden(sp, x, residual)
+                sampled, logprobs, topk = self._sample_from_hidden(
+                    sp, hidden, logits_indices, temperature, top_k, top_p,
+                    min_p, seeds, steps, penalty_args, grammar_mask,
+                    greedy_only, want_topk_logprobs)
+                packed = jnp.stack([
+                    sampled,
+                    jax.lax.bitcast_convert_type(
+                        logprobs.astype(jnp.float32), jnp.int32)])
+                return packed, topk, new_kvs
+
+            return jax.jit(stage_fn, donate_argnums=(1,),
+                           static_argnames=("greedy_only",
+                                            "want_topk_logprobs"))
+
+        self.pp_stage_fns = [make_stage(s, rng)
+                             for s, rng in enumerate(self.pp_stages)]
+
+    def _execute_pipelined(self, input_ids, positions, qsl, seq_lens,
+                           block_table, slot_mapping, logits_indices,
+                           temperature, top_k, top_p, min_p, seeds, steps,
+                           penalty_args=None, grammar_mask=None,
+                           async_args=None, greedy_only=False,
+                           want_topk=False):
+        """Run one batch through the staged pipeline. Returns
+        (packed [2, R, S1], topk). Dispatches are async — with the
+        engine-level batch queue (EngineCore, depth = pp) a later batch's
+        early stages overlap this batch's late stages."""
+        empty = jnp.zeros((0,), jnp.bfloat16)
+        x, residual = empty, empty
+        common = (positions, qsl, seq_lens, block_table, slot_mapping,
+                  logits_indices, temperature, top_k, top_p, min_p, seeds,
+                  steps)
+        for s in range(self.pp):
+            dev = self.pp_devices[s]
+            rng = self.pp_stages[s]
+            kvs = [self.kv_caches[i] for i in rng]
+            args = jax.device_put((x, residual, input_ids) + common, dev)
+            pen = jax.device_put(penalty_args, dev) \
+                if penalty_args is not None and s == self.pp - 1 else None
+            gm = jax.device_put(grammar_mask, dev) \
+                if grammar_mask is not None and s == self.pp - 1 else None
+            aa = jax.device_put(async_args, dev) \
+                if async_args is not None and s == 0 else None
+            out = self.pp_stage_fns[s](
+                self.pp_stage_params[s], kvs, *args, penalty_args=pen,
+                grammar_mask=gm, async_args=aa, greedy_only=greedy_only,
+                want_topk_logprobs=want_topk)
+            if s < self.pp - 1:
+                x, residual, new_kvs = out
+            else:
+                packed, topk, new_kvs = out
+            for j, i in enumerate(rng):
+                self.kv_caches[i] = new_kvs[j]
+        return packed, topk
+
     # ---- jitted step -------------------------------------------------------
 
     def _step(self, params, kv_caches, input_ids, positions, query_start_loc,
@@ -488,6 +628,7 @@ class ModelRunner:
         either way, so falling back to one step is always safe."""
         if (self.num_spec or self.expert_store is not None
                 or self.eagle_proposer is not None or self.dcp > 1
+                or self.pp > 1
                 or self.config.model_config.layer_types is not None
                 or grammar_masks):
             return False
@@ -876,7 +1017,8 @@ class ModelRunner:
         from lvllm_tpu import envs
         from lvllm_tpu.ops.cascade import use_cascade_heuristic
         mc = self.config.model_config
-        if (n_act >= 8 and self.dcp == 1 and mc.sliding_window is None
+        if (n_act >= 8 and self.dcp == 1 and self.pp == 1
+                and mc.sliding_window is None
                 and not envs.LVLLM_DISABLE_CASCADE):
             bt = block_table[:n_act]
             limit = min(int(np.min(seq_lens[:n_act])) // self.block_size,
@@ -941,6 +1083,15 @@ class ModelRunner:
                 jnp.asarray(sampled),
                 jax.lax.bitcast_convert_type(
                     jnp.asarray(logprobs).astype(jnp.float32), jnp.int32)])
+        elif self.pp > 1:
+            assert not (mm_args or lora_args or want_hidden
+                        or draft_mat is not None or row_slots is not None
+                        or cascade_args is not None), \
+                "PP excludes MM / LoRA / EAGLE / spec / hybrid / cascade"
+            packed, topk = self._execute_pipelined(
+                *dev_args, penalty_args=penalty_args,
+                grammar_mask=grammar_mask, async_args=async_args,
+                greedy_only=greedy_only, want_topk=want_topk)
         else:
             kv, packed, topk, hidden = self._step_fn(
                 self.params, self.kv_caches, *dev_args,

@@ -119,38 +119,62 @@ def _build_engine(spec: bool, seed=11):
     return LLMEngine(cfg, load_format="dummy")
 
 
-def _run_engine(engine, prompts, temperature, max_tokens=24, seed=123):
+def _run_engine(engine, prompts, temperature, max_tokens=24, seed=123,
+                top_k=0):
     outs = {}
     sp = SamplingParams(temperature=temperature, max_tokens=max_tokens,
-                        seed=seed)
+                        seed=seed, top_k=top_k)
     for i, p in enumerate(prompts):
         engine.add_request(f"r{i}", p, sp)
     steps = 0
+    seen = {}
+    max_gain = 0  # largest per-request token gain in one step
     while engine.has_unfinished_requests():
         for o in engine.step():
+            n = len(o.outputs[0].token_ids)
+            max_gain = max(max_gain, n - seen.get(o.request_id, 0))
+            seen[o.request_id] = n
             if o.finished:
                 outs[o.request_id] = o
         steps += 1
         assert steps < 10000
     return [outs[f"r{i}"].outputs[0].token_ids
-            for i in range(len(prompts))], steps
+            for i in range(len(prompts))], steps, max_gain
 
 
-def test_engine_nongreedy_spec_completes_and_accepts():
+def test_engine_nongreedy_spec_completes():
+    """Plain temp-0.8 sampling with a high-entropy dummy model: drafts are
+    rarely proposed (ngram needs repeats) and correctly rejected when the
+    target prob of the draft is tiny — the run must still complete with
+    exactly max_tokens per request."""
     prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [7, 8, 7, 8, 7, 8, 7]]
-    toks, steps = _run_engine(_build_engine(True), prompts, temperature=0.8)
+    toks, steps, _ = _run_engine(_build_engine(True), prompts,
+                                 temperature=0.8)
     for t in toks:
         assert len(t) == 24
         assert all(0 <= x < 64 for x in t)
-    # Low-entropy dummy model + repetitive prompts: some drafts must be
-    # accepted, i.e. fewer engine steps than tokens generated.
-    assert steps < 2 * 24
+    assert steps <= 2 * 24
+
+
+def test_engine_nongreedy_spec_accepts():
+    """Acceptance evidence through the STOCHASTIC verify path: top_k=1 at
+    temperature>0 makes the filtered target one-hot at the argmax, so the
+    chain matches greedy decoding and any matching ngram draft has
+    acceptance probability p(d)=1. Some step must emit >1 token for a
+    request (accepted draft + bonus) — a steps-only bound is vacuous
+    because the slowest request can still take one step per token."""
+    toks, steps, max_gain = _run_engine(
+        _build_engine(True), [[3, 4, 3, 4, 3, 4, 3, 4]], temperature=0.8,
+        top_k=1, max_tokens=32)
+    assert len(toks[0]) == 32
+    assert max_gain > 1
+    assert steps < 32
 
 
 def test_engine_nongreedy_spec_seeded_reproducible():
     prompts = [[1, 2, 3, 1, 2, 3, 1, 2]]
-    a, _ = _run_engine(_build_engine(True), prompts, temperature=0.8)
-    b, _ = _run_engine(_build_engine(True), prompts, temperature=0.8)
+    a, _, _ = _run_engine(_build_engine(True), prompts, temperature=0.8)
+    b, _, _ = _run_engine(_build_engine(True), prompts, temperature=0.8)
     assert a == b
 
 
