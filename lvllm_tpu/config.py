@@ -328,6 +328,11 @@ class ParallelConfig:
     # Decode context parallel (KV interleaved over TP subgroup,
     # reference config/parallel.py:308-331).
     decode_context_parallel_size: int = 1
+    # Prefill context parallel (long-prefill query chunks sharded across
+    # ranks, reference config/parallel.py:115 + parallel_state.py:1277).
+    # Shares the mesh "context" axis with DCP (reference combined rank:
+    # total_cp_rank = pcp_rank * dcp_ws + dcp_rank, config/parallel.py:330).
+    prefill_context_parallel_size: int = 1
     enable_expert_parallel: bool = False
     # Sequence parallelism (reference: the compilation sequence_parallelism
     # pass, SURVEY §2.3 SP): explicitly shard the norm/residual activation

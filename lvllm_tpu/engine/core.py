@@ -77,6 +77,8 @@ class EngineCore:
             from lvllm_tpu.parallel.sharding import shard_params
             params = shard_params(params, config.model_config, mesh)
             self.model.mesh = mesh
+            self.model.pcp = \
+                config.parallel_config.prefill_context_parallel_size
             self.model.moe_backend = config.parallel_config.moe_backend
             self.model.moe_ubatches = config.parallel_config.moe_ubatches
             self.model.sequence_parallel = \

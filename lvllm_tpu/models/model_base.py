@@ -45,6 +45,11 @@ class AttentionMetadata:
     # gated_delta_rule_chunked).
     single_seq_prefill: bool = field(default=False,
                                      metadata=dict(static=True))
+    # STATIC: PCP — this step is one long-prefill chunk whose queries are
+    # sharded over the mesh "context" axis; eligible attention layers take
+    # the pcp_chunked_prefill path (parallel/prefill_cp.py; reference:
+    # prefill_context_parallel_size, config/parallel.py:115).
+    pcp_prefill: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def num_reqs(self) -> int:

@@ -50,6 +50,10 @@ class Qwen3Model:
     # Explicit sequence-parallel activation sharding (set by the engine
     # from ParallelConfig.enable_sequence_parallel).
     sequence_parallel = False
+    # PCP world size (set by the engine from
+    # ParallelConfig.prefill_context_parallel_size); >1 enables the
+    # context-sharded long-prefill path when md.pcp_prefill is set.
+    pcp = 1
 
     def __init__(self, config: ModelConfig):
         self.config = config
@@ -356,6 +360,21 @@ class Qwen3Model:
                 q, k = apply_rope(q, k, positions, cos_sin)
         if c.qk_norm and c.qk_norm_after_rope:    # Hunyuan ordering
             q, k = qk_norm(q, k)
+        if md.pcp_prefill and self.pcp > 1:
+            # PCP: this step is one long-prefill chunk, queries sharded
+            # over the mesh "context" axis (runner gates eligibility —
+            # no SWA/sinks/softcap/ALiBi models take this path).
+            from lvllm_tpu.parallel.prefill_cp import pcp_chunked_prefill
+            n_valid = md.query_start_loc[1]
+            start = md.seq_lens[0] - n_valid
+            out, kv_cache = pcp_chunked_prefill(
+                q, k, v, kv_cache, md.block_table[0], positions,
+                md.slot_mapping, n_valid, start, self.mesh, self.scale)
+            attn_flat = out.reshape(T, c.num_attention_heads * D)
+            out = attn_flat @ attn["o_proj"]["kernel"]
+            if "bias" in attn["o_proj"]:
+                out = out + attn["o_proj"]["bias"]
+            return out, kv_cache
         if md.dcp_slot_mapping is not None:
             from lvllm_tpu.ops.context_parallel import dcp_write_and_attend
             out, kv_cache = dcp_write_and_attend(

@@ -42,7 +42,8 @@ def make_mesh(parallel_config: Optional[ParallelConfig] = None,
     tp = pc.tensor_parallel_size
     ep = pc.expert_parallel_size
     dp = pc.data_parallel_size
-    cp = getattr(pc, "decode_context_parallel_size", 1)
+    cp = (getattr(pc, "decode_context_parallel_size", 1) *
+          getattr(pc, "prefill_context_parallel_size", 1))
     # Fill unspecified axes to cover all devices.
     if tp * ep * dp * cp < n and dp == 1 and ep == 1 and tp == 1 and cp == 1:
         tp = n

@@ -86,6 +86,21 @@ class ModelRunner:
                 f"{type(model).__name__} does not support DCP"
             assert not config.offload_config.enabled, \
                 "DCP + expert offload staging TBD"
+        # PCP: long-prefill query chunks sharded over the "context" axis
+        # (reference: prefill_context_parallel_size, config/parallel.py:115).
+        self.pcp = max(1, config.parallel_config.prefill_context_parallel_size)
+        if self.pcp > 1:
+            from lvllm_tpu.parallel.mesh import AXIS_CONTEXT
+            assert mesh is not None and \
+                mesh.shape.get(AXIS_CONTEXT, 1) == self.pcp * self.dcp, \
+                "PCP needs a mesh 'context' axis of size pcp*dcp"
+            assert self.dcp == 1, "PCP + DCP combination TBD"
+            assert (mc.sliding_window is None and not mc.attention_sinks
+                    and mc.attn_logit_softcap is None and not mc.alibi
+                    and mc.attention_type != "mla"
+                    and mc.layer_types is None
+                    and mc.mrope_section is None), \
+                "PCP v1 supports standard full-attention models only"
         self.max_blocks_per_req = -(-mc.max_model_len //
                                     (cc.block_size * self.dcp))
         self.max_num_reqs = sc.max_num_seqs
@@ -126,7 +141,7 @@ class ModelRunner:
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
                              "single_seq_prefill", "want_hidden",
-                             "aux_layers"))
+                             "aux_layers", "pcp_prefill"))
         # Multi-step decode: H iterations in one lax.scan (the TPU analog
         # of capturing N decode steps in one CUDA graph).
         self._multi_step_fn = jax.jit(
@@ -193,7 +208,7 @@ class ModelRunner:
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
                              "single_seq_prefill", "want_hidden",
-                             "aux_layers"))
+                             "aux_layers", "pcp_prefill"))
 
     def _make_caches(self, kv_dtype):
         mc = self.config.model_config
@@ -485,9 +500,9 @@ class ModelRunner:
               penalty_args=None, grammar_mask=None, lora=None,
               token_adapter=None, async_args=None, greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
-              single_seq_prefill=False, mm_embeds=None, mm_mask=None,
-              dcp_slot_mapping=None, want_hidden=False, cascade_args=None,
-              aux_layers=(), draft_mat=None):
+              single_seq_prefill=False, pcp_prefill=False, mm_embeds=None,
+              mm_mask=None, dcp_slot_mapping=None, want_hidden=False,
+              cascade_args=None, aux_layers=(), draft_mat=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -502,6 +517,7 @@ class ModelRunner:
             slot_mapping=slot_mapping,
             row_slots=row_slots,
             single_seq_prefill=single_seq_prefill,
+            pcp_prefill=pcp_prefill,
             dcp_slot_mapping=dcp_slot_mapping,
             cascade_prefix_blocks=casc[0],
             cascade_prefix_len=casc[1],
@@ -1053,6 +1069,15 @@ class ModelRunner:
             and len(so.num_scheduled_tokens) == 1
             and next(iter(so.num_scheduled_tokens.values())) >= 64)
 
+        # Static PCP path: one long-prefill chunk → queries sharded over
+        # the mesh "context" axis (eligibility asserted at init).
+        pcp_step = bool(
+            self.pcp > 1
+            and len(so.num_scheduled_tokens) == 1
+            and next(iter(so.num_scheduled_tokens.values())) > 1
+            and not so.scheduled_spec_decode_tokens
+            and T % self.pcp == 0)
+
         # Static greedy fast path: active rows all temperature-0.
         active = [ib.req_id_to_index[rid] for rid in row_req_ids]
         greedy_only = bool(np.all(ib.temperature[active] == 0.0)) \
@@ -1098,7 +1123,7 @@ class ModelRunner:
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
                 async_args=async_args, greedy_only=greedy_only,
                 row_slots=row_slots, want_topk_logprobs=want_topk,
-                single_seq_prefill=single_seq,
+                single_seq_prefill=single_seq, pcp_prefill=pcp_step,
                 dcp_slot_mapping=(jnp.asarray(dcp_slot)
                                   if dcp_slot is not None else None),
                 want_hidden=want_hidden, cascade_args=cascade_args,
