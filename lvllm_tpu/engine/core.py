@@ -442,6 +442,13 @@ class EngineCore:
                 if req.is_finished:
                     self.proposer.observe_finished(req.all_token_ids)
 
+    def execute_dummy_batch(self) -> None:
+        """Run one forward over padding only (reference:
+        execute_dummy_batch, v1/worker/dp_utils.py): under wave-synchronized
+        DP a rank with no work must still execute the collective-bearing
+        step so MoE all-to-alls stay aligned across ranks."""
+        self.runner.execute_dummy_batch()
+
     def rebalance_experts(self, loads) -> dict:
         """EPLB live reshuffle (reference: eplb_state.rearrange +
         rebalance_execute weight shuffling): re-place experts onto EP ranks

@@ -8,9 +8,19 @@ monitor). Transport is multiprocessing pipes for requests and a shared
 results queue; the same-host broadcast path can ride the native shm ring
 (distributed/shm_ring.py) when fan-out messages grow.
 
-Wave-synchronized stepping (dummy batches keeping EP ranks in lockstep)
-applies when expert parallelism spans DP ranks; with per-rank meshes each
-engine steps independently, which is the configuration implemented here.
+Two DP planes, mirroring where the reference needs them:
+
+- **In-slice DP+EP** is NOT this module: a single SPMD program over a
+  (data, expert) mesh shards experts across the joint group
+  (parallel/expert_parallel.py) — wave sync is implicit (every shard runs
+  the same program; idle shards carry padding rows, the reference's dummy
+  batches). See tests/parallel/test_dp_ep.py.
+- **Cross-slice DP** (this module): engine replicas in separate processes.
+  ``wave_sync=True`` adds the reference's lockstep protocol
+  (``DPEngineCoreProc.run_busy_loop:1731``): all ranks agree each wave
+  whether anyone has work; ranks without work execute a dummy step so that
+  collective-bearing steps stay aligned across ranks (required when a
+  future multi-controller mesh joins the slices over DCN).
 """
 
 import multiprocessing as mp
@@ -29,17 +39,23 @@ logger = init_logger(__name__)
 
 
 def _engine_worker(rank: int, config: EngineConfig, load_format: str,
-                   req_queue, out_queue, force_cpu: bool) -> None:
+                   req_queue, out_queue, force_cpu: bool,
+                   wave_barrier=None, work_flags=None) -> None:
     """One DP rank: owns an LLMEngine, serves requests from its queue.
-    (Reference: DPEngineCoreProc.run_busy_loop.)"""
+    (Reference: DPEngineCoreProc.run_busy_loop.) With ``wave_barrier`` the
+    rank participates in wave-synchronized stepping: each wave begins with
+    an all-ranks barrier + shared work flags; a rank with no local work
+    executes a dummy step while any peer still decodes (reference:
+    execute_dummy_batch, v1/worker/dp_utils.py)."""
     if force_cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     from lvllm_tpu.engine.llm_engine import LLMEngine
 
     engine = LLMEngine(config, load_format=load_format)
+    dummy_steps = 0
     out_queue.put(("ready", rank, None))
-    pending = True
+    stopping = False
     while True:
         # Drain the request queue without blocking the step loop.
         while True:
@@ -48,14 +64,52 @@ def _engine_worker(rank: int, config: EngineConfig, load_format: str,
             except queue_mod.Empty:
                 break
             if msg is None:
-                out_queue.put(("stopped", rank, None))
-                return
+                stopping = True
+                break
             kind, payload = msg
             if kind == "add":
                 rid, prompt, sp = payload
                 engine.add_request(rid, prompt, sp)
             elif kind == "abort":
                 engine.abort_request([payload])
+            elif kind == "stats":
+                out_queue.put(("stats", rank,
+                               {"dummy_steps": dummy_steps,
+                                **engine.core.get_stats()}))
+        if stopping:
+            if wave_barrier is not None:
+                work_flags[rank] = -1
+            out_queue.put(("stopped", rank, None))
+            return
+
+        if wave_barrier is not None:
+            # Wave sync: publish local work, wait for all ranks, then all
+            # ranks act on the SAME wave decision.
+            work_flags[rank] = 1 if engine.has_unfinished_requests() else 0
+            try:
+                wave_barrier.wait(timeout=60.0)
+            except threading.BrokenBarrierError:
+                out_queue.put(("stopped", rank, None))
+                return
+            flags = list(work_flags)
+            if any(f < 0 for f in flags):
+                out_queue.put(("stopped", rank, None))
+                return
+            if not any(f == 1 for f in flags):
+                time.sleep(0.005)   # whole group idle
+                continue
+            if engine.has_unfinished_requests():
+                for out in engine.step():
+                    if out.finished:
+                        out_queue.put(("finished", rank, out))
+            else:
+                # Dummy step: peers are mid-decode; on a joined DCN mesh
+                # this is where the rank would run the collective-bearing
+                # forward over padding rows.
+                engine.core.execute_dummy_batch()
+                dummy_steps += 1
+            continue
+
         if engine.has_unfinished_requests():
             for out in engine.step():
                 if out.finished:
@@ -75,6 +129,10 @@ def _engine_worker(rank: int, config: EngineConfig, load_format: str,
                 engine.add_request(rid, prompt, sp)
             elif kind == "abort":
                 engine.abort_request([payload])
+            elif kind == "stats":
+                out_queue.put(("stats", rank,
+                               {"dummy_steps": dummy_steps,
+                                **engine.core.get_stats()}))
 
 
 @dataclass
@@ -111,21 +169,25 @@ class DPEngineGroup:
 
     def __init__(self, config: EngineConfig, num_ranks: int = 2,
                  load_format: str = "dummy", force_cpu: bool = True,
-                 start_timeout_s: float = 120.0):
+                 start_timeout_s: float = 120.0, wave_sync: bool = False):
         ctx = mp.get_context("spawn")
         self.num_ranks = num_ranks
         self.coordinator = DPCoordinator(num_ranks)
         self._req_queues = [ctx.Queue() for _ in range(num_ranks)]
         self._out_queue = ctx.Queue()
+        barrier = ctx.Barrier(num_ranks) if wave_sync else None
+        flags = ctx.Array("i", num_ranks) if wave_sync else None
         self._procs = [
             ctx.Process(target=_engine_worker,
                         args=(r, config, load_format, self._req_queues[r],
-                              self._out_queue, force_cpu), daemon=True)
+                              self._out_queue, force_cpu, barrier, flags),
+                        daemon=True)
             for r in range(num_ranks)
         ]
         for p in self._procs:
             p.start()
         self._rank_of: Dict[str, int] = {}
+        self._pending_out: List[tuple] = []
         ready = 0
         deadline = time.time() + start_timeout_s
         while ready < num_ranks:
@@ -156,14 +218,17 @@ class DPEngineGroup:
         # Monitor engine liveness while collecting (reference: worker
         # monitor thread → FailureCallback).
         while len(finals) < len(order):
-            for r, proc in enumerate(self._procs):
-                if not proc.is_alive():
-                    raise RuntimeError(f"DP rank {r} died "
-                                       f"(exitcode {proc.exitcode})")
-            try:
-                kind, rank, out = self._out_queue.get(timeout=1.0)
-            except queue_mod.Empty:
-                continue
+            if self._pending_out:
+                kind, rank, out = self._pending_out.pop(0)
+            else:
+                for r, proc in enumerate(self._procs):
+                    if not proc.is_alive():
+                        raise RuntimeError(f"DP rank {r} died "
+                                           f"(exitcode {proc.exitcode})")
+                try:
+                    kind, rank, out = self._out_queue.get(timeout=1.0)
+                except queue_mod.Empty:
+                    continue
             if kind == "finished":
                 finals[out.request_id] = out
                 self.coordinator.on_finished(rank)
@@ -171,6 +236,23 @@ class DPEngineGroup:
 
     def stats(self) -> List[Dict[str, int]]:
         return self.coordinator.stats()
+
+    def rank_stats(self, timeout_s: float = 10.0) -> List[Dict[str, Any]]:
+        """Per-rank engine stats (incl. dummy_steps under wave_sync)."""
+        for q in self._req_queues:
+            q.put(("stats", None))
+        got: Dict[int, Dict[str, Any]] = {}
+        deadline = time.time() + timeout_s
+        while len(got) < self.num_ranks and time.time() < deadline:
+            try:
+                kind, rank, payload = self._out_queue.get(timeout=0.5)
+            except queue_mod.Empty:
+                continue
+            if kind == "stats":
+                got[rank] = payload
+            else:
+                self._pending_out.append((kind, rank, payload))
+        return [got.get(r, {}) for r in range(self.num_ranks)]
 
     def shutdown(self) -> None:
         for q in self._req_queues:

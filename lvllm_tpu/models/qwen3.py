@@ -441,11 +441,26 @@ class Qwen3Model:
             x, NamedSharding(self.mesh, P(AXIS_MODEL, None)))
 
     def _use_ep(self) -> bool:
-        from lvllm_tpu.parallel.mesh import AXIS_EXPERT
-        return (self.mesh is not None
-                and self.mesh.shape.get(AXIS_EXPERT, 1) > 1
-                and self.config.num_experts %
-                self.mesh.shape[AXIS_EXPERT] == 0)
+        from lvllm_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT
+        if self.mesh is None or self.mesh.shape.get(AXIS_EXPERT, 1) <= 1:
+            return False
+        # EP spans DP: experts are partitioned over the joint
+        # (data, expert) group (reference DP+EP, fused_moe/layer.py:84).
+        group = (self.mesh.shape[AXIS_EXPERT] *
+                 self.mesh.shape.get(AXIS_DATA, 1))
+        return self.config.num_experts % group == 0
+
+    def _dp_shard(self, x: jax.Array) -> jax.Array:
+        """Data-parallel activation constraint: shard the token dim over
+        the "data" axis so the dense per-token compute (norms, FFN/MoE
+        GEMM inputs, logits) partitions across DP shards — the SPMD form
+        of the reference's per-rank DP batches. Idle shards see only
+        padding rows (the reference's dummy batches, dp_utils.py)."""
+        if self.mesh is None or self.mesh.shape.get("data", 1) <= 1:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data", None)))
 
     def _ffn(self, lp: Params, x: jax.Array, layer_idx: int) -> jax.Array:
         c = self.config
@@ -465,6 +480,7 @@ class Qwen3Model:
                     from lvllm_tpu.parallel.mesh import AXIS_EXPERT
                     ep = self.mesh.shape[AXIS_EXPERT]
                     if (self.moe_backend == "alltoall"
+                            and self.mesh.shape.get("data", 1) == 1
                             and x.shape[0] %
                             (ep * max(self.moe_ubatches, 1)) == 0):
                         from lvllm_tpu.parallel.ep_alltoall import (
@@ -493,6 +509,7 @@ class Qwen3Model:
                 from lvllm_tpu.parallel.mesh import AXIS_EXPERT
                 ep = self.mesh.shape[AXIS_EXPERT]
                 if (self.moe_backend == "alltoall"
+                        and self.mesh.shape.get("data", 1) == 1
                         and x.shape[0] % (ep * max(self.moe_ubatches, 1))
                         == 0):
                     from lvllm_tpu.parallel.ep_alltoall import (
@@ -577,8 +594,12 @@ class Qwen3Model:
         so host→HBM expert streaming can overlap compute."""
         c = self.config
         lp = layer_params
-        x = self._sp_shard(x)
-        residual = self._sp_shard(residual)
+        if self.sequence_parallel:
+            x = self._sp_shard(x)
+            residual = self._sp_shard(residual)
+        else:
+            x = self._dp_shard(x)
+            residual = self._dp_shard(residual)
         if c.parallel_residual:
             # x = x + attn(norm(x)) + mlp(norm'(x)) (GPT-NeoX / Phi /
             # Falcon parallel blocks).

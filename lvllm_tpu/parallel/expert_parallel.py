@@ -28,7 +28,7 @@ from lvllm_tpu.layers.common import silu_and_mul
 from lvllm_tpu.layers.moe import (MoEParams, QuantMoEParams,
                                   grouped_expert_ffn, permute_for_experts,
                                   route_tokens)
-from lvllm_tpu.parallel.mesh import AXIS_EXPERT
+from lvllm_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT
 
 
 def fused_moe_ep(
@@ -39,17 +39,26 @@ def fused_moe_ep(
     norm_topk_prob: bool = True,
     scoring_fn: str = "softmax",
 ) -> jax.Array:
-    """EP MoE forward: expert weights sharded over the "expert" mesh axis."""
+    """EP MoE forward: expert weights sharded over the ("data", "expert")
+    mesh axes jointly — EP *spans* DP ranks exactly as the reference's
+    DP+EP serving topology (experts partitioned over all dp*ep ranks,
+    ``fused_moe/layer.py:84 determine_expert_map``; DP wave sync is
+    implicit here — every shard executes the same SPMD program, and an
+    idle data shard's padding rows are the reference's dummy batches,
+    ``v1/worker/dp_utils.py``). With data axis 1 this reduces to plain
+    EP."""
+    dp = mesh.shape.get(AXIS_DATA, 1)
     ep = mesh.shape[AXIS_EXPERT]
     E = params.w1.shape[0]
-    assert E % ep == 0, (E, ep)
-    E_local = E // ep
+    assert E % (dp * ep) == 0, (E, dp, ep)
+    E_local = E // (dp * ep)
 
     def shard_fn(x, router, w1, w2):
         T, H = x.shape
         topk_w, topk_ids = route_tokens(x, router, top_k, norm_topk_prob,
                                         scoring_fn)
-        rank = jax.lax.axis_index(AXIS_EXPERT)
+        rank = jax.lax.axis_index(AXIS_DATA) * ep + \
+            jax.lax.axis_index(AXIS_EXPERT)
         lo = rank * E_local
         local = (topk_ids >= lo) & (topk_ids < lo + E_local)
         ids_local = jnp.where(local, topk_ids - lo, 0).astype(jnp.int32)
@@ -63,11 +72,12 @@ def fused_moe_ep(
         y_flat = y_flat.at[order].set(y_sorted)
         y = jnp.einsum("tkh,tk->th", y_flat.reshape(T, top_k, H),
                        w_local.astype(y_sorted.dtype))
-        return jax.lax.psum(y, AXIS_EXPERT)
+        return jax.lax.psum(y, (AXIS_DATA, AXIS_EXPERT))
 
+    espec = P((AXIS_DATA, AXIS_EXPERT)) if dp > 1 else P(AXIS_EXPERT)
     ep_sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS_EXPERT), P(AXIS_EXPERT)),
+        in_specs=(P(), P(), espec, espec),
         out_specs=P(),
         check_vma=False,
     )
@@ -87,16 +97,18 @@ def fused_moe_ep_quant(
     scoring_fn: str = "softmax",
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
-    """EP + weight-only-quantized experts: same masked-local scheme with the
-    fused dequant grouped GEMM per shard."""
+    """EP + weight-only-quantized experts: same masked-local scheme (over
+    the joint ("data", "expert") group — see fused_moe_ep) with the fused
+    dequant grouped GEMM per shard."""
     from lvllm_tpu import envs
     from lvllm_tpu.ops import moe_align
     from lvllm_tpu.ops.pallas import quant_gemm
 
+    dp = mesh.shape.get(AXIS_DATA, 1)
     ep = mesh.shape[AXIS_EXPERT]
     E = params.w1_q.shape[0]
-    assert E % ep == 0, (E, ep)
-    E_local = E // ep
+    assert E % (dp * ep) == 0, (E, dp, ep)
+    E_local = E // (dp * ep)
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon") and \
             not envs.LVLLM_USE_REFERENCE_OPS
@@ -110,7 +122,8 @@ def fused_moe_ep_quant(
         T, H = x.shape
         topk_w, topk_ids = route_tokens(x, router, top_k, norm_topk_prob,
                                         scoring_fn)
-        rank = jax.lax.axis_index(AXIS_EXPERT)
+        rank = jax.lax.axis_index(AXIS_DATA) * ep + \
+            jax.lax.axis_index(AXIS_EXPERT)
         lo = rank * E_local
         local = (topk_ids >= lo) & (topk_ids < lo + E_local)
         ids_local = jnp.where(local, topk_ids - lo, 0).astype(jnp.int32)
@@ -126,13 +139,13 @@ def fused_moe_ep_quant(
                         group_size=params.group_size)
         y = moe_align.combine_tokens(y_aligned, d.pair_pos, w_local,
                                      out_dtype=x.dtype)
-        return jax.lax.psum(y.astype(jnp.float32), AXIS_EXPERT).astype(
-            x.dtype)
+        return jax.lax.psum(y.astype(jnp.float32),
+                            (AXIS_DATA, AXIS_EXPERT)).astype(x.dtype)
 
+    espec = P((AXIS_DATA, AXIS_EXPERT)) if dp > 1 else P(AXIS_EXPERT)
     ep_sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS_EXPERT), P(AXIS_EXPERT), P(AXIS_EXPERT),
-                  P(AXIS_EXPERT)),
+        in_specs=(P(), P(), espec, espec, espec, espec),
         out_specs=P(),
         check_vma=False,
     )

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.tree_util import DictKey, SequenceKey, tree_map_with_path
 
 from lvllm_tpu.config import ModelConfig
-from lvllm_tpu.parallel.mesh import AXIS_EXPERT, AXIS_MODEL
+from lvllm_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT, AXIS_MODEL
 from lvllm_tpu.logger import init_logger
 
 logger = init_logger(__name__)
@@ -57,6 +57,11 @@ def spec_for_param(path_names: Tuple[str, ...], ndim: int,
     # MoE expert tensors: [E, K(/2), N] (+ scales [E, K/G, N]).
     if "moe" in path_names and leaf in (
             "w1", "w2", "w1_q", "w2_q", "w1_scales", "w2_scales"):
+        dp = mesh.shape.get(AXIS_DATA, 1)
+        if ep > 1 and dp > 1 and div(shape[0], dp * ep):
+            # EP spanning DP ranks (reference DP+EP topology): experts
+            # partitioned over the joint (data, expert) group.
+            return P((AXIS_DATA, AXIS_EXPERT), None, None)
         if ep > 1 and div(shape[0], ep):
             # EP path: the shard_map dispatch (expert_parallel.py) expects
             # expert-axis-only sharding — intermediate dims stay whole.

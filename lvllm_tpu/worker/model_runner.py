@@ -721,6 +721,32 @@ class ModelRunner:
             ib.num_computed_tokens[idx] = positions[r] + horizon
         return out
 
+    def execute_dummy_batch(self) -> None:
+        """One forward over padding rows only (reference:
+        execute_dummy_batch, v1/worker/dp_utils.py): row 0 attends its own
+        null-block key (seq_len 1, like multi-step's inactive rows) and the
+        sampled token is discarded. Reuses the smallest decode bucket's
+        compiled executable."""
+        if self.pp > 1 or self.expert_store is not None or self.dcp > 1 \
+                or self.config.model_config.layer_types is not None:
+            return  # staged/sharded-cache paths have no plain step to align
+        sc = self.config.scheduler_config
+        T = sc.token_buckets[0]
+        R = self.max_num_reqs
+        S1 = self.num_spec + 1
+        pos = jnp.zeros((3, T) if self.uses_mrope else T, jnp.int32)
+        kv, packed, _tk, _h = self._step_fn(
+            self.params, self.kv_caches,
+            jnp.zeros(T, jnp.int32), pos,
+            jnp.zeros(R + 1, jnp.int32), jnp.ones(R, jnp.int32),
+            jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
+            jnp.zeros(T, jnp.int32), jnp.zeros((R, S1), jnp.int32),
+            jnp.zeros(R, jnp.float32), jnp.zeros(R, jnp.int32),
+            jnp.ones(R, jnp.float32), jnp.zeros(R, jnp.float32),
+            jnp.zeros(R, jnp.uint32), jnp.zeros(R, jnp.int32),
+            greedy_only=True)
+        self.kv_caches = kv
+
     # ---- batch maintenance -------------------------------------------------
 
     def _update_states(self, so: SchedulerOutput) -> None:

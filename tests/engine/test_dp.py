@@ -54,3 +54,36 @@ def test_dp_two_ranks_end_to_end():
         assert outs[0].outputs[0].token_ids == want
     finally:
         group.shutdown()
+
+
+def test_dp_wave_sync_dummy_batches():
+    """Wave-synchronized stepping (reference:
+    DPEngineCoreProc.run_busy_loop:1731 + execute_dummy_batch): all
+    requests land on rank 0; rank 1 must step dummy batches in lockstep
+    while rank 0 decodes, and outputs must match single-engine DP=1."""
+    group = DPEngineGroup(tiny_cfg(), num_ranks=2, load_format="dummy",
+                          wave_sync=True)
+    try:
+        # Both requests routed to rank 0 (coordinator picks rank 0 first;
+        # issue them one-by-one so in_flight routing stays deterministic).
+        sp = SamplingParams(temperature=0.0, max_tokens=8)
+        outs = group.generate([[1, 2, 3, 4, 5]], sp)
+        assert len(outs[0].outputs[0].token_ids) == 8
+
+        stats = group.rank_stats()
+        assert stats[0].get("dummy_steps", 0) == 0
+        # Rank 1 idled through rank 0's prefill+decode waves with dummy
+        # forwards keeping it collective-aligned.
+        assert stats[1]["dummy_steps"] > 0
+
+        from lvllm_tpu.engine.llm_engine import LLMEngine
+        single = LLMEngine(tiny_cfg(), load_format="dummy")
+        single.add_request("s", [1, 2, 3, 4, 5], sp)
+        want = None
+        while single.has_unfinished_requests():
+            for o in single.step():
+                if o.finished:
+                    want = o.outputs[0].token_ids
+        assert outs[0].outputs[0].token_ids == want
+    finally:
+        group.shutdown()
