@@ -377,8 +377,9 @@ class OpenAIServer:
             return self._error(str(e), 400)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
-            return await self._stream_completion(request, rid, prompt, sp,
-                                                 chat=True)
+            return await self._stream_completion(
+                request, rid, prompt, sp, chat=True,
+                tools=bool(body.get("tools")), mm_data=mm_data)
         try:
             final = None
             async for out in self.llm.generate(prompt, sp, rid,
@@ -570,7 +571,8 @@ class OpenAIServer:
             {"error": {"message": msg, "type": "invalid_request_error"}},
             status=status)
 
-    async def _stream_completion(self, request, rid, prompt, sp, chat):
+    async def _stream_completion(self, request, rid, prompt, sp, chat,
+                                 tools=False, mm_data=None):
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -578,25 +580,64 @@ class OpenAIServer:
         await resp.prepare(request)
         prev_len = 0
         obj = "chat.completion.chunk" if chat else "text_completion"
+        # Incremental tool-call / reasoning deltas (reference:
+        # extract_tool_calls_streaming, abstract_tool_parser.py:138):
+        # chat streams route through a per-request parse state so clients
+        # get delta.tool_calls / delta.reasoning_content instead of raw
+        # markup in content.
+        parse_state = None
+        if chat and (self.reasoning_parser is not None
+                     or (tools and self.tool_parser is not None)):
+            from lvllm_tpu.streaming_parsers import StreamingParseState
+            parse_state = StreamingParseState(
+                tool_parser=self.tool_parser if tools else None,
+                reasoning_parser=self.reasoning_parser,
+                assume_reasoning_first=getattr(
+                    self.reasoning_parser, "assume_started", False))
+
+        def chunk_for(delta: dict, finish=None) -> bytes:
+            choice = {"index": 0, "delta": delta, "finish_reason": finish}
+            payload = {"id": rid, "object": obj,
+                       "created": int(time.time()),
+                       "model": self.model_name, "choices": [choice]}
+            return f"data: {json.dumps(payload)}\n\n".encode()
+
         try:
-            async for out in self.llm.generate(prompt, sp, rid):
+            first = True
+            async for out in self.llm.generate(prompt, sp, rid,
+                                               mm_data=mm_data):
                 c = out.outputs[0]
                 delta_text = c.text[prev_len:]
                 prev_len = len(c.text)
-                if chat:
-                    choice = {"index": 0,
-                              "delta": {"content": delta_text},
-                              "finish_reason": c.finish_reason
-                              if out.finished else None}
-                else:
+                if not chat:
                     choice = {"index": 0, "text": delta_text,
                               "finish_reason": c.finish_reason
                               if out.finished else None}
-                chunk = {"id": rid, "object": obj,
-                         "created": int(time.time()),
-                         "model": self.model_name, "choices": [choice]}
-                await resp.write(
-                    f"data: {json.dumps(chunk)}\n\n".encode())
+                    payload = {"id": rid, "object": obj,
+                               "created": int(time.time()),
+                               "model": self.model_name,
+                               "choices": [choice]}
+                    await resp.write(
+                        f"data: {json.dumps(payload)}\n\n".encode())
+                    continue
+                if parse_state is None:
+                    delta = {"content": delta_text}
+                    if first:
+                        delta["role"] = "assistant"
+                        first = False
+                    await resp.write(chunk_for(
+                        delta, c.finish_reason if out.finished else None))
+                    continue
+                deltas = parse_state.feed(delta_text, finished=out.finished)
+                for d in deltas:
+                    if first:
+                        d = {"role": "assistant", **d}
+                        first = False
+                    await resp.write(chunk_for(d))
+                if out.finished:
+                    finish = ("tool_calls" if parse_state.saw_tool_calls
+                              else c.finish_reason)
+                    await resp.write(chunk_for({}, finish))
             await resp.write(b"data: [DONE]\n\n")
         except (ConnectionResetError, asyncio.CancelledError):
             await self.llm.abort(rid)

@@ -216,3 +216,151 @@ def test_anthropic_messages():
         assert r.status == 400
         assert (await r.json())["type"] == "error"
     run_scenario(scenario)
+
+
+class ScriptedTokenizer(IdentityTokenizer):
+    """decode() reveals a fixed script one char per generated token, so
+    the server's streaming path sees deterministic tool/think markup."""
+
+    def __init__(self, script: str):
+        self.script = script
+
+    def decode(self, ids, skip_special_tokens=True):
+        return self.script[:len(ids)]
+
+
+def run_scripted_scenario(scenario, script, **server_kw):
+    async def main():
+        mc = ModelConfig(
+            model="dummy", architecture="Qwen3ForCausalLM", dtype="float32",
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=512,
+            max_model_len=256, eos_token_id=-1)
+        cfg = EngineConfig(
+            model_config=mc,
+            cache_config=CacheConfig(block_size=16, num_gpu_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_batched_tokens=256, max_num_seqs=4,
+                max_model_len=256))
+        llm = AsyncLLM(cfg, load_format="dummy",
+                       tokenizer=ScriptedTokenizer(script))
+        await llm.start()
+        server = OpenAIServer(llm, model_name="tiny-test", **server_kw)
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            await scenario(client)
+        finally:
+            await client.close()
+            await llm.stop()
+
+    asyncio.run(main())
+
+
+async def _collect_sse(resp):
+    chunks = []
+    async for line in resp.content:
+        line = line.decode().strip()
+        if not line.startswith("data:"):
+            continue
+        payload = line[5:].strip()
+        if payload == "[DONE]":
+            break
+        chunks.append(json.loads(payload))
+    return chunks
+
+
+def _merge_chat_stream(chunks):
+    content = ""
+    reasoning = ""
+    calls = {}
+    finish = None
+    for ch in chunks:
+        d = ch["choices"][0]["delta"]
+        content += d.get("content") or ""
+        reasoning += d.get("reasoning_content") or ""
+        for tc in d.get("tool_calls", []):
+            c = calls.setdefault(tc["index"],
+                                 {"id": None, "name": None, "args": ""})
+            if tc.get("id"):
+                c["id"] = tc["id"]
+                c["name"] = tc["function"]["name"]
+            c["args"] += tc.get("function", {}).get("arguments", "")
+        if ch["choices"][0].get("finish_reason"):
+            finish = ch["choices"][0]["finish_reason"]
+    return content, reasoning, calls, finish
+
+
+SCRIPT = ('I will check.<tool_call>{"name": "get_weather", '
+          '"arguments": {"city": "Paris"}}</tool_call>')
+
+
+def test_streaming_tool_call_deltas():
+    """Streaming chat with tools set must emit delta.tool_calls chunks
+    (header with id/name then argument fragments), never raw markup as
+    content (reference: every serving parser's
+    extract_tool_calls_streaming)."""
+    async def scenario(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": len(SCRIPT) + 4, "temperature": 0.0,
+            "stream": True,
+            "tools": [{"type": "function",
+                       "function": {"name": "get_weather"}}]})
+        assert r.status == 200
+        chunks = await _collect_sse(r)
+        content, _reasoning, calls, finish = _merge_chat_stream(chunks)
+        assert "<tool_call" not in content
+        assert content.strip() == "I will check."
+        assert len(calls) == 1
+        call = calls[0]
+        assert call["name"] == "get_weather" and call["id"]
+        assert json.loads(call["args"]) == {"city": "Paris"}
+        assert finish == "tool_calls"
+        # Argument fragments must be incremental: more than one chunk
+        # carried pieces of this call.
+        n_arg_chunks = sum(
+            1 for ch in chunks
+            for tc in ch["choices"][0]["delta"].get("tool_calls", [])
+            if tc.get("function", {}).get("arguments"))
+        assert n_arg_chunks >= 2, chunks
+
+    run_scripted_scenario(scenario, SCRIPT)
+
+
+THINK_SCRIPT = "<think>step by step</think>The answer is 4."
+
+
+def test_streaming_reasoning_deltas():
+    async def scenario(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": len(THINK_SCRIPT) + 4, "temperature": 0.0,
+            "stream": True})
+        assert r.status == 200
+        chunks = await _collect_sse(r)
+        content, reasoning, calls, _ = _merge_chat_stream(chunks)
+        assert reasoning == "step by step"
+        assert content == "The answer is 4."
+        assert "<think" not in content and "</think" not in content
+        assert not calls
+
+    run_scripted_scenario(scenario, THINK_SCRIPT)
+
+
+def test_streaming_without_tools_keeps_content():
+    """Same markup-bearing script WITHOUT tools: content passes through
+    (tool parsing only activates when the request declares tools)."""
+    async def scenario(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": len(SCRIPT) + 4, "temperature": 0.0,
+            "stream": True})
+        assert r.status == 200
+        chunks = await _collect_sse(r)
+        content, _r, calls, _f = _merge_chat_stream(chunks)
+        assert not calls
+        assert "<tool_call>" in content  # raw markup passes through
+
+    run_scripted_scenario(scenario, SCRIPT)
