@@ -173,6 +173,13 @@ class ModelConfig:
 
     max_model_len: int = 4096
     quantization: Optional[str] = None  # None | "int8" | "int4" | "fp8"
+    # Per-layer MoE quantization overrides (reference: the fork's
+    # MoeComputeStrategy KEEP|INT4, envs.py:233-240 + FP8→INT4 repack
+    # fused_moe/layer.py:2074): "method:ranges;method:ranges" with the
+    # LVLLM range syntax, e.g. "fp8:0-3;int4:4-23" keeps the first four
+    # expert layers in FP8 and packs the rest to INT4 ("keep" = leave the
+    # layer unquantized). Unlisted layers use `quantization`.
+    moe_quant_overrides: Optional[str] = None
     # Pre-quantized checkpoint format ({method, bits, group_size}), parsed
     # from config.json's quantization_config (AWQ/GPTQ) — see
     # model_loader/quant_ckpt.py.
@@ -221,6 +228,21 @@ class ModelConfig:
                     if self.layer_types[layer_idx] == "sliding_attention"
                     else None)
         return self.sliding_window
+
+    def quant_method_for_layer(self, layer_idx: int) -> Optional[str]:
+        """Effective MoE weight-quantization method for one layer
+        (per-layer overrides win over the global `quantization`)."""
+        if self.moe_quant_overrides:
+            from lvllm_tpu import envs
+            for part in self.moe_quant_overrides.split(";"):
+                part = part.strip()
+                if not part:
+                    continue
+                method, _, ranges = part.partition(":")
+                method = method.strip().lower()
+                if layer_idx in envs.parse_layer_ranges(ranges):
+                    return None if method in ("keep", "none") else method
+        return self.quantization
 
     def is_moe_layer(self, layer_idx: int) -> bool:
         """Whether layer `layer_idx` uses the MoE FFN (reference:

@@ -51,6 +51,9 @@ def _add_engine_args_rest(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantization", "-q", default=None,
                    choices=["int8", "int4", "fp8"],
                    help="weight-only quantization of MoE experts on load")
+    p.add_argument("--moe-quant-overrides", default=None,
+                   help="per-layer hybrid MoE quantization map, e.g. "
+                        "'fp8:0-3;int4:4-23' (reference MoeComputeStrategy)")
     p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "bfloat16", "fp8"])
     p.add_argument("--multi-step-decode", type=int, default=1,
@@ -102,6 +105,8 @@ def _build_config(args) -> EngineConfig:
                                dtype=args.dtype)
     if args.quantization:
         mc.quantization = args.quantization
+    if getattr(args, "moe_quant_overrides", None):
+        mc.moe_quant_overrides = args.moe_quant_overrides
     from lvllm_tpu.config import (LoRAConfig, OffloadConfig,
                                   SpeculativeConfig)
     return EngineConfig(

@@ -36,24 +36,45 @@ def safetensors_weight_iterator(
 
 
 def quantize_moe_weights(params, config: ModelConfig):
-    """Quantize-on-load of MoE expert weights (weight-only).
+    """Quantize-on-load of MoE expert weights (weight-only), per layer.
 
     Counterpart of the fork's FP8→INT4 repack-on-load
     (``layer.py:_process_block_weights_quant:2074``, MoeComputeStrategy
-    KEEP|INT4): expert tensors are converted host-side to the configured
-    format and the bf16 originals dropped, capping both HBM footprint and
-    load-time peak RAM.
+    KEEP|INT4): expert tensors are converted host-side to each layer's
+    configured format (``ModelConfig.quant_method_for_layer`` — the global
+    ``quantization`` plus ``moe_quant_overrides`` per-layer hybrid map,
+    e.g. FP8 resident layers + INT4 streamed layers, BASELINE config #3)
+    and the bf16 originals dropped, capping both HBM footprint and
+    load-time peak RAM. Layers already holding FP8 tensors are repacked
+    to INT4 when the strategy demands it (dequant → INT4 re-quant).
     """
     from lvllm_tpu.ops import quant
 
-    method = config.quantization
-    if not method:
+    if not (config.quantization or config.moe_quant_overrides):
         return params
-    assert method in ("int4", "int8", "fp8"), method
-    n_quant = 0
-    for layer in params["layers"]:
+    counts = {}
+    for i, layer in enumerate(params["layers"]):
         moe = layer.get("moe")
-        if moe is None or "w1" not in moe:
+        if moe is None:
+            continue
+        method = config.quant_method_for_layer(i)
+        if method is None:
+            continue
+        assert method in ("int4", "int8", "fp8"), method
+        if "w1" not in moe:
+            if method == "int4" and "w1_q" in moe and \
+                    str(moe["w1_q"].dtype).startswith("float8"):
+                # FP8→INT4 repack (fused_moe/layer.py:2074).
+                for name in ("w1", "w2"):
+                    deq = quant.dequant_fp8_np(
+                        np.asarray(moe.pop(f"{name}_q")),
+                        np.asarray(moe.pop(f"{name}_scales")))
+                    qw, s = quant.quantize_int4_np(deq, 128)
+                    moe[f"{name}_q"] = jax.numpy.asarray(qw)
+                    moe[f"{name}_scales"] = jax.numpy.asarray(
+                        s, jax.numpy.bfloat16 if config.dtype == "bfloat16"
+                        else jax.numpy.float32)
+                counts["fp8->int4"] = counts.get("fp8->int4", 0) + 1
             continue
         for name in ("w1", "w2"):
             # No f32 upcast here: the quantizers convert group-wise
@@ -66,13 +87,12 @@ def quantize_moe_weights(params, config: ModelConfig):
                 qw, s = quant.quantize_int8_np(w, 128)
             else:
                 qw, s = quant.quantize_fp8_np(w)
-            dt = {"int4": "int8", "int8": "int8", "fp8": "float8_e4m3fn"}
             moe[f"{name}_q"] = jax.numpy.asarray(qw)
             moe[f"{name}_scales"] = jax.numpy.asarray(
                 s, jax.numpy.bfloat16 if config.dtype == "bfloat16"
                 else jax.numpy.float32)
-        n_quant += 1
-    logger.info("quantized %d MoE layers to %s", n_quant, method)
+        counts[method] = counts.get(method, 0) + 1
+    logger.info("quantized MoE layers: %s", counts or "none")
     return params
 
 

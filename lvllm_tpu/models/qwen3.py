@@ -467,11 +467,19 @@ class Qwen3Model:
         if "moe" in lp:
             moe = lp["moe"]
             if "w1_q" in moe:
+                # Per-layer method: hybrid FP8+INT4 maps resolve here
+                # (ModelConfig.quant_method_for_layer; reference
+                # MoeComputeStrategy). The tensor dtype is the fallback
+                # witness for pre-quantized layers.
+                lm = c.quant_method_for_layer(layer_idx)
+                if lm is None or lm == "keep":
+                    lm = ("fp8" if str(moe["w1_q"].dtype).startswith(
+                        "float8") else c.quantization or "int8")
                 qp = QuantMoEParams(
                     router=moe["router"],
                     w1_q=moe["w1_q"], w1_scales=moe["w1_scales"],
                     w2_q=moe["w2_q"], w2_scales=moe["w2_scales"],
-                    method=c.quantization, group_size=128,
+                    method=lm, group_size=128,
                     router_bias=moe.get("router_bias"),
                     shared_w1=moe.get("shared_w1"),
                     shared_w2=moe.get("shared_w2"),

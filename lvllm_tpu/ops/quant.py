@@ -83,6 +83,12 @@ def quantize_fp8_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(q), scales[..., 0, :].astype(np.float32)
 
 
+def dequant_fp8_np(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Host-side FP8 per-channel dequant (the first half of the fork's
+    FP8→INT4 repack, layer.py:2074)."""
+    return q.astype(np.float32) * scales[..., None, :].astype(np.float32)
+
+
 # ---- jnp dequant (oracle / fallback) ---------------------------------------
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
