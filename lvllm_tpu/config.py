@@ -436,6 +436,10 @@ class SpeculativeConfig:
 class ObservabilityConfig:
     collect_detailed_metrics: bool = False
     log_stats_interval_s: float = 10.0
+    # Per-request tracing (reference: ObservabilityConfig
+    # otlp_traces_endpoint → vllm/tracing/otel.py request spans).
+    # "memory" | "console" | "jsonl:<path>" | "otlp:<endpoint>" | None.
+    trace_exporter: Optional[str] = None
 
 
 @dataclass

@@ -168,6 +168,13 @@ class EngineCore:
         from lvllm_tpu.engine.metrics import EngineMetrics
         self.metrics = EngineMetrics()
 
+        # Per-request tracing spans (reference: vllm/tracing/otel.py,
+        # emitted from the output processor with the same attribute names).
+        from lvllm_tpu.tracing import RequestTracer, make_exporter
+        self.tracer = RequestTracer(
+            make_exporter(config.observability_config.trace_exporter),
+            model_name=config.model_config.model)
+
         from lvllm_tpu.structured_output import StructuredOutputManager
         self.structured_manager = StructuredOutputManager(
             tokenizer, config.model_config.vocab_size,
@@ -289,6 +296,8 @@ class EngineCore:
         if not self.scheduler.has_unfinished_requests():
             return [], {}, {}
         scheduler_output = self.scheduler.schedule()
+        for nr in scheduler_output.scheduled_new_reqs:
+            self.metrics.on_request_scheduled(nr.req_id)
         self._kv_offload_load(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             # Nothing runnable (e.g. all waiting blocked on KV); runner still
@@ -313,6 +322,8 @@ class EngineCore:
             if new_toks:
                 self.metrics.on_tokens(req.request_id, len(new_toks))
             if req.is_finished:
+                self.tracer.on_request_finished(
+                    req, self.metrics.timing(req.request_id))
                 self.metrics.on_request_finished(req.request_id)
                 if self.runner.eagle_proposer is not None:
                     self.runner.eagle_proposer.free(req.request_id)
@@ -356,6 +367,8 @@ class EngineCore:
         sched = None
         if self.scheduler.has_unfinished_requests():
             sched = self.scheduler.schedule()
+            for nr in sched.scheduled_new_reqs:
+                self.metrics.on_request_scheduled(nr.req_id)
             self._kv_offload_load(sched)
             if sched.total_num_scheduled_tokens > 0:
                 gm = None
@@ -394,6 +407,8 @@ class EngineCore:
                 if new_toks:
                     self.metrics.on_tokens(req.request_id, len(new_toks))
                 if req.is_finished:
+                    self.tracer.on_request_finished(
+                        req, self.metrics.timing(req.request_id))
                     self.metrics.on_request_finished(req.request_id)
                 if sm.has_grammar(req.request_id):
                     sm.advance(req.request_id, new_toks)

@@ -63,6 +63,7 @@ class Histogram:
 @dataclass
 class RequestTiming:
     arrival: float
+    scheduled: Optional[float] = None   # first time the scheduler ran it
     first_token: Optional[float] = None
     last_token: Optional[float] = None
     num_generated: int = 0
@@ -86,6 +87,17 @@ class EngineMetrics:
                          now: Optional[float] = None) -> None:
         self._timing[request_id] = RequestTiming(now or time.time())
         self.num_prompt_tokens += num_prompt_tokens
+
+    def on_request_scheduled(self, request_id: str,
+                             now: Optional[float] = None) -> None:
+        t = self._timing.get(request_id)
+        if t is not None and t.scheduled is None:
+            t.scheduled = now or time.time()
+
+    def timing(self, request_id: str) -> Optional[RequestTiming]:
+        """Peek a live request's timing record (for the tracer, which
+        stamps the span before on_request_finished pops it)."""
+        return self._timing.get(request_id)
 
     def on_tokens(self, request_id: str, num_new: int,
                   now: Optional[float] = None) -> None:

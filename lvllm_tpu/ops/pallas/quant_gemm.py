@@ -46,6 +46,50 @@ def _kernel_int4(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
         preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+def _kernel_int4_bf16(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                      group_size: int, out_dtype):
+    """int4 dequant into bf16 + native-MXU bf16 dot (f32 accumulate):
+    halves the VMEM traffic of the f32 weight tile and moves the matmul
+    off the slow f32 MXU path."""
+    x = x_ref[:]
+    packed = w_ref[0].astype(jnp.int32)
+    lo = ((packed & 0x0F) ^ 8) - 8
+    hi = (((packed >> 4) & 0x0F) ^ 8) - 8
+    q = jnp.concatenate([lo, hi], axis=0)            # [K, TILE_N] i32
+    K = q.shape[0]
+    scales = s_ref[0]                                # [K//G, TILE_N]
+    w = q.astype(jnp.bfloat16).reshape(K // group_size, group_size, TILE_N)
+    w = (w * scales.astype(jnp.bfloat16)[:, None, :]).reshape(K, TILE_N)
+    o_ref[:] = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _kernel_int4_groupscale(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                            group_size: int, out_dtype):
+    """int4 with per-group OUTPUT scaling: one bf16 dot per scale group,
+    scaling the [M, N] partial instead of the [K, N] weights — K/M times
+    less VPU multiply work than weight-side scaling."""
+    x = x_ref[:].astype(jnp.bfloat16)
+    M = x.shape[0]
+    packed = w_ref[0].astype(jnp.int32)
+    lo = ((packed & 0x0F) ^ 8) - 8
+    hi = (((packed >> 4) & 0x0F) ^ 8) - 8
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)  # [K, N]
+    K = q.shape[0]
+    G = group_size
+    scales = s_ref[0]                                # [K//G, TILE_N]
+    acc = jnp.zeros((M, TILE_N), jnp.float32)
+    for g in range(K // G):
+        part = jax.lax.dot_general(
+            x[:, g * G:(g + 1) * G], q[g * G:(g + 1) * G, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + part * scales[g].astype(jnp.float32)[None, :]
+    o_ref[:] = acc.astype(out_dtype)
+
+
 def _kernel_int8(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
                  group_size: int, out_dtype):
     x = x_ref[:]
@@ -87,6 +131,7 @@ def grouped_quant_matmul(
     method: str,              # int4 | int8 | fp8 | bf16
     tile_m: int,
     group_size: int = 128,
+    variant: str = "default",
 ) -> jax.Array:
     M_pad, K = x_aligned.shape
     E = w.shape[0]
@@ -112,7 +157,9 @@ def grouped_quant_matmul(
     out_dtype = x_aligned.dtype
 
     if method == "int4":
-        kernel = functools.partial(_kernel_int4, group_size=group_size,
+        kfn = {"default": _kernel_int4, "bf16dot": _kernel_int4_bf16,
+               "groupscale": _kernel_int4_groupscale}[variant]
+        kernel = functools.partial(kfn, group_size=group_size,
                                    out_dtype=out_dtype)
         w_spec = pl.BlockSpec((1, K // 2, TILE_N), w_index,
                               memory_space=pltpu.VMEM)
