@@ -116,6 +116,35 @@ class IdentityReasoningParser:
         return None, text
 
 
+class AppendThinkReasoningParser(TagReasoningParser):
+    """Reasoning extracted for reasoning_content while the CONTENT keeps
+    the full text including the think block (reference:
+    minimax_m2_reasoning_parser.py MiniMaxM2AppendThinkReasoningParser —
+    extract_content_ids returns all ids)."""
+
+    def extract(self, text: str) -> Tuple[Optional[str], str]:
+        reasoning, _ = super().extract(text)
+        return reasoning, text
+
+
+class Gemma4ReasoningParser(TagReasoningParser):
+    """Gemma4 channel-delimited thinking (reference:
+    gemma4_reasoning_parser.py): ``<|channel>thought\\n…<channel|>`` wraps
+    the reasoning; the ``thought\\n`` role label inside the delimiters is a
+    structural artefact and is stripped."""
+
+    def __init__(self):
+        super().__init__(open_tag="<|channel>", close_tag="<channel|>",
+                         assume_started=False)
+
+    def extract(self, text: str) -> Tuple[Optional[str], str]:
+        reasoning, content = super().extract(text)
+        if reasoning and reasoning.startswith("thought"):
+            reasoning = reasoning[len("thought"):].lstrip("\n").strip() \
+                or None
+        return reasoning, content
+
+
 REASONING_PARSERS = {
     # <think> emitted by the model itself.
     "basic": lambda: TagReasoningParser(),
@@ -138,6 +167,21 @@ REASONING_PARSERS = {
     "gptoss": GptOssReasoningParser,
     "openai_gptoss": GptOssReasoningParser,
     "identity": IdentityReasoningParser,
+    # Fill to the reference's full 22-name registry
+    # (vllm/reasoning/__init__.py:22-113).
+    "deepseek_v4": lambda: TagReasoningParser(assume_started=True),
+    "holo2": lambda: TagReasoningParser(),           # = glm45 class
+    "mimo": lambda: TagReasoningParser(),            # = qwen3 class
+    "minimax_m2_append_think": lambda: AppendThinkReasoningParser(
+        assume_started=True),
+    # nemotron_v3 = deepseek_r1 semantics (the reference adds a
+    # chat_template_kwargs-driven swap we have no channel for).
+    "nemotron_v3": lambda: TagReasoningParser(assume_started=True),
+    "olmo3": lambda: TagReasoningParser(),
+    "seed_oss": lambda: TagReasoningParser(open_tag="<seed:think>",
+                                           close_tag="</seed:think>"),
+    "step3p5": lambda: TagReasoningParser(),
+    "gemma4": Gemma4ReasoningParser,
 }
 
 

@@ -89,3 +89,44 @@ def test_server_accepts_named_parser():
     srv = OpenAIServer(_Dummy(), reasoning_parser="deepseek_r1")
     r, c = srv.reasoning_parser.extract("because...</think>yes")
     assert r == "because..." and c == "yes"
+
+
+def test_registry_covers_reference_names():
+    """All 22 reference registry names (vllm/reasoning/__init__.py:22)
+    resolve here."""
+    from lvllm_tpu.reasoning import get_reasoning_parser
+    ref_names = [
+        "deepseek_r1", "deepseek_v3", "deepseek_v4", "ernie45", "gemma4",
+        "glm45", "openai_gptoss", "granite", "holo2", "hunyuan_a13b",
+        "hy_v3", "kimi_k2", "mimo", "minimax_m2",
+        "minimax_m2_append_think", "mistral", "nemotron_v3", "olmo3",
+        "qwen3", "seed_oss", "step3", "step3p5"]
+    for name in ref_names:
+        p = get_reasoning_parser(name)
+        assert hasattr(p, "extract"), name
+
+
+def test_gemma4_channel_format():
+    from lvllm_tpu.reasoning import get_reasoning_parser
+    p = get_reasoning_parser("gemma4")
+    r, c = p.extract("<|channel>thought\nlet me think<channel|>The answer.")
+    assert r == "let me think"
+    assert c == "The answer."
+    r, c = p.extract("no thinking here")
+    assert r is None and c == "no thinking here"
+
+
+def test_seed_oss_tags():
+    from lvllm_tpu.reasoning import get_reasoning_parser
+    p = get_reasoning_parser("seed_oss")
+    r, c = p.extract("<seed:think>hmm</seed:think>done")
+    assert r == "hmm" and c == "done"
+
+
+def test_append_think_keeps_content():
+    from lvllm_tpu.reasoning import get_reasoning_parser
+    p = get_reasoning_parser("minimax_m2_append_think")
+    text = "deep thought</think>result"
+    r, c = p.extract(text)
+    assert r == "deep thought"
+    assert c == text  # content retains the think block
