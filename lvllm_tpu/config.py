@@ -195,6 +195,13 @@ class ModelConfig:
     video_token_id: Optional[int] = None
     vision_start_token_id: Optional[int] = None
 
+    # Encoder-only embedding families (BERT/RoBERTa/GTE): token-type
+    # vocabulary, RoBERTa's position-id offset (padding_idx + 1), and
+    # GTE-NewModel's rope-instead-of-absolute-positions + gated MLP.
+    type_vocab_size: int = 0
+    position_offset: int = 0
+    encoder_rope: bool = False
+
     # Special tokens (filled by tokenizer glue when available).
     eos_token_id: int = 2
     bos_token_id: int = 1

@@ -37,7 +37,10 @@ class PoolingRunner:
         hidden, _ = self.model(params, input_ids, positions, kv_caches, md)
         R = seq_lens.shape[0]
         T = input_ids.shape[0]
-        if pooling == "last":
+        if pooling == "cls":
+            # Encoder-family CLS pooling: first token of each segment.
+            emb = hidden[qsl[:-1]]                            # [R, H]
+        elif pooling == "last":
             last_idx = jnp.maximum(qsl[1:] - 1, 0)
             emb = hidden[last_idx]                            # [R, H]
         else:  # mean over each segment
@@ -57,8 +60,12 @@ class PoolingRunner:
                          0.0)
 
     def embed(self, token_lists: List[List[int]],
-              pooling: str = "last", normalize: bool = True) -> np.ndarray:
-        """Returns [N, H] float32 (L2-normalized)."""
+              pooling: str = "auto", normalize: bool = True) -> np.ndarray:
+        """Returns [N, H] float32 (L2-normalized). pooling="auto" follows
+        the model family's convention (CLS for encoder-only BERT-style
+        models, last-token for causal LMs)."""
+        if pooling == "auto":
+            pooling = getattr(self.model, "default_pooling", "last")
         mc = self.model.config
         out = []
         # Batch prompts greedily under the token budget.

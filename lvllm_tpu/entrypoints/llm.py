@@ -197,7 +197,7 @@ class LLM:
         return [{"token_ids": toks, "cum_logprob": lp, "finished": fin}
                 for lp, toks, fin in completed[:beam_width]]
 
-    def embed(self, prompts, pooling: str = "last"):
+    def embed(self, prompts, pooling: str = "auto"):
         """Embedding API (reference: LLM.encode/embed). Returns [N, H]
         normalized float32 vectors."""
         from lvllm_tpu.engine.pooling import PoolingRunner

@@ -56,6 +56,29 @@ def load_model_config(model_path: str,
               "intermediate_size": hf.get("n_inner") or 4 * hf["n_embd"],
               "max_position_embeddings": hf.get("n_positions", 1024),
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+    if arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
+                "RobertaForMaskedLM", "XLMRobertaModel", "CamembertModel",
+                "NewModel", "GteModel"):
+        # Encoder-only embedding families (reference: models/bert.py,
+        # roberta.py, bert_with_rope.py). RoBERTa position ids start at
+        # padding_idx + 1; GTE "NewModel" replaces absolute positions
+        # with rope and uses a gated MLP.
+        roberta = arch in ("RobertaModel", "RobertaForMaskedLM",
+                           "XLMRobertaModel", "CamembertModel")
+        gte = arch in ("NewModel", "GteModel")
+        hf = {**hf,
+              "num_key_value_heads": hf["num_attention_heads"],
+              "rms_norm_eps": hf.get("layer_norm_eps", 1e-12),
+              "type_vocab_size": 0 if gte else hf.get("type_vocab_size", 2),
+              "position_offset": (hf.get("pad_token_id", 1) + 1
+                                  if roberta else 0),
+              "encoder_rope": gte,
+              "mlp_gated": gte,
+              "tie_word_embeddings": False}
+        if roberta:
+            # The HF table is max_position_embeddings + offset rows.
+            hf["max_position_embeddings"] = (
+                hf["max_position_embeddings"] - hf["position_offset"])
     if arch == "BloomForCausalLM":
         # Bloom configs use n_layer/n_head; no intermediate_size (4×H),
         # no max positions (ALiBi).
@@ -528,6 +551,10 @@ def load_model_config(model_path: str,
         mrope_section=mrope_section,
         video_token_id=video_token_id,
         vision_start_token_id=vision_start_token_id,
+        type_vocab_size=hf.get("type_vocab_size", 0)
+        if "position_offset" in hf or "encoder_rope" in hf else 0,
+        position_offset=hf.get("position_offset", 0),
+        encoder_rope=hf.get("encoder_rope", False),
     )
     from lvllm_tpu.model_loader.quant_ckpt import detect_ckpt_quant
     mc.ckpt_quant = detect_ckpt_quant(hf)

@@ -130,5 +130,8 @@ def _register_builtin() -> None:
                  "DeepseekForCausalLM"):
         _REGISTRY[arch] = DeepseekModel
 
+    # Encoder-only embedding families (registered via decorator on import).
+    from lvllm_tpu.models import bert  # noqa: F401
+
 
 _register_builtin()
