@@ -321,6 +321,11 @@ class SchedulerConfig:
     # checked post-hoc (same multi-token truncation as spec decode).
     multi_step_decode: int = 1
     long_prefill_token_threshold: int = 0  # 0 => no cap beyond budget
+    # Multimodal encoder budget per step (reference: encoder budget in
+    # Scheduler.schedule, v1/core/sched/scheduler.py:1114): caps how many
+    # image-placeholder tokens' worth of encoder work may be admitted in
+    # one scheduling step. 0 = unlimited.
+    max_encoder_tokens_per_step: int = 0
     policy: str = "fcfs"  # fcfs | priority
     # Padded token-bucket sizes for the jitted step (replaces CUDA-graph
     # capture sizes, reference config/compilation.py cudagraph_capture_sizes).

@@ -75,6 +75,10 @@ class Request:
         # Draft tokens proposed by spec-decode, pending verification.
         self.spec_token_ids: List[int] = []
         self.num_preemptions: int = 0
+        # Multimodal: encoder tokens (image placeholders) this request
+        # needs encoded before its prefill can run (reference: encoder
+        # budget, v1/core/sched/scheduler.py:1114).
+        self.num_encoder_tokens: int = 0
         # Async scheduling: count of optimistic placeholder tokens (-1)
         # at the tail of output_token_ids awaiting device results.
         self.num_placeholders: int = 0

@@ -206,10 +206,21 @@ class Scheduler:
             idx += 1
 
         # Phase 2: admit waiting requests (new or resumed-from-preemption).
+        encoder_budget = self.scheduler_config.max_encoder_tokens_per_step
+        encoder_used = 0
         while self.waiting and budget > 0 and self.pause_mode is None and \
                 len(self.running) < self.max_num_seqs:
             req = self.waiting[0]
             resumed = req.status == RequestStatus.PREEMPTED
+
+            # Encoder budget (reference: scheduler.py:1114): admitting a
+            # multimodal request costs its placeholder tokens of encoder
+            # work; defer when this step's budget is spent (a request
+            # bigger than the whole budget runs alone).
+            enc = 0 if resumed else getattr(req, "num_encoder_tokens", 0)
+            if (enc and encoder_budget > 0 and encoder_used > 0
+                    and encoder_used + enc > encoder_budget):
+                break
 
             if resumed or getattr(req, "mm_data", None):
                 # Multimodal prompts skip prefix-cache reuse: placeholder
@@ -266,6 +277,7 @@ class Scheduler:
             self.waiting.popleft()
             req.status = RequestStatus.RUNNING
             self.running.append(req)
+            encoder_used += enc
 
             if off_hits:
                 # The first off_hits fresh blocks back the host-tier hit;

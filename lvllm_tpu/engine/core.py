@@ -257,6 +257,14 @@ class EngineCore:
                 f"prompt ({len(request.prompt_token_ids)} tokens) exceeds "
                 f"max_model_len {self.config.model_config.max_model_len}")
         self.structured_manager.maybe_attach(request)
+        if getattr(request, "mm_data", None):
+            # Encoder-budget accounting (reference: scheduler encoder
+            # budget, v1/core/sched/scheduler.py:1114): placeholder count
+            # = encoder tokens this request costs to admit.
+            img_tok = self.config.model_config.image_token_id
+            if img_tok is not None:
+                request.num_encoder_tokens = sum(
+                    1 for t in request.prompt_token_ids if t == img_tok)
         if request.lora_int_id and self.lora_manager is None:
             raise ValueError("LoRA request but LoRA serving is not enabled")
         if self.lora_manager is not None:

@@ -159,6 +159,18 @@ class ModelRunner:
         # + placeholder positions (reference: mm input mapper + merge).
         self._mm_feats: Dict[str, np.ndarray] = {}
         self._mm_positions: Dict[str, np.ndarray] = {}
+        # Processor cache (reference: vllm/multimodal processor cache):
+        # identical images across requests reuse encoded features, keyed
+        # by a content hash of the pixel data. Bounded LRU.
+        self._mm_processor_cache: Dict[str, np.ndarray] = {}
+        self._mm_cache_order: List[str] = []
+        # Raw mm inputs kept host-side so a preempted request can
+        # re-encode after the encoder cache freed its features.
+        self._mm_raw: Dict[str, dict] = {}
+        self.MM_PROCESSOR_CACHE_SIZE = 32
+        self.mm_stats = {"processor_cache_hits": 0,
+                         "processor_cache_misses": 0,
+                         "encoder_cache_freed": 0}
         self._encode_images_fn = None
         if getattr(self.model, "is_multimodal", False):
             if getattr(self.model, "mm_dynamic", False):
@@ -757,6 +769,7 @@ class ModelRunner:
             ib.remove_request(rid)
             self._mm_feats.pop(rid, None)
             self._mm_positions.pop(rid, None)
+            self._mm_raw.pop(rid, None)
             self._mrope_pos.pop(rid, None)
             self._mrope_delta.pop(rid, None)
             if self.eagle_proposer is not None:
@@ -783,6 +796,13 @@ class ModelRunner:
                 ib.add_request(cr.req_id, cr.all_token_ids[:n_prompt],
                                cr.all_token_ids, cr.all_block_ids,
                                cr.num_computed_tokens, sp)
+                if cr.req_id in self._mm_raw and \
+                        cr.req_id not in self._mm_feats:
+                    # Resume after the encoder cache freed the features:
+                    # re-encode (processor cache makes this a lookup).
+                    self._encode_mm(cr.req_id,
+                                    cr.all_token_ids[:n_prompt],
+                                    self._mm_raw[cr.req_id])
             else:
                 if cr.new_block_ids:
                     ib.append_block_ids(cr.req_id, cr.new_block_ids)
@@ -800,6 +820,7 @@ class ModelRunner:
         """Encode a request's images once; cache projected features and
         the placeholder positions within the prompt."""
         import jax.numpy as jnp
+        self._mm_raw[rid] = mm_data
         ids = np.asarray(prompt_token_ids)
         if getattr(self.model, "mm_dynamic", False):
             feats = self._encode_images_fn(self.params, mm_data)
@@ -816,10 +837,25 @@ class ModelRunner:
                     f"placeholder tokens vs {self._mm_feats[rid].shape[0]} "
                     f"image features")
             return
-        pix = jnp.asarray(np.asarray(mm_data["pixel_values"], np.float32))
-        feats = self._encode_images_fn(self.params, pix)   # [B, N, H]
-        H = feats.shape[-1]
-        self._mm_feats[rid] = np.asarray(feats, np.float32).reshape(-1, H)
+        pix_np = np.asarray(mm_data["pixel_values"], np.float32)
+        import hashlib
+        key = hashlib.sha256(pix_np.tobytes()).hexdigest()[:32]
+        cached = self._mm_processor_cache.get(key)
+        if cached is not None:
+            self.mm_stats["processor_cache_hits"] += 1
+            self._mm_feats[rid] = cached
+        else:
+            self.mm_stats["processor_cache_misses"] += 1
+            feats = self._encode_images_fn(self.params,
+                                           jnp.asarray(pix_np))  # [B, N, H]
+            H = feats.shape[-1]
+            flat = np.asarray(feats, np.float32).reshape(-1, H)
+            self._mm_feats[rid] = flat
+            self._mm_processor_cache[key] = flat
+            self._mm_cache_order.append(key)
+            if len(self._mm_cache_order) > self.MM_PROCESSOR_CACHE_SIZE:
+                evict = self._mm_cache_order.pop(0)
+                self._mm_processor_cache.pop(evict, None)
         img_tok = self.config.model_config.image_token_id
         self._mm_positions[rid] = np.where(ids == img_tok)[0]
         if len(self._mm_positions[rid]) != self._mm_feats[rid].shape[0]:
@@ -861,6 +897,20 @@ class ModelRunner:
         block_table = np.zeros((R, self.max_blocks_per_req), dtype=np.int32)
         logits_indices = np.zeros((R, S1), dtype=np.int32)
         draft_np = np.full((R, S1), -1, dtype=np.int32)
+
+        # Encoder cache: drop per-request features once every placeholder
+        # position has been computed into KV (reference: encoder-cache
+        # manager) — decode steps never re-read them.
+        for rid in list(self._mm_feats):
+            idx = ib.req_id_to_index.get(rid)
+            if idx is None:
+                continue
+            pos_arr = self._mm_positions.get(rid)
+            if pos_arr is not None and len(pos_arr) and \
+                    ib.num_computed_tokens[idx] > int(pos_arr[-1]):
+                del self._mm_feats[rid]
+                self._mm_positions.pop(rid, None)
+                self.mm_stats["encoder_cache_freed"] += 1
 
         # Order requests by their batch slot for a stable layout.
         scheduled = [(rid, n) for rid, n in so.num_scheduled_tokens.items()]

@@ -118,3 +118,58 @@ def test_placeholder_mismatch_rejected(ckpt):
                     mm_data={"pixel_values": pixels})
     with pytest.raises(ValueError, match="placeholder"):
         eng.step()
+
+
+def test_processor_cache_and_encoder_cache(ckpt):
+    """Identical images across requests hit the processor cache
+    (reference: multimodal processor cache); features free once the
+    placeholder span is computed (encoder-cache manager)."""
+    model_dir, _hf = ckpt
+    engine = _engine(model_dir)
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    n_img = 4  # (28/14)^2 patches
+    ids = [1, 2] + [IMG_TOK] * n_img + [3, 4, 5]
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    engine.add_request("a", ids, sp, mm_data={"pixel_values": pixels})
+    engine.add_request("b", list(ids), sp,
+                       mm_data={"pixel_values": pixels.copy()})
+    steps = 0
+    while engine.has_unfinished_requests() and steps < 40:
+        engine.step()
+        steps += 1
+    st = engine.core.runner.mm_stats
+    assert st["processor_cache_misses"] == 1   # encoded once
+    assert st["processor_cache_hits"] == 1     # second request reused
+    assert st["encoder_cache_freed"] == 2      # both freed after prefill
+    assert not engine.core.runner._mm_feats
+
+
+def test_scheduler_encoder_budget(ckpt):
+    """max_encoder_tokens_per_step defers multimodal admissions: two
+    4-placeholder requests with a budget of 4 admit on different steps
+    (reference: encoder budget, v1/core/sched/scheduler.py:1114)."""
+    model_dir, _hf = ckpt
+    mc = load_model_config(model_dir, max_model_len=96, dtype="float32")
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=32),
+        scheduler_config=SchedulerConfig(
+            max_num_batched_tokens=64, max_num_seqs=2, max_model_len=96,
+            max_encoder_tokens_per_step=4),
+    )
+    engine = LLMEngine(cfg, load_format="safetensors")
+    rng = np.random.default_rng(1)
+    sp = SamplingParams(temperature=0.0, max_tokens=2)
+    ids = [1, 2] + [IMG_TOK] * 4 + [3]
+    for r in range(2):
+        pix = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+        engine.add_request(f"e{r}", list(ids), sp,
+                           mm_data={"pixel_values": pix})
+    # First schedule: only one request admitted (budget 4 of 8 needed).
+    so = engine.core.scheduler.schedule()
+    assert len(so.scheduled_new_reqs) == 1
+    out = engine.core.runner.execute_model(so)
+    engine.core.scheduler.update_from_output(so, out)
+    so2 = engine.core.scheduler.schedule()
+    assert any(nr.req_id == "e1" for nr in so2.scheduled_new_reqs)
