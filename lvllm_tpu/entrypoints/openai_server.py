@@ -79,6 +79,10 @@ class OpenAIServer:
         self.app.router.add_post("/v1/score", self.score)
         self.app.router.add_post("/v1/rerank", self.rerank)
         self.app.router.add_post("/reload_weights", self.reload_weights)
+        self.app.router.add_post("/v1/load_lora_adapter",
+                                 self.load_lora_adapter)
+        self.app.router.add_post("/v1/unload_lora_adapter",
+                                 self.unload_lora_adapter)
         self.app.router.add_post("/start_profile", self.start_profile)
         self.app.router.add_post("/stop_profile", self.stop_profile)
         self._profiling = False
@@ -166,6 +170,35 @@ class OpenAIServer:
         lines += self.llm.core.metrics.prometheus_lines()
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
+
+    async def load_lora_adapter(self, request: web.Request
+                                ) -> web.Response:
+        """Dynamic adapter load from a PEFT checkpoint dir (reference:
+        entrypoints/serve lora load/unload API)."""
+        body = await request.json()
+        name = body.get("lora_name")
+        path = body.get("lora_path")
+        lora_int_id = body.get("lora_int_id")
+        if not (name and path and lora_int_id):
+            return self._error("lora_name, lora_path and lora_int_id "
+                               "required", 400)
+        from lvllm_tpu.lora.manager import LoRARequest
+        try:
+            slot = self.llm.core.add_lora(LoRARequest(
+                lora_name=name, lora_int_id=int(lora_int_id),
+                lora_path=path))
+        except (AssertionError, RuntimeError, OSError, ValueError) as e:
+            return self._error(str(e), 400)
+        return web.json_response({"status": "ok", "slot": slot})
+
+    async def unload_lora_adapter(self, request: web.Request
+                                  ) -> web.Response:
+        body = await request.json()
+        lora_int_id = body.get("lora_int_id")
+        if lora_int_id is None:
+            return self._error("lora_int_id required", 400)
+        ok = self.llm.core.remove_lora(int(lora_int_id))
+        return web.json_response({"status": "ok" if ok else "not_found"})
 
     async def sleep(self, request: web.Request) -> web.Response:
         try:

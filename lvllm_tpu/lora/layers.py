@@ -53,3 +53,19 @@ def apply_lora(
     # Unsort and add.
     delta = jnp.zeros_like(expand).at[order].set(expand)
     return (base_out.astype(jnp.float32) + delta).astype(base_out.dtype)
+
+
+def apply_lora_embedding(
+    input_ids: jax.Array,    # [T] i32
+    x: jax.Array,            # [T, H] base embedding output
+    lw: LoRAWeights,         # a: [M, V, r], b: [M, r, H]
+    token_adapter: jax.Array,  # [T] i32
+) -> jax.Array:
+    """Input-embedding adapter (reference: vllm/lora VocabParallel
+    embedding wrapper): delta = A[slot, token] @ B[slot] — the one-hot
+    shrink collapses to a row gather, so no SGMV needed."""
+    a_tok = lw.a[token_adapter, input_ids]               # [T, r]
+    delta = jnp.einsum("tr,trh->th", a_tok.astype(jnp.float32),
+                       lw.b[token_adapter].astype(jnp.float32))
+    delta = delta * lw.scale[token_adapter][:, None]
+    return (x.astype(jnp.float32) + delta).astype(x.dtype)

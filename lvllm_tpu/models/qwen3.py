@@ -299,9 +299,10 @@ class Qwen3Model:
             y = x @ p["kernel"]
             if "bias" in p:
                 y = y + p["bias"]
-            if lora is not None and target in lora:
+            lkey = f"{layer_idx}.{target}"
+            if lora is not None and lkey in lora:
                 from lvllm_tpu.lora.layers import apply_lora
-                y = apply_lora(x, y, lora[target], token_adapter)
+                y = apply_lora(x, y, lora[lkey], token_adapter)
             return y.reshape(T, heads, D)
 
         q = proj(attn["q_proj"], c.num_attention_heads, "q_proj")
@@ -387,9 +388,10 @@ class Qwen3Model:
             out = attn_flat @ attn["o_proj"]["kernel"]
             if "bias" in attn["o_proj"]:
                 out = out + attn["o_proj"]["bias"]
-            if lora is not None and "o_proj" in lora:
+            if lora is not None and f"{layer_idx}.o_proj" in lora:
                 from lvllm_tpu.lora.layers import apply_lora
-                out = apply_lora(attn_flat, out, lora["o_proj"],
+                out = apply_lora(attn_flat, out,
+                                 lora[f"{layer_idx}.o_proj"],
                                  token_adapter)
             return out, kv_cache
         kv_cache = write_kv(kv_cache, k, v, md.slot_mapping)
@@ -420,9 +422,10 @@ class Qwen3Model:
         out = attn_flat @ attn["o_proj"]["kernel"]
         if "bias" in attn["o_proj"]:
             out = out + attn["o_proj"]["bias"]
-        if lora is not None and "o_proj" in lora:
+        if lora is not None and f"{layer_idx}.o_proj" in lora:
             from lvllm_tpu.lora.layers import apply_lora
-            out = apply_lora(attn_flat, out, lora["o_proj"], token_adapter)
+            out = apply_lora(attn_flat, out, lora[f"{layer_idx}.o_proj"],
+                             token_adapter)
         return out, kv_cache
 
     def _sp_shard(self, x: jax.Array) -> jax.Array:
@@ -462,7 +465,8 @@ class Qwen3Model:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P("data", None)))
 
-    def _ffn(self, lp: Params, x: jax.Array, layer_idx: int) -> jax.Array:
+    def _ffn(self, lp: Params, x: jax.Array, layer_idx: int,
+             lora=None, token_adapter=None) -> jax.Array:
         c = self.config
         if "moe" in lp:
             moe = lp["moe"]
@@ -552,9 +556,17 @@ class Qwen3Model:
         h = x @ mlp["gate_up"]["kernel"]
         if "bias" in mlp["gate_up"]:
             h = h + mlp["gate_up"]["bias"]
-        y = act(h) @ mlp["down"]["kernel"]
+        if lora is not None and f"{layer_idx}.gate_up" in lora:
+            from lvllm_tpu.lora.layers import apply_lora
+            h = apply_lora(x, h, lora[f"{layer_idx}.gate_up"],
+                           token_adapter)
+        a = act(h)
+        y = a @ mlp["down"]["kernel"]
         if "bias" in mlp["down"]:
             y = y + mlp["down"]["bias"]
+        if lora is not None and f"{layer_idx}.down" in lora:
+            from lvllm_tpu.lora.layers import apply_lora
+            y = apply_lora(a, y, lora[f"{layer_idx}.down"], token_adapter)
         return y
 
     def rope_cache(self, layer_idx: int):
@@ -620,7 +632,7 @@ class Qwen3Model:
             attn_out, kv = self._attention(
                 lp, h_attn, positions, kv_cache, attn_metadata, lora,
                 token_adapter, layer_idx=layer_idx)
-            ffn_out = self._ffn(lp, h_mlp, layer_idx)
+            ffn_out = self._ffn(lp, h_mlp, layer_idx, lora, token_adapter)
             out = (attn_out.astype(jnp.float32) +
                    ffn_out.astype(jnp.float32)).astype(x.dtype)
             return out, hidden, kv
@@ -635,7 +647,7 @@ class Qwen3Model:
             attn_out = self._norm(lp["post_attention_layernorm"], attn_out)
             hidden = (hidden.astype(jnp.float32) +
                       attn_out.astype(jnp.float32)).astype(x.dtype)
-            ffn_out = self._ffn(lp, hidden, layer_idx)
+            ffn_out = self._ffn(lp, hidden, layer_idx, lora, token_adapter)
             ffn_out = self._norm(lp["post_feedforward_layernorm"], ffn_out)
             return ffn_out, hidden, kv
         h, residual = self._add_norm(lp["input_layernorm"], x, residual)
@@ -646,7 +658,7 @@ class Qwen3Model:
             attn_out = attn_out * c.residual_multiplier
         h, residual = self._add_norm(
             lp["post_attention_layernorm"], attn_out, residual)
-        x = self._ffn(lp, h, layer_idx)
+        x = self._ffn(lp, h, layer_idx, lora, token_adapter)
         if c.residual_multiplier != 1.0:
             x = x * c.residual_multiplier
         return x, residual, kv
@@ -674,6 +686,11 @@ class Qwen3Model:
         EAGLE-3 multi-level feature tap (reference: eagle3 aux_hidden_state
         collection in the target forward)."""
         x = self.embed_tokens(params, input_ids, positions)
+        if lora is not None and "embed_tokens" in lora and \
+                token_adapter is not None:
+            from lvllm_tpu.lora.layers import apply_lora_embedding
+            x = apply_lora_embedding(input_ids, x, lora["embed_tokens"],
+                                     token_adapter)
         if mm_embeds is not None:
             # Multimodal splice (reference: merge_multimodal_embeddings):
             # rows flagged by mm_mask take precomputed image features.

@@ -510,7 +510,8 @@ class ModelRunner:
               seq_lens, block_table, slot_mapping, logits_indices,
               temperature, top_k, top_p, min_p, seeds, steps,
               penalty_args=None, grammar_mask=None, lora=None,
-              token_adapter=None, async_args=None, greedy_only=False,
+              token_adapter=None, row_slots_lora=None, async_args=None,
+              greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
               single_seq_prefill=False, pcp_prefill=False, mm_embeds=None,
               mm_mask=None, dcp_slot_mapping=None, want_hidden=False,
@@ -553,7 +554,8 @@ class ModelRunner:
         sampled, logprobs, topk = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask, greedy_only,
-            want_topk_logprobs, draft_mat=draft_mat)
+            want_topk_logprobs, draft_mat=draft_mat, lora=lora,
+            row_adapter=row_slots_lora)
         # Pack tokens + bitcast logprobs into ONE i32 array so the host
         # syncs the step with a single device->host fetch — on remote
         # transports (axon tunnel, multi-host) every fetch is a full RTT.
@@ -570,7 +572,7 @@ class ModelRunner:
                             temperature, top_k, top_p, min_p, seeds, steps,
                             penalty_args, grammar_mask=None,
                             greedy_only=False, want_topk_logprobs=False,
-                            draft_mat=None):
+                            draft_mat=None, lora=None, row_adapter=None):
         """Sample at every verification position: logits_indices [R, S+1]
         (S=0 without spec decode). Sampling params are broadcast per row;
         the PRNG fold offsets by position so each slot draws independently.
@@ -578,6 +580,13 @@ class ModelRunner:
         R, S1 = logits_indices.shape
         sel = hidden[logits_indices.reshape(-1)]          # [R*S1, H]
         logits = self.model.compute_logits(params, sel)
+        if lora is not None and "lm_head" in lora and \
+                row_adapter is not None:
+            # LM-head adapter (reference: vllm/lora logits-processor
+            # wrapper): same SGMV as any projection, per sampled row.
+            from lvllm_tpu.lora.layers import apply_lora
+            logits = apply_lora(sel, logits, lora["lm_head"],
+                                jnp.repeat(row_adapter, S1))
         if penalty_args is not None:
             # Penalties use each row's history; tile rows to positions.
             tiled = tuple(jnp.repeat(a, S1, axis=0) for a in penalty_args)
@@ -1040,9 +1049,13 @@ class ModelRunner:
                 slot = ib.lora_slot[ib.req_id_to_index[rid]]
                 token_adapter[tt:tt + n_tok] = slot
                 tt += n_tok
+            row_lora = np.zeros(R, dtype=np.int32)
+            for r, rid in enumerate(row_req_ids):
+                row_lora[r] = ib.lora_slot[ib.req_id_to_index[rid]]
             lora_args = {
                 "lora": dict(self.lora_manager.stacks),
                 "token_adapter": jnp.asarray(token_adapter),
+                "row_slots_lora": jnp.asarray(row_lora),
             }
 
         # Grammar bitmask rows for structured-output requests.

@@ -50,7 +50,7 @@ def timeit(name, step, state, rtt, weight_bytes):
     float(_probe(state))
     ms = (time.time() - t0 - rtt) / REPS * 1000
     print(f"{name:<42} {ms:8.3f} ms   "
-          f"({weight_bytes / ms / 1e6:.0f} GB/s eff. weight read)")
+          f"({weight_bytes / ms / 1e6:.0f} GB/s eff. weight read)", flush=True)
     return ms
 
 
@@ -64,7 +64,8 @@ def main():
     block_expert = jnp.asarray(np.arange(M_PAD // TILE_M) % E, jnp.int32)
     wbytes = qw.nbytes + s.nbytes
     rtt = measure_rtt(x0)
-    print(f"fetch RTT {rtt*1000:.1f} ms; weights {wbytes/1e6:.0f} MB")
+    import sys as _sys
+    print(f"fetch RTT {rtt*1000:.1f} ms; weights {wbytes/1e6:.0f} MB", flush=True)
 
     def make_step(variant):
         @jax.jit
