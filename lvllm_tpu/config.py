@@ -162,6 +162,11 @@ class ModelConfig:
     mamba_conv_bias: bool = True
     mamba_proj_bias: bool = False
     time_step_limit: Optional[Tuple[float, float]] = None
+    # Mamba1 (selective scan): dt low-rank projection width
+    # (HF time_step_rank; 0 = not a mamba1 model). Layers typed
+    # "linear_attention" use mamba1 when this is set and mamba2 otherwise;
+    # layers typed "short_conv" are LFM2-style gated convolutions.
+    mamba_dt_rank: int = 0
 
     # MLA (DeepSeek latent attention). attention_type "mha" | "mla".
     attention_type: str = "mha"

@@ -199,10 +199,69 @@ def load_model_config(model_path: str,
         layer_types = ["full_attention" if i in attn_idx else
                        "linear_attention"
                        for i in range(hf["num_hidden_layers"])]
-    if not layer_types and arch in ("Mamba2ForCausalLM",):
+    if not layer_types and arch in ("Mamba2ForCausalLM",
+                                    "MambaForCausalLM"):
         layer_types = ["linear_attention"] * hf["num_hidden_layers"]
+    if arch == "MambaForCausalLM":
+        # Mamba1 (HF modeling_mamba): d_inner carried as
+        # intermediate_size; channels become "heads" of head_dim 1.
+        hf = {**hf,
+              "mamba_n_heads": hf.get("intermediate_size",
+                                      2 * hf["hidden_size"]),
+              "mamba_d_head": 1,
+              "mamba_dt_rank": hf.get("time_step_rank"),
+              "num_attention_heads": 1,
+              "intermediate_size": hf.get("intermediate_size"),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True),
+              "max_position_embeddings": hf.get("max_position_embeddings",
+                                                32768)}
+    if arch == "JambaForCausalLM":
+        # Jamba (HF modeling_jamba): attention every attn_layer_period
+        # starting at attn_layer_offset; MoE every expert_layer_period
+        # starting at expert_layer_offset (others dense).
+        L = hf["num_hidden_layers"]
+        ap, ao = hf.get("attn_layer_period", 8), hf.get("attn_layer_offset",
+                                                        4)
+        ep_, eo = (hf.get("expert_layer_period", 2),
+                   hf.get("expert_layer_offset", 1))
+        layer_types = ["full_attention" if (i % ap) == ao
+                       else "linear_attention" for i in range(L)]
+        n_exp = hf.get("num_experts", 0)
+        hf = {**hf,
+              "mamba_n_heads": hf.get("mamba_expand", 2)
+              * hf["hidden_size"],
+              "mamba_d_head": 1,
+              "mamba_d_state": hf.get("mamba_d_state", 16),
+              "mamba_d_conv": hf.get("mamba_d_conv", 4),
+              "mamba_dt_rank": hf.get("mamba_dt_rank"),
+              "mamba_conv_bias": hf.get("mamba_conv_bias", True),
+              "mamba_proj_bias": hf.get("mamba_proj_bias", False),
+              "num_experts": 0 if n_exp <= 1 else n_exp,
+              "num_experts_per_tok": hf.get("num_experts_per_tok", 2),
+              "decoder_sparse_step": 1,
+              "mlp_only_layers": tuple(
+                  i for i in range(L) if (i % ep_) != eo)
+              if n_exp > 1 else (),
+              "max_position_embeddings": hf.get("max_position_embeddings",
+                                                262144),
+              # Jamba attention is NoPE and its router does NOT
+              # renormalize the top-k weights (models/jamba.py:96).
+              "no_rope_layers": [0] * L,
+              "norm_topk_prob": False,
+              "qk_layernorm": False}
+    if arch == "Lfm2ForCausalLM":
+        # LFM2 (HF modeling_lfm2): "conv" layers are gated short convs;
+        # conv_L_cache is the kernel width.
+        layer_types = ["short_conv" if t == "conv" else t
+                       for t in (hf.get("layer_types") or [])] or             ["short_conv"] * hf["num_hidden_layers"]
+        hf = {**hf,
+              "mamba_d_conv": hf.get("conv_L_cache", 3),
+              "mamba_conv_bias": hf.get("conv_bias", False),
+              "use_qk_norm": True,   # per-head q/k RMSNorm before rope
+              "norm_eps": hf.get("norm_eps", 1e-5)}
     keep_layer_types = bool(layer_types) and (
         "linear_attention" in layer_types or
+        "short_conv" in layer_types or
         "sliding_attention" in layer_types)
 
     # Per-family fixups (reference: transformers_utils config patches).
@@ -541,6 +600,7 @@ def load_model_config(model_path: str,
                                hf.get("use_bias", False)),
         time_step_limit=(tuple(hf["time_step_limit"])
                          if hf.get("time_step_limit") else None),
+        mamba_dt_rank=hf.get("mamba_dt_rank") or 0,
         linear_num_value_heads=hf.get("linear_num_value_heads", 8),
         linear_num_key_heads=hf.get("linear_num_key_heads", 4),
         linear_key_head_dim=hf.get("linear_key_head_dim", 64),

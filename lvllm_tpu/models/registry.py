@@ -130,6 +130,12 @@ def _register_builtin() -> None:
                  "DeepseekForCausalLM"):
         _REGISTRY[arch] = DeepseekModel
 
+    from lvllm_tpu.models.mamba1 import (JambaModel, Lfm2Model,
+                                         MambaModel)
+    _REGISTRY["MambaForCausalLM"] = MambaModel
+    _REGISTRY["JambaForCausalLM"] = JambaModel
+    _REGISTRY["Lfm2ForCausalLM"] = Lfm2Model
+
     # Encoder-only embedding families (registered via decorator on import).
     from lvllm_tpu.models import bert  # noqa: F401
 
