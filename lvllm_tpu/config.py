@@ -86,6 +86,10 @@ class ModelConfig:
     # sublayer's OUTPUT before the residual add (post_attention_layernorm
     # after attention, post_feedforward_layernorm after the MLP).
     norm_after: bool = False
+    # GLM-4 dense sandwich: pre-norms as usual PLUS extra RMSNorms on the
+    # attention output (post_self_attn_layernorm) and MLP output
+    # (post_mlp_layernorm) before each residual add (HF Glm4DecoderLayer).
+    sandwich_output_norms: bool = False
     # Parallel residual: x = x + attn(norm(x)) + mlp(norm'(x)).
     # "single" shares one norm (Phi, Falcon-7B); "dual" norms attention
     # and MLP inputs separately (GPT-NeoX, Falcon-40B ln_attn/ln_mlp).

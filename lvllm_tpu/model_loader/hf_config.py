@@ -180,6 +180,31 @@ def load_model_config(model_path: str,
         outer_arch = arch
         hf = {**hf, **text}
         arch = outer_arch
+    override_arch = None
+    if arch == "Gemma3ForConditionalGeneration":
+        # Gemma3 MM: flatten text_config (Gemma3TextConfig); the vision
+        # dict keeps SigLIP geometry + mm_tokens_per_image for the
+        # projector's avg-pool (reference: gemma3_mm.py).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["mm_tokens_per_image"] = hf.get("mm_tokens_per_image",
+                                                   256)
+        image_token_id = hf.get("image_token_id",
+                                hf.get("image_token_index", 262144))
+        hf = {**hf, **dict(hf.get("text_config") or {})}
+        # Family switches key on the text arch; restore the MM name after
+        # ModelConfig assembly.
+        override_arch, arch = arch, "Gemma3ForCausalLM"
+    if arch == "InternVLForConditionalGeneration":
+        # InternVL: flatten text_config (Qwen2/Llama); carry
+        # downsample_ratio into the vision dict for pixel shuffle.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["downsample_ratio"] = hf.get("downsample_ratio", 0.5)
+        image_token_id = hf.get("image_token_id",
+                                hf.get("image_token_index"))
+        text = dict(hf.get("text_config") or {})
+        text_arch = (text.get("architectures") or ["Qwen2ForCausalLM"])[0]
+        hf = {**hf, **text}
+        override_arch, arch = arch, text_arch
     num_experts = _first(hf.get("num_experts") or hf.get("n_routed_experts")
                          or hf.get("num_local_experts")
                          or hf.get("moe_num_experts") or 0)
@@ -301,6 +326,9 @@ def load_model_config(model_path: str,
         partial_rotary = hf["rotary_dim"] / (hf["hidden_size"] //
                                              hf["num_attention_heads"])
     if arch == "PersimmonForCausalLM":
+        partial_rotary = hf.get("partial_rotary_factor", 0.5)
+    if arch == "Glm4ForCausalLM":
+        # HF Glm4Config defaults (may be omitted from config.json).
         partial_rotary = hf.get("partial_rotary_factor", 0.5)
     # ALiBi families: Bloom, MPT, Baichuan-13B (the 13B checkpoints are
     # distinguished from rope-based 7B by hidden size, as the reference's
@@ -507,7 +535,12 @@ def load_model_config(model_path: str,
                      (arch == "InternLMForCausalLM" and
                       hf.get("bias", True))),
         rope_interleaved=arch in ("GPTJForCausalLM", "CohereForCausalLM",
-                                  "Cohere2ForCausalLM"),
+                                  "Cohere2ForCausalLM",
+                                  # GLM-4 dense rotates interleaved pairs
+                                  # over the partial-rotary prefix (HF
+                                  # modeling_glm4.apply_rotary_pos_emb).
+                                  "Glm4ForCausalLM"),
+        sandwich_output_norms=arch == "Glm4ForCausalLM",
         learned_pos_embeddings=learned_pos,
         norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
                             "Exaone4ForCausalLM"),
@@ -524,7 +557,9 @@ def load_model_config(model_path: str,
                                      "Qwen2MoeForCausalLM",
                                      "Qwen2VLForCausalLM",
                                      "Qwen2VLForConditionalGeneration",
-                                     "Qwen2_5_VLForConditionalGeneration"))),
+                                     "Qwen2_5_VLForConditionalGeneration",
+                                     # HF Glm4Config attention_bias=True.
+                                     "Glm4ForCausalLM"))),
         router_scoring_fn=scoring_fn,
         routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
         partial_rotary_factor=partial_rotary,
@@ -616,6 +651,8 @@ def load_model_config(model_path: str,
         position_offset=hf.get("position_offset", 0),
         encoder_rope=hf.get("encoder_rope", False),
     )
+    if override_arch is not None:
+        mc.architecture = override_arch
     from lvllm_tpu.model_loader.quant_ckpt import detect_ckpt_quant
     mc.ckpt_quant = detect_ckpt_quant(hf)
     if max_model_len is not None:

@@ -196,6 +196,11 @@ class Qwen3Model:
                     "post_attention_layernorm": self._norm_node(
                         nprng, norm_bias),
                 }
+                if c.sandwich_output_norms:
+                    norms["post_self_attn_layernorm"] = self._norm_node(
+                        nprng, norm_bias)
+                    norms["post_mlp_layernorm"] = self._norm_node(
+                        nprng, norm_bias)
             layer: Dict[str, Any] = {
                 **norms,
                 "self_attn": {
@@ -654,11 +659,15 @@ class Qwen3Model:
         attn_out, kv = self._attention(lp, h, positions, kv_cache,
                                        attn_metadata, lora, token_adapter,
                                        layer_idx=layer_idx)
+        if c.sandwich_output_norms:            # GLM-4 dense
+            attn_out = self._norm(lp["post_self_attn_layernorm"], attn_out)
         if c.residual_multiplier != 1.0:       # Granite muP
             attn_out = attn_out * c.residual_multiplier
         h, residual = self._add_norm(
             lp["post_attention_layernorm"], attn_out, residual)
         x = self._ffn(lp, h, layer_idx, lora, token_adapter)
+        if c.sandwich_output_norms:
+            x = self._norm(lp["post_mlp_layernorm"], x)
         if c.residual_multiplier != 1.0:
             x = x * c.residual_multiplier
         return x, residual, kv
@@ -1299,9 +1308,16 @@ class Qwen3Model:
                 layer = params["layers"][i]
                 if re.match(
                         r"(input_layernorm|post_attention_layernorm|"
-                        r"post_feedforward_layernorm)\.(weight|bias)$",
+                        r"post_feedforward_layernorm|"
+                        r"post_self_attn_layernorm|post_mlp_layernorm)"
+                        r"\.(weight|bias)$",
                         rest):
                     put(["layers", str(i)] + rest.split("."), w)
+                elif rest == "mlp.gate_up_proj.weight":
+                    # HF fused gate‖up rows (Glm4MLP): matches our
+                    # gate_up kernel layout directly.
+                    put(["layers", str(i), "mlp", "gate_up", "kernel"],
+                        w, transpose=True)
                 elif m2 := re.match(
                         r"self_attn\.(q|k|v|o)_proj\.weight", rest):
                     put(["layers", str(i), "self_attn",

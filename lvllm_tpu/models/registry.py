@@ -139,5 +139,9 @@ def _register_builtin() -> None:
     # Encoder-only embedding families (registered via decorator on import).
     from lvllm_tpu.models import bert  # noqa: F401
 
+    # Multimodal families registered via decorator on import.
+    from lvllm_tpu.models import gemma3_mm  # noqa: F401
+    from lvllm_tpu.models import internvl  # noqa: F401
+
 
 _register_builtin()

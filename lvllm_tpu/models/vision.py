@@ -13,6 +13,7 @@ penultimate layer's hidden states (vision_feature_layer = -2) and drops
 the CLS token ("default" strategy).
 """
 
+import re
 from typing import Any, Dict, List
 
 import jax
@@ -79,6 +80,134 @@ def clip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
         h = _quick_gelu(h @ lp["fc1"]["kernel"] + lp["fc1"]["bias"])
         h = res + (h @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
     return h[:, 1:, :]                                      # drop CLS
+
+
+def _gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def siglip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
+                         patch_size: int, num_heads: int,
+                         eps: float = 1e-6) -> jax.Array:
+    """SigLIP vision tower (HF ``SiglipVisionTransformer``): patch conv with
+    bias, learned position embeddings, NO class token, pre-LN blocks with
+    gelu_pytorch_tanh MLPs, and a final post layernorm. Returns the full
+    patch sequence [B, N, D] (reference:
+    ``vllm/model_executor/models/siglip.py``)."""
+    B, C, S, _ = pixel_values.shape
+    P = patch_size
+    G = S // P
+    x = pixel_values.astype(jnp.float32)
+    x = x.reshape(B, C, G, P, G, P)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(B, G * G, C * P * P)
+    h = x @ params["patch_embedding"].reshape(
+        params["patch_embedding"].shape[0], -1).T
+    h = h + params["patch_bias"]
+    D = h.shape[-1]
+    h = h + params["position_embedding"][None]
+
+    T = h.shape[1]
+    Hd = D // num_heads
+    scale = Hd ** -0.5
+    for lp in params["layers"]:
+        res = h
+        h = _layer_norm(h, lp["layer_norm1"]["weight"],
+                        lp["layer_norm1"]["bias"], eps)
+        q = (h @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"]) * scale
+        k = h @ lp["k_proj"]["kernel"] + lp["k_proj"]["bias"]
+        v = h @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"]
+        q = q.reshape(B, T, num_heads, Hd)
+        k = k.reshape(B, T, num_heads, Hd)
+        v = v.reshape(B, T, num_heads, Hd)
+        s = jnp.einsum("bthd,bshd->bhts", q, k)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", p, v).reshape(B, T, D)
+        h = res + (o @ lp["out_proj"]["kernel"] + lp["out_proj"]["bias"])
+        res = h
+        h = _layer_norm(h, lp["layer_norm2"]["weight"],
+                        lp["layer_norm2"]["bias"], eps)
+        h = _gelu_tanh(h @ lp["fc1"]["kernel"] + lp["fc1"]["bias"])
+        h = res + (h @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+    return _layer_norm(h, params["post_layernorm"]["weight"],
+                       params["post_layernorm"]["bias"], eps)
+
+
+def init_siglip_params(rng: np.random.Generator, hidden: int,
+                       intermediate: int, num_layers: int, image_size: int,
+                       patch_size: int, dtype=jnp.float32) -> Dict[str, Any]:
+    """Random-init (dummy load format) matching the HF SigLIP structure."""
+    n_pos = (image_size // patch_size) ** 2
+
+    def dense(shape, scale=0.02):
+        return jnp.asarray(rng.standard_normal(size=shape) * scale, dtype)
+
+    def ln(n=hidden):
+        return {"weight": jnp.ones((n,), dtype),
+                "bias": jnp.zeros((n,), dtype)}
+
+    layers = []
+    for _ in range(num_layers):
+        layers.append({
+            "layer_norm1": ln(), "layer_norm2": ln(),
+            "q_proj": {"kernel": dense((hidden, hidden)),
+                       "bias": jnp.zeros((hidden,), dtype)},
+            "k_proj": {"kernel": dense((hidden, hidden)),
+                       "bias": jnp.zeros((hidden,), dtype)},
+            "v_proj": {"kernel": dense((hidden, hidden)),
+                       "bias": jnp.zeros((hidden,), dtype)},
+            "out_proj": {"kernel": dense((hidden, hidden)),
+                         "bias": jnp.zeros((hidden,), dtype)},
+            "fc1": {"kernel": dense((hidden, intermediate)),
+                    "bias": jnp.zeros((intermediate,), dtype)},
+            "fc2": {"kernel": dense((intermediate, hidden)),
+                    "bias": jnp.zeros((hidden,), dtype)},
+        })
+    return {
+        "patch_embedding": dense((hidden, 3, patch_size, patch_size)),
+        "patch_bias": jnp.zeros((hidden,), dtype),
+        "position_embedding": dense((n_pos, hidden)),
+        "post_layernorm": ln(),
+        "layers": layers,
+    }
+
+
+def load_siglip_weights(vision: Dict[str, Any], rest: str,
+                        w: np.ndarray) -> bool:
+    """Route one HF ``vision_model.``-relative weight into the params tree
+    built by :func:`init_siglip_params`. Returns False for keys the MM path
+    doesn't use (e.g. the SigLIP attention-pooling head)."""
+    m = re.match(r"encoder\.layers\.(\d+)\.(.+)", rest)
+    if m:
+        i, leaf = int(m.group(1)), m.group(2)
+        lp = vision["layers"][i]
+        for hf, ours in (("self_attn.q_proj", "q_proj"),
+                         ("self_attn.k_proj", "k_proj"),
+                         ("self_attn.v_proj", "v_proj"),
+                         ("self_attn.out_proj", "out_proj"),
+                         ("mlp.fc1", "fc1"), ("mlp.fc2", "fc2"),
+                         ("layer_norm1", "layer_norm1"),
+                         ("layer_norm2", "layer_norm2")):
+            if leaf == hf + ".weight":
+                key = "kernel" if "norm" not in ours else "weight"
+                lp.setdefault(ours, {})[key] = jnp.asarray(
+                    w.T if key == "kernel" else w, jnp.float32)
+                return True
+            if leaf == hf + ".bias":
+                lp.setdefault(ours, {})["bias"] = jnp.asarray(w, jnp.float32)
+                return True
+        return False
+    if rest == "embeddings.patch_embedding.weight":
+        vision["patch_embedding"] = jnp.asarray(w, jnp.float32)
+    elif rest == "embeddings.patch_embedding.bias":
+        vision["patch_bias"] = jnp.asarray(w, jnp.float32)
+    elif rest == "embeddings.position_embedding.weight":
+        vision["position_embedding"] = jnp.asarray(w, jnp.float32)
+    elif rest.startswith("post_layernorm."):
+        vision.setdefault("post_layernorm", {})[rest.split(".")[-1]] = \
+            jnp.asarray(w, jnp.float32)
+    else:
+        return False
+    return True
 
 
 def project_image_features(params: Dict[str, Any],

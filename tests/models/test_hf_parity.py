@@ -504,3 +504,20 @@ def test_mamba2_engine_chunked_decode(tmp_path):
     assert again == wants[1], (again, wants[1])
     kvm = llm.engine.core.scheduler.kv_cache_manager
     assert kvm.prefix_cache_hits == 0
+
+
+def test_glm4_dense_parity(tmp_path):
+    # GLM-4 dense (HF Glm4ForCausalLM): sandwich output norms
+    # (post_self_attn/post_mlp layernorm), fused gate_up MLP, qkv bias,
+    # interleaved partial rotary (factor 0.5).
+    cfg = transformers.Glm4Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, pad_token_id=0,
+        partial_rotary_factor=0.5, attention_bias=True)
+    hf_model = save_hf_model(cfg, tmp_path)
+    tokens = [7, 70, 470, 12, 311, 25, 93, 405]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "glm4-dense")
