@@ -194,6 +194,30 @@ def load_model_config(model_path: str,
         # Family switches key on the text arch; restore the MM name after
         # ModelConfig assembly.
         override_arch, arch = arch, "Gemma3ForCausalLM"
+    if arch == "Glm4vForConditionalGeneration":
+        # GLM-4.1V: GLM-4 dense text layer (sandwich norms, fused gate_up,
+        # qkv bias, interleaved rotary) + M-RoPE sections; EVA-style tower
+        # config rides in vision_config (reference: glm4_1v.py).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("image_token_id", 151343)
+        video_token_id = hf.get("video_token_id", 151344)
+        vision_start_token_id = hf.get("image_start_token_id", 151339)
+        text = dict(hf.get("text_config") or {})
+        hf = {**hf, **text}
+        rs = hf.get("rope_scaling") or {}
+        if rs.get("mrope_section"):
+            mrope_section = tuple(int(s) for s in rs["mrope_section"])
+            # The rotary prefix must span exactly 2*sum(sections) features
+            # (HF splits cos into sections*2 then interleaves); derive the
+            # partial factor when config.json omits it.
+            hd = hf.get("head_dim") or (hf["hidden_size"]
+                                        // hf["num_attention_heads"])
+            hf = {**hf, "partial_rotary_factor":
+                  hf.get("partial_rotary_factor") or
+                  2 * sum(mrope_section) / hd}
+        hf = {**hf, "rope_scaling": None,
+              "attention_bias": True}         # HF hardcodes qkv bias
+        override_arch, arch = arch, "Glm4ForCausalLM"
     if arch == "InternVLForConditionalGeneration":
         # InternVL: flatten text_config (Qwen2/Llama); carry
         # downsample_ratio into the vision dict for pixel shuffle.

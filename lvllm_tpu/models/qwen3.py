@@ -354,7 +354,12 @@ class Qwen3Model:
             q, k = qk_norm(q, k)
         cos_sin = self.rope_cache(layer_idx)
         if cos_sin is not None:
-            if c.mrope_section:
+            if c.mrope_section and c.rope_interleaved:
+                # GLM-4V: M-RoPE sections + interleaved partial rotation.
+                from lvllm_tpu.ops.rope import apply_mrope_interleaved
+                q, k = apply_mrope_interleaved(q, k, positions, cos_sin,
+                                               c.mrope_section)
+            elif c.mrope_section:
                 # Qwen2-VL M-RoPE: positions is [3, T] (t/h/w streams).
                 from lvllm_tpu.ops.rope import apply_mrope
                 q, k = apply_mrope(q, k, positions, cos_sin,

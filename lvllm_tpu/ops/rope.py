@@ -219,6 +219,47 @@ def apply_mrope(
     return rot(q), rot(k)
 
 
+def apply_mrope_interleaved(
+    q: jax.Array,          # [T, Hq, D]
+    k: jax.Array,          # [T, Hk, D]
+    positions: jax.Array,  # [3, T] int32 — (temporal, height, width)
+    cos_sin_cache: jax.Array,  # [P, rot_dim]
+    mrope_section,         # sums to rot_dim // 2
+) -> Tuple[jax.Array, jax.Array]:
+    """GLM-4V M-RoPE: Qwen-style section assembly of the (t, h, w) streams,
+    then GLM's interleaved-pair partial rotation (HF
+    modeling_glm4v.apply_multimodal_rotary_pos_emb: cos halves are
+    repeat_interleaved and pairs (x0,x1),(x2,x3)… rotate by freq i over the
+    first rot_dim features)."""
+    rot_dim = cos_sin_cache.shape[-1]
+    half = rot_dim // 2
+    assert sum(mrope_section) == half, (mrope_section, half)
+    cs = cos_sin_cache[positions]               # [3, T, rot_dim]
+    cos3 = cs[..., :half]
+    sin3 = cs[..., half:]
+    parts_c, parts_s = [], []
+    off = 0
+    for i, sec in enumerate(mrope_section):
+        parts_c.append(cos3[i % 3, :, off:off + sec])
+        parts_s.append(sin3[i % 3, :, off:off + sec])
+        off += sec
+    cos = jnp.concatenate(parts_c, axis=-1)[:, None, :]   # [T, 1, half]
+    sin = jnp.concatenate(parts_s, axis=-1)[:, None, :]
+
+    def rot(x):
+        xr, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+        p = xr.astype(jnp.float32).reshape(*xr.shape[:-1], half, 2)
+        x0, x1 = p[..., 0], p[..., 1]
+        o0 = x0 * cos - x1 * sin
+        o1 = x1 * cos + x0 * sin
+        out = jnp.stack([o0, o1], axis=-1).reshape(xr.shape).astype(x.dtype)
+        if x_pass.shape[-1]:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out
+
+    return rot(q), rot(k)
+
+
 def apply_rope_interleaved(
     q: jax.Array,          # [T, Hq, D]
     k: jax.Array,          # [T, Hk, D]
