@@ -340,6 +340,24 @@ class EngineCore:
                 sm.advance(req.request_id, new)
                 if req.is_finished:
                     sm.free(req.request_id)
+                elif not self.config.scheduler_config.async_scheduling:
+                    # Jump-forward decoding: grammar-forced tokens are
+                    # appended without sampling; the scheduler's next step
+                    # computes their KV as a multi-token catch-up chunk
+                    # (num_computed_tokens trails num_tokens, exactly the
+                    # chunked-prefill path).
+                    forced = sm.jump_forward(req.request_id)
+                    if forced:
+                        from lvllm_tpu.core.request import check_stop
+                        req.append_output_token_ids(forced)
+                        self.metrics.on_tokens(req.request_id, len(forced))
+                        if check_stop(req, len(forced)):
+                            self.scheduler.finish_request_external(
+                                req, req.status)
+                            sm.free(req.request_id)
+                            self.tracer.on_request_finished(
+                                req, self.metrics.timing(req.request_id))
+                            self.metrics.on_request_finished(req.request_id)
         if self.proposer is not None:
             self._propose_drafts(stepped)
         self._kv_offload_store()

@@ -25,8 +25,28 @@ from lvllm_tpu.sampling_params import SamplingParams
 logger = init_logger(__name__)
 
 
+def _guided_from_request(body: Dict[str, Any]) -> Dict[str, Any]:
+    """Structured-output fields: OpenAI ``response_format`` plus the
+    vLLM-compatible guided_* extras (reference:
+    entrypoints/openai/protocol.py StructuredOutputsParams)."""
+    out: Dict[str, Any] = {}
+    rf = body.get("response_format") or {}
+    if rf.get("type") == "json_object":
+        out["guided_json"] = "{}"  # JSON mode: any JSON object
+    elif rf.get("type") == "json_schema":
+        schema = (rf.get("json_schema") or {}).get("schema")
+        out["guided_json"] = schema if schema is not None else "{}"
+    for key in ("guided_json", "guided_regex", "guided_choice",
+                "guided_grammar"):
+        val = body.get(key, (body.get("extra_body") or {}).get(key))
+        if val is not None:
+            out[key] = val
+    return out
+
+
 def sampling_params_from_request(body: Dict[str, Any]) -> SamplingParams:
     return SamplingParams(
+        **_guided_from_request(body),
         n=body.get("n", 1),
         temperature=body.get("temperature", 1.0),
         top_p=body.get("top_p", 1.0),

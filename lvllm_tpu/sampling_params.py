@@ -51,6 +51,7 @@ class SamplingParams:
     guided_json: Optional[Union[str, dict]] = None
     guided_regex: Optional[str] = None
     guided_choice: Optional[List[str]] = None
+    guided_grammar: Optional[str] = None   # EBNF (GBNF or lark syntax)
     extra_args: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

@@ -77,6 +77,24 @@ class ChoiceGrammar:
             all(self._pos >= len(self._paths[i]) for i in self._alive)
             or False)
 
+    def forced_tokens(self) -> List[int]:
+        """Jump-forward: the unique shared continuation of all alive
+        paths (token ids). Stops where paths diverge or one may finish."""
+        out: List[int] = []
+        pos = self._pos
+        alive = self._alive
+        while True:
+            if any(pos >= len(self._paths[i]) for i in alive):
+                break                      # EOS becomes legal → branch
+            nxt = {self._paths[i][pos] for i in alive}
+            if len(nxt) != 1:
+                break
+            tok = next(iter(nxt))
+            out.append(tok)
+            alive = {i for i in alive if self._paths[i][pos] == tok}
+            pos += 1
+        return out
+
 
 class _JsonState:
     """Incremental JSON validity checker over characters.
@@ -281,6 +299,26 @@ class JsonGrammar:
     @property
     def is_complete(self) -> bool:
         return self.state.complete
+
+    _PROBE_CHARS = [chr(c) for c in range(32, 127)] + ["\n", "\t"]
+
+    def forced_continuation(self, max_chars: int = 64) -> str:
+        """Jump-forward text: while exactly one probe character keeps the
+        prefix valid (e.g. closing a literal like ``tru→e``), it's forced."""
+        base = self.state.text
+        out = []
+        for _ in range(max_chars):
+            ok_all, complete = _json_prefix_valid(base) if base \
+                else (True, False)
+            if complete:
+                break
+            valid = [c for c in self._PROBE_CHARS
+                     if _json_prefix_valid(base + c)[0]]
+            if len(valid) != 1:
+                break
+            base += valid[0]
+            out.append(valid[0])
+        return "".join(out)
 
 
 def _token_text_table(tokenizer, vocab_size: int) -> List[str]:
@@ -538,3 +576,20 @@ class RegexGrammar:
     @property
     def is_complete(self) -> bool:
         return self._accept in self._states
+
+    _PROBE_CHARS = [chr(c) for c in range(32, 127)] + ["\n", "\t"]
+
+    def forced_continuation(self, max_chars: int = 64) -> str:
+        """Jump-forward text: unique-next-character walk over the NFA."""
+        states = self._states
+        out = []
+        for _ in range(max_chars):
+            if self._accept in states:
+                break
+            nexts = [(c, self._step(states, c)) for c in self._PROBE_CHARS]
+            live = [(c, s) for c, s in nexts if s]
+            if len(live) != 1:
+                break
+            out.append(live[0][0])
+            states = live[0][1]
+        return "".join(out)

@@ -43,6 +43,13 @@ class StructuredOutputManager:
             self.grammars[request.request_id] = RegexGrammar(
                 sp.guided_regex, self.tokenizer, self.vocab_size,
                 self.eos_token_id)
+        elif sp.guided_grammar is not None:
+            if self.tokenizer is None:
+                raise ValueError("guided_grammar requires a tokenizer")
+            from lvllm_tpu.structured_output.ebnf import EbnfGrammar
+            self.grammars[request.request_id] = EbnfGrammar(
+                sp.guided_grammar, self.tokenizer, self.vocab_size,
+                self.eos_token_id)
 
     def has_grammar(self, request_id: str) -> bool:
         return request_id in self.grammars
@@ -65,3 +72,46 @@ class StructuredOutputManager:
 
     def free(self, request_id: str) -> None:
         self.grammars.pop(request_id, None)
+
+    def jump_forward(self, request_id: str) -> List[int]:
+        """Jump-forward decoding (SGLang-style; the reference's structured
+        backends expose the same idea as ``find_jump_forward_string``):
+        when the grammar admits exactly one continuation, return its token
+        ids — already advanced through the grammar — so the engine can
+        append them without sampling steps. Their KV is computed by the
+        scheduler's next multi-token catch-up step."""
+        g = self.grammars.get(request_id)
+        if g is None:
+            return []
+        if hasattr(g, "forced_tokens"):          # token-trie (choice)
+            toks = g.forced_tokens()
+            for t in toks:
+                if not g.advance(t):             # keeps state consistent
+                    return []
+            return toks
+        fc = getattr(g, "forced_continuation", None)
+        if fc is None:
+            return []
+        text = fc()
+        if len(text) < 2:       # a 1-char jump rarely beats one decode step
+            return []
+        try:
+            toks = list(self.tokenizer.encode(text,
+                                              add_special_tokens=False))
+        except TypeError:
+            toks = list(self.tokenizer.encode(text))
+        except Exception:  # noqa: BLE001
+            return []
+        if not toks:
+            return []
+        # Verify the tokenization round-trips to exactly the forced text
+        # and each token advances the grammar (tokenizers may normalize).
+        joined = "".join(self.tokenizer.decode([t]) for t in toks)
+        if joined != text:
+            return []
+        for i, t in enumerate(toks):
+            if not g.advance(t):
+                logger.warning("jump-forward token %d rejected by its own "
+                               "grammar for %s", t, request_id)
+                return toks[:i]  # already-advanced prefix must be emitted
+        return toks
