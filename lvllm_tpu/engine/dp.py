@@ -24,6 +24,7 @@ Two DP planes, mirroring where the reference needs them:
 """
 
 import multiprocessing as mp
+import os
 import queue as queue_mod
 import threading
 import time
@@ -38,9 +39,65 @@ from lvllm_tpu.sampling_params import SamplingParams
 logger = init_logger(__name__)
 
 
+class _ShmReqReader:
+    """Rank-addressed reader over the broadcast ring: every rank sees every
+    message; those addressed elsewhere are skipped (reference:
+    shm_broadcast.py MessageQueue readers)."""
+
+    def __init__(self, name: str, rank: int):
+        from lvllm_tpu.distributed.shm_ring import ShmMessageQueue
+        self._q = ShmMessageQueue(name, reader_id=rank)
+        self._rank = rank
+
+    def _filter(self, msg):
+        tgt, payload = msg
+        if tgt is None or tgt == self._rank:
+            return payload
+        return _SKIP
+
+    def get_nowait(self):
+        while True:
+            try:
+                msg = self._q.get(timeout=0)
+            except TimeoutError:
+                raise queue_mod.Empty from None
+            out = self._filter(msg)
+            if out is not _SKIP:
+                return out
+
+    def get(self, timeout=None):
+        deadline = None if timeout is None else time.time() + timeout
+        while True:
+            left = None if deadline is None else deadline - time.time()
+            if left is not None and left <= 0:
+                raise queue_mod.Empty
+            try:
+                msg = self._q.get(timeout=left)
+            except TimeoutError:
+                raise queue_mod.Empty from None
+            out = self._filter(msg)
+            if out is not _SKIP:
+                return out
+
+
+_SKIP = object()
+
+
+class _ShmReqWriter:
+    """Per-rank handle over the single-writer ring (parent side)."""
+
+    def __init__(self, ring, rank: int):
+        self._ring = ring
+        self._rank = rank
+
+    def put(self, payload, timeout: float = 5.0) -> None:
+        self._ring.put((self._rank, payload), timeout=timeout)
+
+
 def _engine_worker(rank: int, config: EngineConfig, load_format: str,
                    req_queue, out_queue, force_cpu: bool,
-                   wave_barrier=None, work_flags=None) -> None:
+                   wave_barrier=None, work_flags=None,
+                   shm_name: Optional[str] = None) -> None:
     """One DP rank: owns an LLMEngine, serves requests from its queue.
     (Reference: DPEngineCoreProc.run_busy_loop.) With ``wave_barrier`` the
     rank participates in wave-synchronized stepping: each wave begins with
@@ -52,6 +109,8 @@ def _engine_worker(rank: int, config: EngineConfig, load_format: str,
         jax.config.update("jax_platforms", "cpu")
     from lvllm_tpu.engine.llm_engine import LLMEngine
 
+    if shm_name is not None:
+        req_queue = _ShmReqReader(shm_name, rank)
     engine = LLMEngine(config, load_format=load_format)
     dummy_steps = 0
     out_queue.put(("ready", rank, None))
@@ -169,18 +228,42 @@ class DPEngineGroup:
 
     def __init__(self, config: EngineConfig, num_ranks: int = 2,
                  load_format: str = "dummy", force_cpu: bool = True,
-                 start_timeout_s: float = 120.0, wave_sync: bool = False):
+                 start_timeout_s: float = 120.0, wave_sync: bool = False,
+                 use_shm: Optional[bool] = None):
         ctx = mp.get_context("spawn")
         self.num_ranks = num_ranks
         self.coordinator = DPCoordinator(num_ranks)
-        self._req_queues = [ctx.Queue() for _ in range(num_ranks)]
+        # Request fan-out: the native single-writer shm broadcast ring
+        # (csrc/shm_ring.cpp — the reference's MessageQueue role) when it
+        # builds, else per-rank mp queues. use_shm=None means auto.
+        self._shm_ring = None
+        shm_name = None
+        if use_shm or use_shm is None:
+            try:
+                from lvllm_tpu.distributed.shm_ring import ShmMessageQueue
+                shm_name = f"/lvllm_dp_{os.getpid()}_{id(self) & 0xffff}"
+                self._shm_ring = ShmMessageQueue(
+                    shm_name, n_readers=num_ranks, create=True)
+            except Exception as e:  # noqa: BLE001
+                if use_shm:
+                    raise
+                logger.info("shm ring unavailable (%s); using mp queues", e)
+                shm_name = None
+        if self._shm_ring is not None:
+            self._req_queues = [_ShmReqWriter(self._shm_ring, r)
+                                for r in range(num_ranks)]
+        else:
+            self._req_queues = [ctx.Queue() for _ in range(num_ranks)]
         self._out_queue = ctx.Queue()
         barrier = ctx.Barrier(num_ranks) if wave_sync else None
         flags = ctx.Array("i", num_ranks) if wave_sync else None
         self._procs = [
             ctx.Process(target=_engine_worker,
-                        args=(r, config, load_format, self._req_queues[r],
-                              self._out_queue, force_cpu, barrier, flags),
+                        args=(r, config, load_format,
+                              None if self._shm_ring is not None
+                              else self._req_queues[r],
+                              self._out_queue, force_cpu, barrier, flags,
+                              shm_name),
                         daemon=True)
             for r in range(num_ranks)
         ]
@@ -264,3 +347,9 @@ class DPEngineGroup:
             p.join(timeout=10)
             if p.is_alive():
                 p.terminate()
+        if self._shm_ring is not None:
+            try:
+                self._shm_ring.close()
+            except Exception:  # noqa: BLE001
+                pass
+            self._shm_ring = None

@@ -87,3 +87,21 @@ def test_dp_wave_sync_dummy_batches():
         assert outs[0].outputs[0].token_ids == want
     finally:
         group.shutdown()
+
+
+def test_dp_shm_ring_transport():
+    """Request fan-out over the native shm broadcast ring (the C++
+    MessageQueue analog) instead of mp queues."""
+    group = DPEngineGroup(tiny_cfg(), num_ranks=2, load_format="dummy",
+                          use_shm=True)
+    try:
+        assert group._shm_ring is not None
+        prompts = [[i + 1, i + 2] for i in range(6)]
+        sp = SamplingParams(temperature=0.0, max_tokens=4)
+        outs = group.generate(prompts, sp)
+        assert len(outs) == 6
+        assert all(len(o.outputs[0].token_ids) == 4 for o in outs)
+        stats = group.stats()
+        assert sum(s["total_served"] for s in stats) == 6
+    finally:
+        group.shutdown()
