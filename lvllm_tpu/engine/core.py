@@ -299,6 +299,11 @@ class EngineCore:
     def step(self) -> Tuple[List[Request], Dict[str, List[float]]]:
         """One engine iteration; returns (requests that gained tokens,
         per-request logprobs of those tokens)."""
+        if getattr(self, "_eplb_pending", None):
+            # Async EPLB: drain a bounded slice of queued expert-weight
+            # permutations each step (reference: eplb/async_worker.py).
+            self._eplb_apply_pending(
+                getattr(self, "_eplb_layers_per_step", 1))
         if self.config.scheduler_config.async_scheduling:
             return self._step_async()
         if not self.scheduler.has_unfinished_requests():
@@ -490,19 +495,16 @@ class EngineCore:
         step so MoE all-to-alls stay aligned across ranks."""
         self.runner.execute_dummy_batch()
 
-    def rebalance_experts(self, loads) -> dict:
-        """EPLB live reshuffle (reference: eplb_state.rearrange +
-        rebalance_execute weight shuffling): re-place experts onto EP ranks
-        so the hot ones spread evenly. Permutation-based (P == E): expert
-        weights are gathered into the new physical order and the router's
-        output columns are permuted to match, so routing picks physical
-        slots natively with zero per-step overhead.
+    def schedule_rebalance(self, loads, layers_per_step: int = 1) -> int:
+        """Async EPLB reshuffle (reference: ``eplb/async_worker.py`` weight
+        shuffling overlapped with serving): compute every layer's new
+        permutation now (cheap host LPT pack), then apply at most
+        ``layers_per_step`` layers' weight gathers after each engine step —
+        the gathers dispatch asynchronously and interleave with decode
+        steps on the device stream, bounding the per-step latency spike to
+        one layer's expert weights instead of the whole model's.
 
-        ``loads``: logical-expert load vector [E] (or {layer_idx: [E]}),
-        e.g. from offline profiling or the ExpertLoadTracker. Returns
-        {layer_idx: balance_ratio_after}. Group-limited routers
-        (n_group > 1) are skipped — column permutation would break the
-        group structure."""
+        Returns the number of queued layer permutations."""
         import numpy as np
 
         from lvllm_tpu.parallel.eplb import (EplbConfig, balance_ratio,
@@ -520,11 +522,13 @@ class EngineCore:
                          num_ranks=ep)
         if not hasattr(self, "_eplb_p2l"):
             self._eplb_p2l = {}
+            self._eplb_pending = []
+            self._eplb_report = {}
         params = self.runner.params
-        report = {}
+        self._eplb_pending = []
+        self._eplb_layers_per_step = max(int(layers_per_step), 1)
         for i, layer in enumerate(params["layers"]):
-            moe = layer.get("moe")
-            if moe is None:
+            if layer.get("moe") is None:
                 continue
             load = np.asarray(loads[i] if isinstance(loads, dict)
                               else loads, np.float64)
@@ -532,7 +536,22 @@ class EngineCore:
             cur = self._eplb_p2l.get(i, np.arange(E))
             cur_l2p = np.empty(E, np.int64)
             cur_l2p[cur] = np.arange(E)
-            rel = jnp.asarray(cur_l2p[p2l], jnp.int32)  # gather in cur order
+            rel = cur_l2p[p2l]                          # gather in cur order
+            self._eplb_pending.append((i, rel, p2l,
+                                       balance_ratio(load, p2l, ep)))
+        return len(self._eplb_pending)
+
+    def _eplb_apply_pending(self, limit: Optional[int] = None) -> int:
+        """Apply up to ``limit`` queued layer permutations (all if None)."""
+        pending = getattr(self, "_eplb_pending", None)
+        if not pending:
+            return 0
+        n = len(pending) if limit is None else min(limit, len(pending))
+        params = self.runner.params
+        for _ in range(n):
+            i, rel_np, p2l, ratio = pending.pop(0)
+            moe = params["layers"][i]["moe"]
+            rel = jnp.asarray(rel_np, jnp.int32)
             for name in ("w1", "w2", "w1_q", "w1_scales", "w2_q",
                          "w2_scales"):
                 if name in moe:
@@ -542,9 +561,23 @@ class EngineCore:
                 if moe.get(vec) is not None:
                     moe[vec] = moe[vec][rel]
             self._eplb_p2l[i] = p2l
-            report[i] = balance_ratio(load, p2l, ep)
-        logger.info("EPLB rebalance applied to %d layers", len(report))
-        return report
+            self._eplb_report[i] = ratio
+        if not pending:
+            logger.info("EPLB rebalance fully applied "
+                        "(%d layers)", len(self._eplb_report))
+        return n
+
+    def rebalance_experts(self, loads) -> dict:
+        """Synchronous EPLB reshuffle: schedule + drain in one call.
+        Permutation-based (P == E): expert weights are gathered into the
+        new physical order and the router's output columns are permuted to
+        match, so routing picks physical slots natively with zero per-step
+        overhead. ``loads``: logical-expert load vector [E] (or
+        {layer_idx: [E]}). Returns {layer_idx: balance_ratio_after}."""
+        self.schedule_rebalance(loads)
+        self._eplb_report = {}
+        self._eplb_apply_pending(None)
+        return dict(self._eplb_report)
 
     def scale_expert_parallel(self, new_ep: int) -> None:
         """Elastic EP (reference: elastic scale-up/down of EP ranks,

@@ -91,3 +91,26 @@ def test_balance_improves_for_skew():
     naive = balance_ratio(loads, np.arange(8), 4)
     packed = balance_ratio(loads, rebalance_experts(loads, cfg), 4)
     assert packed > naive
+
+
+def test_async_rebalance_preserves_outputs():
+    """schedule_rebalance applies one layer per step across steps; outputs
+    stay identical (reference: eplb/async_worker.py overlapped shuffle)."""
+    base = _drive(_engine())
+    eng = _engine()
+    for rid, p in enumerate(PROMPTS):
+        eng.add_request(f"r{rid}", p,
+                        SamplingParams(temperature=0.0, max_tokens=12))
+    outs, steps = [], 0
+    scheduled = False
+    while eng.has_unfinished_requests() and steps < 60:
+        if steps == 3 and not scheduled:
+            n = eng.core.schedule_rebalance(SKEWED, layers_per_step=1)
+            assert n == 2                    # one permutation per MoE layer
+            scheduled = True
+        outs.extend(o for o in eng.step() if o.finished)
+        steps += 1
+    assert not eng.core._eplb_pending       # fully drained
+    assert len(eng.core._eplb_report) == 2
+    got = {o.request_id: o.outputs[0].token_ids for o in outs}
+    assert got == base
