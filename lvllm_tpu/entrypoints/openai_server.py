@@ -88,6 +88,12 @@ class OpenAIServer:
                                  self.chat_completions)
         self.app.router.add_post("/v1/responses", self.responses)
         self.app.router.add_post("/v1/embeddings", self.embeddings)
+        # Audio (Whisper): OpenAI-compatible speech-to-text (reference:
+        # entrypoints/openai/serving_transcription.py).
+        self.app.router.add_post("/v1/audio/transcriptions",
+                                 self.transcriptions)
+        self.app.router.add_post("/v1/audio/translations",
+                                 self.translations)
         self.app.router.add_post("/tokenize", self.tokenize)
         self.app.router.add_post("/detokenize", self.detokenize)
         self.app.router.add_get("/metrics", self.metrics)
@@ -151,6 +157,109 @@ class OpenAIServer:
             "usage": {"prompt_tokens": sum(len(t) for t in token_lists),
                       "total_tokens": sum(len(t) for t in token_lists)},
         })
+
+    # ---- audio (Whisper) --------------------------------------------------
+
+    def _audio_features(self, wav: "np.ndarray", sample_rate: int):
+        """Waveform → log-mel input_features via the HF feature extractor
+        (resampled to 16 kHz by linear interpolation when needed)."""
+        import numpy as np
+        if sample_rate != 16000:
+            n = int(len(wav) * 16000 / sample_rate)
+            wav = np.interp(np.linspace(0, len(wav) - 1, n),
+                            np.arange(len(wav)), wav)
+        if not hasattr(self, "_feature_extractor"):
+            from transformers import WhisperFeatureExtractor
+            mc = self.llm.config.model_config
+            try:
+                self._feature_extractor = \
+                    WhisperFeatureExtractor.from_pretrained(mc.model)
+            except Exception:  # noqa: BLE001
+                self._feature_extractor = WhisperFeatureExtractor(
+                    feature_size=(mc.vision_config or {}).get(
+                        "num_mel_bins", 80))
+        out = self._feature_extractor(wav, sampling_rate=16000,
+                                      return_tensors="np")
+        return out["input_features"]          # [1, M, T]
+
+    def _whisper_prompt(self, language: str, task: str):
+        """Forced decoder ids: <|startoftranscript|><|lang|><|task|>
+        <|notimestamps|> (HF WhisperTokenizer convention)."""
+        mc = self.llm.config.model_config
+        tok = self.llm.tokenizer
+        start = (mc.vision_config or {}).get("decoder_start_token_id",
+                                             50258)
+        ids = [start]
+        if tok is not None and hasattr(tok, "convert_tokens_to_ids"):
+            unk = getattr(tok, "unk_token_id", None)
+            for t in (f"<|{language}|>", f"<|{task}|>", "<|notimestamps|>"):
+                tid = tok.convert_tokens_to_ids(t)
+                if tid is not None and tid != unk:
+                    ids.append(tid)
+        return ids
+
+    async def _audio_endpoint(self, request: web.Request, task: str
+                              ) -> web.Response:
+        import numpy as np
+        feats = None
+        language = "en"
+        temperature = 0.0
+        prompt_ids = None
+        max_tokens = 220
+        if request.content_type.startswith("multipart/"):
+            reader = await request.multipart()
+            async for part in reader:
+                if part.name == "file":
+                    raw = await part.read()
+                    import io
+                    import wave as wave_mod
+                    with wave_mod.open(io.BytesIO(raw)) as wf:
+                        sr = wf.getframerate()
+                        n = wf.getnframes()
+                        data = np.frombuffer(wf.readframes(n), np.int16)
+                        if wf.getnchannels() > 1:
+                            data = data.reshape(
+                                -1, wf.getnchannels()).mean(axis=1)
+                    feats = self._audio_features(
+                        data.astype(np.float32) / 32768.0, sr)
+                elif part.name == "language":
+                    language = (await part.text()).strip()
+                elif part.name == "temperature":
+                    temperature = float(await part.text())
+        else:
+            body = await request.json()
+            language = body.get("language", "en")
+            temperature = float(body.get("temperature", 0.0))
+            max_tokens = int(body.get("max_tokens", max_tokens))
+            prompt_ids = body.get("prompt_ids")
+            if body.get("input_features") is not None:
+                feats = np.asarray(body["input_features"], np.float32)
+            elif body.get("waveform") is not None:
+                feats = self._audio_features(
+                    np.asarray(body["waveform"], np.float32),
+                    int(body.get("sample_rate", 16000)))
+        if feats is None:
+            return self._error("no audio provided", 400)
+        if prompt_ids is None:
+            prompt_ids = self._whisper_prompt(language, task)
+        sp = SamplingParams(temperature=temperature, max_tokens=max_tokens)
+        final = None
+        async for out in self.llm.generate(
+                list(prompt_ids), sp,
+                mm_data={"input_features": feats}):
+            if out.finished:
+                final = out
+        ids = final.outputs[0].token_ids
+        tok = self.llm.tokenizer
+        text = (tok.decode(ids, skip_special_tokens=True)
+                if tok is not None else "")
+        return web.json_response({"text": text, "token_ids": list(ids)})
+
+    async def transcriptions(self, request: web.Request) -> web.Response:
+        return await self._audio_endpoint(request, "transcribe")
+
+    async def translations(self, request: web.Request) -> web.Response:
+        return await self._audio_endpoint(request, "translate")
 
     async def tokenize(self, request: web.Request) -> web.Response:
         body = await request.json()

@@ -194,6 +194,33 @@ def load_model_config(model_path: str,
         # Family switches key on the text arch; restore the MM name after
         # ModelConfig assembly.
         override_arch, arch = arch, "Gemma3ForCausalLM"
+    if arch == "WhisperForConditionalGeneration":
+        # Whisper: decoder fields map onto the unified decoder knobs;
+        # encoder geometry rides in the generic mm-encoder (vision_config)
+        # slot (reference: models/whisper.py).
+        vision_cfg = {
+            "num_mel_bins": hf.get("num_mel_bins", 80),
+            "encoder_layers": hf.get("encoder_layers", 4),
+            "encoder_attention_heads": hf.get("encoder_attention_heads",
+                                              hf.get("decoder_attention_"
+                                                     "heads", 4)),
+            "encoder_ffn_dim": hf.get("encoder_ffn_dim",
+                                      hf.get("decoder_ffn_dim", 1536)),
+            "max_source_positions": hf.get("max_source_positions", 1500),
+            "decoder_start_token_id": hf.get("decoder_start_token_id",
+                                             50258),
+        }
+        hf = {**hf,
+              "hidden_size": hf["d_model"],
+              "num_hidden_layers": hf["decoder_layers"],
+              "num_attention_heads": hf["decoder_attention_heads"],
+              "num_key_value_heads": hf["decoder_attention_heads"],
+              "intermediate_size": hf["decoder_ffn_dim"],
+              "max_position_embeddings": hf.get("max_target_positions",
+                                                448),
+              "hidden_act": "gelu_exact",
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True),
+              "attention_bias": True}
     if arch == "Glm4vForConditionalGeneration":
         # GLM-4.1V: GLM-4 dense text layer (sandwich norms, fused gate_up,
         # qkv bias, interleaved rotary) + M-RoPE sections; EVA-style tower
@@ -385,6 +412,9 @@ def load_model_config(model_path: str,
     if arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM"):
         norm_type, mlp_gated, learned_pos = "layernorm", False, True
         hidden_act_override = "gelu_only"
+    elif arch == "WhisperForConditionalGeneration":
+        norm_type, mlp_gated, learned_pos = "layernorm", False, True
+        hidden_act_override = "gelu_exact"
     elif arch == "GPTNeoXForCausalLM":
         norm_type, mlp_gated = "layernorm", False
         hidden_act_override = "gelu_only"
@@ -448,7 +478,10 @@ def load_model_config(model_path: str,
         hidden_act_override = "relu2"
     bias_all = (arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM",
                          "PhiForCausalLM", "BloomForCausalLM",
-                         "PersimmonForCausalLM") or
+                         "PersimmonForCausalLM",
+                         # Whisper: biases everywhere except k_proj (the
+                         # loader leaves that one zero).
+                         "WhisperForConditionalGeneration") or
                 (arch == "OPTForCausalLM" and
                  hf.get("enable_bias", True)) or
                 (arch in ("MptForCausalLM", "MPTForCausalLM") and
@@ -605,7 +638,9 @@ def load_model_config(model_path: str,
         moe_bias=arch == "GptOssForCausalLM",
         attn_logit_softcap=hf.get("attn_logit_softcapping"),
         final_logit_softcap=hf.get("final_logit_softcapping"),
-        scale_embedding=arch.startswith("Gemma"),
+        scale_embedding=(arch.startswith("Gemma") or
+                         (arch == "WhisperForConditionalGeneration" and
+                          hf.get("scale_embedding", False))),
         query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
         rope_local_base_freq=hf.get("rope_local_base_freq"),
         no_rope_layers=(tuple(
@@ -627,7 +662,9 @@ def load_model_config(model_path: str,
                               if (use_alibi or
                                   arch in ("GPT2LMHeadModel",
                                            "GPTBigCodeForCausalLM",
-                                           "OPTForCausalLM")) else None)),
+                                           "OPTForCausalLM",
+                                           "WhisperForConditionalGeneration"
+                                           )) else None)),
         alibi=use_alibi,
         embedding_norm=arch == "BloomForCausalLM",
         embedding_multiplier=hf.get("embedding_multiplier", 1.0),

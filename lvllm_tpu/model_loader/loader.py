@@ -70,6 +70,7 @@ def quantize_moe_weights(params, config: ModelConfig):
                         np.asarray(moe.pop(f"{name}_q")),
                         np.asarray(moe.pop(f"{name}_scales")))
                     qw, s = quant.quantize_int4_np(deq, 128)
+                    qw, s = quant.tile_quant_layout_np(qw, s)
                     moe[f"{name}_q"] = jax.numpy.asarray(qw)
                     moe[f"{name}_scales"] = jax.numpy.asarray(
                         s, jax.numpy.bfloat16 if config.dtype == "bfloat16"
@@ -83,8 +84,10 @@ def quantize_moe_weights(params, config: ModelConfig):
             w = np.asarray(moe.pop(name))
             if method == "int4":
                 qw, s = quant.quantize_int4_np(w, 128)
+                qw, s = quant.tile_quant_layout_np(qw, s)
             elif method == "int8":
                 qw, s = quant.quantize_int8_np(w, 128)
+                qw, s = quant.tile_quant_layout_np(qw, s)
             else:
                 qw, s = quant.quantize_fp8_np(w)
             moe[f"{name}_q"] = jax.numpy.asarray(qw)

@@ -39,6 +39,11 @@ class AttentionMetadata:
     cascade_prefix_len: Optional[jax.Array] = None      # scalar tokens
     cascade_suffix_block_table: Optional[jax.Array] = None  # [R, MAXB]
     cascade_suffix_seq_lens: Optional[jax.Array] = None     # [R]
+    # Encoder-decoder (Whisper): persistent cross-attention K/V pool
+    # [L, 2, P, S, H, Dh] + per-scheduled-request pool slot [R]. Written
+    # once at request admit; decoder layers read their slice per layer.
+    cross_kv: Optional[jax.Array] = None
+    cross_slots: Optional[jax.Array] = None
     # STATIC (part of the jit cache key): the batch is one contiguous
     # request segment (long prefill) — linear-attention layers take the
     # chunk-parallel MXU path instead of the token scan (ops/gdn.py

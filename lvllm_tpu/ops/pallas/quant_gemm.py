@@ -35,11 +35,11 @@ def _kernel_int4(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
     packed = w_ref[0].astype(jnp.int32)
     lo = ((packed & 0x0F) ^ 8) - 8
     hi = (((packed >> 4) & 0x0F) ^ 8) - 8
-    q = jnp.concatenate([lo, hi], axis=0)            # [K, TILE_N] i32
-    K = q.shape[0]
-    scales = s_ref[0]                                # [K//G, TILE_N]
-    w = q.astype(jnp.float32).reshape(K // group_size, group_size, TILE_N)
-    w = (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, TILE_N)
+    q = jnp.concatenate([lo, hi], axis=0)            # [K, tn] i32
+    K, tn = q.shape
+    scales = s_ref[0]                                # [K//G, tn]
+    w = q.astype(jnp.float32).reshape(K // group_size, group_size, tn)
+    w = (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, tn)
     o_ref[:] = jax.lax.dot_general(
         x.astype(jnp.float32), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -90,14 +90,67 @@ def _kernel_int4_groupscale(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
     o_ref[:] = acc.astype(out_dtype)
 
 
+def _kernel_int4_twodot(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                        group_size: int, out_dtype):
+    """int4 without the [K, N] concat copy: the lo/hi nibble halves each
+    dequantize in place and contribute their own MXU dot against the
+    matching half of x (packing puts rows [0, K/2) in lo, [K/2, K) in hi,
+    and K/2 is a multiple of group_size so scales split cleanly)."""
+    x = x_ref[:].astype(jnp.bfloat16)
+    packed = w_ref[0].astype(jnp.int32)               # [K/2, TILE_N]
+    Kh = packed.shape[0]
+    G = group_size
+    scales = s_ref[0].astype(jnp.bfloat16)            # [K//G, TILE_N]
+    nh = Kh // G
+
+    lo = (((packed & 0x0F) ^ 8) - 8).astype(jnp.bfloat16)
+    lo = (lo.reshape(nh, G, TILE_N) * scales[:nh, None, :]).reshape(
+        Kh, TILE_N)
+    acc = jax.lax.dot_general(
+        x[:, :Kh], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hi = ((((packed >> 4) & 0x0F) ^ 8) - 8).astype(jnp.bfloat16)
+    hi = (hi.reshape(nh, G, TILE_N) * scales[nh:, None, :]).reshape(
+        Kh, TILE_N)
+    acc = acc + jax.lax.dot_general(
+        x[:, Kh:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(out_dtype)
+
+
+def _kernel_int4_native(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                        group_size: int, out_dtype):
+    """jnp.int4 storage: Mosaic's native int4→bf16 convert replaces the
+    mask/shift/xor unpack chain (weights stay bit-packed in HBM)."""
+    x = x_ref[:].astype(jnp.bfloat16)
+    q = w_ref[0].astype(jnp.bfloat16)                 # [K, TILE_N]
+    K = q.shape[0]
+    scales = s_ref[0].astype(jnp.bfloat16)
+    w = (q.reshape(K // group_size, group_size, TILE_N) *
+         scales[:, None, :]).reshape(K, TILE_N)
+    o_ref[:] = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _kernel_int4_touch(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                       group_size: int, out_dtype):
+    """DMA floor probe: streams the same weight tiles but replaces dequant
+    + matmul with a trivial reduce — isolates memory time from compute."""
+    packed = w_ref[0]
+    t = jnp.sum(packed.astype(jnp.float32)) + \
+        jnp.sum(s_ref[0].astype(jnp.float32))
+    o_ref[:] = jnp.full(o_ref.shape, t, out_dtype)
+
+
 def _kernel_int8(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
                  group_size: int, out_dtype):
     x = x_ref[:]
-    q = w_ref[0]                                     # [K, TILE_N] int8
-    K = q.shape[0]
+    q = w_ref[0]                                     # [K, tn] int8
+    K, tn = q.shape
     scales = s_ref[0]
-    w = q.astype(jnp.float32).reshape(K // group_size, group_size, TILE_N)
-    w = (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, TILE_N)
+    w = q.astype(jnp.float32).reshape(K // group_size, group_size, tn)
+    w = (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, tn)
     o_ref[:] = jax.lax.dot_general(
         x.astype(jnp.float32), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -121,6 +174,96 @@ def _kernel_bf16(block_expert_ref, x_ref, w_ref, o_ref, *, out_dtype):
         preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+def pick_tile_n(K_eff: int, N: int, dtype_bytes: float,
+                vmem_budget: int = 4 << 20) -> int:
+    """Largest 128-multiple divisor of N whose [K_eff, tile_n] weight tile
+    (double-buffered) fits the VMEM budget. Bigger tiles → fewer grid
+    steps → less per-DMA fixed overhead (profiled: the old 128-wide
+    strided tiles capped the kernel at ~200 GB/s vs 722 XLA floor)."""
+    best = TILE_N
+    for cand in range(N, TILE_N - 1, -TILE_N):
+        if N % cand:
+            continue
+        if 2 * K_eff * cand * dtype_bytes <= vmem_budget:
+            best = cand
+            break
+    return best
+
+
+def _tile_last_dim(a: jax.Array, tile_n: int) -> jax.Array:
+    """[E, R, N] → [E, N//tile_n, R, tile_n] contiguous column-tile layout
+    so each (expert, col-tile) weight slab is ONE contiguous HBM read
+    (marlin-style repack, done once at load)."""
+    E, R, N = a.shape
+    return jnp.transpose(a.reshape(E, R, N // tile_n, tile_n),
+                         (0, 2, 1, 3))
+
+
+def untile_last_dim(a) -> jax.Array:
+    """Inverse of the load-time repack: [E, nb_n, R, tn] → [E, R, N]."""
+    E, nb_n, R, tn = a.shape
+    return jnp.transpose(a, (0, 2, 1, 3)).reshape(E, R, nb_n * tn)
+
+
+def grouped_quant_matmul_tiled(
+    x_aligned: jax.Array,     # [M_pad, K]
+    w_tiled: jax.Array,       # int4: [E, nb_n, K//2, TN]; int8: [..., K, TN]
+    s_tiled: jax.Array,       # [E, nb_n, K//G, TN]
+    block_expert: jax.Array,  # [M_pad // tile_m] i32 (-1 pad → expert 0)
+    *,
+    method: str,              # int4 | int8
+    tile_m: int,
+    group_size: int = 128,
+) -> jax.Array:
+    """Fused dequant grouped GEMM over column-tiled contiguous weights.
+
+    Same math as :func:`grouped_quant_matmul`; the load-time repack
+    (:func:`_tile_last_dim`) makes every weight-tile DMA a single
+    contiguous slab and the wide tile_n collapses the grid's n dimension,
+    which removes the per-step DMA issue overhead that bounded the
+    strided layout at ~25% of HBM peak."""
+    M_pad, K = x_aligned.shape
+    E, nb_n, rows, tn = w_tiled.shape
+    N = nb_n * tn
+    assert M_pad % tile_m == 0, (M_pad, tile_m)
+    nb_m = M_pad // tile_m
+    safe_expert = jnp.maximum(block_expert, 0)
+    out_dtype = x_aligned.dtype
+
+    if method == "int4":
+        base = _kernel_int4
+    elif method == "int8":
+        base = _kernel_int8
+    else:
+        raise ValueError(f"tiled layout unsupported for {method}")
+
+    def kernel(be_ref, x_ref, w_ref, s_ref, o_ref):
+        base(be_ref, x_ref, w_ref[:, 0], s_ref[:, 0], o_ref,
+             group_size=group_size, out_dtype=out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_m, nb_n),
+        in_specs=[
+            pl.BlockSpec((tile_m, K), lambda m, n, be: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, tn),
+                         lambda m, n, be: (be[m], n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K // group_size, tn),
+                         lambda m, n, be: (be[m], n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tn), lambda m, n, be: (m, n),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
+    )(safe_expert, x_aligned, w_tiled, s_tiled)
+
+
 def grouped_quant_matmul(
     x_aligned: jax.Array,     # [M_pad, K]
     w: jax.Array,             # int4: [E, K//2, N]; int8: [E, K, N];
@@ -133,6 +276,12 @@ def grouped_quant_matmul(
     group_size: int = 128,
     variant: str = "default",
 ) -> jax.Array:
+    if w.ndim == 4:
+        # Column-tiled contiguous layout (load-time repack; profiled at
+        # 655 GB/s vs 195 for the strided [E, R, N] layout on v5e).
+        return grouped_quant_matmul_tiled(
+            x_aligned, w, scales, block_expert, method=method,
+            tile_m=tile_m, group_size=group_size)
     M_pad, K = x_aligned.shape
     E = w.shape[0]
     N = w.shape[2]
@@ -158,11 +307,19 @@ def grouped_quant_matmul(
 
     if method == "int4":
         kfn = {"default": _kernel_int4, "bf16dot": _kernel_int4_bf16,
-               "groupscale": _kernel_int4_groupscale}[variant]
+               "groupscale": _kernel_int4_groupscale,
+               "twodot": _kernel_int4_twodot,
+               "native": _kernel_int4_native,
+               "touch": _kernel_int4_touch}[variant]
         kernel = functools.partial(kfn, group_size=group_size,
                                    out_dtype=out_dtype)
-        w_spec = pl.BlockSpec((1, K // 2, TILE_N), w_index,
-                              memory_space=pltpu.VMEM)
+        if variant == "native":
+            # w arrives as jnp.int4 [E, K, N] (bit-packed in HBM).
+            w_spec = pl.BlockSpec((1, K, TILE_N), w_index,
+                                  memory_space=pltpu.VMEM)
+        else:
+            w_spec = pl.BlockSpec((1, K // 2, TILE_N), w_index,
+                                  memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, K // group_size, TILE_N), s_index,
                               memory_space=pltpu.VMEM)
         in_specs = [x_spec, w_spec, s_spec]
@@ -212,6 +369,10 @@ def grouped_quant_matmul_reference(x_aligned, w, scales, block_expert, *,
                                    method, tile_m, group_size=128):
     """Oracle: dequantize whole experts, gather per block, matmul."""
     from lvllm_tpu.ops import quant as q
+
+    if w.ndim == 4:
+        w = untile_last_dim(w)
+        scales = untile_last_dim(scales)
 
     if method == "int4":
         wd = q.dequant_int4(w, scales, group_size, jnp.float32)

@@ -61,6 +61,36 @@ def quantize_int4_np(w: np.ndarray, group_size: int = 128
     return packed, scales[..., 0, :]                        # [..., K//G, N]
 
 
+def tile_n_for(N: int) -> int:
+    """Column-tile width for the contiguous quant-weight layout: 512 is
+    the profiled sweet spot on v5e (655 GB/s effective vs 195 for the
+    strided layout); fall back to smaller 128-multiples when N is narrow.
+    Returns 0 when N has no 128-multiple divisor (layout stays legacy)."""
+    for cand in (512, 256, 128):
+        if N % cand == 0:
+            return cand
+    return 0
+
+
+def tile_quant_layout_np(qw: np.ndarray, scales: np.ndarray
+                         ) -> "tuple[np.ndarray, np.ndarray]":
+    """Repack [E, R, N] quantized weights + [E, G, N] scales into the
+    column-tiled layout [E, N/tn, R, tn] consumed by
+    ``quant_gemm.grouped_quant_matmul_tiled`` — each (expert, col-tile)
+    slab becomes one contiguous HBM read. No-op (returns inputs) when N
+    doesn't tile."""
+    E, R, N = qw.shape
+    tn = tile_n_for(N)
+    if tn == 0:
+        return qw, scales
+
+    def t(a):
+        return np.ascontiguousarray(
+            a.reshape(E, a.shape[1], N // tn, tn).transpose(0, 2, 1, 3))
+
+    return t(qw), t(scales)
+
+
 def quantize_int8_np(w: np.ndarray, group_size: int = 128
                      ) -> Tuple[np.ndarray, np.ndarray]:
     *lead, K, N = w.shape

@@ -67,6 +67,12 @@ def spec_for_param(path_names: Tuple[str, ...], ndim: int,
             # expert-axis-only sharding — intermediate dims stay whole.
             return P(AXIS_EXPERT, None, None)
         # Pure-TP fallback: shard the intermediate dim; scales follow.
+        # Tiled quant layout [E, N/tn, rows, tn] (quant_gemm tiled
+        # repack): replicate under pure TP — the Pallas grouped GEMM runs
+        # single-shard inside GSPMD (see CLAUDE.md), and EP is the
+        # production sharding for quantized experts.
+        if len(shape) == 4:
+            return P(None, None, None, None)
         if leaf.startswith("w1"):
             n_ax = AXIS_MODEL if div(shape[-1], tp) else None
             return P(None, None, n_ax)

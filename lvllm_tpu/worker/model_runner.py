@@ -171,8 +171,19 @@ class ModelRunner:
         self.mm_stats = {"processor_cache_hits": 0,
                          "processor_cache_misses": 0,
                          "encoder_cache_freed": 0}
+        # Encoder-decoder (Whisper): per-request cross-attention K/V pool
+        # [L, 2, P+1, S, H, Dh] (last slot = zeros for audio-less rows),
+        # written once at admit, read by every decode step.
+        self.is_enc_dec = getattr(self.model, "is_encoder_decoder", False)
+        self._cross_pool = None
+        if self.is_enc_dec:
+            self._encode_audio_fn = jax.jit(self.model.encode_audio)
+            self._cross_kv_fn = jax.jit(self.model.compute_cross_kv)
+            self._cross_set_fn = jax.jit(
+                lambda p, c, s: p.at[:, :, s].set(c.astype(p.dtype)))
         self._encode_images_fn = None
-        if getattr(self.model, "is_multimodal", False):
+        if not self.is_enc_dec and getattr(self.model, "is_multimodal",
+                                           False):
             if getattr(self.model, "mm_dynamic", False):
                 # Variable-grid towers (Qwen2-VL) manage their own jit
                 # cache per grid shape; flag doubles as dispatch marker.
@@ -515,7 +526,8 @@ class ModelRunner:
               row_slots=None, want_topk_logprobs=False,
               single_seq_prefill=False, pcp_prefill=False, mm_embeds=None,
               mm_mask=None, dcp_slot_mapping=None, want_hidden=False,
-              cascade_args=None, aux_layers=(), draft_mat=None):
+              cascade_args=None, aux_layers=(), draft_mat=None,
+              cross_args=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -536,6 +548,8 @@ class ModelRunner:
             cascade_prefix_len=casc[1],
             cascade_suffix_block_table=casc[2],
             cascade_suffix_seq_lens=casc[3],
+            cross_kv=cross_args[0] if cross_args is not None else None,
+            cross_slots=cross_args[1] if cross_args is not None else None,
         )
         mm_kwargs = {}
         if mm_embeds is not None:
@@ -665,7 +679,7 @@ class ModelRunner:
         either way, so falling back to one step is always safe."""
         if (self.num_spec or self.expert_store is not None
                 or self.eagle_proposer is not None or self.dcp > 1
-                or self.pp > 1
+                or self.pp > 1 or self.is_enc_dec
                 or self.config.model_config.layer_types is not None
                 or grammar_masks):
             return False
@@ -829,6 +843,23 @@ class ModelRunner:
         """Encode a request's images once; cache projected features and
         the placeholder positions within the prompt."""
         import jax.numpy as jnp
+        if self.is_enc_dec:
+            # Audio (Whisper): encoder runs once; per-layer cross K/V park
+            # in the persistent pool at the request's batch slot.
+            self._mm_raw[rid] = mm_data
+            feats = np.asarray(mm_data["input_features"], np.float32)
+            if feats.ndim == 2:
+                feats = feats[None]
+            enc = self._encode_audio_fn(self.params, jnp.asarray(feats))[0]
+            ckv = self._cross_kv_fn(self.params, enc)   # [L, 2, S, H, Dh]
+            if self._cross_pool is None:
+                L, _, S, H, Dh = ckv.shape
+                self._cross_pool = jnp.zeros(
+                    (L, 2, self.max_num_reqs + 1, S, H, Dh), ckv.dtype)
+            slot = self.input_batch.req_id_to_index[rid]
+            self._cross_pool = self._cross_set_fn(self._cross_pool, ckv,
+                                                  slot)
+            return
         self._mm_raw[rid] = mm_data
         ids = np.asarray(prompt_token_ids)
         if getattr(self.model, "mm_dynamic", False):
@@ -1090,6 +1121,13 @@ class ModelRunner:
             for r, rid in enumerate(row_req_ids):
                 rs[r] = ib.req_id_to_index[rid]
             row_slots = jnp.asarray(rs)
+        # Encoder-decoder: cross-KV pool + per-row pool slots.
+        cross_args = None
+        if self.is_enc_dec and self._cross_pool is not None:
+            cs = np.full(R, self.max_num_reqs, dtype=np.int32)
+            for r, rid in enumerate(row_req_ids):
+                cs[r] = ib.req_id_to_index[rid]
+            cross_args = (self._cross_pool, jnp.asarray(cs))
 
         # Multimodal splice arrays for this step's scheduled chunks.
         mm_args = {}
@@ -1217,7 +1255,7 @@ class ModelRunner:
                                   if dcp_slot is not None else None),
                 want_hidden=want_hidden, cascade_args=cascade_args,
                 aux_layers=eagle_aux, draft_mat=draft_mat,
-                **mm_args, **lora_args)
+                cross_args=cross_args, **mm_args, **lora_args)
             self.kv_caches = kv
 
         # EAGLE drafting: grammar rows are excluded (grammar state can't

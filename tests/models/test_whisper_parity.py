@@ -1,0 +1,144 @@
+"""Whisper encoder-decoder parity vs transformers
+WhisperForConditionalGeneration (reference: vllm models/whisper.py)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from lvllm_tpu.model_loader.hf_config import load_model_config  # noqa: E402
+from lvllm_tpu.model_loader.loader import load_model  # noqa: E402
+from lvllm_tpu.models.model_base import AttentionMetadata  # noqa: E402
+
+
+def _hf_model(tmp_path):
+    cfg = transformers.WhisperConfig(
+        vocab_size=128, d_model=64, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128, num_mel_bins=16,
+        max_source_positions=32, max_target_positions=64,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=3, suppress_tokens=None,
+        begin_suppress_tokens=None)
+    torch.manual_seed(0)
+    model = transformers.WhisperForConditionalGeneration(cfg)
+    model.eval()
+    model.save_pretrained(str(tmp_path), safe_serialization=True)
+    return model
+
+
+def test_whisper_encoder_matches_hf(tmp_path):
+    hf = _hf_model(tmp_path)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 16, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.model.encoder(torch.tensor(feats)).last_hidden_state
+    ref = ref.float().numpy()
+    mc = load_model_config(str(tmp_path), max_model_len=64, dtype="float32")
+    assert mc.architecture == "WhisperForConditionalGeneration"
+    model, params = load_model(mc, "safetensors")
+    ours = np.asarray(model.encode_audio(params, jnp.asarray(feats)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_whisper_logits_parity(tmp_path):
+    hf = _hf_model(tmp_path)
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((1, 16, 64)).astype(np.float32)
+    dec_ids = [3, 7, 11, 13, 17]
+    with torch.no_grad():
+        ref = hf(input_features=torch.tensor(feats),
+                 decoder_input_ids=torch.tensor([dec_ids])).logits
+    ref = ref[0].float().numpy()
+
+    mc = load_model_config(str(tmp_path), max_model_len=64, dtype="float32")
+    model, params = load_model(mc, "safetensors")
+    enc = model.encode_audio(params, jnp.asarray(feats))[0]   # [S, D]
+    ckv = model.compute_cross_kv(params, enc)                 # [L,2,S,H,Dh]
+    # Pool with 2 slots; our request parked at slot 1.
+    pool = jnp.stack([jnp.zeros_like(ckv), ckv], axis=2)      # [L,2,P,S,H,D]
+
+    T = len(dec_ids)
+    caches = [model.make_layer_cache(i, 8, 16, jnp.float32, max_reqs=2)
+              for i in range(mc.num_hidden_layers)]
+    md = AttentionMetadata(
+        query_start_loc=jnp.asarray([0, T], jnp.int32),
+        seq_lens=jnp.asarray([T], jnp.int32),
+        block_table=jnp.asarray([[1]], jnp.int32),
+        slot_mapping=(16 + jnp.arange(T)).astype(jnp.int32),
+        cross_kv=pool,
+        cross_slots=jnp.asarray([1], jnp.int32))
+    hidden, _ = model(params, jnp.asarray(dec_ids, jnp.int32),
+                      jnp.arange(T, dtype=jnp.int32), caches, md)
+    ours = np.asarray(model.compute_logits(params, hidden))
+
+    def lsm(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+    np.testing.assert_allclose(lsm(ours), lsm(ref), rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+
+
+def test_whisper_engine_greedy_matches_hf_generate(tmp_path):
+    """Full serving path: audio encoded at admit into the cross-KV pool,
+    decode steps read it per-row; greedy matches HF generate."""
+    from lvllm_tpu.config import (CacheConfig, EngineConfig,
+                                  SchedulerConfig)
+    from lvllm_tpu.engine.llm_engine import LLMEngine
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    hf = _hf_model(tmp_path)
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((1, 16, 64)).astype(np.float32)
+    dec_ids = [3, 7]
+    with torch.no_grad():
+        ref = hf.generate(input_features=torch.tensor(feats),
+                          decoder_input_ids=torch.tensor([dec_ids]),
+                          max_new_tokens=8, do_sample=False)
+    ref = ref[0, len(dec_ids):].tolist()
+
+    mc = load_model_config(str(tmp_path), max_model_len=64, dtype="float32")
+    eng = LLMEngine(EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=32),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                         max_num_seqs=2, max_model_len=64)),
+        load_format="safetensors")
+    eng.add_request("a0", dec_ids,
+                    SamplingParams(temperature=0.0, max_tokens=8,
+                                   ignore_eos=False),
+                    mm_data={"input_features": feats})
+    outs, steps = [], 0
+    while eng.has_unfinished_requests() and steps < 40:
+        outs.extend(o for o in eng.step() if o.finished)
+        steps += 1
+    ours = outs[0].outputs[0].token_ids
+    # HF whisper generate applies its own audio-length stopping heuristics;
+    # compare the greedy token stream over the common prefix.
+    n = min(len(ours), len(ref))
+    assert n >= 4
+    assert ours[:n] == ref[:n], (ours, ref)
+
+    # Different audio must change the decode (proves the cross-KV pool is
+    # actually read, not a zeros row) — checked against HF on a second
+    # request through the SAME engine (pool slot reuse).
+    feats2 = rng.standard_normal((1, 16, 64)).astype(np.float32) * 3.0
+    with torch.no_grad():
+        ref2 = hf.generate(input_features=torch.tensor(feats2),
+                           decoder_input_ids=torch.tensor([dec_ids]),
+                           max_new_tokens=8, do_sample=False)
+    ref2 = ref2[0, len(dec_ids):].tolist()
+    eng.add_request("a1", dec_ids,
+                    SamplingParams(temperature=0.0, max_tokens=8),
+                    mm_data={"input_features": feats2})
+    outs2, steps = [], 0
+    while eng.has_unfinished_requests() and steps < 40:
+        outs2.extend(o for o in eng.step() if o.finished)
+        steps += 1
+    ours2 = outs2[0].outputs[0].token_ids
+    n2 = min(len(ours2), len(ref2))
+    assert ours2[:n2] == ref2[:n2], (ours2, ref2)

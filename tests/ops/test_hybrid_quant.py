@@ -43,8 +43,12 @@ def test_hybrid_layers_quantized_per_method():
     l2 = params["layers"][2]["moe"]
     assert str(l0["w1_q"].dtype).startswith("float8")
     assert l2["w1_q"].dtype == jnp.int8
-    # INT4 packs two nibbles per int8 along the contraction dim.
-    assert l2["w1_q"].shape[1] == l0["w1_q"].shape[1] // 2
+    # INT4 packs two nibbles per int8 along the contraction dim; int4/int8
+    # additionally store the column-tiled 4D layout [E, N/tn, K/2, tn]
+    # (fp8 keeps [E, K, N]).
+    k_int4 = (l2["w1_q"].shape[2] if l2["w1_q"].ndim == 4
+              else l2["w1_q"].shape[1])
+    assert k_int4 == l0["w1_q"].shape[1] // 2
     assert "w1" not in l0 and "w1" not in l2
 
 
