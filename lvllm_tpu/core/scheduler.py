@@ -355,6 +355,46 @@ class Scheduler:
         self.waiting.appendleft(req)
         preempted.append(req)
 
+    def recompute_after_kv_load_failure(self, request_id: str,
+                                        output) -> None:
+        """KV-load-failure policy (reference: the offloading connector's
+        load-failure recovery — affected requests are rescheduled to
+        RECOMPUTE instead of decoding over garbage pages): drop the
+        request from this step's scheduler output, free its blocks, and
+        put it back at the head of the waiting queue with zero computed
+        tokens (prefix cache may still serve the device-resident part)."""
+        req = self.requests.get(request_id)
+        if req is None:
+            return
+        was_new = any(r.req_id == request_id
+                      for r in output.scheduled_new_reqs)
+        # The request's device blocks were never computed (the step is
+        # being unwound) — purge them from the prefix cache before freeing
+        # or later requests would hit garbage pages.
+        pool = self.kv_cache_manager.block_pool
+        for blk in self.kv_cache_manager.get_blocks(request_id):
+            pool._maybe_evict_cached_block(blk)
+        preempted: List[Request] = []
+        self._preempt(req, preempted)
+        if was_new:
+            # Never reached the runner: next schedule re-admits it as a
+            # fresh request (a "resume" would reference state the runner
+            # never cached).
+            req.status = RequestStatus.WAITING
+            req.num_preemptions -= 1
+            self.num_preemptions -= 1
+        n = output.num_scheduled_tokens.pop(request_id, 0)
+        output.total_num_scheduled_tokens -= n
+        output.scheduled_new_reqs = [
+            r for r in output.scheduled_new_reqs if r.req_id != request_id]
+        output.scheduled_cached_reqs = [
+            r for r in output.scheduled_cached_reqs
+            if r.req_id != request_id]
+        output.kv_loads.pop(request_id, None)
+        # Runner-side cleanup: drop the row if it was already registered.
+        if request_id not in output.preempted_req_ids:
+            output.preempted_req_ids.append(request_id)
+
     # ---- post-execution update -------------------------------------------
 
     def update_from_output(

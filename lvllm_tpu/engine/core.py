@@ -374,9 +374,20 @@ class EngineCore:
         (must run before execute_model)."""
         if not scheduler_output.kv_loads:
             return
-        for rid, (slots, ids) in scheduler_output.kv_loads.items():
-            self.runner.kv_caches = self._kv_offload_worker.load(
-                self.runner.kv_caches, slots, ids)
+        for rid, (slots, ids) in list(scheduler_output.kv_loads.items()):
+            try:
+                self.runner.kv_caches = self._kv_offload_worker.load(
+                    self.runner.kv_caches, slots, ids)
+            except Exception as e:  # noqa: BLE001
+                # KV-load-failure policy (reference: offloading connector
+                # load-failure recovery): invalidate the implicated host
+                # slots and reschedule the request to recompute.
+                logger.warning("KV host-tier load failed for %s (%s); "
+                               "recomputing", rid, e)
+                if self.scheduler.kv_offload is not None:
+                    self.scheduler.kv_offload.invalidate_slots(slots)
+                self.scheduler.recompute_after_kv_load_failure(
+                    rid, scheduler_output)
 
     def _kv_offload_store(self) -> None:
         """Drain finished requests' block copies HBM→host (pages stay valid

@@ -50,6 +50,16 @@ class KVOffloadManager:
     def get_slots(self, hashes: Sequence) -> List[int]:
         return [self.index[self._key(h)] for h in hashes]
 
+    def invalidate_slots(self, slots: Sequence[int]) -> int:
+        """Drop index entries backed by ``slots`` (KV-load-failure
+        recovery): the slots return to the free list and will never be
+        served as hits again."""
+        bad = set(slots)
+        dead = [h for h, s in self.index.items() if s in bad]
+        for h in dead:
+            self.free.append(self.index.pop(h))
+        return len(dead)
+
     def prepare_store(self, hashes: Sequence) -> Tuple[List, List[int]]:
         """Pick slots for hashes not yet stored (evicting LRU). Returns
         (hashes_to_store, slots)."""

