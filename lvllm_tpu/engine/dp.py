@@ -229,9 +229,17 @@ class DPEngineGroup:
     def __init__(self, config: EngineConfig, num_ranks: int = 2,
                  load_format: str = "dummy", force_cpu: bool = True,
                  start_timeout_s: float = 120.0, wave_sync: bool = False,
-                 use_shm: Optional[bool] = None):
+                 use_shm: Optional[bool] = None, standby_ranks: int = 0):
         ctx = mp.get_context("spawn")
         self.num_ranks = num_ranks
+        # Standby engines (reference: elastic EP standby engines /
+        # engine-death recovery): fully-booted ranks that take no traffic
+        # until a serving rank dies, then are promoted in its place.
+        self.num_standby = standby_ranks
+        total = num_ranks + standby_ranks
+        self._dead: set = set()
+        self._standby_pool: List[int] = list(
+            range(num_ranks, total))
         self.coordinator = DPCoordinator(num_ranks)
         # Request fan-out: the native single-writer shm broadcast ring
         # (csrc/shm_ring.cpp — the reference's MessageQueue role) when it
@@ -243,17 +251,19 @@ class DPEngineGroup:
                 from lvllm_tpu.distributed.shm_ring import ShmMessageQueue
                 shm_name = f"/lvllm_dp_{os.getpid()}_{id(self) & 0xffff}"
                 self._shm_ring = ShmMessageQueue(
-                    shm_name, n_readers=num_ranks, create=True)
+                    shm_name, n_readers=total, create=True)
             except Exception as e:  # noqa: BLE001
                 if use_shm:
                     raise
                 logger.info("shm ring unavailable (%s); using mp queues", e)
                 shm_name = None
+        assert not (wave_sync and standby_ranks), \
+            "standby promotion under wave sync TBD"
         if self._shm_ring is not None:
             self._req_queues = [_ShmReqWriter(self._shm_ring, r)
-                                for r in range(num_ranks)]
+                                for r in range(total)]
         else:
-            self._req_queues = [ctx.Queue() for _ in range(num_ranks)]
+            self._req_queues = [ctx.Queue() for _ in range(total)]
         self._out_queue = ctx.Queue()
         barrier = ctx.Barrier(num_ranks) if wave_sync else None
         flags = ctx.Array("i", num_ranks) if wave_sync else None
@@ -265,15 +275,19 @@ class DPEngineGroup:
                               self._out_queue, force_cpu, barrier, flags,
                               shm_name),
                         daemon=True)
-            for r in range(num_ranks)
+            for r in range(total)
         ]
         for p in self._procs:
             p.start()
+        # Serving slot -> process index (promotion rebinds a slot to a
+        # standby process).
+        self._slot_proc: List[int] = list(range(num_ranks))
         self._rank_of: Dict[str, int] = {}
+        self._payloads: Dict[str, tuple] = {}
         self._pending_out: List[tuple] = []
         ready = 0
         deadline = time.time() + start_timeout_s
-        while ready < num_ranks:
+        while ready < total:
             try:
                 kind, rank, _ = self._out_queue.get(
                     timeout=max(deadline - time.time(), 0.1))
@@ -282,7 +296,30 @@ class DPEngineGroup:
                 raise TimeoutError("DP engines failed to start")
             if kind == "ready":
                 ready += 1
-        logger.info("DP group up: %d ranks", num_ranks)
+        logger.info("DP group up: %d ranks (+%d standby)", num_ranks,
+                    standby_ranks)
+
+    def _promote(self, slot: int) -> None:
+        """Rebind a dead serving slot to a standby engine and re-dispatch
+        its unfinished requests (reference: engine-death recovery with
+        standby engines)."""
+        dead_proc = self._slot_proc[slot]
+        self._dead.add(dead_proc)
+        if not self._standby_pool:
+            raise RuntimeError(
+                f"DP rank {slot} died (proc {dead_proc}, exitcode "
+                f"{self._procs[dead_proc].exitcode}) and no standby "
+                f"engines remain")
+        new_proc = self._standby_pool.pop(0)
+        self._slot_proc[slot] = new_proc
+        redo = [rid for rid, r in self._rank_of.items()
+                if r == slot and rid in self._payloads]
+        logger.warning("DP rank %s died; promoted standby proc %d, "
+                       "re-dispatching %d requests", slot, new_proc,
+                       len(redo))
+        for rid in redo:
+            prompt, sp = self._payloads[rid]
+            self._req_queues[new_proc].put(("add", (rid, prompt, sp)))
 
     # ---- API ---------------------------------------------------------------
 
@@ -292,29 +329,37 @@ class DPEngineGroup:
         order = []
         for i, (p, sp) in enumerate(zip(prompts, sampling_params)):
             rid = f"dp-{i}"
-            rank = self.coordinator.pick_rank()
-            self.coordinator.on_dispatch(rank)
-            self._rank_of[rid] = rank
-            self._req_queues[rank].put(("add", (rid, p, sp)))
+            slot = self.coordinator.pick_rank()
+            self.coordinator.on_dispatch(slot)
+            self._rank_of[rid] = slot
+            self._payloads[rid] = (p, sp)
+            self._req_queues[self._slot_proc[slot]].put(("add",
+                                                         (rid, p, sp)))
             order.append(rid)
         finals: Dict[str, RequestOutput] = {}
         # Monitor engine liveness while collecting (reference: worker
-        # monitor thread → FailureCallback).
+        # monitor thread → FailureCallback); dead serving ranks are
+        # promoted onto standby engines when available.
         while len(finals) < len(order):
             if self._pending_out:
                 kind, rank, out = self._pending_out.pop(0)
             else:
-                for r, proc in enumerate(self._procs):
-                    if not proc.is_alive():
-                        raise RuntimeError(f"DP rank {r} died "
-                                           f"(exitcode {proc.exitcode})")
+                for slot, proc_idx in enumerate(self._slot_proc):
+                    if proc_idx not in self._dead and \
+                            not self._procs[proc_idx].is_alive():
+                        self._promote(slot)
                 try:
                     kind, rank, out = self._out_queue.get(timeout=1.0)
                 except queue_mod.Empty:
                     continue
             if kind == "finished":
+                if out.request_id in finals:
+                    continue            # duplicate after re-dispatch race
                 finals[out.request_id] = out
-                self.coordinator.on_finished(rank)
+                self._payloads.pop(out.request_id, None)
+                slot = self._rank_of.get(out.request_id)
+                if slot is not None:
+                    self.coordinator.on_finished(slot)
         return [finals[rid] for rid in order]
 
     def stats(self) -> List[Dict[str, int]]:

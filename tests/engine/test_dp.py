@@ -105,3 +105,41 @@ def test_dp_shm_ring_transport():
         assert sum(s["total_served"] for s in stats) == 6
     finally:
         group.shutdown()
+
+
+def test_dp_standby_promotion_on_rank_death():
+    """A dead serving rank is promoted onto a standby engine and its
+    in-flight requests re-dispatched (reference: engine-death recovery /
+    standby engines)."""
+    group = DPEngineGroup(tiny_cfg(), num_ranks=2, load_format="dummy",
+                          standby_ranks=1)
+    try:
+        import threading
+        import time as _t
+        prompts = [[i + 1, i + 2, i + 3] for i in range(8)]
+        sp = SamplingParams(temperature=0.0, max_tokens=24)
+
+        def killer():
+            _t.sleep(0.5)                 # mid-generation
+            group._procs[0].terminate()   # exact child handle, not pattern
+
+        t = threading.Thread(target=killer)
+        t.start()
+        outs = group.generate(prompts, sp)
+        t.join()
+        assert len(outs) == 8
+        assert all(len(o.outputs[0].token_ids) == 24 for o in outs)
+        assert 0 in group._dead
+        assert group._slot_proc[0] == 2    # standby took over slot 0
+        # Determinism survives the failover.
+        from lvllm_tpu.engine.llm_engine import LLMEngine
+        eng = LLMEngine(tiny_cfg(), load_format="dummy")
+        eng.add_request("chk", prompts[0], sp)
+        ref = None
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                if o.finished:
+                    ref = o.outputs[0].token_ids
+        assert outs[0].outputs[0].token_ids == ref
+    finally:
+        group.shutdown()
