@@ -267,9 +267,20 @@ def load_model(config: ModelConfig, load_format: str = "auto",
                 if config.is_moe_layer(i) and i not in resident)
         return model, init_params_on_device(model, config, config.seed,
                                             host_layers)
+    if load_format == "sharded_state":
+        # Fast boot: restore the post-processed (mapped/quantized/tiled)
+        # params tree directly (reference: sharded_state_loader.py).
+        from lvllm_tpu.model_loader.sharded_state import load_sharded_state
+        return model, load_sharded_state(config.model)
     if load_format == "dummy" or config.model == "dummy":
         logger.info("initializing dummy weights for %s", config.architecture)
         params = model.init_params(config.seed)
+    elif load_format == "gguf" or (load_format == "auto" and
+                                   config.model.endswith(".gguf")):
+        from lvllm_tpu.model_loader.gguf import gguf_weight_iterator
+        params = model.load_weights(gguf_weight_iterator(config.model))
+        logger.info("loaded GGUF weights for %s from %s",
+                    config.architecture, config.model)
     else:
         stream = safetensors_weight_iterator(config.model)
         if config.ckpt_quant:
