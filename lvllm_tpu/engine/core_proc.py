@@ -10,7 +10,10 @@ Wire format: pickled tuples (in-cluster transport, same trust model as
 the reference's msgpack channel). Input PULL socket receives
 ``(kind, payload)``; output PUSH emits ``(kind, payload)``:
 
-  in : ("add", (request_id, prompt_token_ids, SamplingParams))
+  in : ("add", (request_id, prompt_token_ids, SamplingParams, mm_data))
+       — large mm tensors travel as ShmHandles (zero-copy shared-memory
+       object store, distributed/shm_object_store.py; reference:
+       SingleWriterShmObjectStorage for multimodal input transfer)
        ("abort", request_id) · ("pause", mode) · ("resume", None)
        ("stats", None) · ("shutdown", None)
   out: ("ready", None) · ("finished", RequestOutput)
@@ -53,8 +56,12 @@ def run_engine_core_proc(config: EngineConfig, input_addr: str,
 
     def handle(kind, payload) -> bool:
         if kind == "add":
-            rid, prompt, sp = payload
-            engine.add_request(rid, prompt, sp)
+            from lvllm_tpu.distributed.shm_object_store import \
+                unpack_mm_data
+            rid, prompt, sp = payload[:3]
+            mm = unpack_mm_data(payload[3]) if len(payload) > 3 and \
+                payload[3] else None
+            engine.add_request(rid, prompt, sp, mm_data=mm)
         elif kind == "abort":
             engine.abort_request([payload])
         elif kind == "pause":
@@ -129,8 +136,15 @@ class EngineCoreClient:
 
     # ---- API mirrored from EngineCore ----------------------------------
 
-    def add_request(self, request_id: str, prompt, sampling_params) -> None:
-        self._send("add", (request_id, prompt, sampling_params))
+    def add_request(self, request_id: str, prompt, sampling_params,
+                    mm_data=None) -> None:
+        if mm_data:
+            from lvllm_tpu.distributed.shm_object_store import (
+                ShmObjectStore, pack_mm_data)
+            if not hasattr(self, "_obj_store"):
+                self._obj_store = ShmObjectStore()
+            mm_data = pack_mm_data(self._obj_store, mm_data)
+        self._send("add", (request_id, prompt, sampling_params, mm_data))
 
     def abort_request(self, request_id: str) -> None:
         self._send("abort", request_id)

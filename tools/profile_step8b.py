@@ -90,6 +90,28 @@ def main():
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (R, mc.hidden_size)), jnp.bfloat16)
+    SCAN_N = 32
+
+    def scan_time(name, body, weights):
+        """Time SCAN_N chained body() iterations in ONE device dispatch —
+        immune to per-call host RTT (the isolated-jit numbers were ~2 ms
+        of tunnel dispatch each). ``weights`` ride as jit args so the
+        remote-compile payload stays small (closures 413 past ~100 MB)."""
+        @jax.jit
+        def run(x0, weights):
+            def it(i, acc):
+                y = body(acc, weights)
+                return acc + y.reshape(acc.shape[0], -1)[
+                    :, :acc.shape[1]].astype(acc.dtype) * 1e-6
+            return jax.lax.fori_loop(0, SCAN_N, it, x0)
+        out = run(x, weights)
+        float(_probe(out))
+        t0 = time.time()
+        out = run(x, weights)
+        float(_probe(out))
+        ms = (time.time() - t0) / SCAN_N * 1000
+        print(f"{name:<44} {ms:8.3f} ms/iter", flush=True)
+        return ms
 
     # Quantized MoE FFN, one layer.
     moe = params["layers"][0]["moe"]
@@ -98,42 +120,50 @@ def main():
                         w1_scales=moe["w1_scales"], w2_q=moe["w2_q"],
                         w2_scales=moe["w2_scales"], method="int4",
                         group_size=128)
+    m_ms = scan_time(
+        "moe ffn int4 (1 layer, scan)",
+        lambda h, w: fused_moe_quant(h, w, mc.num_experts_per_tok, True,
+                                     "softmax"), qp)
 
-    @jax.jit
-    def moe_fn(x):
-        return fused_moe_quant(x, qp, mc.num_experts_per_tok, True,
-                               "softmax")
-    m_ms = timeit("moe ffn int4 (1 layer)", moe_fn, x)
-
-    # Attention op, one layer (decode shapes).
+    # Attention op, one layer (decode shapes), q derived from carry.
     from lvllm_tpu.ops.attention import ragged_paged_attention
-    q = jnp.asarray(np.random.default_rng(1).standard_normal(
-        (R, mc.num_attention_heads, mc.head_dim)), jnp.bfloat16)
-    attn = jax.jit(lambda q, kvc, bt, qsl, sl: ragged_paged_attention(
-        q, kvc, bt, qsl, sl, scale=0.088))
-    a_ms = timeit("attention (1 layer)", attn, q, runner.kv_caches[0],
-                  dev_args[3], qsl, dev_args[2])
+    kvc = runner.kv_caches[0]
+    Hq, Dh = mc.num_attention_heads, mc.head_dim
+
+    def attn_body(h, kvc):
+        q = h[:, :Hq * Dh].reshape(R, Hq, Dh)
+        return ragged_paged_attention(q, kvc, dev_args[3], qsl,
+                                      dev_args[2], scale=0.088
+                                      ).reshape(R, Hq * Dh)
+    a_ms = scan_time("attention (1 layer, scan)", attn_body, kvc)
 
     # Dense projections, one layer.
     ap = params["layers"][0]["self_attn"]
 
-    @jax.jit
-    def dense_fn(x):
-        qh = x @ ap["q_proj"]["kernel"]
-        kh = x @ ap["k_proj"]["kernel"]
-        vh = x @ ap["v_proj"]["kernel"]
+    def dense_body(h, ap):
+        qh = h @ ap["q_proj"]["kernel"]
+        kh = h @ ap["k_proj"]["kernel"]
+        vh = h @ ap["v_proj"]["kernel"]
         cat = jnp.concatenate(
             [kh, vh, jnp.zeros((R, qh.shape[-1] - 2 * kh.shape[-1]),
                                qh.dtype)], -1)
         return (qh + cat) @ ap["o_proj"]["kernel"]
-    d_ms = timeit("qkvo dense (1 layer)", dense_fn, x)
+    d_ms = scan_time("qkvo dense (1 layer, scan)", dense_body, ap)
 
-    # Tail: embed + logits + argmax.
-    @jax.jit
-    def tail_fn(ids):
-        h = model.embed_tokens(params, ids)
-        return jnp.argmax(model.compute_logits(params, h), -1)
-    t_ms = timeit("embed+logits+argmax", tail_fn, dev_args[0])
+    # Dense gated MLP when present; else the router matmul alone.
+    tail_w = {"embed": params["embed"],
+              "lm_head": params.get("lm_head"), "norm": params["norm"]}
+
+    def tail_body(h, w):
+        ids = jnp.argmax(h[:, :8], -1).astype(jnp.int32)
+        e = model.embed_tokens({"embed": w["embed"]}, ids)
+        logits = model.compute_logits(
+            {**{"embed": w["embed"], "norm": w["norm"]},
+             **({"lm_head": w["lm_head"]} if w["lm_head"] is not None
+                else {})}, e)
+        return jnp.argmax(logits, -1)[:, None].astype(
+            jnp.bfloat16) * jnp.ones((R, mc.hidden_size), jnp.bfloat16)
+    t_ms = scan_time("embed+logits+argmax (scan)", tail_body, tail_w)
 
     L = mc.num_hidden_layers
     print(f"\nsum parts: {L}*(moe {m_ms:.3f} + attn {a_ms:.3f} + dense "
