@@ -94,6 +94,7 @@ class OpenAIServer:
                                  self.transcriptions)
         self.app.router.add_post("/v1/audio/translations",
                                  self.translations)
+        self.app.router.add_get("/v1/realtime", self.realtime)
         self.app.router.add_post("/tokenize", self.tokenize)
         self.app.router.add_post("/detokenize", self.detokenize)
         self.app.router.add_get("/metrics", self.metrics)
@@ -254,6 +255,126 @@ class OpenAIServer:
         text = (tok.decode(ids, skip_special_tokens=True)
                 if tok is not None else "")
         return web.json_response({"text": text, "token_ids": list(ids)})
+
+    async def realtime(self, request: web.Request) -> web.WebSocketResponse:
+        """OpenAI Realtime API (subset) over WebSocket (reference:
+        entrypoints/openai serving realtime): session.update /
+        conversation.item.create / input_audio_buffer.append+commit /
+        response.create with streamed response.text.delta events."""
+        import base64
+        import uuid as _uuid
+
+        import numpy as np
+
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        session_id = f"sess_{_uuid.uuid4().hex[:12]}"
+        await ws.send_json({"type": "session.created",
+                            "session": {"id": session_id,
+                                        "model": self.model_name}})
+        items: List[Dict[str, Any]] = []
+        audio_buf = bytearray()
+        session_cfg: Dict[str, Any] = {}
+        tok = self.llm.tokenizer
+        async for msg in ws:
+            if msg.type != web.WSMsgType.TEXT:
+                break
+            try:
+                ev = json.loads(msg.data)
+            except ValueError:
+                await ws.send_json({"type": "error",
+                                    "error": {"message": "bad json"}})
+                continue
+            kind = ev.get("type")
+            if kind == "session.update":
+                session_cfg.update(ev.get("session") or {})
+                await ws.send_json({"type": "session.updated",
+                                    "session": {"id": session_id,
+                                                **session_cfg}})
+            elif kind == "conversation.item.create":
+                item = ev.get("item") or {}
+                item.setdefault("id", f"item_{_uuid.uuid4().hex[:10]}")
+                items.append(item)
+                await ws.send_json({"type": "conversation.item.created",
+                                    "item": item})
+            elif kind == "input_audio_buffer.append":
+                audio_buf.extend(base64.b64decode(ev.get("audio", "")))
+                await ws.send_json({"type": "input_audio_buffer.appended"})
+            elif kind == "input_audio_buffer.commit":
+                pcm = np.frombuffer(bytes(audio_buf), np.int16)
+                audio_buf.clear()
+                text = ""
+                if len(pcm) and getattr(
+                        self.llm.engine.core.runner, "is_enc_dec", False):
+                    feats = self._audio_features(
+                        pcm.astype(np.float32) / 32768.0,
+                        int(ev.get("sample_rate", 16000)))
+                    sp = SamplingParams(temperature=0.0, max_tokens=220)
+                    final = None
+                    async for out in self.llm.generate(
+                            self._whisper_prompt(
+                                ev.get("language", "en"), "transcribe"),
+                            sp, mm_data={"input_features": feats}):
+                        if out.finished:
+                            final = out
+                    ids = final.outputs[0].token_ids
+                    text = (tok.decode(ids, skip_special_tokens=True)
+                            if tok else "")
+                    items.append({"type": "message", "role": "user",
+                                  "content": [{"type": "input_text",
+                                               "text": text}]})
+                await ws.send_json(
+                    {"type": "conversation.item."
+                             "input_audio_transcription.completed",
+                     "transcript": text})
+            elif kind == "response.create":
+                if tok is None:
+                    await ws.send_json({"type": "error", "error": {
+                        "message": "no tokenizer loaded"}})
+                    continue
+                prompt = ""
+                for it in items:
+                    for c in it.get("content") or []:
+                        if c.get("type") in ("input_text", "text"):
+                            prompt += c.get("text", "") + "\n"
+                rcfg = ev.get("response") or {}
+                sp = SamplingParams(
+                    temperature=rcfg.get("temperature", 0.8),
+                    max_tokens=rcfg.get("max_output_tokens", 128))
+                resp_id = f"resp_{_uuid.uuid4().hex[:10]}"
+                await ws.send_json({"type": "response.created",
+                                    "response": {"id": resp_id}})
+                sent = 0
+                final = None
+                async for out in self.llm.generate(
+                        tok.encode(prompt) if prompt else [1], sp):
+                    text = out.outputs[0].text
+                    if len(text) > sent:
+                        await ws.send_json({"type": "response.text.delta",
+                                            "response_id": resp_id,
+                                            "delta": text[sent:]})
+                        sent = len(text)
+                    if out.finished:
+                        final = out
+                full = final.outputs[0].text if final else ""
+                items.append({"type": "message", "role": "assistant",
+                              "content": [{"type": "text", "text": full}]})
+                await ws.send_json({"type": "response.text.done",
+                                    "response_id": resp_id, "text": full})
+                await ws.send_json({
+                    "type": "response.done",
+                    "response": {"id": resp_id, "status": "completed",
+                                 "output": [{"type": "message",
+                                             "content": [{"type": "text",
+                                                          "text": full}]}]}
+                })
+            elif kind == "session.close":
+                break
+            else:
+                await ws.send_json({"type": "error", "error": {
+                    "message": f"unsupported event {kind}"}})
+        await ws.close()
+        return ws
 
     async def transcriptions(self, request: web.Request) -> web.Response:
         return await self._audio_endpoint(request, "transcribe")

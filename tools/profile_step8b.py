@@ -120,10 +120,18 @@ def main():
                         w1_scales=moe["w1_scales"], w2_q=moe["w2_q"],
                         w2_scales=moe["w2_scales"], method="int4",
                         group_size=128)
-    m_ms = scan_time(
-        "moe ffn int4 (1 layer, scan)",
-        lambda h, w: fused_moe_quant(h, w, mc.num_experts_per_tok, True,
-                                     "softmax"), qp)
+    moe_arrays = {"router": moe["router"], "w1_q": moe["w1_q"],
+                  "w1_scales": moe["w1_scales"], "w2_q": moe["w2_q"],
+                  "w2_scales": moe["w2_scales"]}
+
+    def moe_body(h, w):
+        return fused_moe_quant(
+            h, QuantMoEParams(router=w["router"], w1_q=w["w1_q"],
+                              w1_scales=w["w1_scales"], w2_q=w["w2_q"],
+                              w2_scales=w["w2_scales"], method="int4",
+                              group_size=128),
+            mc.num_experts_per_tok, True, "softmax")
+    m_ms = scan_time("moe ffn int4 (1 layer, scan)", moe_body, moe_arrays)
 
     # Attention op, one layer (decode shapes), q derived from carry.
     from lvllm_tpu.ops.attention import ragged_paged_attention
