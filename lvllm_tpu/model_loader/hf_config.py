@@ -245,6 +245,26 @@ def load_model_config(model_path: str,
         hf = {**hf, "rope_scaling": None,
               "attention_bias": True}         # HF hardcodes qkv bias
         override_arch, arch = arch, "Glm4ForCausalLM"
+    if arch == "Glm4vMoeForConditionalGeneration":
+        # GLM-4.5V: same EVA tower; text is the Glm4Moe layer (sigmoid
+        # router + shared experts, NO sandwich norms) with standard
+        # (non-interleaved) partial M-RoPE (HF modeling_glm4v_moe).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("image_token_id", 151363)
+        video_token_id = hf.get("video_token_id", 151364)
+        vision_start_token_id = hf.get("image_start_token_id", 151339)
+        text = dict(hf.get("text_config") or {})
+        hf = {**hf, **text}
+        rs = hf.get("rope_scaling") or {}
+        if rs.get("mrope_section"):
+            mrope_section = tuple(int(s) for s in rs["mrope_section"])
+            hd = hf.get("head_dim") or (hf["hidden_size"]
+                                        // hf["num_attention_heads"])
+            hf = {**hf, "partial_rotary_factor":
+                  hf.get("partial_rotary_factor") or
+                  2 * sum(mrope_section) / hd}
+        hf = {**hf, "rope_scaling": None}
+        override_arch, arch = arch, "Glm4MoeForCausalLM"
     if arch == "InternVLForConditionalGeneration":
         # InternVL: flatten text_config (Qwen2/Llama); carry
         # downsample_ratio into the vision dict for pixel shuffle.

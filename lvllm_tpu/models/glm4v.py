@@ -129,9 +129,13 @@ def _glm4v_tower(params, patches, cos, sin, frame_group, pos_idx, pos_wgt,
 
 
 @register_model("Glm4vForConditionalGeneration")
+@register_model("Glm4vMoeForConditionalGeneration")
 class Glm4vModel(Qwen2VLModel):
-    """GLM-4.1V: Glm4 text decoder + EVA-style tower. Reuses the Qwen2-VL
-    dynamic-MM plumbing (encode_mm / mm_positions / M-RoPE deltas)."""
+    """GLM-4.1V / GLM-4.5V: Glm4 (dense) or Glm4Moe text decoder + the
+    shared EVA-style tower. Reuses the Qwen2-VL dynamic-MM plumbing
+    (encode_mm / mm_positions / M-RoPE deltas); the text-side differences
+    (sandwich norms + interleaved rope for dense, sigmoid router MoE +
+    standard rope for the MoE variant) are config-driven."""
 
     def __init__(self, config: ModelConfig):
         # Skip Qwen2VLModel.__init__'s vision-config parse; run the base

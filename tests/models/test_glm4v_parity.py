@@ -132,3 +132,70 @@ def test_glm4v_logits_parity(tmp_path):
 
     np.testing.assert_allclose(lsm(ours), lsm(ref), rtol=8e-3, atol=8e-3)
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+
+
+def test_glm4v_moe_logits_parity(tmp_path):
+    """GLM-4.5V (Glm4vMoe): Glm4Moe text (sigmoid router, shared experts,
+    first-k dense) + the shared tower, standard partial M-RoPE."""
+    cfg = transformers.Glm4vMoeConfig(
+        text_config=dict(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, n_routed_experts=8,
+            num_experts_per_tok=2, moe_intermediate_size=32,
+            n_shared_experts=1, first_k_dense_replace=1,
+            # partial_rotary 0.5 of head_dim 16 → rot 8; sections sum 4.
+            rope_scaling={"type": "default", "mrope_section": [1, 1, 2]},
+            max_position_embeddings=128),
+        vision_config=dict(
+            hidden_size=32, out_hidden_size=64, intermediate_size=48,
+            depth=2, num_heads=4, image_size=28, patch_size=14,
+            spatial_merge_size=2, temporal_patch_size=2),
+        image_token_id=IMG_TOK)
+    torch.manual_seed(0)
+    hf = transformers.Glm4vMoeForConditionalGeneration(cfg)
+    hf.eval()
+    hf.save_pretrained(str(tmp_path), safe_serialization=True)
+
+    rng = np.random.default_rng(0)
+    grids = np.array([[1, 2, 2]], np.int64)
+    pix = _patches(rng, 1, 2, 2)
+    ids = [3, IMG_TOK, 7, 11, 13, 17]
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([ids]),
+                 pixel_values=torch.tensor(pix),
+                 image_grid_thw=torch.tensor(grids),
+                 attention_mask=torch.ones(1, len(ids),
+                                           dtype=torch.long)).logits
+    ref = ref[0].float().numpy()
+
+    mc = load_model_config(str(tmp_path), max_model_len=64, dtype="float32")
+    assert mc.architecture == "Glm4vMoeForConditionalGeneration"
+    assert not mc.rope_interleaved          # standard rope for the MoE text
+    model, params = load_model(mc, "safetensors")
+    mm = {"pixel_values": pix, "image_grid_thw": grids}
+    feats = model.encode_mm(params, mm)
+    pos3, _ = model.mm_positions(np.asarray(ids), mm)
+    T = len(ids)
+    mm_mask = np.asarray([t == IMG_TOK for t in ids])
+    mm_embeds = np.zeros((T, mc.hidden_size), np.float32)
+    mm_embeds[mm_mask] = feats
+    caches = [model.make_layer_cache(i, 8, 16, jnp.float32, max_reqs=2)
+              for i in range(mc.num_hidden_layers)]
+    md = AttentionMetadata(
+        query_start_loc=jnp.asarray([0, T], jnp.int32),
+        seq_lens=jnp.asarray([T], jnp.int32),
+        block_table=jnp.asarray([[1]], jnp.int32),
+        slot_mapping=(16 + jnp.arange(T)).astype(jnp.int32))
+    hidden, _ = model(params, jnp.asarray(ids, jnp.int32),
+                      jnp.asarray(pos3), caches, md,
+                      mm_embeds=jnp.asarray(mm_embeds),
+                      mm_mask=jnp.asarray(mm_mask))
+    ours = np.asarray(model.compute_logits(params, hidden))
+
+    def lsm(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+    np.testing.assert_allclose(lsm(ours), lsm(ref), rtol=8e-3, atol=8e-3)
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
