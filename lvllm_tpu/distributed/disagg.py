@@ -65,9 +65,10 @@ def _prefill_server(endpoint: str, config: EngineConfig, load_format: str,
             if msg == "ping":         # readiness probe
                 sock.send(pickle.dumps("pong"))
                 continue
-            prompt, sp = msg
+            prompt, sp, mm = (msg if len(msg) == 3 else (*msg, None))
             try:
-                handoff = prefill_and_extract(engine, prompt, sp)
+                handoff = prefill_and_extract(engine, prompt, sp,
+                                              mm_data=mm)
                 sock.send(pickle.dumps(handoff))
             except Exception as e:  # noqa: BLE001
                 sock.send(pickle.dumps(RuntimeError(str(e))))
@@ -121,10 +122,10 @@ class DisaggregatedEngine:
 
     # ---- transfer plane ----------------------------------------------------
 
-    def _send_prefill(self, prompt: List[int],
-                      sp: SamplingParams) -> None:
+    def _send_prefill(self, prompt: List[int], sp: SamplingParams,
+                      mm_data=None) -> None:
         assert not self._inflight
-        self._sock.send(pickle.dumps((list(prompt), sp)))
+        self._sock.send(pickle.dumps((list(prompt), sp, mm_data)))
         self._inflight = True
 
     def _recv_handoff(self) -> KVHandoff:
@@ -141,17 +142,22 @@ class DisaggregatedEngine:
 
     # ---- API ---------------------------------------------------------------
 
-    def generate(self, prompts, sampling_params) -> List[RequestOutput]:
+    def generate(self, prompts, sampling_params,
+                 mm_data=None) -> List[RequestOutput]:
         """Pipelined disaggregated generation: prompt i+1 prefills remotely
-        while prompt i decodes locally."""
+        while prompt i decodes locally. ``mm_data``: optional per-prompt
+        multimodal inputs — encoded on the PREFILL engine (splice-VLM KV
+        carries the image; encoder-decoder cross-KV rides the handoff)."""
         if isinstance(sampling_params, SamplingParams):
             sampling_params = [sampling_params] * len(prompts)
+        mm_list = mm_data or [None] * len(prompts)
         results: List[RequestOutput] = []
-        self._send_prefill(prompts[0], sampling_params[0])
+        self._send_prefill(prompts[0], sampling_params[0], mm_list[0])
         for i in range(len(prompts)):
             handoff = self._recv_handoff()
             if i + 1 < len(prompts):
-                self._send_prefill(prompts[i + 1], sampling_params[i + 1])
+                self._send_prefill(prompts[i + 1], sampling_params[i + 1],
+                                   mm_list[i + 1])
             rid = inject_and_decode_request(
                 self.decode_engine, handoff, sampling_params[i],
                 f"disagg-{uuid.uuid4().hex[:8]}")

@@ -40,27 +40,48 @@ class KVHandoff:
     num_full_block_tokens: int
     # Per layer: [2, n_full_blocks, block_size, H, D] numpy.
     kv_blocks: List[np.ndarray]
+    # EC transfer (reference: encoder-cache transfer): Whisper-style
+    # cross-attention K/V computed by the prefill engine's encoder,
+    # [L, 2, S, H, Dh] — the decode engine parks it in its pool instead
+    # of re-running the audio encoder.
+    cross_kv: "Optional[np.ndarray]" = None
 
     def nbytes(self) -> int:
-        return sum(a.nbytes for a in self.kv_blocks)
+        n = sum(a.nbytes for a in self.kv_blocks)
+        if self.cross_kv is not None:
+            n += self.cross_kv.nbytes
+        return n
 
 
 def prefill_and_extract(engine, prompt_token_ids: List[int],
-                        sampling_params: Optional[SamplingParams] = None
-                        ) -> KVHandoff:
+                        sampling_params: Optional[SamplingParams] = None,
+                        mm_data: Optional[dict] = None) -> KVHandoff:
     """Run the prompt on a prefill engine (1 generated token) and extract
-    its KV blocks via the prefix-cache chain."""
+    its KV blocks via the prefix-cache chain. Multimodal inputs are
+    encoded HERE (the prefill side owns the encoder); for splice-style
+    VLMs the image lives entirely in the transferred KV, while
+    encoder-decoder models additionally hand off their cross-attention
+    K/V (EC transfer)."""
     sp = SamplingParams(temperature=(sampling_params.temperature
                                      if sampling_params else 0.0),
                         seed=(sampling_params.seed
                               if sampling_params else None),
                         max_tokens=1)
-    rid = engine.add_request(None, list(prompt_token_ids), sp)
+    rid = engine.add_request(None, list(prompt_token_ids), sp,
+                             mm_data=mm_data)
+    runner = engine.core.runner
+    is_enc_dec = getattr(runner, "is_enc_dec", False)
+    cross_kv = None
     final = None
     while engine.has_unfinished_requests():
         for out in engine.step():
             if out.finished and out.request_id == rid:
                 final = out
+        if is_enc_dec and cross_kv is None and \
+                rid in runner.input_batch.req_id_to_index:
+            # Capture the encoder's cross-KV while the slot is live.
+            slot = runner.input_batch.req_id_to_index[rid]
+            cross_kv = np.asarray(runner._cross_pool[:, :, slot])
     assert final is not None
     first_token = final.outputs[0].token_ids[0]
 
@@ -87,6 +108,7 @@ def prefill_and_extract(engine, prompt_token_ids: List[int],
         first_token_id=first_token,
         num_full_block_tokens=len(blocks) * bs,
         kv_blocks=kv_blocks,
+        cross_kv=cross_kv,
     )
 
 
@@ -127,5 +149,11 @@ def inject_and_decode_request(engine, handoff: KVHandoff,
         mgr.free(tmp)
         mgr.free_block_hashes(tmp)
 
-    engine.add_request(rid, prompt, sp)
+    mm = None
+    if handoff.cross_kv is not None:
+        # EC transfer: the decode runner parks the prefill-computed
+        # cross-KV directly (no re-encode) via the transferred-KV fast
+        # path in ModelRunner._encode_mm.
+        mm = {"cross_kv": handoff.cross_kv}
+    engine.add_request(rid, prompt, sp, mm_data=mm)
     return rid

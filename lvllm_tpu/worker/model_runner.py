@@ -847,11 +847,17 @@ class ModelRunner:
             # Audio (Whisper): encoder runs once; per-layer cross K/V park
             # in the persistent pool at the request's batch slot.
             self._mm_raw[rid] = mm_data
-            feats = np.asarray(mm_data["input_features"], np.float32)
-            if feats.ndim == 2:
-                feats = feats[None]
-            enc = self._encode_audio_fn(self.params, jnp.asarray(feats))[0]
-            ckv = self._cross_kv_fn(self.params, enc)   # [L, 2, S, H, Dh]
+            if "cross_kv" in mm_data:
+                # EC transfer (P/D disagg): the prefill engine already ran
+                # the encoder; park its cross-KV directly.
+                ckv = jnp.asarray(mm_data["cross_kv"])
+            else:
+                feats = np.asarray(mm_data["input_features"], np.float32)
+                if feats.ndim == 2:
+                    feats = feats[None]
+                enc = self._encode_audio_fn(self.params,
+                                            jnp.asarray(feats))[0]
+                ckv = self._cross_kv_fn(self.params, enc)  # [L,2,S,H,Dh]
             if self._cross_pool is None:
                 L, _, S, H, Dh = ckv.shape
                 self._cross_pool = jnp.zeros(

@@ -156,3 +156,57 @@ def test_disagg_full_speed_prefill_with_offloaded_decode():
         assert store.stats["bytes_streamed"] > 0
     finally:
         pair.shutdown()
+
+
+def test_disagg_ec_transfer_whisper(tmp_path):
+    """EC transfer: the prefill engine runs the audio encoder; its
+    cross-attention K/V ride the handoff and the decode engine decodes
+    WITHOUT re-encoding — outputs identical to a single engine."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from lvllm_tpu.model_loader.hf_config import load_model_config
+
+    cfg = transformers.WhisperConfig(
+        vocab_size=128, d_model=64, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128, num_mel_bins=16,
+        max_source_positions=32, max_target_positions=64,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=3, suppress_tokens=None,
+        begin_suppress_tokens=None)
+    torch.manual_seed(0)
+    transformers.WhisperForConditionalGeneration(cfg).save_pretrained(
+        str(tmp_path), safe_serialization=True)
+
+    def mk():
+        mc = load_model_config(str(tmp_path), max_model_len=64,
+                               dtype="float32")
+        ecfg = EngineConfig(
+            model_config=mc,
+            cache_config=CacheConfig(block_size=16, num_gpu_blocks=32,
+                                     enable_prefix_caching=True),
+            scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                             max_num_seqs=2,
+                                             max_model_len=64))
+        return LLMEngine(ecfg, load_format="safetensors")
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((1, 16, 64)).astype(np.float32)
+    dec_ids = [3, 7]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    base_eng = mk()
+    rid = base_eng.add_request(None, dec_ids, sp,
+                               mm_data={"input_features": feats})
+    base = run_to_completion(base_eng, rid).outputs[0].token_ids
+
+    prefill_eng = mk()
+    decode_eng = mk()
+    handoff = prefill_and_extract(prefill_eng, dec_ids, sp,
+                                  mm_data={"input_features": feats})
+    assert handoff.cross_kv is not None            # EC payload present
+    rid2 = inject_and_decode_request(decode_eng, handoff, sp)
+    out = run_to_completion(decode_eng, rid2)
+    combined = [handoff.first_token_id] + out.outputs[0].token_ids
+    assert combined == base[:len(combined)], (combined, base)
