@@ -100,12 +100,47 @@ def quantize_moe_weights(params, config: ModelConfig):
 
 
 _REAL_DEFAULT_RNG = np.random.default_rng
+_REAL_NP_ASARRAY = np.asarray
+
+
+class _ProbeZeros(np.ndarray):
+    """All-zeros marker array for the shape probe. Scalar arithmetic that
+    preserves zeroness short-circuits to ``self`` and dtype casts
+    materialize fresh (calloc'd) zeros — model init code paths like
+    ``rng.standard_normal(shape) * 0.02`` then ``asarray(..., bfloat16)``
+    would otherwise stream GBs of zeros through real multiplies and
+    ml_dtypes casts (~7 min host time for an 8B tree, profiled)."""
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if (method == "__call__" and not kwargs
+                and ufunc in (np.multiply, np.divide, np.true_divide,
+                              np.add, np.subtract, np.negative, np.positive)
+                and all((i is self) or np.isscalar(i) for i in inputs)
+                and all(i is self or i == 0 for i in inputs
+                        if ufunc in (np.add, np.subtract))):
+            return self
+        plain = [i.view(np.ndarray) if isinstance(i, _ProbeZeros) else i
+                 for i in inputs]
+        return getattr(ufunc, method)(*plain, **kwargs)
+
+    def astype(self, dtype, *args, **kwargs):
+        return _probe_zeros(self.shape, dtype)
+
+
+def _probe_zeros(shape, dtype=np.float32):
+    return np.zeros(shape, dtype).view(_ProbeZeros)
+
+
+def _probe_asarray(a, dtype=None, *args, **kwargs):
+    if isinstance(a, _ProbeZeros):
+        return np.zeros(a.shape, dtype if dtype is not None else a.dtype)
+    return _REAL_NP_ASARRAY(a, dtype, *args, **kwargs)
 
 
 class _ProbeRng:
     """numpy Generator stand-in for the shape probe: big tensors come back
-    as zeros (regenerated on device later), small ones as real randoms so
-    routers/norms keep realistic values."""
+    as zero markers (regenerated on device later), small ones as real
+    randoms so routers/norms keep realistic values."""
 
     BIG_ELEMS = 1 << 20
 
@@ -117,7 +152,7 @@ class _ProbeRng:
 
     def standard_normal(self, size=None, dtype=np.float64):
         if self._n(size) >= self.BIG_ELEMS:
-            return np.zeros(size, dtype)
+            return _probe_zeros(size, dtype)
         return self._rng.standard_normal(size=size, dtype=dtype)
 
     def uniform(self, low=0.0, high=1.0, size=None):
@@ -150,8 +185,17 @@ def _shape_only_quant_patches():
         return (np.zeros((*lead, K, N), jnp.float8_e4m3fn),
                 np.zeros((*lead, N), np.float32))
 
+    def tq(qw, scales):
+        from lvllm_tpu.ops.quant import tile_n_for
+        E, R, N = qw.shape
+        tn = tile_n_for(N)
+        if tn == 0:
+            return qw, scales
+        return (np.zeros((E, N // tn, qw.shape[1], tn), qw.dtype),
+                np.zeros((E, N // tn, scales.shape[1], tn), scales.dtype))
+
     return {"quantize_int4_np": q4, "quantize_int8_np": q8,
-            "quantize_fp8_np": qf8}
+            "quantize_fp8_np": qf8, "tile_quant_layout_np": tq}
 
 
 # jnp constructors routed to numpy during the shape probe so init_params
@@ -190,14 +234,17 @@ def init_params_on_device(model, config: ModelConfig, seed: int = 0,
     saved_q = {n: getattr(quant, n) for n in _shape_only_quant_patches()}
     try:
         np.random.default_rng = _ProbeRng
+        np.asarray = _probe_asarray
         for n in _PROBE_JNP_FNS:
             setattr(jnp, n, getattr(np, n))
+        jnp.asarray = jnp.array = _probe_asarray
         for n, f in _shape_only_quant_patches().items():
             setattr(quant, n, f)
         params = model.init_params(seed)
         params = quantize_moe_weights(params, config)
     finally:
         np.random.default_rng = _REAL_DEFAULT_RNG
+        np.asarray = _REAL_NP_ASARRAY
         for n, f in saved_jnp.items():
             setattr(jnp, n, f)
         for n, f in saved_q.items():
