@@ -416,6 +416,17 @@ class OffloadConfig:
     hbm_resident_moe_layers: str = ""
     prefetch_window: int = 1
     num_hbm_buffers: int = 2  # rotating placeholder buffer sets (ref: ≤4)
+    # How multi-step decode composes with streaming:
+    #   "scan"   — stream every cold layer once per horizon and pass the
+    #              weights as lax.scan constants (needs the whole streamed
+    #              set to fit transient HBM; amortizes stream bytes over
+    #              horizon x batch tokens).
+    #   "staged" — per-layer streamed dispatch each step with the decode
+    #              carry (tokens/positions) kept on device; one host fetch
+    #              per horizon.
+    #   "auto"   — scan when resident + streamed + KV fits ~90% of HBM,
+    #              else staged.
+    multi_step_mode: str = "auto"
 
     def resident_layer_set(self) -> set:
         return envs.parse_layer_ranges(self.hbm_resident_moe_layers)

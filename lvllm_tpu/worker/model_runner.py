@@ -335,12 +335,49 @@ class ModelRunner:
             len(self.streamed_moe_layers),
             self.expert_store.host_bytes() / 1e6)
 
+        # Dispatch plan: contiguous non-streamed layers run as one jitted
+        # group (one dispatch), each streamed layer is its own dispatch so
+        # its freshly-uploaded weights bind per call. Over a remote
+        # transport every dispatch costs ~2 ms, so grouping matters.
+        streamed_set = set(self.streamed_moe_layers)
+        self._offload_plan = []
+        run: List[int] = []
+        for i in range(mc.num_hidden_layers):
+            if i in streamed_set:
+                if run:
+                    self._offload_plan.append(("resident", tuple(run)))
+                    run = []
+                self._offload_plan.append(("streamed", (i,)))
+            else:
+                run.append(i)
+        if run:
+            self._offload_plan.append(("resident", tuple(run)))
+
         self._embed_fn = jax.jit(self.model.embed_tokens)
-        self._layer_fn = jax.jit(
-            lambda lp, x, res, pos, kv, md: self.model.apply_layer(
-                lp, x, res, pos, kv, md, 0),
-            donate_argnums=(4,))
+
+        def group_fn(lps, x, res, pos, kvs, md):
+            new_kvs = []
+            for lp, kv in zip(lps, kvs):
+                x, res, kv = self.model.apply_layer(lp, x, res, pos, kv,
+                                                    md, 0)
+                new_kvs.append(kv)
+            return x, res, new_kvs
+
+        self._group_fn = jax.jit(group_fn, donate_argnums=(4,))
         self._tail_fn = jax.jit(self._tail)
+        # Decode-carry advance for staged multi-step: next tokens from the
+        # last sample, positions/seq_lens/steps +1, and the new slot map.
+        BS = self.block_size
+
+        def adv_fn(sampled, pos, sl, stp, bt):
+            tok = sampled[:, -1].astype(jnp.int32)
+            pos, sl, stp = pos + 1, sl + 1, stp + 1
+            rows = jnp.arange(pos.shape[0], dtype=jnp.int32)
+            slot = bt[rows, pos // BS] * BS + pos % BS
+            return tok, pos, sl, stp, slot
+
+        self._offload_adv_fn = jax.jit(adv_fn)
+        self._offload_scan_decision = None
 
     def _tail(self, params, x, residual, logits_indices, temperature, top_k,
               top_p, min_p, seeds, steps, penalty_args=None,
@@ -369,24 +406,113 @@ class ModelRunner:
         # Warm the prefetch pipeline for the first streamed layers.
         store.advance(-1, self.streamed_moe_layers)
 
+        def layer_params(i):
+            lp = self.params["layers"][i]
+            if i in self.moe_layers and not store.is_resident(i):
+                w = store.get(i)
+                store.advance(i, self.streamed_moe_layers)
+                return {**lp, "moe": {**lp["moe"], **w}}
+            if i in self.moe_layers:
+                return {**lp, "moe": {**lp["moe"], **store._hbm[i]}}
+            return lp
+
         x = self._embed_fn(self.params, input_ids, positions)
         residual = jnp.zeros_like(x)
-        for i, lp in enumerate(self.params["layers"]):
-            if i in self.moe_layers and not store.is_resident(i):
-                moe_weights = store.get(i)
-                lp = dict(lp)
-                lp["moe"] = {**lp["moe"], **moe_weights}
-                store.advance(i, self.streamed_moe_layers)
-            elif i in self.moe_layers:
-                lp = dict(lp)
-                lp["moe"] = {**lp["moe"], **store._hbm[i]}
-            x, residual, kv = self._layer_fn(
-                lp, x, residual, positions, self.kv_caches[i], md)
-            self.kv_caches[i] = kv
+        for kind, idxs in self._offload_plan:
+            lps = [layer_params(i) for i in idxs]
+            kvs = [self.kv_caches[i] for i in idxs]
+            x, residual, new_kvs = self._group_fn(lps, x, residual,
+                                                  positions, kvs, md)
+            for j, i in enumerate(idxs):
+                self.kv_caches[i] = new_kvs[j]
         return self._tail_fn(self.params, x, residual, logits_indices,
                              temperature, top_k, top_p, min_p, seeds, steps,
                              penalty_args=penalty_args,
                              grammar_mask=grammar_mask, draft_mat=draft_mat)
+
+    def _offload_use_scan(self) -> bool:
+        """Pick the multi-step composition mode (OffloadConfig
+        .multi_step_mode): scan-constants when the whole streamed set can
+        transiently share HBM with resident weights + KV, else staged."""
+        if self._offload_scan_decision is not None:
+            return self._offload_scan_decision
+        mode = self.config.offload_config.multi_step_mode
+        if mode in ("scan", "staged"):
+            self._offload_scan_decision = mode == "scan"
+            return self._offload_scan_decision
+        store = self.expert_store
+        resident = sum(l.nbytes for l in jax.tree.leaves(self.params))
+        resident += sum(l.nbytes for l in jax.tree.leaves(store._hbm))
+        kv = sum(l.nbytes for l in jax.tree.leaves(self.kv_caches))
+        streamed = store.host_bytes()
+        if self.config.offload_config.num_hbm_buffers >= 2:
+            streamed *= 2  # double-buffered next-round prefetch
+        try:
+            limit = jax.devices()[0].memory_stats()["bytes_limit"]
+        except Exception:  # noqa: BLE001 — axon/CPU may not report
+            limit = 16e9
+        self._offload_scan_decision = \
+            resident + streamed + kv <= 0.9 * limit
+        logger.info(
+            "offload multi-step mode: %s (resident %.2f GB + streamed "
+            "%.2f GB + kv %.2f GB vs limit %.1f GB)",
+            "scan" if self._offload_scan_decision else "staged",
+            resident / 1e9, streamed / 1e9, kv / 1e9, limit / 1e9)
+        return self._offload_scan_decision
+
+    def _offload_merged_params(self):
+        """Full params tree with every MoE layer's expert weights bound on
+        device — cold layers stream in once (then live for the scan)."""
+        store = self.expert_store
+        for i in self.streamed_moe_layers:  # pipeline all uploads
+            store.prefetch(i)
+        params = dict(self.params)
+        layers = list(params["layers"])
+        for i in self.moe_layers:
+            moe = layers[i].get("moe")
+            if moe is None:
+                continue
+            w = store._hbm[i] if store.is_resident(i) else store.get(i)
+            layers[i] = {**layers[i], "moe": {**moe, **w}}
+        params["layers"] = layers
+        return params
+
+    def _staged_multi_step(self, tokens, positions, seq_lens, block_table,
+                           temperature, top_k, top_p, min_p, seeds, steps,
+                           horizon, greedy_only):
+        """Horizon decode with per-layer streaming: the decode carry
+        (tokens/positions/seq_lens/slot) stays on device between steps, so
+        the host dispatches ~(groups+3) async calls per step and fetches
+        ONE packed result per horizon. Streamed layers re-upload each step
+        (the does-not-fit-HBM regime) overlapped with compute via the
+        prefetch thread."""
+        R = int(tokens.shape[0])
+        qsl = jnp.arange(R + 1, dtype=jnp.int32)
+        li = jnp.arange(R, dtype=jnp.int32)[:, None]
+        tok = jnp.asarray(tokens)
+        pos = jnp.asarray(positions)
+        sl = jnp.asarray(seq_lens)
+        stp = jnp.asarray(steps)
+        bt = jnp.asarray(block_table)
+        pos_np = positions
+        slot = jnp.asarray(
+            (block_table[np.arange(R), pos_np // self.block_size]
+             * self.block_size + pos_np % self.block_size).astype(np.int32))
+        toks_h, lps_h = [], []
+        for _ in range(horizon):
+            sampled, logprobs = self._execute_staged(
+                tok, pos, qsl, sl, bt, slot, li, temperature, top_k,
+                top_p, min_p, seeds, stp)
+            toks_h.append(sampled)
+            lps_h.append(logprobs)
+            tok, pos, sl, stp, slot = self._offload_adv_fn(
+                sampled, pos, sl, stp, bt)
+        packed = jnp.stack([
+            jnp.concatenate(toks_h, axis=1).T,
+            jax.lax.bitcast_convert_type(
+                jnp.concatenate(lps_h, axis=1).T.astype(jnp.float32),
+                jnp.int32)])                               # [2, H, R]
+        return self.kv_caches, packed
 
     # ---- pipeline-parallel staged execution --------------------------------
 
@@ -674,15 +800,19 @@ class ModelRunner:
     def _can_multi_step(self, so, grammar_masks) -> bool:
         """Horizon execution excludes features that need per-step host
         state (grammar advance, penalties history, top-k logprobs, LoRA)
-        or a different execution scheme (spec, offload, EAGLE, DCP,
-        hybrid state caches). The scheduler pre-allocated lookahead blocks
+        or a different execution scheme (spec, EAGLE, DCP, hybrid state
+        caches). Expert offload composes: streamed weights are either
+        loop-invariant scan constants or re-streamed per staged step
+        (_offload_use_scan). The scheduler pre-allocated lookahead blocks
         either way, so falling back to one step is always safe."""
-        if (self.num_spec or self.expert_store is not None
+        if (self.num_spec
                 or self.eagle_proposer is not None or self.dcp > 1
                 or self.pp > 1 or self.is_enc_dec
                 or self.config.model_config.layer_types is not None
                 or grammar_masks):
             return False
+        if self.expert_store is not None and self.uses_mrope:
+            return False  # staged/scan decode paths are text-only
         ib = self.input_batch
         rows = [ib.req_id_to_index[rid] for rid in so.num_scheduled_tokens]
         if not rows:
@@ -727,17 +857,37 @@ class ModelRunner:
                 deltas[r] = self._mrope_delta.get(rid, 0)
             mrope_kw = {"mrope_delta": jnp.asarray(deltas)}
         self.step_counter += 1
-        kv, packed = self._multi_step_fn(
-            self.params, self.kv_caches,
-            jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(seq_lens), jnp.asarray(block_table),
-            jnp.asarray(ib.temperature[pad_rows]),
-            jnp.asarray(ib.top_k[pad_rows]),
-            jnp.asarray(ib.top_p[pad_rows]),
-            jnp.asarray(ib.min_p[pad_rows]),
-            jnp.asarray(ib.seeds[pad_rows]),
-            jnp.asarray(steps), horizon=horizon, greedy_only=greedy_only,
-            **mrope_kw)
+        if self.expert_store is not None and not self._offload_use_scan():
+            kv, packed = self._staged_multi_step(
+                tokens, positions, seq_lens, block_table,
+                jnp.asarray(ib.temperature[pad_rows]),
+                jnp.asarray(ib.top_k[pad_rows]),
+                jnp.asarray(ib.top_p[pad_rows]),
+                jnp.asarray(ib.min_p[pad_rows]),
+                jnp.asarray(ib.seeds[pad_rows]),
+                jnp.asarray(steps), horizon, greedy_only)
+        else:
+            step_params = self.params
+            if self.expert_store is not None:
+                step_params = self._offload_merged_params()
+            kv, packed = self._multi_step_fn(
+                step_params, self.kv_caches,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(seq_lens), jnp.asarray(block_table),
+                jnp.asarray(ib.temperature[pad_rows]),
+                jnp.asarray(ib.top_k[pad_rows]),
+                jnp.asarray(ib.top_p[pad_rows]),
+                jnp.asarray(ib.min_p[pad_rows]),
+                jnp.asarray(ib.seeds[pad_rows]),
+                jnp.asarray(steps), horizon=horizon,
+                greedy_only=greedy_only, **mrope_kw)
+            if self.expert_store is not None and \
+                    self.config.offload_config.num_hbm_buffers >= 2:
+                # Double-buffer: upload next round's cold weights while the
+                # scan computes (the fork's prefetch-window overlap at
+                # whole-set granularity).
+                for i in self.streamed_moe_layers:
+                    self.expert_store.prefetch(i)
         self.kv_caches = kv
 
         packed_np = np.asarray(packed)                 # one fetch [2, H, R]
