@@ -1,23 +1,20 @@
-"""Benchmark: steady-state decode throughput on one chip, quantized,
-at realistic (8B-class) geometry, plus expert-offload streaming.
+"""Benchmark: (1) the expert-offload streaming tier at a does-not-fit-HBM
+30B-A3B geometry — the LVLLM north-star configuration (BASELINE configs
+#2 + #4) — then (2) steady-state resident decode throughput on one chip,
+quantized, at 8B-class geometry, with an HBM roofline.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
 vs_baseline compares against the reference fork's published decode rate
-(90 tok/s for Qwen3-Next-80B-A3B on 2×EPYC+RTX6000, BASELINE.md).
+(90 tok/s for Qwen3-Next-80B-A3B on 2xEPYC+RTX6000, BASELINE.md). That is
+directionally informative, not apples-to-apples (different model sizes and
+hosts) — see detail.baseline_note.
 
-Model: dummy-weight Qwen3-MoE, A3B-style sparsity — 8.1B params
-(64 experts, top-8, hidden 2048, 24 layers), experts quantized to INT4
-so the whole model fits one v5e chip (~5.7 GB weights). Weights are
-generated ON the device (load_format="dummy_device") — no multi-GB
-host→HBM upload, so the quantized leg always records even over the slow
-dev tunnel (round-1 failure mode: int8 leg self-skipped on time budget).
-
-Legs:
-  1. engine-loop decode tok/s (multi-step scan, horizon 16)  ← primary
-  2. device-step decode + prefill replays (isolates RPC overhead)
-  3. roofline: achieved HBM read bandwidth fraction per decode step
-  4. expert-offload streaming decode (4 of 24 MoE layers in host RAM,
-     prefetch-window overlap) + achieved host→HBM stream bandwidth
+Leg order is offload-first by design: rounds 1-2 starved the offload leg
+behind the big resident warm (VERDICT r02 weak #1). The offload leg's
+absolute tok/s on the dev tunnel is transport-bound (host->HBM ~32 MB/s
+vs ~25 GB/s PCIe on a real host); detail fields record the achieved
+stream bandwidth, the raw tunnel bandwidth, and the prefetch hit rate so
+the number is interpretable.
 """
 
 import json
@@ -43,6 +40,13 @@ def _peak_hbm_bps(device) -> float:
     return 819.0 * 1e9
 
 
+def _hbm_limit_bytes(device) -> float:
+    try:
+        return float(device.memory_stats()["bytes_limit"])
+    except Exception:  # noqa: BLE001
+        return 16e9
+
+
 def _model_config(quantization="int4", num_layers=24):
     from lvllm_tpu.config import ModelConfig
     if os.environ.get("LVLLM_BENCH_SMALL"):  # CPU smoke-test geometry
@@ -64,8 +68,151 @@ def _model_config(quantization="int4", num_layers=24):
         eos_token_id=-1, quantization=quantization)
 
 
+def _model_config_30b():
+    """Qwen3-Coder-30B-A3B geometry (BASELINE config #2), int4 experts:
+    48L x 128 experts (top-8), h2048, 32q/4kv heads. ~18 GB packed —
+    does NOT fit one v5e's HBM; the cold tail of MoE layers lives in the
+    host tier and streams per decode step."""
+    from lvllm_tpu.config import ModelConfig
+    if os.environ.get("LVLLM_BENCH_SMALL"):
+        return ModelConfig(
+            model="dummy", architecture="Qwen3MoeForCausalLM",
+            dtype="bfloat16", vocab_size=2048, hidden_size=256,
+            intermediate_size=512, num_hidden_layers=8,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=128,
+            num_experts=8, num_experts_per_tok=2, moe_intermediate_size=256,
+            max_position_embeddings=8192, max_model_len=2048,
+            eos_token_id=-1, quantization="int4")
+    return ModelConfig(
+        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="bfloat16",
+        vocab_size=151936, hidden_size=2048, intermediate_size=6144,
+        num_hidden_layers=48, num_attention_heads=32,
+        num_key_value_heads=4, head_dim=128, num_experts=128,
+        num_experts_per_tok=8, moe_intermediate_size=768,
+        max_position_embeddings=8192, max_model_len=2048,
+        eos_token_id=-1, quantization="int4")
+
+
+def _stream_probe_mbps(device) -> float:
+    """Raw host->HBM bandwidth (32 MB transfer + sync). Two attempts:
+    a previously killed TPU job can wedge the tunnel for minutes and the
+    first transfer absorbs the recovery stall."""
+    import jax
+    jax.device_put(np.ones((8,), np.int8), device).block_until_ready()
+    a = np.ones((32 << 20,), np.int8)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        x = jax.device_put(a, device)
+        x.block_until_ready()
+        _ = np.asarray(x[:8])  # remote backends need a fetch to barrier
+        best = max(best, 32.0 / (time.time() - t0))
+        if best > 1.0:
+            break
+    return best
+
+
+def _bench_offload(remaining, stream_mbps) -> dict:
+    """North-star leg: 30B-A3B int4 that does not fit HBM; cold MoE
+    layers stream from the host tier inside staged multi-step decode
+    (reference anchors: moe_runner.py:915-1130 prefetch-window streaming,
+    offloader/prefetch.py:60,127)."""
+    import jax
+
+    from lvllm_tpu.config import OffloadConfig
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    mc = _model_config_30b()
+    n_layers = mc.num_hidden_layers
+    n_resident = int(os.environ.get(
+        "LVLLM_BENCH_OFFLOAD_RESIDENT",
+        str(max(n_layers - 12, (n_layers + 1) // 2))))
+    horizon = 2
+    batch = 8
+    oc = OffloadConfig(
+        enabled=True,
+        hbm_resident_moe_layers=f"0-{n_resident - 1}",
+        prefetch_window=1, num_hbm_buffers=2, multi_step_mode="staged")
+    t0 = time.time()
+    llm = LLM(model_config=mc, load_format="dummy_device",
+              max_num_seqs=batch, max_num_batched_tokens=64, block_size=16,
+              num_kv_blocks=96, multi_step_decode=horizon,
+              offload_config=oc)
+    eng = llm.engine
+    runner = eng.core.runner
+    store = runner.expert_store
+    hbm_bytes = sum(l.nbytes for l in jax.tree.leaves(runner.params))
+    hbm_bytes += sum(l.nbytes for l in jax.tree.leaves(store._hbm))
+    host_bytes = store.host_bytes()
+    total_gb = (hbm_bytes + host_bytes) / 1e9
+    limit_gb = _hbm_limit_bytes(jax.devices()[0]) / 1e9
+    print(f"[bench] offload model up: {total_gb:.2f} GB total "
+          f"({hbm_bytes / 1e9:.2f} resident + {host_bytes / 1e9:.2f} host) "
+          f"vs {limit_gb:.1f} GB HBM, {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(temperature=0.0, max_tokens=2 * horizon + 2)
+    for i in range(batch):
+        eng.add_request(f"off-{i}",
+                        rng.integers(0, mc.vocab_size, size=8).tolist(), sp)
+    while eng.get_stats()["num_waiting"] > 0:
+        eng.step()           # prefill (streams all cold layers once)
+    print(f"[bench] offload prefill done: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    b0 = store.stats["bytes_streamed"]
+    h0 = store.stats["prefetch_hits"]
+    t1 = time.time()
+    osteps = 0
+    # First decode step pays the staged-decode compiles; keep it in the
+    # measurement only if budget is tight (fields below split it out).
+    while eng.has_unfinished_requests() and osteps < 2 and \
+            (osteps == 0 or remaining() > 60):
+        eng.step()
+        osteps += 1
+    elapsed = time.time() - t1
+    streamed = store.stats["bytes_streamed"] - b0
+    decoded = batch * horizon * osteps
+    eng.abort_request([f"off-{i}" for i in range(batch)])
+    result = {
+        "model": (f"Qwen3-Coder-30B-A3B geometry: {mc.num_experts}e "
+                  f"top-{mc.num_experts_per_tok}, {n_layers}L, h2048, "
+                  f"int4 experts"),
+        "param_gb_total": round(total_gb, 2),
+        "hbm_limit_gb": round(limit_gb, 2),
+        "does_not_fit_hbm": bool(total_gb > limit_gb),
+        "resident_moe_layers": n_resident,
+        "streamed_moe_layers": len(store.streamed_layers),
+        "host_tier_gb": round(host_bytes / 1e9, 2),
+        "offload_mode": "staged_multi_step",
+        "multi_step_horizon": horizon,
+        "batch": batch,
+        "offload_decode_tokens_per_s": round(decoded / elapsed, 3)
+        if elapsed else None,
+        "offload_decode_steps": osteps * horizon,
+        "offload_stream_gbps": round(streamed / elapsed / 1e9, 4)
+        if elapsed else None,
+        "offload_prefetch_hits": store.stats["prefetch_hits"] - h0,
+        "offload_prefetch_misses": store.stats["prefetch_misses"],
+        "tunnel_host_to_hbm_mbps": round(stream_mbps, 1),
+        "transport_note": (
+            "dev tunnel host->HBM is ~3 orders below PCIe; stream_gbps "
+            "tracks the raw transport probe, so decode here is "
+            "transport-bound, not overlap-bound"),
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    del llm, eng, runner, store
+    return result
+
+
 def main() -> None:
     import jax
+
+    if os.environ.get("LVLLM_BENCH_DEVICE") == "cpu":
+        # The axon bootstrap overrides JAX_PLATFORMS; config.update is the
+        # only way to force CPU (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from lvllm_tpu.entrypoints.llm import LLM
@@ -76,6 +223,17 @@ def main() -> None:
 
     def remaining() -> float:
         return budget_s - (time.time() - t_start)
+
+    # ---- leg 0: raw transport probe + OFFLOAD TIER (runs FIRST) -----------
+    stream_mbps = _stream_probe_mbps(jax.devices()[0])
+    print(f"[bench] tunnel host->HBM: {stream_mbps:.1f} MB/s",
+          file=sys.stderr)
+    try:
+        offload = _bench_offload(remaining, stream_mbps)
+    except Exception as e:  # noqa: BLE001
+        offload = {"offload_error": repr(e)[:300]}
+    print(f"[bench] offload leg done: {time.time() - t_start:.1f}s",
+          file=sys.stderr)
 
     batch = 16
     prompt_len = 128
@@ -194,61 +352,6 @@ def main() -> None:
     print(f"[bench] device legs done: {time.time() - t_start:.1f}s",
           file=sys.stderr)
 
-    # ---- leg 3: expert-offload streaming decode ----------------------------
-    # 4 of 24 MoE layers' experts live in host RAM and stream to HBM one
-    # layer ahead of compute (the LVLLM north-star tier). On the dev
-    # tunnel host→HBM is ~30 MB/s so absolute tok/s is tunnel-bound; the
-    # stream bandwidth + prefetch hit rate fields qualify the number.
-    offload = None
-    if remaining() > 240:
-        try:
-            from lvllm_tpu.config import OffloadConfig
-            # Half-depth model: the point is measuring the streaming tier,
-            # not re-paying the full dummy-device init (r02: the 24-layer
-            # reload ate the leg's decode budget — 0 steps recorded).
-            mc_o = _model_config("int4", num_layers=12)
-            n_stream = 4 if mc_o.num_hidden_layers > 8 else 2
-            oc = OffloadConfig(
-                enabled=True,
-                hbm_resident_moe_layers=(
-                    f"0-{mc_o.num_hidden_layers - n_stream - 1}"),
-                prefetch_window=1, num_hbm_buffers=2)
-            llm_o = LLM(model_config=mc_o,
-                        load_format="dummy_device", max_num_seqs=4,
-                        max_num_batched_tokens=256, block_size=16,
-                        num_kv_blocks=256, offload_config=oc)
-            eng_o = llm_o.engine
-            for i in range(4):
-                eng_o.add_request(f"off-{i}", prompts[i][:16],
-                                  SamplingParams(temperature=0.0,
-                                                 max_tokens=8))
-            while eng_o.get_stats()["num_waiting"] > 0:
-                eng_o.step()
-            eng_o.step()   # warm decode-shape stages
-            store = eng_o.core.runner.expert_store
-            b0 = store.stats["bytes_streamed"]
-            t6 = time.time()
-            osteps = 0
-            # No budget guard here: the load is already paid, and a few
-            # decode steps are the entire point of the leg.
-            while eng_o.has_unfinished_requests() and osteps < 3:
-                eng_o.step()
-                osteps += 1
-            o_elapsed = time.time() - t6
-            streamed = store.stats["bytes_streamed"] - b0
-            offload = {
-                "offload_decode_tokens_per_s": round(
-                    4 * osteps / o_elapsed, 2) if o_elapsed else None,
-                "offload_streamed_layers": n_stream,
-                "offload_stream_gbps": round(
-                    streamed / o_elapsed / 1e9, 3) if o_elapsed else None,
-                "offload_prefetch_hits": store.stats["prefetch_hits"],
-                "offload_prefetch_misses": store.stats["prefetch_misses"],
-            }
-            eng_o.abort_request([f"off-{i}" for i in range(4)])
-        except Exception as e:  # noqa: BLE001
-            offload = {"offload_error": repr(e)[:200]}
-
     result = {
         "metric": "int4_decode_tokens_per_s_8b_a3b",
         "value": round(decode_tps, 1),
@@ -268,6 +371,12 @@ def main() -> None:
             "hbm_bw_achieved_gbps": round(achieved_bps / 1e9, 1),
             "hbm_bw_util": round(hbm_util, 3),
             "offload": offload,
+            "baseline_note": (
+                "vs_baseline divides this chip's 8B-A3B int4 engine-loop "
+                "rate by the fork's published 80B-A3B bf16 rate on "
+                "2xEPYC+RTX6000 (BASELINE.md) — directional, not "
+                "apples-to-apples; the offload detail carries the "
+                "30B-A3B does-not-fit-HBM measurement"),
             "backend": jax.default_backend(),
             "batch": batch,
             "multi_step_horizon": horizon,

@@ -201,6 +201,8 @@ class ModelConfig:
     # Qwen2-VL family: M-RoPE feature sections (t/h/w) + extra vision
     # marker tokens (reference: MRotaryEmbedding, get_rope_index).
     mrope_section: Optional[Tuple[int, ...]] = None
+    # Qwen3-VL frequency-interleaved M-RoPE layout (vs chunked sections).
+    mrope_interleaved: bool = False
     video_token_id: Optional[int] = None
     vision_start_token_id: Optional[int] = None
 

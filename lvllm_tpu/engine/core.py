@@ -70,6 +70,8 @@ class EngineCore:
         self.config = config
         from lvllm_tpu.plugins import load_plugins
         load_plugins()
+        from lvllm_tpu import enable_compile_cache
+        enable_compile_cache()
         t0 = time.time()
         self.model, params = load_model(config.model_config, load_format,
                                         offload_config=config.offload_config)

@@ -165,6 +165,32 @@ def load_model_config(model_path: str,
         # mrope reuses the default rope tables; drop the scaling dict so
         # the generic rope path doesn't see type="mrope"/"default".
         hf = {**hf, "rope_scaling": None}
+    if arch in ("Qwen3VLForConditionalGeneration",
+                "Qwen3VLMoeForConditionalGeneration"):
+        # Qwen3-VL: Qwen3(MoE) text layer + deepstack ViT + interleaved
+        # M-RoPE (reference: qwen3_vl.py registry.py:535-538; HF
+        # modeling_qwen3_vl apply_interleaved_mrope:299).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("image_token_id", 151655)
+        video_token_id = hf.get("video_token_id", 151656)
+        vision_start_token_id = hf.get("vision_start_token_id", 151652)
+        text = dict(hf.get("text_config") or {})
+        hf = {**hf, **text}
+        rs = hf.get("rope_scaling") or {}
+        hd = hf.get("head_dim") or (hf["hidden_size"]
+                                    // hf["num_attention_heads"])
+        mrope_section = tuple(
+            int(s) for s in rs.get("mrope_section") or ())
+        if not mrope_section:
+            # HF default when checkpoints omit the dict ([24, 20, 20] at
+            # head_dim 128); scale to the actual head_dim.
+            base = (24, 20, 20)
+            scale = (hd // 2) / sum(base)
+            mrope_section = (int(base[0] * scale),
+                             int(base[1] * scale), int(base[2] * scale))
+            mrope_section = (hd // 2 - mrope_section[1] - mrope_section[2],
+                             mrope_section[1], mrope_section[2])
+        hf = {**hf, "rope_scaling": None, "mrope_interleaved": True}
     if arch in ("LlavaForConditionalGeneration",
                 "LlavaNextForConditionalGeneration"):
         # Nested multimodal config: flatten text_config into the main
@@ -579,6 +605,8 @@ def load_model_config(model_path: str,
                               arch in ("Qwen3ForCausalLM",
                                        "Qwen3MoeForCausalLM",
                                        "Qwen3NextForCausalLM",
+                                       "Qwen3VLForConditionalGeneration",
+                                       "Qwen3VLMoeForConditionalGeneration",
                                        "Gemma3ForCausalLM",
                                        "MiniMaxM2ForCausalLM",
                                        "Olmo2ForCausalLM",
@@ -611,12 +639,13 @@ def load_model_config(model_path: str,
         o_proj_bias=(bias_all or
                      (arch == "InternLMForCausalLM" and
                       hf.get("bias", True))),
-        rope_interleaved=arch in ("GPTJForCausalLM", "CohereForCausalLM",
-                                  "Cohere2ForCausalLM",
-                                  # GLM-4 dense rotates interleaved pairs
-                                  # over the partial-rotary prefix (HF
-                                  # modeling_glm4.apply_rotary_pos_emb).
-                                  "Glm4ForCausalLM"),
+        rope_interleaved=hf.get("rope_interleaved", False) or
+        arch in ("GPTJForCausalLM", "CohereForCausalLM",
+                 "Cohere2ForCausalLM",
+                 # GLM-4 dense rotates interleaved pairs
+                 # over the partial-rotary prefix (HF
+                 # modeling_glm4.apply_rotary_pos_emb).
+                 "Glm4ForCausalLM"),
         sandwich_output_norms=arch == "Glm4ForCausalLM",
         learned_pos_embeddings=learned_pos,
         norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
@@ -637,6 +666,8 @@ def load_model_config(model_path: str,
                                      "Qwen2_5_VLForConditionalGeneration",
                                      # HF Glm4Config attention_bias=True.
                                      "Glm4ForCausalLM"))),
+        # (Qwen3-VL text attention is bias-free qk-norm Qwen3 — covered by
+        # the hf attention_bias=False default above.)
         router_scoring_fn=scoring_fn,
         routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
         partial_rotary_factor=partial_rotary,
@@ -725,6 +756,7 @@ def load_model_config(model_path: str,
         vision_config=vision_cfg,
         image_token_id=image_token_id,
         mrope_section=mrope_section,
+        mrope_interleaved=hf.get("mrope_interleaved", False),
         video_token_id=video_token_id,
         vision_start_token_id=vision_start_token_id,
         type_vocab_size=hf.get("type_vocab_size", 0)

@@ -354,7 +354,13 @@ class Qwen3Model:
             q, k = qk_norm(q, k)
         cos_sin = self.rope_cache(layer_idx)
         if cos_sin is not None:
-            if c.mrope_section and c.rope_interleaved:
+            if c.mrope_section and c.mrope_interleaved:
+                # Qwen3-VL: frequency-interleaved stream layout.
+                from lvllm_tpu.ops.rope import (
+                    apply_mrope_interleaved_streams)
+                q, k = apply_mrope_interleaved_streams(
+                    q, k, positions, cos_sin, c.mrope_section)
+            elif c.mrope_section and c.rope_interleaved:
                 # GLM-4V: M-RoPE sections + interleaved partial rotation.
                 from lvllm_tpu.ops.rope import apply_mrope_interleaved
                 q, k = apply_mrope_interleaved(q, k, positions, cos_sin,
@@ -693,6 +699,7 @@ class Qwen3Model:
         token_adapter=None,
         mm_embeds=None,
         mm_mask=None,
+        mm_deepstack=None,
         aux_hidden_layers: Tuple[int, ...] = (),
     ) -> Tuple[jax.Array, KVCaches]:
         """``aux_hidden_layers`` (static): also return the residual-stream
@@ -716,6 +723,12 @@ class Qwen3Model:
             x, residual, kv = self.apply_layer(
                 lp, x, residual, positions, kv_caches[i], attn_metadata, i,
                 lora, token_adapter)
+            if mm_deepstack is not None and i < mm_deepstack.shape[0]:
+                # Deepstack (Qwen3-VL): per-level vision features added to
+                # the residual stream after the first L layers (reference:
+                # qwen3_vl.py:1532 deepstack_input_embeds; zeros at
+                # non-image rows).
+                x = x + mm_deepstack[i].astype(x.dtype)
             new_caches.append(kv)
             if i in aux_hidden_layers:
                 aux.append(x + residual)

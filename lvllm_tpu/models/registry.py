@@ -109,6 +109,10 @@ def _register_builtin() -> None:
     for arch in ("Qwen2VLForConditionalGeneration",
                  "Qwen2_5_VLForConditionalGeneration"):
         _REGISTRY[arch] = Qwen2VLModel
+    from lvllm_tpu.models.qwen3_vl import Qwen3VLModel
+    for arch in ("Qwen3VLForConditionalGeneration",
+                 "Qwen3VLMoeForConditionalGeneration"):
+        _REGISTRY[arch] = Qwen3VLModel
 
     from lvllm_tpu.models.gpt_oss import GptOssModel
     _REGISTRY["GptOssForCausalLM"] = GptOssModel

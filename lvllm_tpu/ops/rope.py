@@ -219,6 +219,48 @@ def apply_mrope(
     return rot(q), rot(k)
 
 
+def apply_mrope_interleaved_streams(
+    q: jax.Array,          # [T, Hq, D]
+    k: jax.Array,          # [T, Hk, D]
+    positions: jax.Array,  # [3, T] int32 — (temporal, height, width)
+    cos_sin_cache: jax.Array,  # [P, rot_dim]
+    mrope_section,         # (t, h, w); sums to rot_dim // 2
+) -> Tuple[jax.Array, jax.Array]:
+    """Qwen3-VL interleaved M-RoPE (HF modeling_qwen3_vl
+    apply_interleaved_mrope:299; reference mrope.py mrope_interleaved):
+    instead of contiguous per-stream sections, frequency index ``i``
+    reads the H stream when ``i % 3 == 1`` (within 3*sec_h), the W stream
+    when ``i % 3 == 2`` (within 3*sec_w), and T otherwise —
+    [THWTHW...TT], preserving frequency continuity per stream. Rotation
+    itself is the standard rotate-half convention."""
+    rot_dim = cos_sin_cache.shape[-1]
+    half = rot_dim // 2
+    assert sum(mrope_section) == half, (mrope_section, half)
+    cs = cos_sin_cache[positions]               # [3, T, rot_dim]
+    cos3 = cs[..., :half]
+    sin3 = cs[..., half:]
+    idx = np.arange(half)
+    stream = np.zeros(half, np.int32)
+    stream[(idx % 3 == 1) & (idx < 3 * mrope_section[1])] = 1
+    stream[(idx % 3 == 2) & (idx < 3 * mrope_section[2])] = 2
+    sel = jnp.asarray(stream)
+    cos = jnp.take_along_axis(cos3, sel[None, None, :], axis=0)[0][:, None]
+    sin = jnp.take_along_axis(sin3, sel[None, None, :], axis=0)[0][:, None]
+
+    def rot(x):
+        xr, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+        x1 = xr[..., :half].astype(jnp.float32)
+        x2 = xr[..., half:].astype(jnp.float32)
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+        if x_pass.shape[-1]:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out
+
+    return rot(q), rot(k)
+
+
 def apply_mrope_interleaved(
     q: jax.Array,          # [T, Hq, D]
     k: jax.Array,          # [T, Hk, D]

@@ -651,7 +651,8 @@ class ModelRunner:
               greedy_only=False,
               row_slots=None, want_topk_logprobs=False,
               single_seq_prefill=False, pcp_prefill=False, mm_embeds=None,
-              mm_mask=None, dcp_slot_mapping=None, want_hidden=False,
+              mm_mask=None, mm_deepstack=None,
+              dcp_slot_mapping=None, want_hidden=False,
               cascade_args=None, aux_layers=(), draft_mat=None,
               cross_args=None):
         if async_args is not None:
@@ -680,6 +681,8 @@ class ModelRunner:
         mm_kwargs = {}
         if mm_embeds is not None:
             mm_kwargs = dict(mm_embeds=mm_embeds, mm_mask=mm_mask)
+            if mm_deepstack is not None:
+                mm_kwargs["mm_deepstack"] = mm_deepstack
         aux = None
         if aux_layers:
             hidden, kv_caches, aux = self.model(
@@ -1289,8 +1292,13 @@ class ModelRunner:
         mm_args = {}
         if self._encode_images_fn is not None:
             hid = self.config.model_config.hidden_size
+            # Deepstack (Qwen3-VL): encode_mm stacks per-level features on
+            # the channel dim; split them into [levels, T, H] adds.
+            n_deep = getattr(self.model, "num_deepstack", 0)
             mm_mask_np = np.zeros(T, dtype=bool)
             mm_embeds_np = np.zeros((T, hid), dtype=np.float32)
+            mm_deep_np = (np.zeros((n_deep, T, hid), dtype=np.float32)
+                          if n_deep else None)
             t0 = 0
             for rid, n_tok in scheduled:
                 idx = ib.req_id_to_index[rid]
@@ -1302,11 +1310,17 @@ class ModelRunner:
                     if hit.any():
                         rows = t0 + np.nonzero(hit)[0]
                         fidx = np.searchsorted(imgpos, pos[hit])
-                        mm_embeds_np[rows] = self._mm_feats[rid][fidx]
+                        sel = self._mm_feats[rid][fidx]
+                        mm_embeds_np[rows] = sel[:, :hid]
+                        for lv in range(n_deep):
+                            mm_deep_np[lv, rows] = \
+                                sel[:, (1 + lv) * hid:(2 + lv) * hid]
                         mm_mask_np[rows] = True
                 t0 += n_tok
             mm_args = dict(mm_embeds=jnp.asarray(mm_embeds_np),
                            mm_mask=jnp.asarray(mm_mask_np))
+            if n_deep:
+                mm_args["mm_deepstack"] = jnp.asarray(mm_deep_np)
 
         # Cascade attention auto-detection (reference heuristic,
         # gpu_model_runner.py:2356): many sharers + a common leading block
