@@ -448,7 +448,8 @@ class SpeculativeConfig:
     """Speculative decoding (reference: config/speculative.py; proposers in
     v1/spec_decode/). method=None disables."""
 
-    # None | "ngram" | "draft_model" | "eagle" | "eagle3"
+    # None | "ngram" | "draft_model" | "eagle" | "eagle3" | "medusa" |
+    # "suffix" | "mtp" (checkpoint's own multi-token-prediction layer)
     method: Optional[str] = None
     # eagle3: target layer indices whose hidden states feed the head
     # (None => {1, L/2, L-2}).

@@ -75,6 +75,10 @@ class Scheduler:
         # Cumulative counters (reference: SchedulerStats).
         self.num_scheduled_steps = 0
         self.num_preemptions = 0
+        # Spec-decode acceptance counters (reference: v1/metrics
+        # SpecDecodingStats — vllm:spec_decode_num_{draft,accepted}_tokens).
+        self.num_spec_draft_tokens = 0
+        self.num_spec_accepted_tokens = 0
 
     # ---- request intake ---------------------------------------------------
 
@@ -428,6 +432,8 @@ class Scheduler:
             if num_draft:
                 num_accepted = max(len(sampled) - 1, 0)
                 num_rejected = num_draft - num_accepted
+                self.num_spec_draft_tokens += num_draft
+                self.num_spec_accepted_tokens += num_accepted
                 req.num_computed_tokens += num_scheduled - num_rejected
             elif scheduler_output.decode_horizon > 1 and sampled:
                 # Multi-step decode: the runner wrote KV for every sampled
@@ -543,5 +549,13 @@ class Scheduler:
             "num_waiting": len(self.waiting),
             "kv_cache_usage": self.kv_cache_manager.usage,
             "num_preemptions": self.num_preemptions,
+            "spec_decode": {
+                "num_draft_tokens": self.num_spec_draft_tokens,
+                "num_accepted_tokens": self.num_spec_accepted_tokens,
+                "acceptance_rate": (
+                    self.num_spec_accepted_tokens /
+                    self.num_spec_draft_tokens
+                    if self.num_spec_draft_tokens else None),
+            },
             "prefix_cache": self.kv_cache_manager.make_prefix_cache_stats(),
         }

@@ -227,6 +227,23 @@ class EngineCore:
             self.runner.eagle_proposer = MedusaProposer(
                 config.model_config, k=sc.num_speculative_tokens,
                 weights=weights)
+        elif sc.enabled and sc.method == "mtp":
+            # MTP: the checkpoint's own multi-token-prediction layer as
+            # the draft head (reference: deepseek_mtp.py; registry
+            # models/registry.py:572-594). Weights come from the target
+            # checkpoint itself (spec layer index = num_hidden_layers).
+            from lvllm_tpu.spec_decode.mtp import MTPProposer
+            weights = None
+            src = sc.draft_model or (
+                config.model_config.model
+                if config.model_config.model != "dummy" else None)
+            if src and src != "dummy":
+                from lvllm_tpu.model_loader.loader import (
+                    safetensors_weight_iterator)
+                weights = safetensors_weight_iterator(src)
+            self.runner.eagle_proposer = MTPProposer(
+                config.model_config, k=sc.num_speculative_tokens,
+                block_size=config.cache_config.block_size, weights=weights)
         elif sc.enabled and sc.method in ("eagle", "eagle3"):
             # EAGLE lives runner-side: it consumes the target's hidden
             # states each step (reference: v1/spec_decode/eagle.py;

@@ -417,6 +417,16 @@ class OpenAIServer:
             "# TYPE vllm:prefix_cache_hits_total counter",
             f"vllm:prefix_cache_hits_total {pc.get('hits', 0)}",
         ]
+        sd = s.get("spec_decode") or {}
+        if sd.get("num_draft_tokens"):
+            lines += [
+                "# TYPE vllm:spec_decode_num_draft_tokens_total counter",
+                f"vllm:spec_decode_num_draft_tokens_total "
+                f"{sd['num_draft_tokens']}",
+                "# TYPE vllm:spec_decode_num_accepted_tokens_total counter",
+                f"vllm:spec_decode_num_accepted_tokens_total "
+                f"{sd['num_accepted_tokens']}",
+            ]
         lines += self.llm.core.metrics.prometheus_lines()
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
