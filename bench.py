@@ -202,7 +202,16 @@ def _bench_offload(remaining, stream_mbps) -> dict:
             "transport-bound, not overlap-bound"),
         "elapsed_s": round(time.time() - t0, 1),
     }
+    # Free the 14+ GB resident tier before the next leg loads: break the
+    # engine's reference cycles and force deallocation now.
+    store.shutdown()
+    store._hbm.clear()
+    store._inflight.clear()
+    runner.params = None
+    runner.kv_caches = None
     del llm, eng, runner, store
+    import gc
+    gc.collect()
     return result
 
 
@@ -232,6 +241,8 @@ def main() -> None:
         offload = _bench_offload(remaining, stream_mbps)
     except Exception as e:  # noqa: BLE001
         offload = {"offload_error": repr(e)[:300]}
+    import gc
+    gc.collect()
     print(f"[bench] offload leg done: {time.time() - t_start:.1f}s",
           file=sys.stderr)
 

@@ -502,7 +502,16 @@ class EngineCore:
             room = max_len - req.num_tokens - 1
             if room <= 0:
                 continue
-            if hasattr(self.proposer, "propose_for"):
+            if getattr(self.proposer, "supports_sampled_drafts", False):
+                # Sampling-based drafting: the draft model samples from
+                # its own distribution q; the runner verifies with the
+                # general rejection form (rejection_sampler.py).
+                drafts = self.proposer.propose_for(
+                    req.request_id, req.all_token_ids, sampling_params=sp)
+                q = self.proposer.last_q.get(req.request_id)
+                if q is not None:
+                    self.runner.draft_q_store[req.request_id] = q
+            elif hasattr(self.proposer, "propose_for"):
                 drafts = self.proposer.propose_for(req.request_id,
                                                    req.all_token_ids)
             else:

@@ -162,22 +162,31 @@ def rejection_sample(
     steps: jax.Array,         # [B] i32 per-request decode position
     draft_tokens: jax.Array,  # [B] i32; -1 = no draft at this slot
     regular: jax.Array,       # [B] i32 fallback (output of ``sample``)
+    draft_q: "jax.Array | None" = None,  # [B, V] proposal distribution
 ) -> jax.Array:
-    """Lossless stochastic verification of deterministic draft proposals
+    """Lossless stochastic verification of draft proposals
     (reference: ``vllm/v1/sample/rejection_sampler.py``).
 
-    All our proposers (ngram, suffix, draft-model greedy chain, EAGLE,
-    medusa) are deterministic, so the proposal distribution q is one-hot
-    at the draft token d. Speculative sampling then reduces to:
+    Deterministic proposers (ngram, suffix, greedy chains, EAGLE, medusa,
+    MTP) have a one-hot proposal distribution q at the draft token d, so
+    speculative sampling reduces to (``draft_q=None``):
 
       accept d with prob p(d)            (u < p(d)/q(d), q(d)=1)
       else emit a recovery token from    (p - delta_d)+ / (1 - p(d))
 
+    Sampling-based proposers supply their full per-position proposal
+    distribution ``draft_q`` and get the general form:
+
+      accept d with prob min(1, p(d)/q(d))
+      else emit a recovery token from    (p - q)+ / Z
+
     where p is the SAME filtered/renormalized target distribution that
     ``sample`` draws from (temperature + top-k/top-p/min-p masking).
-    The combined law is exactly p (speculative-sampling theorem), and the
-    recovery token can never equal d — so the host's exact-match prefix
-    scan over (sampled == draft) remains a correct acceptance test.
+    The combined law is exactly p (speculative-sampling theorem) either
+    way, and the recovery token can never equal d (rejection implies
+    p(d) < q(d), so the residual at d is zero) — so the host's
+    exact-match prefix scan over (sampled == draft) remains a correct
+    acceptance test.
 
     Slots with no draft, or temperature 0 (greedy exact-match path), pass
     ``regular`` through. Runs in full-vocab space: this trace only exists
@@ -217,17 +226,29 @@ def rejection_sample(
     keys = make_keys(st.keys, steps)
     u = jax.vmap(lambda kk: jax.random.uniform(
         jax.random.fold_in(kk, 1), dtype=jnp.float32))(keys)
-    accept = u < p_d
 
     g = jax.vmap(lambda kk: jax.random.gumbel(
         jax.random.fold_in(kk, 2), (V,), dtype=jnp.float32))(keys)
     tok_ids = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
-    recovery_keep = keep & (tok_ids != d)
-    # (p - delta_d)+ renormalized == p restricted to keep \ {d}: Gumbel
-    # argmax over the masked logits samples it exactly. If keep == {d},
-    # p_d == 1 and u < 1 always accepts, so the empty mask is never read.
-    masked = jnp.where(recovery_keep, scaled + g, -jnp.inf)
-    recovery = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    if draft_q is None:
+        accept = u < p_d
+        recovery_keep = keep & (tok_ids != d)
+        # (p - delta_d)+ renormalized == p restricted to keep \ {d}:
+        # Gumbel argmax over the masked logits samples it exactly. If
+        # keep == {d}, p_d == 1 and u < 1 always accepts, so the empty
+        # mask is never read.
+        masked = jnp.where(recovery_keep, scaled + g, -jnp.inf)
+        recovery = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    else:
+        # General q: accept u < min(1, p(d)/q(d)); recover from
+        # (p - q)+ / Z via Gumbel argmax over log residual.
+        q_d = jnp.take_along_axis(draft_q.astype(jnp.float32), d,
+                                  axis=-1)[:, 0]
+        accept = u * jnp.maximum(q_d, 1e-20) < p_d
+        p_keep = jnp.where(keep, p_full / jnp.maximum(z, 1e-20), 0.0)
+        residual = jnp.maximum(p_keep - draft_q.astype(jnp.float32), 0.0)
+        masked = jnp.where(residual > 0.0, jnp.log(residual) + g, -jnp.inf)
+        recovery = jnp.argmax(masked, axis=-1).astype(jnp.int32)
 
     verified = jnp.where(accept, draft_tokens, recovery)
     use = (draft_tokens >= 0) & (st.temperature > 0.0)

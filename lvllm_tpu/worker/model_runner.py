@@ -150,6 +150,9 @@ class ModelRunner:
 
         # Set by EngineCore when LoRA serving is enabled.
         self.lora_manager = None
+        # rid → [k, V] proposal distributions for sampled drafts
+        # (stochastic drafting; consumed by rejection_sample's draft_q).
+        self.draft_q_store: Dict[str, np.ndarray] = {}
         # Set by EngineCore for EAGLE spec decoding (the proposer consumes
         # the target's hidden states, so it lives runner-side — reference:
         # propose_draft_token_ids in gpu_model_runner.py:4506).
@@ -381,19 +384,19 @@ class ModelRunner:
 
     def _tail(self, params, x, residual, logits_indices, temperature, top_k,
               top_p, min_p, seeds, steps, penalty_args=None,
-              grammar_mask=None, draft_mat=None):
+              grammar_mask=None, draft_mat=None, draft_q=None):
         hidden = self.model.finalize_hidden(params, x, residual)
         out = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask,
-            draft_mat=draft_mat)
+            draft_mat=draft_mat, draft_q=draft_q)
         return out[0], out[1]
 
     def _execute_staged(self, input_ids, positions, qsl, seq_lens,
                         block_table, slot_mapping, logits_indices,
                         temperature, top_k, top_p, min_p, seeds, steps,
                         penalty_args=None, grammar_mask=None,
-                        draft_mat=None):
+                        draft_mat=None, draft_q=None):
         """Layer-by-layer dispatch with host→HBM expert streaming overlapped
         via JAX async dispatch (the fork's prefetch-window decode path,
         SURVEY.md §2.11.6, rebuilt without CUDA streams)."""
@@ -428,7 +431,8 @@ class ModelRunner:
         return self._tail_fn(self.params, x, residual, logits_indices,
                              temperature, top_k, top_p, min_p, seeds, steps,
                              penalty_args=penalty_args,
-                             grammar_mask=grammar_mask, draft_mat=draft_mat)
+                             grammar_mask=grammar_mask, draft_mat=draft_mat,
+                             draft_q=draft_q)
 
     def _offload_use_scan(self) -> bool:
         """Pick the multi-step composition mode (OffloadConfig
@@ -654,7 +658,7 @@ class ModelRunner:
               mm_mask=None, mm_deepstack=None,
               dcp_slot_mapping=None, want_hidden=False,
               cascade_args=None, aux_layers=(), draft_mat=None,
-              cross_args=None):
+              draft_q=None, cross_args=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -697,8 +701,8 @@ class ModelRunner:
         sampled, logprobs, topk = self._sample_from_hidden(
             params, hidden, logits_indices, temperature, top_k, top_p,
             min_p, seeds, steps, penalty_args, grammar_mask, greedy_only,
-            want_topk_logprobs, draft_mat=draft_mat, lora=lora,
-            row_adapter=row_slots_lora)
+            want_topk_logprobs, draft_mat=draft_mat, draft_q=draft_q,
+            lora=lora, row_adapter=row_slots_lora)
         # Pack tokens + bitcast logprobs into ONE i32 array so the host
         # syncs the step with a single device->host fetch — on remote
         # transports (axon tunnel, multi-host) every fetch is a full RTT.
@@ -715,7 +719,8 @@ class ModelRunner:
                             temperature, top_k, top_p, min_p, seeds, steps,
                             penalty_args, grammar_mask=None,
                             greedy_only=False, want_topk_logprobs=False,
-                            draft_mat=None, lora=None, row_adapter=None):
+                            draft_mat=None, draft_q=None, lora=None,
+                            row_adapter=None):
         """Sample at every verification position: logits_indices [R, S+1]
         (S=0 without spec decode). Sampling params are broadcast per row;
         the PRNG fold offsets by position so each slot draws independently.
@@ -747,9 +752,13 @@ class ModelRunner:
         sampled = sample(logits, st, steps_mat, greedy_only=greedy_only)
         if draft_mat is not None:
             # Stochastic (lossless) verification for non-greedy rows with
-            # drafts; greedy rows keep the host exact-match path.
+            # drafts; greedy rows keep the host exact-match path. Sampled
+            # drafts ship their proposal distribution (general-q form).
+            qv = (draft_q.reshape(-1, logits.shape[-1])
+                  if draft_q is not None else None)
             sampled = rejection_sample(logits, st, steps_mat,
-                                       draft_mat.reshape(-1), sampled)
+                                       draft_mat.reshape(-1), sampled,
+                                       draft_q=qv)
         logprobs = compute_logprobs(logits, sampled)
         topk = None
         if want_topk_logprobs:
@@ -943,6 +952,7 @@ class ModelRunner:
         ib = self.input_batch
         for rid in so.finished_req_ids:
             ib.remove_request(rid)
+            self.draft_q_store.pop(rid, None)
             self._mm_feats.pop(rid, None)
             self._mm_positions.pop(rid, None)
             self._mm_raw.pop(rid, None)
@@ -1382,9 +1392,27 @@ class ModelRunner:
         # Stochastic rejection sampling: only ship the draft matrix (and
         # take the extra trace) when a non-greedy row has drafts staged.
         draft_mat = None
+        draft_q = None
         if any(row_drafts[r] and ib.temperature[active[r]] > 0.0
                for r in range(len(row_req_ids))):
             draft_mat = jnp.asarray(draft_np)
+            # Sampled drafts carry their proposal distribution q; rows
+            # without one verify against the one-hot (deterministic) q.
+            if any(rid in self.draft_q_store for rid in row_req_ids):
+                Vv = self.config.model_config.vocab_size
+                q_np = np.zeros((R, S1, Vv), np.float32)
+                pos_idx = np.clip(draft_np, 0, Vv - 1)
+                np.put_along_axis(
+                    q_np, pos_idx[:, :, None], 1.0, axis=2)
+                for r, rid in enumerate(row_req_ids):
+                    qr = self.draft_q_store.get(rid)
+                    drafts = row_drafts[r]
+                    if qr is None or not drafts:
+                        continue
+                    kd = len(drafts)
+                    for i in range(min(kd, qr.shape[0])):
+                        q_np[r, S1 - 1 - kd + i] = qr[i]
+                draft_q = jnp.asarray(q_np)
         want_topk = bool(np.any(ib.num_logprobs[active] > 0)) \
             if active else False
         topk = None
@@ -1400,7 +1428,8 @@ class ModelRunner:
             assert not async_mode, "async scheduling + offload staging TBD"
             sampled, logprobs = self._execute_staged(
                 *dev_args, penalty_args=penalty_args,
-                grammar_mask=grammar_mask, draft_mat=draft_mat)
+                grammar_mask=grammar_mask, draft_mat=draft_mat,
+                draft_q=draft_q)
             packed = jnp.stack([
                 jnp.asarray(sampled),
                 jax.lax.bitcast_convert_type(
@@ -1425,7 +1454,8 @@ class ModelRunner:
                                   if dcp_slot is not None else None),
                 want_hidden=want_hidden, cascade_args=cascade_args,
                 aux_layers=eagle_aux, draft_mat=draft_mat,
-                cross_args=cross_args, **mm_args, **lora_args)
+                draft_q=draft_q, cross_args=cross_args,
+                **mm_args, **lora_args)
             self.kv_caches = kv
 
         # EAGLE drafting: grammar rows are excluded (grammar state can't

@@ -204,3 +204,130 @@ def test_engine_mixed_greedy_and_sampled_spec():
             if o.finished:
                 ref[o.request_id] = o
     assert ref["g"].outputs[0].token_ids == outs["g"].outputs[0].token_ids
+
+
+# ---- general-q (sampled-draft) verification --------------------------------
+
+def _run_op_q(logits_row, draft, q_row, n, temperature=1.0, top_k=0,
+              top_p=1.0):
+    logits = jnp.tile(jnp.asarray(logits_row, jnp.float32)[None], (n, 1))
+    st = SamplingTensors(
+        temperature=jnp.full((n,), temperature, jnp.float32),
+        top_k=jnp.full((n,), top_k, jnp.int32),
+        top_p=jnp.full((n,), top_p, jnp.float32),
+        min_p=jnp.zeros((n,), jnp.float32),
+        keys=jnp.arange(n, dtype=jnp.uint32))
+    steps = jnp.zeros((n,), jnp.int32)
+    drafts = jnp.full((n,), draft, jnp.int32)
+    regular = jnp.full((n,), -7, jnp.int32)
+    q = jnp.tile(jnp.asarray(q_row, jnp.float32)[None], (n, 1))
+    out = rejection_sample(logits, st, steps, drafts, regular, draft_q=q)
+    return np.asarray(out)
+
+
+def test_general_q_combined_law_matches_target():
+    """Arbitrary proposal q (reference rejection_sampler.py general form):
+    with drafts DRAWN from q, the accept/recover law must equal the
+    target distribution p (speculative-sampling theorem)."""
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=V) * 1.5
+    p = np.exp(logits - logits.max())
+    p /= p.sum()
+    q = rng.dirichlet(np.ones(V) * 0.7)
+    n = 16384
+    drafts = rng.choice(V, size=n, p=q).astype(np.int32)
+    logits_b = jnp.tile(jnp.asarray(logits, jnp.float32)[None], (n, 1))
+    st = SamplingTensors(
+        temperature=jnp.ones((n,), jnp.float32),
+        top_k=jnp.zeros((n,), jnp.int32),
+        top_p=jnp.ones((n,), jnp.float32),
+        min_p=jnp.zeros((n,), jnp.float32),
+        keys=jnp.arange(n, dtype=jnp.uint32))
+    out = rejection_sample(
+        logits_b, st, jnp.zeros((n,), jnp.int32), jnp.asarray(drafts),
+        jnp.full((n,), -7, jnp.int32),
+        draft_q=jnp.tile(jnp.asarray(q, jnp.float32)[None], (n, 1)))
+    toks = np.asarray(out)
+    assert (toks != -7).all()
+    emp = _empirical(toks)
+    tv = 0.5 * np.abs(emp - p).sum()
+    assert tv < 0.03, (tv, emp, p)
+
+
+def test_general_q_one_hot_reduces_to_deterministic_path():
+    """One-hot q must reproduce the deterministic verification law."""
+    rng = np.random.default_rng(4)
+    logits = rng.normal(size=V)
+    draft = 2
+    q = np.zeros(V)
+    q[draft] = 1.0
+    n = 16384
+    toks_q = _run_op_q(logits, draft, q, n)
+    toks_1h = _run_op(logits, draft, n)
+    # Same law (and same accept stream → same accepted slots).
+    tv = 0.5 * np.abs(_empirical(toks_q) - _empirical(toks_1h)).sum()
+    assert tv < 0.03
+
+
+def test_general_q_rejection_never_emits_draft():
+    """Rejection implies p(d) < q(d) so the residual at d is zero; the
+    host's exact-match acceptance scan stays valid."""
+    logits = np.zeros(V)
+    logits[1] = 5.0           # target concentrated on token 1
+    q = np.full(V, 1e-6)
+    q[3] = 1.0 - 1e-6 * (V - 1)   # draft token 3, q(3)≈1, p(3) tiny
+    toks = _run_op_q(logits, 3, q, 8192)
+    frac_draft = (toks == 3).mean()
+    assert frac_draft < 0.02      # ≈ p(3)/q(3), tiny
+    assert ((toks == 3) | (toks == 1) | (toks >= 0)).all()
+
+
+def test_engine_sampled_drafts_draft_model():
+    """Draft-model proposer at temperature>0 samples its drafts and ships
+    q; the run must complete, be seed-reproducible, and record
+    acceptance stats."""
+    from lvllm_tpu.config import ModelConfig as MC
+
+    def build():
+        tiny = MC(model="dummy", architecture="Qwen3ForCausalLM",
+                  dtype="bfloat16", vocab_size=64, hidden_size=32,
+                  intermediate_size=64, num_hidden_layers=1,
+                  num_attention_heads=2, num_key_value_heads=2,
+                  head_dim=16, max_position_embeddings=128,
+                  max_model_len=64, eos_token_id=-1)
+        cfg = EngineConfig(
+            model_config=MC(
+                model="dummy", architecture="Qwen3ForCausalLM",
+                dtype="bfloat16", vocab_size=64, hidden_size=64,
+                intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=2, num_key_value_heads=2, head_dim=32,
+                max_position_embeddings=128, max_model_len=64,
+                eos_token_id=-1),
+            cache_config=CacheConfig(block_size=16, num_gpu_blocks=32),
+            scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                             max_num_seqs=4,
+                                             max_model_len=64),
+            speculative_config=SpeculativeConfig(
+                method="draft_model", num_speculative_tokens=3,
+                draft_model_config=tiny))
+        return LLMEngine(cfg, load_format="dummy")
+
+    def run(eng):
+        eng.add_request("s", [1, 2, 3, 4, 5], SamplingParams(
+            temperature=0.9, max_tokens=16, seed=11))
+        out = None
+        steps = 0
+        while eng.has_unfinished_requests() and steps < 100:
+            for o in eng.step():
+                if o.finished:
+                    out = o.outputs[0].token_ids
+            steps += 1
+        return out, eng
+
+    a, eng = run(build())
+    assert a is not None and len(a) == 16
+    # The sampled-draft path actually ran: q distributions were staged.
+    sd = eng.get_stats()["spec_decode"]
+    assert sd["num_draft_tokens"] > 0
+    b, _ = run(build())
+    assert a == b
