@@ -288,7 +288,11 @@ class ModelConfig:
             # value = c_kv‖0 in plane 1).
             raw = self.kv_lora_rank + self.qk_rope_head_dim
             return -(-raw // 128) * 128
-        return self.head_dim
+        # Lane-pad sub-128 head dims (GPT-2/Phi/Falcon/Whisper: 64/80/96)
+        # so the Pallas ragged-attention kernel serves them — zero lanes
+        # contribute nothing to scores or values. Costs KV bytes
+        # (128/head_dim ratio) in exchange for the MXU kernel path.
+        return -(-self.head_dim // 128) * 128
 
 
 @dataclass

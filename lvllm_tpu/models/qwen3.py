@@ -422,8 +422,9 @@ class Qwen3Model:
             pages = kv_cache[:, md.cascade_prefix_blocks]
             P_ = pages.shape[1] * BS
             Hkv = kv_cache.shape[3]
-            pk = pages[0].reshape(P_, Hkv, D)
-            pv = pages[1].reshape(P_, Hkv, D)
+            Dp = kv_cache.shape[-1]     # lane-padded (config.kv_cache_dim)
+            pk = pages[0].reshape(P_, Hkv, Dp)
+            pv = pages[1].reshape(P_, Hkv, Dp)
             out = cascade_attention(
                 q, pk, pv, kv_cache, md.cascade_suffix_block_table,
                 md.query_start_loc, md.cascade_suffix_seq_lens, self.scale,

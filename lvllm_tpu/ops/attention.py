@@ -136,11 +136,28 @@ def ragged_paged_attention(
     alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, else the jnp reference."""
+    D = q.shape[-1]
+    Dp = kv_cache.shape[-1]
+    if D < Dp:
+        # Lane-padded cache (config.kv_cache_dim): pad q to match; the
+        # zero lanes add nothing to scores, and the padded value columns
+        # are zero, so slicing the output back is exact.
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
     # The Pallas kernel DMAs [BS, Hkv, D] pages; Mosaic requires the
     # last dim to be 128-aligned. Off-spec head dims use the jnp path.
     use_ref = (envs.LVLLM_USE_REFERENCE_OPS
                or jax.default_backend() not in ("tpu", "axon")
                or q.shape[-1] % 128 != 0)
+    out = _ragged_paged_attention_inner(
+        q, kv_cache, block_table, query_start_loc, seq_lens, scale,
+        sliding_window, logits_soft_cap, sinks, alibi_slopes, use_ref)
+    return out[..., :D] if D < Dp else out
+
+
+def _ragged_paged_attention_inner(q, kv_cache, block_table,
+                                  query_start_loc, seq_lens, scale,
+                                  sliding_window, logits_soft_cap, sinks,
+                                  alibi_slopes, use_ref):
     if not use_ref:
         try:
             from lvllm_tpu.ops.pallas.ragged_attention import (

@@ -64,6 +64,16 @@ def cascade_attention(
     prefix_len: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Two-phase shared-prefix attention with LSE merge."""
+    D = q.shape[-1]
+    Dp = suffix_kv_cache.shape[-1]
+    if D < Dp:
+        # Lane-padded cache (config.kv_cache_dim): prefix_k/v come from
+        # the cache (already padded); pad q and slice the merged output.
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
+        return cascade_attention(q, prefix_k, prefix_v, suffix_kv_cache,
+                                 block_table, query_start_loc,
+                                 suffix_seq_lens, scale,
+                                 prefix_len=prefix_len)[..., :D]
     prefix_out, prefix_lse = shared_prefix_attention_with_lse(
         q, prefix_k, prefix_v, scale, prefix_len=prefix_len)
     suffix_out, suffix_lse = ragged_paged_attention_with_lse(

@@ -184,6 +184,18 @@ def dcp_write_and_attend(
     logical page j of a sequence lives on shard ``j % CP`` at local page
     index ``j // CP`` — one shared block table addresses every shard.
     """
+    D = q.shape[-1]
+    Dp = kv_cache.shape[-1]
+    if D < Dp:
+        # Lane-padded cache (config.kv_cache_dim): pad q/k/v, slice out.
+        pad = [(0, 0), (0, 0), (0, Dp - D)]
+        out, kv_cache = dcp_write_and_attend(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), kv_cache,
+            block_table, positions, query_start_loc, dcp_slot_mapping,
+            mesh, scale, sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap, sinks=sinks,
+            alibi_slopes=alibi_slopes)
+        return out[..., :D], kv_cache
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 

@@ -42,6 +42,11 @@ def write_kv(
     """
     num_blocks, block_size = kv_cache.shape[1], kv_cache.shape[2]
     h, d = kv_cache.shape[3], kv_cache.shape[4]
+    if key.shape[-1] < d:
+        # Lane-padded cache (config.kv_cache_dim): zero-fill the pad.
+        pad = [(0, 0)] * (key.ndim - 1) + [(0, d - key.shape[-1])]
+        key = jnp.pad(key, pad)
+        value = jnp.pad(value, pad)
     flat = kv_cache.reshape(2, num_blocks * block_size, h, d)
     kv_new = jnp.stack([key.astype(kv_cache.dtype),
                         value.astype(kv_cache.dtype)])
