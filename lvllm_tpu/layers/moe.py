@@ -253,13 +253,24 @@ def fused_moe_quant(
 
     tile_m = _pick_tile_m(T, top_k)
     d = moe_align.align_tokens(x, topk_ids, E, tile_m)
-    h = gmm(d.x_aligned, params.w1_q, params.w1_scales, d.block_expert,
+    if (use_pallas and params.w1_q.ndim == 4
+            and params.method in ("int4", "int8")):
+        # Fused whole-FFN kernel: w1 GEMM → SiLU·mul → w2 GEMM in one
+        # launch with a single uninterrupted weight stream per expert
+        # (quant_gemm.grouped_quant_ffn_tiled).
+        y_aligned = quant_gemm.grouped_quant_ffn_tiled(
+            d.x_aligned, params.w1_q, params.w1_scales,
+            params.w2_q, params.w2_scales, d.block_expert,
             method=params.method, tile_m=tile_m,
             group_size=params.group_size)
-    h = silu_and_mul(h)
-    y_aligned = gmm(h, params.w2_q, params.w2_scales, d.block_expert,
-                    method=params.method, tile_m=tile_m,
-                    group_size=params.group_size)
+    else:
+        h = gmm(d.x_aligned, params.w1_q, params.w1_scales, d.block_expert,
+                method=params.method, tile_m=tile_m,
+                group_size=params.group_size)
+        h = silu_and_mul(h)
+        y_aligned = gmm(h, params.w2_q, params.w2_scales, d.block_expert,
+                        method=params.method, tile_m=tile_m,
+                        group_size=params.group_size)
     y = moe_align.combine_tokens(y_aligned, d.pair_pos, topk_w,
                                  out_dtype=x.dtype)
 

@@ -143,6 +143,39 @@ def _kernel_int4_touch(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
     o_ref[:] = jnp.full(o_ref.shape, t, out_dtype)
 
 
+def _kernel_int4_bf16dot(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                         group_size: int, out_dtype):
+    """Tile-width-generic int4 dequant to bf16 + native-MXU bf16 dot
+    (f32 accumulate) — the production tiled-layout kernel: halves the
+    in-VMEM weight bytes vs f32 dequant and runs the dot at full bf16
+    MXU rate."""
+    x = x_ref[:].astype(jnp.bfloat16)
+    packed = w_ref[0].astype(jnp.int32)
+    lo = ((packed & 0x0F) ^ 8) - 8
+    hi = (((packed >> 4) & 0x0F) ^ 8) - 8
+    q = jnp.concatenate([lo, hi], axis=0)            # [K, tn] i32
+    K, tn = q.shape
+    scales = s_ref[0]                                # [K//G, tn]
+    w = q.astype(jnp.bfloat16).reshape(K // group_size, group_size, tn)
+    w = (w * scales.astype(jnp.bfloat16)[:, None, :]).reshape(K, tn)
+    o_ref[:] = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _kernel_int8_bf16dot(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
+                         group_size: int, out_dtype):
+    x = x_ref[:].astype(jnp.bfloat16)
+    q = w_ref[0]                                     # [K, tn] int8
+    K, tn = q.shape
+    scales = s_ref[0]
+    w = q.astype(jnp.bfloat16).reshape(K // group_size, group_size, tn)
+    w = (w * scales.astype(jnp.bfloat16)[:, None, :]).reshape(K, tn)
+    o_ref[:] = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
 def _kernel_int8(block_expert_ref, x_ref, w_ref, s_ref, o_ref, *,
                  group_size: int, out_dtype):
     x = x_ref[:]
@@ -241,17 +274,37 @@ def grouped_quant_matmul_tiled(
         base(be_ref, x_ref, w_ref[:, 0], s_ref[:, 0], o_ref,
              group_size=group_size, out_dtype=out_dtype)
 
+    # m-outer grid keeps the weight stream sequential in HBM (expert-major
+    # slabs). Tail pad blocks (block_expert == -1; ~20% of decode blocks)
+    # alias the PREVIOUS real block's last tile via the index map, so
+    # Pallas skips every one of their weight/scale DMAs — the appended
+    # prefetch slot carries max(block_expert) = the last real expert
+    # (segments ascend), which is exactly the tile grid step
+    # (last_real_m, nb_n-1) just loaded.
+    be_ext = jnp.concatenate(
+        [block_expert, jnp.max(block_expert, keepdims=True)])
+    nb_m_i = nb_m
+    _USE_PAD_ALIAS = False  # perf probe: conditional index maps cost more
+                            # than the skipped pad DMAs save (full step
+                            # 23.1 vs 17.3 ms) — keep plain indexing
+
+    def w_index(m, n, be):
+        if not _USE_PAD_ALIAS:
+            return (jnp.maximum(be[m], 0), n, 0, 0)
+        pad = be[m] < 0
+        e = jnp.where(pad, jnp.maximum(be[nb_m_i], 0), be[m])
+        nn = jnp.where(pad, nb_n - 1, n)
+        return (e, nn, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb_m, nb_n),
         in_specs=[
             pl.BlockSpec((tile_m, K), lambda m, n, be: (m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows, tn),
-                         lambda m, n, be: (be[m], n, 0, 0),
+            pl.BlockSpec((1, 1, rows, tn), w_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K // group_size, tn),
-                         lambda m, n, be: (be[m], n, 0, 0),
+            pl.BlockSpec((1, 1, K // group_size, tn), w_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m, tn), lambda m, n, be: (m, n),
@@ -261,7 +314,7 @@ def grouped_quant_matmul_tiled(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
-    )(safe_expert, x_aligned, w_tiled, s_tiled)
+    )(be_ext, x_aligned, w_tiled, s_tiled)
 
 
 def grouped_quant_matmul(
@@ -361,6 +414,145 @@ def grouped_quant_matmul(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
     )(safe_expert, *args)
+
+
+def _dequant_tile_f32(packed, scales, group_size, method):
+    """[rows, tn] stored tile → [K, tn] f32 dequantized weights.
+
+    int4 unpack uses sign-preserving arithmetic shifts — ``p >> 4`` IS
+    the signed high nibble and ``(p << 28) >> 28`` the signed low nibble
+    of the sign-extended byte — 3 VPU ops vs 7 for the mask/xor chain.
+    The dequant is VPU-bound at decode shapes (int8 with 2x the HBM
+    bytes beats the old int4 kernel), so unpack ops are the cost that
+    matters."""
+    if method == "int4":
+        p = packed.astype(jnp.int32)
+        lo = (p << 28) >> 28
+        hi = p >> 4
+        q = jnp.concatenate([lo, hi], axis=0)
+    else:
+        q = packed.astype(jnp.int32)
+    K, tn = q.shape
+    w = q.astype(jnp.float32).reshape(K // group_size, group_size, tn)
+    return (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, tn)
+
+
+def grouped_quant_ffn_tiled(
+    x_aligned: jax.Array,     # [M_pad, K]
+    w1_t: jax.Array,          # [E, nb1, rows1, tn1] (gate‖up, N1 = 2I)
+    s1_t: jax.Array,          # [E, nb1, K//G, tn1]
+    w2_t: jax.Array,          # [E, nb2, rows2, tn2] (down, N2 = H)
+    s2_t: jax.Array,          # [E, nb2, I//G, tn2]
+    block_expert: jax.Array,  # [M_pad // tile_m] i32 (-1 pad)
+    *,
+    method: str,              # int4 | int8
+    tile_m: int,
+    group_size: int = 128,
+) -> jax.Array:
+    """Whole MoE FFN (w1 GEMM → SiLU·mul → w2 GEMM) as ONE fused kernel.
+
+    One 1-D grid step per row block streams the expert's ENTIRE w1+w2
+    (contiguous in the column-tiled storage) and keeps the [tile_m, 2I]
+    intermediate in VMEM — no HBM round trip for h, no second kernel
+    launch, and consecutive blocks of the same expert (including the tail
+    pad run, block_expert == -1 → expert 0) hit identical weight indices
+    so Pallas skips their DMAs. This is the in-step scheduling fix for
+    the r02 gap (expert GEMMs 408 GB/s in-step vs 655 isolated): a single
+    uninterrupted weight stream spans the whole layer FFN.
+    """
+    M_pad, K = x_aligned.shape
+    E, nb1, rows1, tn1 = w1_t.shape
+    N1 = nb1 * tn1
+    _, nb2, rows2, tn2 = w2_t.shape
+    N2 = nb2 * tn2
+    I = N1 // 2
+    assert M_pad % tile_m == 0
+    nb_m = M_pad // tile_m
+    safe_expert = jnp.maximum(block_expert, 0)
+    out_dtype = x_aligned.dtype
+
+    def dot_tile(xv, w_ref_tile, s_ref_tile, K_full):
+        # f32 dequant + f32 dot is the fastest lowering measured on v5e
+        # (bf16 dequant/dot relayouts cost more than they save; lo/hi
+        # split-dots fail Mosaic lowering). Scales apply on the OUTPUT per
+        # k-group: one extra [M, tn] mul per group instead of a [G, tn]
+        # per-value weight mul — K/M times less VPU work at decode M.
+        if method == "int4":
+            pck = w_ref_tile.astype(jnp.int32)
+            lo = (pck << 28) >> 28
+            hi = pck >> 4
+            q = jnp.concatenate([lo, hi], axis=0)
+        else:
+            q = w_ref_tile.astype(jnp.int32)
+        Kq, tn = q.shape
+        qf = q.astype(jnp.float32)
+        sc = s_ref_tile.astype(jnp.float32)           # [Kq//G, tn]
+        xf = xv.astype(jnp.float32)
+        acc = None
+        for g in range(Kq // group_size):
+            part = jax.lax.dot_general(
+                xf[:, g * group_size:(g + 1) * group_size],
+                qf[g * group_size:(g + 1) * group_size, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            part = part * sc[g][None, :]
+            acc = part if acc is None else acc + part
+        return acc
+
+    def kernel(be_ref, x_ref, w1_ref, s1_ref, w2_ref, s2_ref, o_ref):
+        m = pl.program_id(0)
+
+        # Tail pad blocks (block_expert == -1): their weight DMAs already
+        # skip (same clamped index as the previous pad) — predicate the
+        # dequant + dots away too; ~20% of decode grid steps are pads and
+        # the kernel is VPU-dequant-bound. Their output rows are garbage
+        # that combine_tokens never gathers.
+        @pl.when(be_ref[m] >= 0)
+        def _body():
+            x = x_ref[:].astype(jnp.float32)
+            hs = []
+            for n in range(nb1):
+                hs.append(dot_tile(x, w1_ref[0, n], s1_ref[0, n], K))
+            # Match the two-kernel path's numerics exactly: the first
+            # GEMM's output is cast to the activation dtype BEFORE SiLU
+            # (which runs in f32), and the product is in that dtype.
+            h = jnp.concatenate(hs, axis=1).astype(out_dtype)
+            gate = h[:, :I].astype(jnp.float32)
+            up = h[:, I:]
+            hb = (gate * jax.lax.logistic(gate)).astype(out_dtype) * up
+            hb = hb.astype(jnp.float32)
+            outs = []
+            for n in range(nb2):
+                outs.append(dot_tile(hb, w2_ref[0, n], s2_ref[0, n], I))
+            o_ref[:] = jnp.concatenate(outs, axis=1).astype(out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, K), lambda m, be: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb1, rows1, tn1),
+                         lambda m, be: (jnp.maximum(be[m], 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb1, K // group_size, tn1),
+                         lambda m, be: (jnp.maximum(be[m], 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb2, rows2, tn2),
+                         lambda m, be: (jnp.maximum(be[m], 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb2, I // group_size, tn2),
+                         lambda m, be: (jnp.maximum(be[m], 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, N2), lambda m, be: (m, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, N2), out_dtype),
+    )(block_expert, x_aligned, w1_t, s1_t, w2_t, s2_t)
 
 
 # ---- jnp reference ---------------------------------------------------------
