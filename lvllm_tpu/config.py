@@ -303,7 +303,7 @@ class CacheConfig:
     num_gpu_blocks: Optional[int] = None  # None => profile-derived
     gpu_memory_utilization: float = 0.9
     enable_prefix_caching: bool = True
-    kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8 | int4
     swap_space_gb: float = 0.0
 
     def __post_init__(self) -> None:

@@ -83,6 +83,29 @@ class MLAAttentionSpec(FullAttentionSpec):
 
 
 @dataclass(frozen=True)
+class Int4KVSpec(KVCacheSpec):
+    """4-bit paged K/V + per-(token, head) f16 scales in one int8 leaf
+    [2, NB, BS, H+1, D//2] (reference: turboquant_4bit kv_cache_dtype,
+    config.yaml:22). ~3.2x bf16 token capacity at H=4, D=128."""
+
+    num_kv_heads: int
+    head_dim: int
+
+    def bytes_per_block(self, block_size: int) -> int:
+        return (2 * block_size * (self.num_kv_heads + 1) *
+                (self.head_dim // 2))
+
+    def make(self, num_blocks: int, block_size: int, max_reqs: int):
+        from lvllm_tpu.ops.kv_cache_int4 import new_kv_cache_int4
+        return new_kv_cache_int4(num_blocks, block_size,
+                                 self.num_kv_heads, self.head_dim)
+
+    @property
+    def type_key(self) -> str:
+        return f"int4kv.{self.num_kv_heads}x{self.head_dim}"
+
+
+@dataclass(frozen=True)
 class LinearAttentionSpec(KVCacheSpec):
     """Constant-size recurrent state per request slot (GDN conv + delta
     state; reference MambaSpec shape tuple)."""

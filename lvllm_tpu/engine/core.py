@@ -50,7 +50,8 @@ def determine_num_kv_blocks(config: EngineConfig, model=None) -> int:
         return max(min(tokens // cc.block_size, 4096), 16)
     if model is not None and hasattr(model, "kv_cache_specs"):
         from lvllm_tpu.core.kv_cache_spec import num_blocks_for_budget
-        kv_dtype = (jnp.float8_e4m3fn if cc.kv_cache_dtype == "fp8" else
+        kv_dtype = ("int4" if cc.kv_cache_dtype == "int4" else
+                    jnp.float8_e4m3fn if cc.kv_cache_dtype == "fp8" else
                     jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32)
         specs = model.kv_cache_specs(kv_dtype)
         num = num_blocks_for_budget(specs, cc.block_size, avail,
@@ -103,7 +104,9 @@ class EngineCore:
             from lvllm_tpu.offload.kv_offload import (KVOffloadManager,
                                                       KVOffloadWorker)
             mc = config.model_config
-            kv_dtype = (jnp.float8_e4m3fn if cc.kv_cache_dtype == "fp8" else
+            kv_dtype = ("int4" if cc.kv_cache_dtype == "int4" else
+                        jnp.float8_e4m3fn if cc.kv_cache_dtype == "fp8"
+                        else
                         jnp.bfloat16 if mc.dtype == "bfloat16"
                         else jnp.float32)
             specs = self.model.kv_cache_specs(kv_dtype)

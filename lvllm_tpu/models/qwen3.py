@@ -91,11 +91,18 @@ class Qwen3Model:
         classes, v1/kv_cache_interface.py); hybrid models override per
         layer type. Allocation and memory sizing derive from these."""
         from lvllm_tpu.core.kv_cache_spec import (FullAttentionSpec,
+                                                  Int4KVSpec,
                                                   MLAAttentionSpec,
                                                   SlidingWindowSpec)
         c = self.config
         if c.attention_type == "mla":
             return MLAAttentionSpec(1, c.kv_cache_dim, kv_dtype)
+        if kv_dtype == "int4":
+            # 4-bit KV (reference turboquant_4bit); unpadded head_dim —
+            # the int4 read path is jnp (ops/kv_cache_int4.py).
+            assert c.sliding_window is None and not c.attention_sinks \
+                and not c.alibi, "int4 KV v1: standard full attention"
+            return Int4KVSpec(c.num_key_value_heads, c.head_dim)
         window = c.window_for_layer(layer_idx)
         if window:
             return SlidingWindowSpec(c.kv_cache_heads, c.kv_cache_dim,
@@ -400,6 +407,27 @@ class Qwen3Model:
                 self.scale, sliding_window=window,
                 logits_soft_cap=soft_cap, sinks=sinks,
                 alibi_slopes=self.alibi_slopes)
+            attn_flat = out.reshape(T, c.num_attention_heads * D)
+            out = attn_flat @ attn["o_proj"]["kernel"]
+            if "bias" in attn["o_proj"]:
+                out = out + attn["o_proj"]["bias"]
+            if lora is not None and f"{layer_idx}.o_proj" in lora:
+                from lvllm_tpu.lora.layers import apply_lora
+                out = apply_lora(attn_flat, out,
+                                 lora[f"{layer_idx}.o_proj"],
+                                 token_adapter)
+            return out, kv_cache
+        if kv_cache.dtype == jnp.int8 and \
+                kv_cache.shape[-2] == c.num_key_value_heads + 1:
+            # INT4 KV (Int4KVSpec layout is self-describing: extra scale
+            # row + int8 storage). jnp read path, ops/kv_cache_int4.py.
+            from lvllm_tpu.ops.kv_cache_int4 import (
+                ragged_paged_attention_int4, write_kv_int4)
+            kv_cache = write_kv_int4(kv_cache, k, v, md.slot_mapping)
+            out = ragged_paged_attention_int4(
+                q, kv_cache, md.block_table, md.query_start_loc,
+                md.seq_lens, scale=self.scale, sliding_window=window,
+                logits_soft_cap=soft_cap)
             attn_flat = out.reshape(T, c.num_attention_heads * D)
             out = attn_flat @ attn["o_proj"]["kernel"]
             if "bias" in attn["o_proj"]:

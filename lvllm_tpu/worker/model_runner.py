@@ -260,6 +260,8 @@ class ModelRunner:
         mc = self.config.model_config
         if cc.kv_cache_dtype == "fp8":
             return jnp.float8_e4m3fn
+        if cc.kv_cache_dtype == "int4":
+            return "int4"   # Int4KVSpec layout (ops/kv_cache_int4.py)
         if cc.kv_cache_dtype == "bfloat16":
             return jnp.bfloat16
         return jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32

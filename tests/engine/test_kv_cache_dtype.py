@@ -50,3 +50,80 @@ def test_fp8_kv_outputs_track_full_precision():
     fp8 = run(build("fp8"), list(range(30)))
     agree = sum(a == b for a, b in zip(base, fp8))
     assert agree >= 7, (base, fp8)
+
+
+def test_int4_kv_cache_layout_and_decode():
+    """INT4 KV (reference: turboquant_4bit_nc, config.yaml:22): one int8
+    leaf [2, NB, BS, H+1, D/2] with the scale row appended; engine decode
+    must run end-to-end on it."""
+    eng = build("int4")
+    kv = eng.core.runner.kv_caches[0]
+    assert kv.dtype == jnp.int8
+    assert kv.shape[-2] == 2 + 1              # H + scale row
+    assert kv.shape[-1] == (64 // 4) // 2     # head_dim 16 packed
+    toks = run(eng, [1, 2, 3, 4, 5])
+    assert len(toks) == 10
+
+
+def test_int4_kv_outputs_track_full_precision():
+    base = run(build("auto"), list(range(30)))
+    q4 = run(build("int4"), list(range(30)))
+    agree = sum(a == b for a, b in zip(base, q4))
+    assert agree >= 6, (base, q4)
+
+
+def test_int4_kv_capacity_per_block():
+    """Bytes per block must reflect the 4-bit layout: ~3.2x less than
+    bf16 at H=4, D=128 geometry."""
+    from lvllm_tpu.core.kv_cache_spec import FullAttentionSpec, Int4KVSpec
+    i4 = Int4KVSpec(num_kv_heads=4, head_dim=128)
+    bf = FullAttentionSpec(num_kv_heads=4, head_dim=128,
+                           dtype=jnp.bfloat16)
+    ratio = bf.bytes_per_block(16) / i4.bytes_per_block(16)
+    assert ratio > 3.0, ratio
+
+
+def test_int4_kv_roundtrip_attention_matches_dense():
+    """write_kv_int4 + ragged_paged_attention_int4 vs dense f32 attention
+    over the SAME quantized values (the quantization error itself is the
+    only difference vs bf16 KV)."""
+    import jax
+    from lvllm_tpu.ops.kv_cache_int4 import (new_kv_cache_int4,
+                                             ragged_paged_attention_int4,
+                                             write_kv_int4, _quantize,
+                                             _dequantize)
+
+    rng = np.random.default_rng(0)
+    H, D, BS = 2, 64, 16
+    lens = [13, 29]
+    cache = new_kv_cache_int4(8, BS, H, D)
+    bt = np.zeros((2, 4), np.int32)
+    bt[0, :1] = [1]
+    bt[1, :2] = [2, 3]
+    slots, ks, vs = [], [], []
+    for r, L in enumerate(lens):
+        for p in range(L):
+            slots.append(int(bt[r, p // BS]) * BS + p % BS)
+    T = sum(lens)
+    k = rng.standard_normal((T, H, D)).astype(np.float32)
+    v = rng.standard_normal((T, H, D)).astype(np.float32)
+    cache = write_kv_int4(cache, jnp.asarray(k), jnp.asarray(v),
+                          jnp.asarray(np.asarray(slots, np.int32)))
+    q = rng.standard_normal((2, 4, D)).astype(np.float32)
+    out = ragged_paged_attention_int4(
+        jnp.asarray(q), cache, jnp.asarray(bt),
+        jnp.asarray([0, 1, 2], jnp.int32), jnp.asarray(lens, jnp.int32),
+        scale=D ** -0.5)
+    # Oracle over the quantize→dequantize'd K/V (exact same values).
+    kq = np.asarray(_dequantize(*_quantize(jnp.asarray(k))))
+    vq = np.asarray(_dequantize(*_quantize(jnp.asarray(v))))
+    for r, L in enumerate(lens):
+        off = sum(lens[:r])
+        for hq in range(4):
+            hk = hq * H // 4
+            s = (q[r, hq] @ kq[off:off + L, hk].T) * (D ** -0.5)
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            ref = p @ vq[off:off + L, hk]
+            np.testing.assert_allclose(np.asarray(out)[r, hq], ref,
+                                       rtol=2e-3, atol=2e-3)
