@@ -112,14 +112,66 @@ def prefill_and_extract(engine, prompt_token_ids: List[int],
     )
 
 
+def inject_prefix_kv(engine, prompt_token_ids: List[int], connector,
+                     rid: str) -> int:
+    """Materialize as many leading full blocks of ``prompt_token_ids`` as
+    ``connector`` (possibly a MultiConnector stacking P/D + host tier)
+    can supply, as *prefix-cache* entries: a temporary request allocates
+    + hash-registers them, the device blocks are overwritten with the
+    supplied pages, then the temp is freed — the blocks stay cached and
+    the real request picks them up via the ordinary prefix-cache hit
+    path (no scheduler special-casing). Returns tokens covered."""
+    import jax.numpy as jnp
+
+    mgr = engine.core.scheduler.kv_cache_manager
+    bs = mgr.block_size
+    hashes = hash_request_tokens(bs, prompt_token_ids)
+    n_blocks = 0
+    for i, h in enumerate(hashes):
+        if not connector.can_supply(i, h):
+            break
+        n_blocks += 1
+    if n_blocks == 0:
+        return 0
+    tmp = Request(f"{rid}-kvload", prompt_token_ids,
+                  SamplingParams(max_tokens=1))
+    got = mgr.allocate_slots(tmp, n_blocks * bs)
+    if got is None:
+        raise RuntimeError("decode engine out of KV blocks for handoff")
+    block_ids = np.asarray(mgr.get_block_ids(tmp.request_id))
+    runner = engine.core.runner
+    L = len(runner.kv_caches)
+    # Gather per-block pages from the connector(s), batch per layer.
+    per_layer = [[] for _ in range(L)]
+    for i in range(n_blocks):
+        pages = connector.fetch(i, hashes[i])
+        for li in range(L):
+            per_layer[li].append(pages[li])
+    for li in range(L):
+        cache = runner.kv_caches[li]
+        data = np.stack(per_layer[li], axis=1)        # [2, n, BS, H, D]
+        runner.kv_caches[li] = cache.at[:, block_ids].set(
+            jnp.asarray(data, cache.dtype))
+    mgr.free(tmp)
+    mgr.free_block_hashes(tmp)
+    return n_blocks * bs
+
+
 def inject_and_decode_request(engine, handoff: KVHandoff,
                               sampling_params: SamplingParams,
                               request_id: str = None) -> str:
     """Register a request on the decode engine with the transferred KV
     already in place; returns the request id. The first prefill-produced
     token becomes the tail of the 'prompt' so scheduling proceeds as a
-    1-token continuation."""
-    import jax.numpy as jnp
+    1-token continuation.
+
+    The KV source is a MultiConnector stacking the handoff with the
+    decode engine's own host tier (reference multi_connector.py:126 +
+    offloading_connector.py:44): blocks the prefill engine evicted
+    before extraction can still be served from host RAM."""
+    from lvllm_tpu.distributed.connectors import (HandoffConnector,
+                                                  MultiConnector,
+                                                  host_tier_connector_for)
 
     sp = sampling_params.clone()
     if sp.max_tokens is not None:
@@ -127,27 +179,12 @@ def inject_and_decode_request(engine, handoff: KVHandoff,
     prompt = handoff.prompt_token_ids + [handoff.first_token_id]
     rid = request_id or f"disagg-{id(handoff) & 0xFFFF:x}"
 
-    # Materialize the transferred blocks as *prefix-cache* entries: a
-    # temporary request allocates + hash-registers them, the device blocks
-    # are overwritten with the transferred KV, then the temp is freed —
-    # the blocks stay cached, and the real request below picks them up via
-    # the ordinary prefix-cache hit path (no scheduler special-casing).
     mgr = engine.core.scheduler.kv_cache_manager
-    n_full = handoff.num_full_block_tokens
-    if n_full:
-        tmp = Request(f"{rid}-kvload", handoff.prompt_token_ids,
-                      SamplingParams(max_tokens=1))
-        got = mgr.allocate_slots(tmp, n_full)
-        if got is None:
-            raise RuntimeError("decode engine out of KV blocks for handoff")
-        block_ids = np.asarray(mgr.get_block_ids(tmp.request_id))
-        runner = engine.core.runner
-        for layer, data in enumerate(handoff.kv_blocks):
-            cache = runner.kv_caches[layer]
-            runner.kv_caches[layer] = cache.at[:, block_ids].set(
-                jnp.asarray(data, cache.dtype))
-        mgr.free(tmp)
-        mgr.free_block_hashes(tmp)
+    connector = MultiConnector([
+        HandoffConnector(handoff, mgr.block_size),
+        host_tier_connector_for(engine),
+    ])
+    inject_prefix_kv(engine, handoff.prompt_token_ids, connector, rid)
 
     mm = None
     if handoff.cross_kv is not None:

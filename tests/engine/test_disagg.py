@@ -210,3 +210,125 @@ def test_disagg_ec_transfer_whisper(tmp_path):
     out = run_to_completion(decode_eng, rid2)
     combined = [handoff.first_token_id] + out.outputs[0].token_ids
     assert combined == base[:len(combined)], (combined, base)
+
+
+def build_engine_with_host_tier(swap_gb=0.02):
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3ForCausalLM", dtype="float32",
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=-1,
+        seed=8)
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=64,
+                                 enable_prefix_caching=True,
+                                 swap_space_gb=swap_gb),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=128,
+                                         max_num_seqs=4, max_model_len=128))
+    return LLMEngine(cfg, load_format="dummy")
+
+
+def test_connector_composition_host_tier_fills_evicted_handoff():
+    """MultiConnector (reference multi_connector.py:126 +
+    offloading_connector.py:44): the decode engine's own host tier
+    supplies prefix blocks the prefill engine EVICTED before extraction
+    — P/D transfer and host offload stack on one request chain."""
+    prompt = list(range(1, 52))  # 51 tokens → 3 full blocks + tail
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+
+    single = build_engine()
+    rid = single.add_request(None, prompt, sp)
+    want = run_to_completion(single, rid).outputs[0].token_ids
+
+    decode_eng = build_engine_with_host_tier()
+    # Warm the decode engine's HOST tier: run the prompt once (blocks
+    # stored HBM→host on finish), then churn the device pool so the
+    # device prefix-cache entries are gone but the host copies remain.
+    w = decode_eng.add_request(None, prompt,
+                               SamplingParams(temperature=0.0,
+                                              max_tokens=2))
+    run_to_completion(decode_eng, w)
+    assert decode_eng.core.kv_offload_manager.stats()["stored_blocks"] >= 3
+    for i in range(14):
+        churn = decode_eng.add_request(
+            None, [100 + i] * 40, SamplingParams(temperature=0.0,
+                                                 max_tokens=2))
+        run_to_completion(decode_eng, churn)
+
+    # Handoff truncated to ONE block — as if the prefill engine evicted
+    # the rest before extraction.
+    prefill_eng = build_engine()
+    handoff = prefill_and_extract(prefill_eng, prompt)
+    assert handoff.num_full_block_tokens == 48
+    handoff = KVHandoff(
+        prompt_token_ids=handoff.prompt_token_ids,
+        first_token_id=handoff.first_token_id,
+        num_full_block_tokens=16,
+        kv_blocks=[b[:, :1] for b in handoff.kv_blocks])
+
+    from lvllm_tpu.distributed import kv_connector as kvc
+    from lvllm_tpu.distributed.connectors import (HandoffConnector,
+                                                  MultiConnector,
+                                                  host_tier_connector_for)
+    mgr = decode_eng.core.scheduler.kv_cache_manager
+    conn = MultiConnector([HandoffConnector(handoff, mgr.block_size),
+                           host_tier_connector_for(decode_eng)])
+    covered = kvc.inject_prefix_kv(decode_eng, handoff.prompt_token_ids,
+                                   conn, "cmp0")
+    assert covered == 48, covered               # 1 from handoff + 2 host
+    assert conn.stats["p2p_handoff"] == 1
+    assert conn.stats["host_tier"] == 2
+
+    sp2 = sp.clone()
+    sp2.max_tokens = 7
+    rid2 = decode_eng.add_request(
+        "cmp0", handoff.prompt_token_ids + [handoff.first_token_id], sp2)
+    out = run_to_completion(decode_eng, rid2)
+    got = [handoff.first_token_id] + out.outputs[0].token_ids
+    assert got == want, (got, want)
+
+
+def test_weight_push_changes_logits_without_restart():
+    """Minimal RLHF weight-push engine (reference:
+    distributed/weight_transfer/ nccl_engine/ipc_engine): a pushed
+    update must change generation without restarting the engine."""
+    import uuid
+
+    from lvllm_tpu.distributed.weight_transfer import (WeightPushClient,
+                                                       WeightPushServer)
+
+    eng = build_engine()
+    prompt = [1, 2, 3, 4, 5]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    r0 = eng.add_request(None, prompt, sp)
+    before = run_to_completion(eng, r0).outputs[0].token_ids
+
+    ep = f"ipc:///tmp/wpush-{uuid.uuid4().hex[:8]}"
+    server = WeightPushServer(eng, ep)
+    client = WeightPushClient(ep)
+    try:
+        rng = np.random.default_rng(123)
+        emb = np.asarray(eng.core.runner.params["embed"]["weight"])
+        q = np.asarray(
+            eng.core.runner.params["layers"][0]["self_attn"]["q_proj"]
+            ["kernel"])
+        n = client.push({
+            "embed/weight": rng.standard_normal(emb.shape).astype(
+                np.float32) * 0.05,
+            "layers/0/self_attn/q_proj/kernel":
+                rng.standard_normal(q.shape).astype(np.float32) * 0.05,
+        })
+        assert n == 2
+        assert server.updates_applied == 2
+
+        r1 = eng.add_request(None, prompt, sp)
+        after = run_to_completion(eng, r1).outputs[0].token_ids
+        assert after != before, (before, after)
+
+        # Shape mismatches are rejected, not applied.
+        with pytest.raises(RuntimeError):
+            client.push({"embed/weight": np.zeros((2, 2), np.float32)})
+    finally:
+        client.close()
+        server.close()
