@@ -291,7 +291,10 @@ def main() -> None:
     # one host fetch per 16 steps isolates device time from tunnel RTTs.
     R = runner.max_num_reqs
     maxb = runner.max_blocks_per_req
-    tokens = np.ones(R, np.int32)
+    # Distinct tokens per row: uniform tokens would collapse MoE routing
+    # to one expert set and flatter the replay (the engine-loop leg above
+    # is the honest end-to-end number either way).
+    tokens = (rng.integers(1, mc.vocab_size, size=R)).astype(np.int32)
     positions = np.full(R, prompt_len, np.int32)
     seq_lens = np.full(R, prompt_len + 1, np.int32)
     block_table = ((np.arange(R * maxb).reshape(R, maxb) % 2000) + 1

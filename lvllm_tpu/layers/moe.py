@@ -74,6 +74,28 @@ def route_tokens(
         if scaling_factor != 1.0:
             topk_w = topk_w * scaling_factor
         return topk_w, topk_ids.astype(jnp.int32)
+    if scoring_fn == "sparsemixer":
+        # PhiMoE inference routing (modeling_phimoe.sparsemixer eval
+        # path, jitter_eps=0.01): two rounds of eps-masked top-1, each
+        # weighted by the softmax of its masked gates.
+        assert top_k == 2, "sparsemixer is a top-2 scheme"
+        eps = 0.01
+
+        def one_round(sc):
+            mx = jnp.max(sc, axis=-1, keepdims=True)
+            factor = jnp.maximum(jnp.abs(sc), mx)
+            drop = ((mx - sc) / factor) > (2 * eps)
+            masked = jnp.where(drop, -jnp.inf, sc)
+            sel = jnp.argmax(sc, axis=-1)
+            gates = jax.nn.softmax(masked, axis=-1)
+            w = jnp.take_along_axis(gates, sel[:, None], axis=-1)[:, 0]
+            return sel.astype(jnp.int32), w
+
+        e1, w1 = one_round(logits)
+        logits2 = logits.at[jnp.arange(logits.shape[0]), e1].set(-jnp.inf)
+        e2, w2 = one_round(logits2)
+        return (jnp.stack([w1, w2], axis=-1),
+                jnp.stack([e1, e2], axis=-1))
     if scoring_fn == "softmax":
         scores = jax.nn.softmax(logits, axis=-1)
     elif scoring_fn == "sigmoid":

@@ -424,8 +424,9 @@ def load_model_config(model_path: str,
                                              hf["num_attention_heads"])
     if arch == "PersimmonForCausalLM":
         partial_rotary = hf.get("partial_rotary_factor", 0.5)
-    if arch == "Glm4ForCausalLM":
-        # HF Glm4Config defaults (may be omitted from config.json).
+    if arch in ("Glm4ForCausalLM", "GlmForCausalLM"):
+        # HF Glm4Config/GlmConfig defaults (may be omitted from
+        # config.json). Glm (glm-4-0414) is Glm4 minus sandwich norms.
         partial_rotary = hf.get("partial_rotary_factor", 0.5)
     # ALiBi families: Bloom, MPT, Baichuan-13B (the 13B checkpoints are
     # distinguished from rope-based 7B by hidden size, as the reference's
@@ -436,6 +437,10 @@ def load_model_config(model_path: str,
                   and hf.get("hidden_size") == 5120))
     if arch == "Dots1ForCausalLM":
         scoring_fn = "sigmoid"
+    if arch == "PhimoeForCausalLM":
+        # PhiMoE routes by sparsemixer (modeling_phimoe.sparsemixer; eval
+        # path = two rounds of eps-masked top-1 softmax).
+        scoring_fn = "sparsemixer"
     # ERNIE 4.5 MoE layer schedule: MoE iff (i+1) % interval == 0 and
     # start <= i <= end (HF Ernie4_5_MoeDecoderLayer).
     if arch == "Ernie4_5_MoeForCausalLM":
@@ -471,6 +476,15 @@ def load_model_config(model_path: str,
         hidden_act_override = "gelu_only"
         parallel_residual = "single"     # one shared input_layernorm
         lm_head_bias = True
+    elif arch == "PhimoeForCausalLM":
+        # PhiMoE norms are LayerNorm (w+b), lm head optionally biased.
+        norm_type = "layernorm"
+        lm_head_bias = bool(hf.get("lm_head_bias", False))
+    elif arch == "ApertusForCausalLM":
+        # Apertus: non-gated MLP with the learnable xIELU activation
+        # (per-layer alpha_p/alpha_n; HF activations.XIELUActivation).
+        mlp_gated = False
+        hidden_act_override = "xielu"
     elif arch in ("FalconForCausalLM", "RWForCausalLM"):
         norm_type, mlp_gated = "layernorm", False
         hidden_act_override = "gelu_only"
@@ -579,6 +593,7 @@ def load_model_config(model_path: str,
         # out of config.json, so the fallback is per-family.
         tie_word_embeddings=hf.get("tie_word_embeddings",
                                    arch.startswith("Gemma") or
+                                   arch == "VaultGemmaForCausalLM" or
                                    arch.startswith("Cohere")),
         # Qwen-style configs gate the window behind use_sliding_window;
         # Mistral/Gemma/gpt-oss set sliding_window unconditionally.
@@ -612,6 +627,8 @@ def load_model_config(model_path: str,
                                        "Olmo2ForCausalLM",
                                        "Olmo3ForCausalLM",
                                        "OlmoeForCausalLM",
+                                       "FlexOlmoForCausalLM",
+                                       "ApertusForCausalLM",
                                        "HunYuanMoEV1ForCausalLM",
                                        "HunYuanDenseV1ForCausalLM",
                                        "Dots1ForCausalLM",
@@ -631,12 +648,16 @@ def load_model_config(model_path: str,
         qk_norm_across_heads=arch in (
             "MiniMaxM2ForCausalLM",
             # OLMo2/OLMoE norm q over all heads jointly (HF Olmo2Attention).
-            "Olmo2ForCausalLM", "Olmo3ForCausalLM", "OlmoeForCausalLM"),
+            "Olmo2ForCausalLM", "Olmo3ForCausalLM", "OlmoeForCausalLM",
+            "FlexOlmoForCausalLM"),
         norm_type=norm_type,
         mlp_gated=mlp_gated,
         # GPT-J biases its fc_in/fc_out but not the attention projections.
         mlp_bias=bias_all or arch == "GPTJForCausalLM",
         o_proj_bias=(bias_all or
+                     # PhiMoE biases all four attention projections.
+                     (arch == "PhimoeForCausalLM" and
+                      hf.get("attention_bias", False)) or
                      (arch == "InternLMForCausalLM" and
                       hf.get("bias", True))),
         rope_interleaved=hf.get("rope_interleaved", False) or
@@ -649,7 +670,9 @@ def load_model_config(model_path: str,
         sandwich_output_norms=arch == "Glm4ForCausalLM",
         learned_pos_embeddings=learned_pos,
         norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
-                            "Exaone4ForCausalLM"),
+                            "Exaone4ForCausalLM",
+                            # FlexOlmo keeps OLMo2's output-norm layout.
+                            "FlexOlmoForCausalLM"),
         attention_bias=(bias_all or hf.get("use_qkv_bias", False) or
                         (arch == "InternLM2ForCausalLM" and
                          hf.get("bias", False)) or
@@ -664,8 +687,9 @@ def load_model_config(model_path: str,
                                      "Qwen2VLForCausalLM",
                                      "Qwen2VLForConditionalGeneration",
                                      "Qwen2_5_VLForConditionalGeneration",
-                                     # HF Glm4Config attention_bias=True.
-                                     "Glm4ForCausalLM"))),
+                                     # HF Glm4/GlmConfig bias=True.
+                                     "Glm4ForCausalLM",
+                                     "GlmForCausalLM"))),
         # (Qwen3-VL text attention is bias-free qk-norm Qwen3 — covered by
         # the hf attention_bias=False default above.)
         router_scoring_fn=scoring_fn,
@@ -690,6 +714,7 @@ def load_model_config(model_path: str,
         attn_logit_softcap=hf.get("attn_logit_softcapping"),
         final_logit_softcap=hf.get("final_logit_softcapping"),
         scale_embedding=(arch.startswith("Gemma") or
+                         arch == "VaultGemmaForCausalLM" or
                          (arch == "WhisperForConditionalGeneration" and
                           hf.get("scale_embedding", False))),
         query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),

@@ -285,6 +285,16 @@ class Qwen3Model:
                     "down": {"kernel": dense(
                         (c.intermediate_size, c.hidden_size))},
                 }
+                if c.hidden_act == "xielu":
+                    # Apertus learnable xIELU (HF XIELUActivation):
+                    # softplus-parameterized per-layer alphas.
+                    import math as _math
+                    init = _math.log(_math.expm1(0.8))
+                    init_n = _math.log(_math.expm1(0.8 - 0.5))
+                    layer["mlp"]["alpha_p"] = jnp.full((1,), init,
+                                                       jnp.float32)
+                    layer["mlp"]["alpha_n"] = jnp.full((1,), init_n,
+                                                       jnp.float32)
             if "mlp" in layer and c.mlp_bias:
                 for pname in layer["mlp"]:
                     out_w = layer["mlp"][pname]["kernel"].shape[-1]
@@ -585,6 +595,17 @@ class Qwen3Model:
                 n_group=c.n_group, topk_group=c.topk_group,
                 activation=c.hidden_act)
         mlp = lp["mlp"]
+        if "up" in mlp and c.hidden_act == "xielu":
+            # Apertus xIELU (HF XIELUActivation._xielu_python): learnable
+            # alpha_p/alpha_n per layer, beta=0.5, eps=-1e-6.
+            h = (x @ mlp["up"]["kernel"]).astype(jnp.float32)
+            ap = jax.nn.softplus(mlp["alpha_p"].astype(jnp.float32))
+            an = 0.5 + jax.nn.softplus(mlp["alpha_n"].astype(jnp.float32))
+            y = jnp.where(
+                h > 0,
+                ap * h * h + 0.5 * h,
+                (jnp.expm1(jnp.minimum(h, -1e-6)) - h) * an + 0.5 * h)
+            return (y.astype(x.dtype) @ mlp["down"]["kernel"])
         if "up" in mlp:
             # Non-gated MLP (GPT-2 c_fc/c_proj, Starcoder2, Nemotron relu²).
             from lvllm_tpu.layers.common import ACTIVATIONS_SINGLE
@@ -792,6 +813,19 @@ class Qwen3Model:
         and qkv is fused in c_attn (reference: models/gpt2.py load_weights
         Conv1D handling)."""
         arch = self.config.architecture
+        if arch == "VaultGemmaForCausalLM":
+            # VaultGemma (HF modeling_vaultgemma): standard two-pre-norm
+            # layer — pre_feedforward_layernorm takes our
+            # post_attention_layernorm slot — with Gemma's zero-centered
+            # RMSNorm weights ((1 + w); fold the +1 at load).
+            for name, w in weights:
+                name = name.replace("pre_feedforward_layernorm",
+                                    "post_attention_layernorm")
+                if name.endswith("layernorm.weight") or \
+                        name.endswith("norm.weight"):
+                    w = np.asarray(w, np.float32) + 1.0
+                yield name, w
+            return
         if arch == "GPT2LMHeadModel":
             H = self.config.hidden_size
             for name, w in weights:
@@ -1396,6 +1430,11 @@ class Qwen3Model:
                         if g is not None and u is not None:
                             put(["layers", str(i), "mlp", "gate_up",
                                  "bias"], np.concatenate([g, u], axis=0))
+                elif m2 := re.match(r"mlp\.act_fn\.(alpha_p|alpha_n)",
+                                    rest):
+                    node = params["layers"][i]["mlp"]
+                    node[m2.group(1)] = jnp.asarray(
+                        np.asarray(w).reshape(1), jnp.float32)
                 elif not c.mlp_gated and (m2 := re.match(
                         r"mlp\.(up|down)_proj\.(weight|bias)", rest)):
                     # Non-gated MLP (GPT-2/Starcoder2/Nemotron): up and

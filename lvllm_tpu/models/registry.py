@@ -98,6 +98,11 @@ def _register_builtin() -> None:
                  "XverseForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
+    for arch in ("GlmForCausalLM", "VaultGemmaForCausalLM",
+                 "FlexOlmoForCausalLM", "PhimoeForCausalLM",
+                 "ApertusForCausalLM"):
+        _REGISTRY[arch] = Qwen3Model
+
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
     _REGISTRY["Qwen3NextForCausalLM"] = Qwen3NextModel
 
