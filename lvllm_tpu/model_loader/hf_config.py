@@ -291,6 +291,17 @@ def load_model_config(model_path: str,
                   2 * sum(mrope_section) / hd}
         hf = {**hf, "rope_scaling": None}
         override_arch, arch = arch, "Glm4MoeForCausalLM"
+    if arch in ("Idefics3ForConditionalGeneration",
+                "SmolVLMForConditionalGeneration"):
+        # Idefics3/SmolVLM: SigLIP-style tower + pixel-shuffle connector;
+        # text is Llama (reference: idefics3.py / smolvlm.py).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["scale_factor"] = hf.get("scale_factor", 2)
+        image_token_id = hf.get("image_token_id")
+        text = dict(hf.get("text_config") or {})
+        outer_arch = arch
+        hf = {**hf, **text}
+        arch = outer_arch
     if arch == "InternVLForConditionalGeneration":
         # InternVL: flatten text_config (Qwen2/Llama); carry
         # downsample_ratio into the vision dict for pixel shuffle.

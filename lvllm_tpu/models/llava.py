@@ -41,6 +41,14 @@ class LlavaModel(Qwen3Model):
         self.image_size = vc.get("image_size", 336)
         self.patch_size = vc.get("patch_size", 14)
         self.feature_layer = vc.get("vision_feature_layer", -2)
+        # Pixtral checkpoints ship as LlavaForConditionalGeneration with a
+        # PixtralVisionModel tower (reference: models/pixtral.py) — RMS
+        # norms, bias-free projections, 2D rope, gated MLP, full-sequence
+        # feature select.
+        self.is_pixtral = vc.get("model_type") == "pixtral"
+        self.v_head_dim = vc.get("head_dim", self.v_hidden // self.v_heads)
+        self.v_act = vc.get("hidden_act", "silu")
+        self.v_rope_theta = vc.get("rope_theta", 10000.0)
 
     @property
     def num_image_tokens(self) -> int:
@@ -51,16 +59,60 @@ class LlavaModel(Qwen3Model):
     def init_params(self, rng) -> Dict[str, Any]:
         params = super().init_params(rng)
         nprng = np.random.default_rng(777 + self.config.seed)
+        if self.is_pixtral:
+            params["vision"] = self._init_pixtral(nprng)
+            return params
         params["vision"] = init_vision_params(
             nprng, self.v_hidden, self.v_intermediate, self.v_layers,
             self.image_size, self.patch_size, self.config.hidden_size,
             dtype=jnp.float32)
         return params
 
+    def _init_pixtral(self, nprng) -> Dict[str, Any]:
+        D, I = self.v_hidden, self.v_intermediate
+        H = self.config.hidden_size
+
+        def dense(shape, scale=0.02):
+            return jnp.asarray(nprng.standard_normal(size=shape) * scale,
+                               jnp.float32)
+
+        layers = []
+        for _ in range(self.v_layers):
+            layers.append({
+                "attention_norm": {"weight": jnp.ones((D,), jnp.float32)},
+                "ffn_norm": {"weight": jnp.ones((D,), jnp.float32)},
+                "q_proj": {"kernel": dense((D, D))},
+                "k_proj": {"kernel": dense((D, D))},
+                "v_proj": {"kernel": dense((D, D))},
+                "o_proj": {"kernel": dense((D, D))},
+                "gate_proj": {"kernel": dense((D, I))},
+                "up_proj": {"kernel": dense((D, I))},
+                "down_proj": {"kernel": dense((I, D))},
+            })
+        return {
+            "patch_conv": dense((D, 3, self.patch_size, self.patch_size)),
+            "ln_pre": {"weight": jnp.ones((D,), jnp.float32)},
+            "layers": layers,
+            "projector": {
+                "linear_1": {"kernel": dense((D, H)),
+                             "bias": jnp.zeros((H,), jnp.float32)},
+                "linear_2": {"kernel": dense((H, H)),
+                             "bias": jnp.zeros((H,), jnp.float32)},
+            },
+        }
+
     # ---- vision ------------------------------------------------------------
 
     def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
         """[B, 3, S, S] → projected features [B, N_patches, text_hidden]."""
+        if self.is_pixtral:
+            from lvllm_tpu.models.vision import pixtral_vision_encode
+            feats = pixtral_vision_encode(
+                params["vision"], pixel_values, self.patch_size,
+                self.v_heads, hidden_act=self.v_act,
+                rope_theta=self.v_rope_theta)
+            return project_image_features(params["vision"]["projector"],
+                                          feats)
         feats = clip_vision_encode(
             params["vision"], pixel_values, self.patch_size, self.v_heads,
             self.feature_layer)
@@ -71,6 +123,33 @@ class LlavaModel(Qwen3Model):
     def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]):
         vision: Dict[str, Any] = {"layers": [
             {} for _ in range(self.v_layers)], "projector": {}}
+
+        def _vis_put_pixtral(rest: str, w: np.ndarray):
+            if rest == "patch_conv.weight":
+                vision["patch_conv"] = jnp.asarray(w, jnp.float32)
+                return
+            if rest == "ln_pre.weight":
+                vision["ln_pre"] = {"weight": jnp.asarray(w, jnp.float32)}
+                return
+            m = re.match(r"transformer\.layers\.(\d+)\.(.+)", rest)
+            if not m:
+                return
+            lp = vision["layers"][int(m.group(1))]
+            leaf = m.group(2)
+            for hf, ours in (("attention.q_proj", "q_proj"),
+                             ("attention.k_proj", "k_proj"),
+                             ("attention.v_proj", "v_proj"),
+                             ("attention.o_proj", "o_proj"),
+                             ("feed_forward.gate_proj", "gate_proj"),
+                             ("feed_forward.up_proj", "up_proj"),
+                             ("feed_forward.down_proj", "down_proj")):
+                if leaf == hf + ".weight":
+                    lp.setdefault(ours, {})["kernel"] = jnp.asarray(
+                        np.ascontiguousarray(w.T), jnp.float32)
+                    return
+            if leaf in ("attention_norm.weight", "ffn_norm.weight"):
+                lp.setdefault(leaf.split(".")[0], {})["weight"] = \
+                    jnp.asarray(w, jnp.float32)
 
         def _vis_put(rest: str, w: np.ndarray):
             m = re.match(r"encoder\.layers\.(\d+)\.(.+)", rest)
@@ -111,7 +190,9 @@ class LlavaModel(Qwen3Model):
         def filter_stream():
             for name, w in weights:
                 name = name.removeprefix("model.")
-                if name.startswith("vision_tower.vision_model."):
+                if self.is_pixtral and name.startswith("vision_tower."):
+                    _vis_put_pixtral(name.removeprefix("vision_tower."), w)
+                elif name.startswith("vision_tower.vision_model."):
                     _vis_put(name.removeprefix("vision_tower.vision_model."),
                              w)
                 elif name.startswith("multi_modal_projector."):

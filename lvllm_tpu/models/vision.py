@@ -263,3 +263,84 @@ def init_vision_params(rng: np.random.Generator, hidden: int,
                          "bias": jnp.zeros((text_hidden,), dtype)},
         },
     }
+
+
+def pixtral_rope_cos_sin(G: int, head_dim: int,
+                         theta: float = 10000.0):
+    """Pixtral 2D rotary tables for a G×G patch grid (HF
+    PixtralRotaryEmbedding: even-index frequencies take the row stream,
+    odd-index the column stream; the half-table duplicates for the
+    rotate-half convention). Returns (cos, sin) [G*G, head_dim] f32
+    numpy."""
+    import numpy as _np
+    freqs = 1.0 / (theta ** (_np.arange(0, head_dim, 2,
+                                        dtype=_np.float32) / head_dim))
+    h = _np.arange(G, dtype=_np.float32)
+    w = _np.arange(G, dtype=_np.float32)
+    fh = _np.outer(h, freqs[::2])            # [G, head_dim//4]
+    fw = _np.outer(w, freqs[1::2])
+    emb = _np.concatenate(
+        [_np.repeat(fh[:, None, :], G, axis=1),
+         _np.repeat(fw[None, :, :], G, axis=0)],
+        axis=-1).reshape(G * G, head_dim // 2)
+    emb = _np.concatenate([emb, emb], axis=-1)
+    return _np.cos(emb), _np.sin(emb)
+
+
+def pixtral_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
+                          patch_size: int, num_heads: int,
+                          hidden_act: str = "silu",
+                          rope_theta: float = 10000.0,
+                          eps: float = 1e-5) -> jax.Array:
+    """Pixtral vision tower (HF ``PixtralVisionModel``): bias-free patch
+    conv, pre-RMSNorm, layers of RMSNorm → bias-free attention with 2D
+    rope → RMSNorm → gated MLP. Square-tile inputs [B, 3, S, S]; each
+    image attends within itself (equivalent to HF's concat +
+    block-diagonal mask). Returns [B, N, D]."""
+    B, C, S, _ = pixel_values.shape
+    P = patch_size
+    G = S // P
+    x = pixel_values.astype(jnp.float32)
+    x = x.reshape(B, C, G, P, G, P)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(B, G * G, C * P * P)
+    h = x @ params["patch_conv"].reshape(
+        params["patch_conv"].shape[0], -1).T          # [B, N, D]
+    D = h.shape[-1]
+    Hd = D // num_heads
+
+    def rms(v, w):
+        vf = v.astype(jnp.float32)
+        y = vf * jax.lax.rsqrt(
+            jnp.mean(jnp.square(vf), axis=-1, keepdims=True) + eps)
+        return y * w
+
+    h = rms(h, params["ln_pre"]["weight"])
+    import numpy as _np
+    cos_np, sin_np = pixtral_rope_cos_sin(G, Hd, rope_theta)
+    cos = jnp.asarray(cos_np)[None, :, None, :]       # [1, N, 1, Hd]
+    sin = jnp.asarray(sin_np)[None, :, None, :]
+
+    def rot(v):
+        half = v.shape[-1] // 2
+        rv = jnp.concatenate([-v[..., half:], v[..., :half]], axis=-1)
+        return v * cos + rv * sin
+
+    T = h.shape[1]
+    scale = Hd ** -0.5
+    act = (jax.nn.silu if hidden_act == "silu"
+           else (lambda z: jax.nn.gelu(z, approximate=False)))
+    for lp in params["layers"]:
+        res = h
+        hn = rms(h, lp["attention_norm"]["weight"])
+        q = rot((hn @ lp["q_proj"]["kernel"]).reshape(B, T, num_heads, Hd))
+        k = rot((hn @ lp["k_proj"]["kernel"]).reshape(B, T, num_heads, Hd))
+        v = (hn @ lp["v_proj"]["kernel"]).reshape(B, T, num_heads, Hd)
+        s = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", p, v).reshape(B, T, D)
+        h = res + o @ lp["o_proj"]["kernel"]
+        res = h
+        hn = rms(h, lp["ffn_norm"]["weight"])
+        g = act(hn @ lp["gate_proj"]["kernel"]) * (hn @ lp["up_proj"]["kernel"])
+        h = res + g @ lp["down_proj"]["kernel"]
+    return h
