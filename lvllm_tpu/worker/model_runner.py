@@ -774,7 +774,8 @@ class ModelRunner:
 
     def _multi_step(self, params, kv_caches, tokens, positions, seq_lens,
                     block_table, temperature, top_k, top_p, min_p, seeds,
-                    steps, horizon, greedy_only=False, mrope_delta=None):
+                    steps, horizon, greedy_only=False, mrope_delta=None,
+                    cross_args=None):
         """H decode iterations in one jitted lax.scan: tokens sampled on
         device feed the next iteration's input; the host fetches ONE packed
         [2, H, R] result. Sampling PRNG folds per-row decode position, so
@@ -789,9 +790,15 @@ class ModelRunner:
         def body(carry, _):
             kv, toks, pos, sl, stp = carry
             slot = block_table[rows, pos // BS] * BS + pos % BS
-            md = AttentionMetadata(query_start_loc=qsl, seq_lens=sl,
-                                   block_table=block_table,
-                                   slot_mapping=slot)
+            # Enc-dec (Whisper): the cross-KV pool is loop-invariant over
+            # the horizon — it rides as a scan constant, so audio decode
+            # gets the same RTT amortization as text decode.
+            md = AttentionMetadata(
+                query_start_loc=qsl, seq_lens=sl,
+                block_table=block_table, slot_mapping=slot,
+                cross_kv=cross_args[0] if cross_args is not None else None,
+                cross_slots=(cross_args[1] if cross_args is not None
+                             else None))
             # Decode M-RoPE positions: all three streams equal pos+delta.
             model_pos = (pos if mrope_delta is None else
                          jnp.broadcast_to((pos + mrope_delta)[None],
@@ -821,10 +828,13 @@ class ModelRunner:
         either way, so falling back to one step is always safe."""
         if (self.num_spec
                 or self.eagle_proposer is not None or self.dcp > 1
-                or self.pp > 1 or self.is_enc_dec
+                or self.pp > 1
                 or self.config.model_config.layer_types is not None
                 or grammar_masks):
             return False
+        if self.is_enc_dec and (self._cross_pool is None
+                                or self.expert_store is not None):
+            return False  # cross pool must exist to ride as scan constant
         if self.expert_store is not None and self.uses_mrope:
             return False  # staged/scan decode paths are text-only
         ib = self.input_batch
@@ -870,6 +880,11 @@ class ModelRunner:
             for r, rid in enumerate(scheduled):
                 deltas[r] = self._mrope_delta.get(rid, 0)
             mrope_kw = {"mrope_delta": jnp.asarray(deltas)}
+        if self.is_enc_dec and self._cross_pool is not None:
+            cs = np.full(R, self.max_num_reqs, dtype=np.int32)
+            for r, rid in enumerate(scheduled):
+                cs[r] = ib.req_id_to_index[rid]
+            mrope_kw["cross_args"] = (self._cross_pool, jnp.asarray(cs))
         self.step_counter += 1
         if self.expert_store is not None and not self._offload_use_scan():
             kv, packed = self._staged_multi_step(

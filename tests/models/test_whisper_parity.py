@@ -142,3 +142,44 @@ def test_whisper_engine_greedy_matches_hf_generate(tmp_path):
     ours2 = outs2[0].outputs[0].token_ids
     n2 = min(len(ours2), len(ref2))
     assert ours2[:n2] == ref2[:n2], (ours2, ref2)
+
+
+def test_whisper_multi_step_decode_matches_single(tmp_path):
+    """Multi-step decode now composes with enc-dec (VERDICT r02 weak #9):
+    the cross-KV pool rides the horizon scan as a constant. Outputs must
+    be identical to single-step and the run must take fewer engine
+    steps."""
+    from lvllm_tpu.config import (CacheConfig, EngineConfig,
+                                  SchedulerConfig)
+    from lvllm_tpu.engine.llm_engine import LLMEngine
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    _hf_model(tmp_path)
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((1, 16, 64)).astype(np.float32)
+    dec_ids = [3, 7]
+
+    def run(ms):
+        mc = load_model_config(str(tmp_path), max_model_len=64,
+                               dtype="float32")
+        eng = LLMEngine(EngineConfig(
+            model_config=mc,
+            cache_config=CacheConfig(block_size=16, num_gpu_blocks=32),
+            scheduler_config=SchedulerConfig(
+                max_num_batched_tokens=64, max_num_seqs=2,
+                max_model_len=64, multi_step_decode=ms)),
+            load_format="safetensors")
+        eng.add_request("a0", dec_ids,
+                        SamplingParams(temperature=0.0, max_tokens=12,
+                                       ignore_eos=True),
+                        mm_data={"input_features": feats})
+        outs, steps = [], 0
+        while eng.has_unfinished_requests() and steps < 40:
+            outs.extend(o for o in eng.step() if o.finished)
+            steps += 1
+        return outs[0].outputs[0].token_ids, steps
+
+    single, n1 = run(1)
+    multi, n4 = run(4)
+    assert single == multi, (single, multi)
+    assert n4 < n1, (n4, n1)
