@@ -100,6 +100,16 @@ def pcp_chunked_prefill(
     T = q.shape[0]
     assert T % p == 0, (T, p)
     chunk = T // p
+    D_in = q.shape[-1]
+    Dp = kv_cache.shape[-1]
+    if D_in < Dp:
+        # Lane-padded cache (config.kv_cache_dim): pad q/k/v, slice out.
+        pad = [(0, 0), (0, 0), (0, Dp - D_in)]
+        out, kv_cache = pcp_chunked_prefill(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), kv_cache,
+            block_table, positions, slot_mapping, n_valid, start, mesh,
+            scale)
+        return out[..., :D_in], kv_cache
 
     def shard_fn(q_c, k_c, v_c, kv, bt, pos_c, slot_c, nv, st):
         Hq, D = q_c.shape[1], q_c.shape[2]

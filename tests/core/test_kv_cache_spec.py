@@ -69,9 +69,10 @@ def test_models_declare_specs():
     specs = m.kv_cache_specs(jnp.bfloat16)
     assert len(specs) == 2
     assert all(isinstance(s, FullAttentionSpec) for s in specs)
-    # make_layer_cache delegates through the spec.
+    # make_layer_cache delegates through the spec; sub-128 head dims
+    # lane-pad to 128 so the Pallas attention kernel serves them.
     cache = m.make_layer_cache(0, 4, 16, jnp.bfloat16, 2)
-    assert cache.shape == (2, 4, 16, 2, 32)
+    assert cache.shape == (2, 4, 16, 2, 128)
 
 
 def test_mla_model_declares_latent_spec():
