@@ -291,6 +291,16 @@ def load_model_config(model_path: str,
                   2 * sum(mrope_section) / hd}
         hf = {**hf, "rope_scaling": None}
         override_arch, arch = arch, "Glm4MoeForCausalLM"
+    if arch == "FuyuForCausalLM":
+        # Fuyu: no vision tower — a Linear patch embed feeds the
+        # Persimmon decoder (reference models/fuyu.py). Flatten the
+        # persimmon text_config and run the Persimmon fixups.
+        vision_cfg = {"patch_size": hf.get("patch_size", 30),
+                      "num_channels": hf.get("num_channels", 3)}
+        image_token_id = hf.get("image_token_id", 71011)
+        text = dict(hf.get("text_config") or {})
+        hf = {**hf, **text}
+        override_arch, arch = arch, "PersimmonForCausalLM"
     if arch in ("Idefics3ForConditionalGeneration",
                 "SmolVLMForConditionalGeneration"):
         # Idefics3/SmolVLM: SigLIP-style tower + pixel-shuffle connector;

@@ -980,7 +980,7 @@ class Qwen3Model:
                     yield f"layers.{m.group(1)}." + rest, w
                 else:
                     yield name, w
-        elif arch == "PersimmonForCausalLM":
+        elif arch in ("PersimmonForCausalLM", "FuyuForCausalLM"):
             # Persimmon (HF PersimmonAttention): fused per-head qkv
             # [Hh, 3, D], biased q/k layernorms, dense_h_to_4h MLP.
             c = self.config

@@ -153,6 +153,7 @@ def _register_builtin() -> None:
     from lvllm_tpu.models import glm4v  # noqa: F401
     from lvllm_tpu.models import internvl  # noqa: F401
     from lvllm_tpu.models import idefics3  # noqa: F401
+    from lvllm_tpu.models import fuyu  # noqa: F401
 
     # Audio encoder-decoder (Whisper).
     from lvllm_tpu.models import whisper  # noqa: F401
