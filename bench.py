@@ -165,10 +165,14 @@ def _bench_offload(remaining, stream_mbps) -> dict:
     h0 = store.stats["prefetch_hits"]
     t1 = time.time()
     osteps = 0
-    # First decode step pays the staged-decode compiles; keep it in the
-    # measurement only if budget is tight (fields below split it out).
-    while eng.has_unfinished_requests() and osteps < 2 and \
-            (osteps == 0 or remaining() > 60):
+    # Each engine step streams horizon x host_tier bytes; on a slow
+    # tunnel run (observed 17-76 MB/s) one step can take minutes, so the
+    # step target adapts to the measured transport — the first step
+    # always runs (the non-null number is the point of the leg).
+    est_step_s = (horizon * host_bytes / 1e6) / max(stream_mbps, 1.0)
+    target_steps = 2 if est_step_s < 180 else 1
+    while eng.has_unfinished_requests() and osteps < target_steps and \
+            (osteps == 0 or remaining() > 60 + est_step_s):
         eng.step()
         osteps += 1
     elapsed = time.time() - t1
