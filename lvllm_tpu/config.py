@@ -165,6 +165,12 @@ class ModelConfig:
     mamba_expand: int = 2
     mamba_conv_bias: bool = True
     mamba_proj_bias: bool = False
+    # Gated output norm in the mamba2 mixer (MambaRMSNormGated). FalconH1
+    # sets mamba_rms_norm=False: plain y * silu(gate), no norm.
+    mamba_use_gated_norm: bool = True
+    # FalconH1 muP multipliers folded into weights at load
+    # (modeling_falcon_h1.compute_mup_vector + per-module multipliers).
+    mup_multipliers: Optional[dict] = None
     time_step_limit: Optional[Tuple[float, float]] = None
     # Mamba1 (selective scan): dt low-rank projection width
     # (HF time_step_rank; 0 = not a mamba1 model). Layers typed

@@ -291,6 +291,21 @@ def load_model_config(model_path: str,
                   2 * sum(mrope_section) / hd}
         hf = {**hf, "rope_scaling": None}
         override_arch, arch = arch, "Glm4MoeForCausalLM"
+    if arch == "FalconH1ForCausalLM":
+        # FalconH1: attention + mamba2 in parallel per layer; muP
+        # multipliers fold into weights at load (models/falcon_h1.py).
+        hf = {**hf,
+              "layer_types": ["linear_attention"] * hf["num_hidden_layers"],
+              "mamba_use_gated_norm": hf.get("mamba_rms_norm", False),
+              "mup_multipliers": {
+                  k: hf.get(k) for k in (
+                      "attention_in_multiplier",
+                      "attention_out_multiplier", "key_multiplier",
+                      "ssm_in_multiplier", "ssm_out_multiplier",
+                      "ssm_multipliers", "mlp_multipliers")
+                  if hf.get(k) is not None},
+              "logits_scaling": 1.0 / hf.get("lm_head_multiplier", 1.0),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
     if arch == "FuyuForCausalLM":
         # Fuyu: no vision tower — a Linear patch embed feeds the
         # Persimmon decoder (reference models/fuyu.py). Flatten the
@@ -774,6 +789,8 @@ def load_model_config(model_path: str,
                         hf.get("logit_scale")
                         else hf.get("logits_scaling", 1.0)),
         # Mamba2/Bamba SSD mixer dims (both naming conventions).
+        mamba_use_gated_norm=hf.get("mamba_use_gated_norm", True),
+        mup_multipliers=hf.get("mup_multipliers"),
         mamba_num_heads=(hf.get("mamba_n_heads") or
                          (hf.get("num_heads") if "state_size" in hf else 0)
                          or 0),

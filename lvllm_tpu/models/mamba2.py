@@ -100,11 +100,13 @@ def mamba2_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
 
     # Gated norm: gate → SiLU → multiply → RMSNorm over the flat d_inner
     # (HF MambaRMSNormGated; NOTE the gate applies BEFORE the norm,
-    # opposite of the GDN gated norm in qwen3_next).
+    # opposite of the GDN gated norm in qwen3_next). FalconH1
+    # (mamba_rms_norm=False) keeps the gate but skips the norm.
     y = y.reshape(T, d_inner)
     y = y * jax.nn.silu(gate.astype(jnp.float32))
-    y = rms_norm(y, mp["norm"]["weight"].astype(jnp.float32),
-                 c.rms_norm_eps)
+    if c.mamba_use_gated_norm:
+        y = rms_norm(y, mp["norm"]["weight"].astype(jnp.float32),
+                     c.rms_norm_eps)
     out = y.astype(x.dtype) @ mp["out_proj"]["kernel"]
     if "bias" in mp["out_proj"]:
         out = out + mp["out_proj"]["bias"]
@@ -123,9 +125,10 @@ def mamba2_init_mixer_params(c: ModelConfig, dense, dtype) -> Dict[str, Any]:
         "dt_bias": jnp.ones((NH,), jnp.float32),
         "a_log": jnp.zeros((NH,), jnp.float32),
         "d": jnp.ones((NH,), jnp.float32),
-        "norm": {"weight": jnp.ones((d_inner,), dtype)},
         "out_proj": {"kernel": dense((d_inner, c.hidden_size))},
     }
+    if c.mamba_use_gated_norm:
+        mp["norm"] = {"weight": jnp.ones((d_inner,), dtype)}
     if c.mamba_conv_bias:
         mp["conv_bias"] = jnp.zeros((conv_dim,), jnp.float32)
     if c.mamba_proj_bias:

@@ -154,6 +154,7 @@ def _register_builtin() -> None:
     from lvllm_tpu.models import internvl  # noqa: F401
     from lvllm_tpu.models import idefics3  # noqa: F401
     from lvllm_tpu.models import fuyu  # noqa: F401
+    from lvllm_tpu.models import falcon_h1  # noqa: F401
 
     # Audio encoder-decoder (Whisper).
     from lvllm_tpu.models import whisper  # noqa: F401

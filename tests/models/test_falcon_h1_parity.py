@@ -1,0 +1,79 @@
+"""FalconH1 parity vs transformers (parallel attention + Mamba2 per
+layer, muP multipliers folded at load; reference models/falcon_h1.py)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from tests.models.test_hf_parity import (compare, hf_logits,  # noqa: E402
+                                         our_logits)
+
+TOKENS = [5, 55, 8, 43, 21, 87, 9, 2, 33, 60]
+
+
+def _cfg(**kw):
+    base = dict(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, mamba_n_heads=8,
+        mamba_d_head=8, mamba_d_state=16, mamba_d_conv=4, mamba_n_groups=1,
+        mamba_d_ssm=64, tie_word_embeddings=False, pad_token_id=0)
+    base.update(kw)
+    return transformers.FalconH1Config(**base)
+
+
+def _save(cfg, tmp_path):
+    torch.manual_seed(0)
+    m = transformers.FalconH1ForCausalLM(cfg).eval()
+    m.save_pretrained(str(tmp_path), safe_serialization=True)
+    return m
+
+
+def test_falcon_h1_parity_plain(tmp_path):
+    hf = _save(_cfg(), tmp_path)
+    compare(hf_logits(hf, TOKENS), our_logits(str(tmp_path), TOKENS),
+            "falcon_h1")
+
+
+def test_falcon_h1_parity_mup_multipliers(tmp_path):
+    """Non-trivial muP multipliers must fold into weights exactly."""
+    hf = _save(_cfg(
+        attention_in_multiplier=1.5, key_multiplier=0.5,
+        attention_out_multiplier=0.8, ssm_in_multiplier=1.2,
+        ssm_out_multiplier=0.9, ssm_multipliers=[1.1, 0.9, 1.2, 0.8, 1.3],
+        mlp_multipliers=[1.4, 0.7], embedding_multiplier=2.0,
+        lm_head_multiplier=0.5), tmp_path)
+    compare(hf_logits(hf, TOKENS), our_logits(str(tmp_path), TOKENS),
+            "falcon_h1_mup")
+
+
+def test_falcon_h1_engine_generates(tmp_path):
+    from lvllm_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from lvllm_tpu.engine.llm_engine import LLMEngine
+    from lvllm_tpu.model_loader.hf_config import load_model_config
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    _save(_cfg(), tmp_path)
+    mc = load_model_config(str(tmp_path), max_model_len=128,
+                           dtype="float32")
+    eng = LLMEngine(EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=32),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                         max_num_seqs=2,
+                                         max_model_len=128)),
+        load_format="safetensors")
+    eng.add_request("f0", [1, 2, 3, 4, 5],
+                    SamplingParams(temperature=0.0, max_tokens=8))
+    eng.add_request("f1", list(range(20, 45)),
+                    SamplingParams(temperature=0.0, max_tokens=6))
+    outs = {}
+    steps = 0
+    while eng.has_unfinished_requests() and steps < 60:
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o.outputs[0].token_ids
+        steps += 1
+    assert len(outs["f0"]) == 8 and len(outs["f1"]) == 6
