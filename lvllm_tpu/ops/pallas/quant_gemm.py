@@ -471,12 +471,15 @@ def grouped_quant_ffn_tiled(
     safe_expert = jnp.maximum(block_expert, 0)
     out_dtype = x_aligned.dtype
 
+    # Dot precision by shape (measured on v5e): DECODE blocks (tile_m 8)
+    # run fastest as f32 dequant + f32 dot (bf16 relayouts cost more than
+    # they save at tiny M); PREFILL blocks (tile_m >= 32) are MXU-bound —
+    # ~5.5 TFLOP/step at the bench geometry — where the bf16 dot's 4x
+    # rate over f32 dominates. Scales apply on the OUTPUT per k-group
+    # either way (K/M times less VPU work than per-weight scaling).
+    use_bf16_dot = tile_m >= 32
+
     def dot_tile(xv, w_ref_tile, s_ref_tile, K_full):
-        # f32 dequant + f32 dot is the fastest lowering measured on v5e
-        # (bf16 dequant/dot relayouts cost more than they save; lo/hi
-        # split-dots fail Mosaic lowering). Scales apply on the OUTPUT per
-        # k-group: one extra [M, tn] mul per group instead of a [G, tn]
-        # per-value weight mul — K/M times less VPU work at decode M.
         if method == "int4":
             pck = w_ref_tile.astype(jnp.int32)
             lo = (pck << 28) >> 28
@@ -485,9 +488,10 @@ def grouped_quant_ffn_tiled(
         else:
             q = w_ref_tile.astype(jnp.int32)
         Kq, tn = q.shape
-        qf = q.astype(jnp.float32)
+        cdt = jnp.bfloat16 if use_bf16_dot else jnp.float32
+        qf = q.astype(cdt)
         sc = s_ref_tile.astype(jnp.float32)           # [Kq//G, tn]
-        xf = xv.astype(jnp.float32)
+        xf = xv.astype(cdt)
         acc = None
         for g in range(Kq // group_size):
             part = jax.lax.dot_general(
