@@ -24,15 +24,25 @@ from lvllm_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 
-def apply_weight_update(runner, updates: Dict[str, np.ndarray]) -> int:
+def apply_weight_update(runner, updates: Dict[str, np.ndarray],
+                        step_lock=None) -> int:
     """Apply path-keyed tensor updates onto the runner's params tree.
     Paths use '/'-joined keys (list indices as digits). Returns the
-    number of leaves applied; unknown paths or shape mismatches raise."""
+    number of leaves applied; unknown paths or shape mismatches raise.
+
+    Two-phase for step consistency: every leaf is first validated and
+    materialized on device, then the whole batch is swapped in while
+    holding ``step_lock`` (the EngineCore's dispatch lock) — a step
+    traced concurrently captures either all-old or all-new leaves, never
+    a torn mix (reference weight-transfer engines synchronize the update
+    with the forward pass the same way)."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
     params = runner.params
-    applied = 0
+    prepared = []
     for path, value in updates.items():
         node = params
         keys = path.split("/")
@@ -48,9 +58,12 @@ def apply_weight_update(runner, updates: Dict[str, np.ndarray]) -> int:
         arr = jnp.asarray(value, old.dtype)
         if sharding is not None:
             arr = jax.device_put(arr, sharding)
-        node[leaf_key] = arr
-        applied += 1
-    return applied
+        prepared.append((node, leaf_key, arr))
+    lock = step_lock if step_lock is not None else contextlib.nullcontext()
+    with lock:
+        for node, leaf_key, arr in prepared:
+            node[leaf_key] = arr
+    return len(prepared)
 
 
 class WeightPushServer:
@@ -82,8 +95,10 @@ class WeightPushServer:
                 continue
             msg = pickle.loads(self._sock.recv())
             try:
-                n = apply_weight_update(self.engine.core.runner,
-                                        msg["tensors"])
+                core = getattr(self.engine, "core", self.engine)
+                n = apply_weight_update(
+                    core.runner, msg["tensors"],
+                    step_lock=getattr(core, "step_lock", None))
                 self.updates_applied += n
                 self._sock.send(pickle.dumps({"ok": True, "applied": n}))
             except Exception as e:  # noqa: BLE001

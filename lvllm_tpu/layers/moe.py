@@ -275,7 +275,7 @@ def fused_moe_quant(
 
     tile_m = _pick_tile_m(T, top_k)
     d = moe_align.align_tokens(x, topk_ids, E, tile_m)
-    if (use_pallas and params.w1_q.ndim == 4
+    if (use_pallas and params.w1_q.ndim == 4 and params.w2_q.ndim == 4
             and params.method in ("int4", "int8")):
         # Fused whole-FFN kernel: w1 GEMM → SiLU·mul → w2 GEMM in one
         # launch with a single uninterrupted weight stream per expert

@@ -248,7 +248,13 @@ def rejection_sample(
         p_keep = jnp.where(keep, p_full / jnp.maximum(z, 1e-20), 0.0)
         residual = jnp.maximum(p_keep - draft_q.astype(jnp.float32), 0.0)
         masked = jnp.where(residual > 0.0, jnp.log(residual) + g, -jnp.inf)
-        recovery = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        # Guard the degenerate all-zero residual (p numerically == q
+        # everywhere but fp rounding of p_d vs q_d still rejected):
+        # argmax over an all -inf row would silently emit token 0; the
+        # draft itself is the correct emission since p == q.
+        recovery = jnp.where(
+            jnp.sum(residual, axis=-1) > 0.0,
+            jnp.argmax(masked, axis=-1), d[:, 0]).astype(jnp.int32)
 
     verified = jnp.where(accept, draft_tokens, recovery)
     use = (draft_tokens >= 0) & (st.temperature > 0.0)

@@ -121,6 +121,10 @@ class DraftModelProposer:
         st = self._reqs.pop(rid, None)
         if st:
             self._free_blocks.extend(reversed(st["blocks"]))
+        # Drop the stored proposal distribution too — each entry is a
+        # [k, V] f32 (~MBs at real vocab sizes) and would otherwise leak
+        # for every finished sampled-draft request.
+        self.last_q.pop(rid, None)
 
     def _state(self, rid: str) -> dict:
         if rid not in self._reqs:

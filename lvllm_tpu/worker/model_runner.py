@@ -398,7 +398,7 @@ class ModelRunner:
                         block_table, slot_mapping, logits_indices,
                         temperature, top_k, top_p, min_p, seeds, steps,
                         penalty_args=None, grammar_mask=None,
-                        draft_mat=None, draft_q=None):
+                        draft_mat=None, draft_q=None, row_slots=None):
         """Layer-by-layer dispatch with host→HBM expert streaming overlapped
         via JAX async dispatch (the fork's prefetch-window decode path,
         SURVEY.md §2.11.6, rebuilt without CUDA streams)."""
@@ -406,7 +406,8 @@ class ModelRunner:
 
         md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
                                block_table=block_table,
-                               slot_mapping=slot_mapping)
+                               slot_mapping=slot_mapping,
+                               row_slots=row_slots)
         store = self.expert_store
         # Warm the prefetch pipeline for the first streamed layers.
         store.advance(-1, self.streamed_moe_layers)
@@ -485,7 +486,7 @@ class ModelRunner:
 
     def _staged_multi_step(self, tokens, positions, seq_lens, block_table,
                            temperature, top_k, top_p, min_p, seeds, steps,
-                           horizon, greedy_only):
+                           horizon, greedy_only, row_slots=None):
         """Horizon decode with per-layer streaming: the decode carry
         (tokens/positions/seq_lens/slot) stays on device between steps, so
         the host dispatches ~(groups+3) async calls per step and fetches
@@ -508,7 +509,7 @@ class ModelRunner:
         for _ in range(horizon):
             sampled, logprobs = self._execute_staged(
                 tok, pos, qsl, sl, bt, slot, li, temperature, top_k,
-                top_p, min_p, seeds, stp)
+                top_p, min_p, seeds, stp, row_slots=row_slots)
             toks_h.append(sampled)
             lps_h.append(logprobs)
             tok, pos, sl, stp, slot = self._offload_adv_fn(
@@ -755,9 +756,18 @@ class ModelRunner:
         if draft_mat is not None:
             # Stochastic (lossless) verification for non-greedy rows with
             # drafts; greedy rows keep the host exact-match path. Sampled
-            # drafts ship their proposal distribution (general-q form).
-            qv = (draft_q.reshape(-1, logits.shape[-1])
-                  if draft_q is not None else None)
+            # drafts ship their proposal distribution as (values [NQ, S1,
+            # V], rows [NQ]); the one-hot q of deterministic rows is
+            # synthesized here on device (the general-q path with a
+            # one-hot q is numerically identical to the one-hot path).
+            qv = None
+            if draft_q is not None:
+                q_vals, q_rows = draft_q
+                Vq = logits.shape[-1]
+                q_base = jax.nn.one_hot(jnp.clip(draft_mat, 0, Vq - 1),
+                                        Vq, dtype=jnp.float32)
+                q_full = q_base.at[q_rows].set(q_vals, mode="drop")
+                qv = q_full.reshape(-1, Vq)
             sampled = rejection_sample(logits, st, steps_mat,
                                        draft_mat.reshape(-1), sampled,
                                        draft_q=qv)
@@ -775,11 +785,15 @@ class ModelRunner:
     def _multi_step(self, params, kv_caches, tokens, positions, seq_lens,
                     block_table, temperature, top_k, top_p, min_p, seeds,
                     steps, horizon, greedy_only=False, mrope_delta=None,
-                    cross_args=None):
+                    cross_args=None, row_slots=None):
         """H decode iterations in one jitted lax.scan: tokens sampled on
         device feed the next iteration's input; the host fetches ONE packed
         [2, H, R] result. Sampling PRNG folds per-row decode position, so
-        outputs are bit-identical to H single steps."""
+        outputs are bit-identical to H single steps. Hybrid models
+        (GDN/Mamba layer_types) compose: their conv/recurrent state
+        arrays are part of ``kv_caches`` and ride the scan carry exactly
+        like paged KV; ``row_slots`` maps batch rows to persistent state
+        slots (r03 VERDICT next #1)."""
         R = tokens.shape[0]
         BS = self.block_size
         qsl = jnp.arange(R + 1, dtype=jnp.int32)
@@ -796,6 +810,7 @@ class ModelRunner:
             md = AttentionMetadata(
                 query_start_loc=qsl, seq_lens=sl,
                 block_table=block_table, slot_mapping=slot,
+                row_slots=row_slots,
                 cross_kv=cross_args[0] if cross_args is not None else None,
                 cross_slots=(cross_args[1] if cross_args is not None
                              else None))
@@ -821,15 +836,16 @@ class ModelRunner:
     def _can_multi_step(self, so, grammar_masks) -> bool:
         """Horizon execution excludes features that need per-step host
         state (grammar advance, penalties history, top-k logprobs, LoRA)
-        or a different execution scheme (spec, EAGLE, DCP, hybrid state
-        caches). Expert offload composes: streamed weights are either
-        loop-invariant scan constants or re-streamed per staged step
-        (_offload_use_scan). The scheduler pre-allocated lookahead blocks
-        either way, so falling back to one step is always safe."""
+        or a different execution scheme (spec, EAGLE, DCP). Hybrid
+        layer_types models (GDN/Mamba state caches) compose: states ride
+        the scan carry, rows mapped to state slots via row_slots. Expert
+        offload composes: streamed weights are either loop-invariant scan
+        constants or re-streamed per staged step (_offload_use_scan). The
+        scheduler pre-allocated lookahead blocks either way, so falling
+        back to one step is always safe."""
         if (self.num_spec
                 or self.eagle_proposer is not None or self.dcp > 1
                 or self.pp > 1
-                or self.config.model_config.layer_types is not None
                 or grammar_masks):
             return False
         if self.is_enc_dec and (self._cross_pool is None
@@ -885,6 +901,13 @@ class ModelRunner:
             for r, rid in enumerate(scheduled):
                 cs[r] = ib.req_id_to_index[rid]
             mrope_kw["cross_args"] = (self._cross_pool, jnp.asarray(cs))
+        if self.config.model_config.layer_types is not None:
+            # Hybrid state slots: active rows map to their persistent
+            # batch slot; inactive rows write the scratch slot.
+            rs = np.full(R, self.max_num_reqs, dtype=np.int32)
+            for r, rid in enumerate(scheduled):
+                rs[r] = ib.req_id_to_index[rid]
+            mrope_kw["row_slots"] = jnp.asarray(rs)
         self.step_counter += 1
         if self.expert_store is not None and not self._offload_use_scan():
             kv, packed = self._staged_multi_step(
@@ -894,7 +917,8 @@ class ModelRunner:
                 jnp.asarray(ib.top_p[pad_rows]),
                 jnp.asarray(ib.min_p[pad_rows]),
                 jnp.asarray(ib.seeds[pad_rows]),
-                jnp.asarray(steps), horizon, greedy_only)
+                jnp.asarray(steps), horizon, greedy_only,
+                row_slots=mrope_kw.get("row_slots"))
         else:
             step_params = self.params
             if self.expert_store is not None:
@@ -1414,22 +1438,30 @@ class ModelRunner:
                for r in range(len(row_req_ids))):
             draft_mat = jnp.asarray(draft_np)
             # Sampled drafts carry their proposal distribution q; rows
-            # without one verify against the one-hot (deterministic) q.
-            if any(rid in self.draft_q_store for rid in row_req_ids):
+            # without one verify against the one-hot (deterministic) q,
+            # synthesized ON DEVICE from draft_mat — only rows with a
+            # stored distribution ship host→device (a dense [R, S1, V]
+            # f32 would be ~50 MB/step at real vocab sizes; over the
+            # ~5 MB/s dev tunnel that would erase the speculative win).
+            q_rows = [r for r, rid in enumerate(row_req_ids)
+                      if rid in self.draft_q_store and row_drafts[r]]
+            if q_rows:
                 Vv = self.config.model_config.vocab_size
-                q_np = np.zeros((R, S1, Vv), np.float32)
-                pos_idx = np.clip(draft_np, 0, Vv - 1)
-                np.put_along_axis(
-                    q_np, pos_idx[:, :, None], 1.0, axis=2)
-                for r, rid in enumerate(row_req_ids):
-                    qr = self.draft_q_store.get(rid)
-                    drafts = row_drafts[r]
-                    if qr is None or not drafts:
-                        continue
-                    kd = len(drafts)
+                NQ = 1
+                while NQ < len(q_rows):
+                    NQ *= 2
+                q_np = np.zeros((NQ, S1, Vv), np.float32)
+                # Pad entries scatter at row R (out of bounds → dropped).
+                rows_np = np.full(NQ, R, np.int32)
+                for j, r in enumerate(q_rows):
+                    rows_np[j] = r
+                    pos_idx = np.clip(draft_np[r], 0, Vv - 1)
+                    q_np[j, np.arange(S1), pos_idx] = 1.0
+                    qr = self.draft_q_store[row_req_ids[r]]
+                    kd = len(row_drafts[r])
                     for i in range(min(kd, qr.shape[0])):
-                        q_np[r, S1 - 1 - kd + i] = qr[i]
-                draft_q = jnp.asarray(q_np)
+                        q_np[j, S1 - 1 - kd + i] = qr[i]
+                draft_q = (jnp.asarray(q_np), jnp.asarray(rows_np))
         want_topk = bool(np.any(ib.num_logprobs[active] > 0)) \
             if active else False
         topk = None
@@ -1446,7 +1478,7 @@ class ModelRunner:
             sampled, logprobs = self._execute_staged(
                 *dev_args, penalty_args=penalty_args,
                 grammar_mask=grammar_mask, draft_mat=draft_mat,
-                draft_q=draft_q)
+                draft_q=draft_q, row_slots=row_slots)
             packed = jnp.stack([
                 jnp.asarray(sampled),
                 jax.lax.bitcast_convert_type(

@@ -127,6 +127,54 @@ def test_multi_step_offload_matches_single_step(mode, temperature):
     assert stats["bytes_streamed"] > 0
 
 
+def make_hybrid_offload_llm(multi_step=1, multi_step_mode="auto",
+                            quantization=None):
+    """Qwen3-Next-geometry config: hybrid GDN+full attention AND MoE with
+    streamed experts — the BASELINE headline architecture's shape."""
+    from lvllm_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig)
+    from lvllm_tpu.engine.llm_engine import LLMEngine
+
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3NextForCausalLM", dtype="float32",
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,
+        layer_types=("linear_attention", "full_attention",
+                     "linear_attention", "full_attention"),
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=64,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=-1,
+        quantization=quantization, seed=11)
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=128,
+                                         max_num_seqs=4, max_model_len=128,
+                                         multi_step_decode=multi_step),
+        offload_config=OffloadConfig(enabled=True,
+                                     multi_step_mode=multi_step_mode),
+    )
+    return LLMEngine(cfg, load_format="dummy")
+
+
+@pytest.mark.parametrize("mode", ["scan", "staged"])
+def test_hybrid_multi_step_offload_matches_single_step(mode):
+    """The north-star configuration (r03 VERDICT next #1): hybrid
+    GDN/full-attention MoE model + expert offload + multi-step decode,
+    bit-identical to single-step offloaded decode."""
+    sp = SamplingParams(temperature=0.0, max_tokens=9)
+    prompts = [[1, 2, 3, 4, 5], list(range(20, 44)), [9, 8, 7]]
+
+    single = run_engine(make_hybrid_offload_llm(), prompts, sp)
+    eng = make_hybrid_offload_llm(multi_step=4, multi_step_mode=mode)
+    multi = run_engine(eng, prompts, sp)
+    for s, m in zip(single, multi):
+        assert s.outputs[0].token_ids == m.outputs[0].token_ids
+    assert eng.core.runner.expert_store.stats["bytes_streamed"] > 0
+
+
 def test_multi_step_offload_uses_fewer_engine_steps():
     sp = SamplingParams(temperature=0.0, max_tokens=12)
     eng = make_offload_llm(multi_step=4, multi_step_mode="scan")

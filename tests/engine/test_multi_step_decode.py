@@ -74,6 +74,50 @@ def test_mixed_prefill_then_horizon():
     assert base == multi
 
 
+def _hybrid_llm(h=1):
+    """Qwen3-Next-style hybrid (GDN linear attention + full attention):
+    the BASELINE headline architecture. Multi-step must carry the
+    conv/recurrent state through the scan (r03 VERDICT next #1)."""
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3NextForCausalLM",
+        dtype="float32", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+        layer_types=("linear_attention", "full_attention"),
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4,
+        max_position_embeddings=256, max_model_len=128, eos_token_id=-1)
+    return LLM(model_config=mc, load_format="dummy", max_num_seqs=4,
+               max_num_batched_tokens=64, block_size=8, num_kv_blocks=64,
+               multi_step_decode=h)
+
+
+def test_hybrid_gdn_greedy_identical():
+    sp = SamplingParams(temperature=0.0, max_tokens=13)
+    base = _toks(_hybrid_llm(1).generate(PROMPTS, sp))
+    multi = _toks(_hybrid_llm(4).generate(PROMPTS, sp))
+    assert base == multi
+
+
+def test_hybrid_gdn_seeded_sampling_identical():
+    sp = [SamplingParams(temperature=0.9, top_k=20, top_p=0.9, seed=i + 1,
+                         max_tokens=11) for i in range(len(PROMPTS))]
+    base = _toks(_hybrid_llm(1).generate(PROMPTS, sp))
+    multi = _toks(_hybrid_llm(3).generate(PROMPTS, sp))
+    assert base == multi
+
+
+def test_hybrid_gdn_staggered_slots():
+    """Requests finishing at different times recycle batch slots: the
+    row→state-slot map must follow (multi-step row_slots plumbing)."""
+    sps = [SamplingParams(temperature=0.0, max_tokens=m)
+           for m in (4, 12, 7)]
+    base = _toks(_hybrid_llm(1).generate(PROMPTS, sps))
+    multi = _toks(_hybrid_llm(4).generate(PROMPTS, sps))
+    assert base == multi
+
+
 def test_logprobs_fallback_single_step():
     """Rows wanting top-k logprobs force the single-step path but still
     produce correct output."""
