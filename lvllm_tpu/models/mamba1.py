@@ -25,8 +25,8 @@ from lvllm_tpu.layers.common import fused_add_rms_norm, rms_norm
 from lvllm_tpu.models.model_base import AttentionMetadata, Params
 from lvllm_tpu.models.qwen3 import Qwen3Model
 from lvllm_tpu.ops.attention import _token_request_map
-from lvllm_tpu.ops.gdn import causal_conv1d_ragged
-from lvllm_tpu.ops.mamba1 import mamba1_scan_ragged
+from lvllm_tpu.ops.gdn import causal_conv1d_decode, causal_conv1d_ragged
+from lvllm_tpu.ops.mamba1 import mamba1_decode, mamba1_scan_ragged
 from lvllm_tpu.logger import init_logger
 
 logger = init_logger(__name__)
@@ -58,7 +58,9 @@ def mamba1_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
         scratch).astype(jnp.int32)
     reset = (positions == 0) & token_valid
 
-    conv_out, conv_state = causal_conv1d_ragged(
+    conv_fn = causal_conv1d_decode if md.decode_mode \
+        else causal_conv1d_ragged
+    conv_out, conv_state = conv_fn(
         xs, state["conv"], mp["conv_weight"].astype(jnp.float32),
         token_slot, reset, bias=mp.get("conv_bias"))
     xc = jax.nn.silu(conv_out.astype(jnp.float32))
@@ -75,7 +77,8 @@ def mamba1_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
 
     A = -jnp.exp(mp["a_log"].astype(jnp.float32))              # [D, N]
     rec = state["rec"]
-    y, rec_out = mamba1_scan_ragged(
+    scan_fn = mamba1_decode if md.decode_mode else mamba1_scan_ragged
+    y, rec_out = scan_fn(
         xc, B.astype(jnp.float32), C.astype(jnp.float32), dt, A,
         mp["d"].astype(jnp.float32), rec[:, :, 0, :], token_slot, reset)
     rec_state = rec_out[:, :, None, :]
@@ -144,7 +147,9 @@ def short_conv_mixer(mp: Params, x: jax.Array, state,
     reset = (positions == 0) & token_valid
 
     Bx = B * xs
-    conv_out, conv_state = causal_conv1d_ragged(
+    conv_fn = causal_conv1d_decode if md.decode_mode \
+        else causal_conv1d_ragged
+    conv_out, conv_state = conv_fn(
         Bx, state["conv"], mp["conv_weight"].astype(jnp.float32),
         token_slot, reset, bias=mp.get("conv_bias"))
     y = C * conv_out.astype(C.dtype)

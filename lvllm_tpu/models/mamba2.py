@@ -27,8 +27,10 @@ from lvllm_tpu.layers.common import fused_add_rms_norm, rms_norm
 from lvllm_tpu.models.model_base import AttentionMetadata, Params
 from lvllm_tpu.models.qwen3 import Qwen3Model
 from lvllm_tpu.ops.attention import _token_request_map
-from lvllm_tpu.ops.gdn import causal_conv1d_ragged, causal_conv1d_single
-from lvllm_tpu.ops.mamba2 import mamba2_chunked, mamba2_scan_ragged
+from lvllm_tpu.ops.gdn import (causal_conv1d_decode, causal_conv1d_ragged,
+                               causal_conv1d_single)
+from lvllm_tpu.ops.mamba2 import (mamba2_chunked, mamba2_decode,
+                                  mamba2_scan_ragged)
 from lvllm_tpu.logger import init_logger
 
 logger = init_logger(__name__)
@@ -72,6 +74,9 @@ def mamba2_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
         conv_out, new_win = causal_conv1d_single(xbc, win0, conv_w, L,
                                                  bias=conv_b)
         conv_state = state["conv"].at[slot0].set(new_win)
+    elif md.decode_mode:
+        conv_out, conv_state = causal_conv1d_decode(
+            xbc, state["conv"], conv_w, token_slot, reset, bias=conv_b)
     else:
         conv_out, conv_state = causal_conv1d_ragged(
             xbc, state["conv"], conv_w, token_slot, reset, bias=conv_b)
@@ -94,6 +99,9 @@ def mamba2_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
         s0 = jnp.where(reset0, 0.0, state["rec"][slot0])
         y, s_out = mamba2_chunked(xs, B, C, dt, A, mp["d"], s0)
         rec_state = state["rec"].astype(jnp.float32).at[slot0].set(s_out)
+    elif md.decode_mode:
+        y, rec_state = mamba2_decode(
+            xs, B, C, dt, A, mp["d"], state["rec"], token_slot, reset)
     else:
         y, rec_state = mamba2_scan_ragged(
             xs, B, C, dt, A, mp["d"], state["rec"], token_slot, reset)

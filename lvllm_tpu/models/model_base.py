@@ -55,6 +55,12 @@ class AttentionMetadata:
     # the pcp_chunked_prefill path (parallel/prefill_cp.py; reference:
     # prefill_context_parallel_size, config/parallel.py:115).
     pcp_prefill: bool = field(default=False, metadata=dict(static=True))
+    # STATIC: pure decode batch — every scheduled request contributes
+    # exactly one token, so recurrent-state layers (GDN/Mamba) take the
+    # fully parallel batched update (ops/gdn.py *_decode) instead of the
+    # T-step token scan. Set by the runner for decode steps and inside
+    # the multi-step scan body.
+    decode_mode: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def num_reqs(self) -> int:

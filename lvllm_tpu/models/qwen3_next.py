@@ -24,8 +24,10 @@ from lvllm_tpu.config import ModelConfig
 from lvllm_tpu.layers.common import rms_norm
 from lvllm_tpu.models.model_base import AttentionMetadata, Params
 from lvllm_tpu.models.qwen3 import Qwen3Model
-from lvllm_tpu.ops.gdn import (causal_conv1d_ragged, causal_conv1d_single,
+from lvllm_tpu.ops.gdn import (causal_conv1d_decode, causal_conv1d_ragged,
+                               causal_conv1d_single,
                                gated_delta_rule_chunked,
+                               gated_delta_rule_decode,
                                gated_delta_rule_ragged,
                                l2norm)
 from lvllm_tpu.ops.attention import _token_request_map
@@ -179,6 +181,10 @@ class Qwen3NextModel(Qwen3Model):
             conv_out, new_win = causal_conv1d_single(
                 mixed, win0, attn["conv_weight"].astype(jnp.float32), L)
             conv_state = state["conv"].at[slot0].set(new_win)
+        elif md.decode_mode:
+            conv_out, conv_state = causal_conv1d_decode(
+                mixed, state["conv"], attn["conv_weight"].astype(jnp.float32),
+                token_slot, reset)
         else:
             conv_out, conv_state = causal_conv1d_ragged(
                 mixed, state["conv"], attn["conv_weight"].astype(jnp.float32),
@@ -204,6 +210,9 @@ class Qwen3NextModel(Qwen3Model):
                 qc, kc, vc, jnp.where(tv, g, 0.0),
                 jnp.where(tv, beta, 0.0), s0)
             rec_state = state["rec"].astype(jnp.float32).at[slot0].set(s_out)
+        elif md.decode_mode:
+            core, rec_state = gated_delta_rule_decode(
+                qc, kc, vc, g, beta, state["rec"], token_slot, reset)
         else:
             core, rec_state = gated_delta_rule_ragged(
                 qc, kc, vc, g, beta, state["rec"], token_slot, reset)

@@ -12,11 +12,15 @@ Math follows HF ``modeling_qwen3_next.torch_recurrent_gated_delta_rule``:
     o_t = q_tᵀ S
 with q,k L2-normalized and q scaled by dk^-1/2.
 
-Ragged batching: one ``lax.scan`` walks the flat token stream; each token
-updates its request's state slot (slot S = scratch for padding). Position-0
-tokens reset their slots (fresh or resumed-from-preemption prefill).
-A chunk-parallel Pallas kernel is the future fast path; this scan is the
-correctness-first implementation.
+Execution regimes:
+- decode batches (one token per request): fully parallel batched update
+  (``*_decode`` — no sequential dependency exists between requests);
+- single-request prefill segments: chunk-parallel WY form, run as a
+  Pallas kernel on TPU (``ops/pallas/gdn_chunk.py``) with the state in
+  VMEM scratch, jnp chunk scan elsewhere;
+- mixed ragged batches: one ``lax.scan`` walks the flat token stream;
+  each token updates its request's state slot (slot S = scratch for
+  padding). Position-0 tokens reset their slots.
 """
 
 from typing import Tuple
@@ -55,6 +59,31 @@ def causal_conv1d_ragged(
     if bias is not None:
         ys = ys + bias.astype(jnp.float32)
     return jax.nn.silu(ys).astype(x.dtype), conv_state.astype(jnp.float32)
+
+
+def causal_conv1d_decode(
+    x: jax.Array,           # [T, C]
+    conv_state: jax.Array,  # [S+1, C, K-1]
+    weight: jax.Array,      # [C, K]
+    token_slot: jax.Array,  # [T] i32 (S = scratch)
+    reset: jax.Array,       # [T] bool
+    bias: jax.Array = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode-batch fast path: every token is a distinct request's single
+    token, so there is NO sequential dependency between tokens — the
+    T-step scan collapses to one batched gather/update/scatter (padding
+    tokens share the scratch slot; whichever write wins is discarded).
+    Identical arithmetic to ``causal_conv1d_ragged`` per token."""
+    xf = x.astype(jnp.float32)
+    win = conv_state.astype(jnp.float32)[token_slot]        # [T, C, K-1]
+    win = jnp.where(reset[:, None, None], 0.0, win)
+    full = jnp.concatenate([win, xf[:, :, None]], axis=2)   # [T, C, K]
+    y = jnp.sum(full * weight[None], axis=2)                # [T, C]
+    conv_state = conv_state.astype(jnp.float32).at[token_slot].set(
+        full[:, :, 1:])
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return jax.nn.silu(y).astype(x.dtype), conv_state
 
 
 def causal_conv1d_single(
@@ -113,6 +142,36 @@ def gated_delta_rule_ragged(
     return outs, rec_state.astype(jnp.float32)
 
 
+def gated_delta_rule_decode(
+    q: jax.Array,           # [T, H, dk]
+    k: jax.Array,           # [T, H, dk]
+    v: jax.Array,           # [T, H, dv]
+    g: jax.Array,           # [T, H]
+    beta: jax.Array,        # [T, H]
+    rec_state: jax.Array,   # [S+1, H, dk, dv]
+    token_slot: jax.Array,  # [T] i32
+    reset: jax.Array,       # [T] bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode-batch fast path for the gated delta rule: one token per
+    request → fully parallel rank-1 state updates (same arithmetic as one
+    ``gated_delta_rule_ragged`` scan step, batched over tokens)."""
+    dk = q.shape[-1]
+    qf = l2norm(q.astype(jnp.float32)) * (dk ** -0.5)
+    kf = l2norm(k.astype(jnp.float32))
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    bf = beta.astype(jnp.float32)
+    st = rec_state.astype(jnp.float32)[token_slot]          # [T, H, dk, dv]
+    st = jnp.where(reset[:, None, None, None], 0.0, st)
+    st = st * jnp.exp(gf)[:, :, None, None]
+    kv_mem = jnp.sum(st * kf[..., None], axis=-2)           # [T, H, dv]
+    delta = (vf - kv_mem) * bf[..., None]
+    st = st + kf[..., None] * delta[:, :, None, :]
+    out = jnp.sum(st * qf[..., None], axis=-2)              # [T, H, dv]
+    rec_state = rec_state.astype(jnp.float32).at[token_slot].set(st)
+    return out, rec_state
+
+
 def gated_delta_rule_chunked(
     q: jax.Array,        # [L, H, dk] (raw; normalized+scaled inside)
     k: jax.Array,        # [L, H, dk]
@@ -120,7 +179,8 @@ def gated_delta_rule_chunked(
     g: jax.Array,        # [L, H] log-decay (≤ 0)
     beta: jax.Array,     # [L, H]
     state0: jax.Array,   # [H, dk, dv] entering recurrent state
-    chunk_size: int = 64,
+    chunk_size: int = 128,
+    use_pallas: bool = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Chunk-parallel gated delta rule for one contiguous sequence.
 
@@ -140,10 +200,16 @@ def gated_delta_rule_chunked(
         o_t = γ_t q_tᵀ S₀ − Σ_{i≤t} exp(G_t−G_i)(q_tᵀ k_i) ū_iᵀ
         S_C = γ_C S₀ − Σ_t exp(G_C−G_t) k_t ū_tᵀ.
 
-    Cost: O(L·C) with C×C triangular solves instead of an O(L) scalar
-    scan — the MXU does the work. Exactly matches the ragged scan oracle
-    (tests/ops/test_gdn.py). The general mixed-batch engine path keeps the
-    scan; this op serves single-request prefill segments.
+    Cost: O(L·C) with C×C unit-triangular solves (done as log-doubling
+    Neumann products — pure MXU matmuls) instead of an O(L) scalar
+    scan. Exactly matches the ragged scan oracle (tests/ops/test_gdn.py).
+    The general mixed-batch engine path keeps the scan; this op serves
+    single-request prefill segments.
+
+    On TPU the per-chunk body runs as one Pallas kernel with the running
+    state carried in VMEM scratch (ops/pallas/gdn_chunk.py); elsewhere
+    (and under LVLLM_USE_REFERENCE_OPS) the jnp chunk scan below is the
+    oracle.
 
     Returns (outputs [L, H, dv], final state [H, dk, dv]).
     """
@@ -164,13 +230,23 @@ def gated_delta_rule_chunked(
         bf = jnp.pad(bf, ((0, pad), (0, 0)))   # β=0: pads don't update
     NC = (L + pad) // C
 
+    if use_pallas is None:
+        from lvllm_tpu import envs
+        use_pallas = (not envs.LVLLM_USE_REFERENCE_OPS and
+                      jax.default_backend() in ("tpu", "axon"))
+    if use_pallas:
+        from lvllm_tpu.ops.pallas.gdn_chunk import gdn_chunked_pallas
+        outs, state = gdn_chunked_pallas(qf, kf, vf, gf, bf,
+                                         state0.astype(jnp.float32),
+                                         chunk_size=C)
+        return outs[:L], state
+
     def to_chunks(x):
         return x.reshape(NC, C, *x.shape[1:])
 
     qc, kc, vc, gc, bc = map(to_chunks, (qf, kf, vf, gf, bf))
     tril_strict = jnp.tril(jnp.ones((C, C), jnp.float32), -1)
     tril_incl = jnp.tril(jnp.ones((C, C), jnp.float32))
-    eye = jnp.eye(C, dtype=jnp.float32)
 
     def one_chunk(state, inp):
         qt, kt, vt, gt, bt = inp                 # [C, H, *]
@@ -186,8 +262,16 @@ def gated_delta_rule_chunked(
         kS0 = jnp.einsum("thd,hdv->htv", kt, state)        # [H, C, dv]
         rhs = bt.T[:, :, None] * (gamma.T[:, :, None] * kS0
                                   - jnp.transpose(vt, (1, 0, 2)))
-        U = jax.scipy.linalg.solve_triangular(
-            eye[None] + A, rhs, lower=True, unit_diagonal=True)  # [H,C,dv]
+        # Unit-lower-triangular solve by log-doubling Neumann products
+        # ((I + A)⁻¹ = Π_k (I + M^{2^k}), M = −A nilpotent): 2·log₂(C)
+        # batched MXU matmuls instead of XLA's blocked triangular solve.
+        U = rhs                                              # [H, C, dv]
+        P = -A
+        n_solve = max((C - 1).bit_length(), 1)
+        for i_s in range(n_solve):
+            U = U + jnp.matmul(P, U)
+            if i_s + 1 < n_solve:
+                P = jnp.matmul(P, P)
         qS0 = jnp.einsum("thd,hdv->htv", qt, state)
         QK = jnp.einsum("thd,ihd->hti", qt, kt)
         o = (gamma.T[:, :, None] * qS0

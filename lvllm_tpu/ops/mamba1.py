@@ -52,3 +52,31 @@ def mamba1_scan_ragged(
         step, ssm_state.astype(jnp.float32),
         (xf, Bf, Cf, dtf, token_slot, reset))
     return ys, ssm_state.astype(jnp.float32)
+
+
+def mamba1_decode(
+    x: jax.Array,          # [T, D]
+    B: jax.Array,          # [T, N]
+    C: jax.Array,          # [T, N]
+    dt: jax.Array,         # [T, D]
+    A: jax.Array,          # [D, N]
+    Dskip: jax.Array,      # [D]
+    ssm_state: jax.Array,  # [S+1, D, N]
+    token_slot: jax.Array,  # [T] i32
+    reset: jax.Array,       # [T] bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode-batch fast path: one token per request → batched update with
+    the same per-token arithmetic as ``mamba1_scan_ragged``."""
+    xf = x.astype(jnp.float32)
+    Bf = B.astype(jnp.float32)
+    Cf = C.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    Af = A.astype(jnp.float32)
+    h = ssm_state.astype(jnp.float32)[token_slot]           # [T, D, N]
+    h = jnp.where(reset[:, None, None], 0.0, h)
+    dA = jnp.exp(dtf[:, :, None] * Af[None])                # [T, D, N]
+    h = h * dA + (dtf * xf)[:, :, None] * Bf[:, None, :]
+    y = jnp.sum(h * Cf[:, None, :], axis=-1)                # [T, D]
+    y = y + Dskip[None, :] * xf
+    ssm_state = ssm_state.astype(jnp.float32).at[token_slot].set(h)
+    return y, ssm_state

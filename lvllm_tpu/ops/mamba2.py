@@ -59,6 +59,35 @@ def mamba2_scan_ragged(
     return ys, ssm_state.astype(jnp.float32)
 
 
+def mamba2_decode(
+    x: jax.Array,          # [T, NH, HD]
+    B: jax.Array,          # [T, NH, N]
+    C: jax.Array,          # [T, NH, N]
+    dt: jax.Array,         # [T, NH]
+    A: jax.Array,          # [NH]
+    D: jax.Array,          # [NH]
+    ssm_state: jax.Array,  # [S+1, NH, HD, N]
+    token_slot: jax.Array,  # [T] i32
+    reset: jax.Array,       # [T] bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode-batch fast path: one token per request → the scan collapses
+    to a single batched state update (same per-token arithmetic as
+    ``mamba2_scan_ragged``)."""
+    xf = x.astype(jnp.float32)
+    Bf = B.astype(jnp.float32)
+    Cf = C.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    h = ssm_state.astype(jnp.float32)[token_slot]           # [T, NH, HD, N]
+    h = jnp.where(reset[:, None, None, None], 0.0, h)
+    dA = jnp.exp(dtf * A[None, :])                          # [T, NH]
+    h = h * dA[:, :, None, None] + \
+        (dtf[:, :, None] * xf)[:, :, :, None] * Bf[:, :, None, :]
+    y = jnp.sum(h * Cf[:, :, None, :], axis=-1)             # [T, NH, HD]
+    y = y + D[None, :, None] * xf
+    ssm_state = ssm_state.astype(jnp.float32).at[token_slot].set(h)
+    return y, ssm_state
+
+
 def mamba2_chunked(
     x: jax.Array,        # [L, NH, HD]
     B: jax.Array,        # [L, NH, N]

@@ -141,7 +141,7 @@ class ModelRunner:
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
                              "single_seq_prefill", "want_hidden",
-                             "aux_layers", "pcp_prefill"))
+                             "aux_layers", "pcp_prefill", "decode_mode"))
         # Multi-step decode: H iterations in one lax.scan (the TPU analog
         # of capturing N decode steps in one CUDA graph).
         self._multi_step_fn = jax.jit(
@@ -234,7 +234,7 @@ class ModelRunner:
             self._step, donate_argnums=(1,),
             static_argnames=("greedy_only", "want_topk_logprobs",
                              "single_seq_prefill", "want_hidden",
-                             "aux_layers", "pcp_prefill"))
+                             "aux_layers", "pcp_prefill", "decode_mode"))
 
     def _make_caches(self, kv_dtype):
         mc = self.config.model_config
@@ -398,7 +398,8 @@ class ModelRunner:
                         block_table, slot_mapping, logits_indices,
                         temperature, top_k, top_p, min_p, seeds, steps,
                         penalty_args=None, grammar_mask=None,
-                        draft_mat=None, draft_q=None, row_slots=None):
+                        draft_mat=None, draft_q=None, row_slots=None,
+                        decode_mode=False):
         """Layer-by-layer dispatch with host→HBM expert streaming overlapped
         via JAX async dispatch (the fork's prefetch-window decode path,
         SURVEY.md §2.11.6, rebuilt without CUDA streams)."""
@@ -407,7 +408,8 @@ class ModelRunner:
         md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
                                block_table=block_table,
                                slot_mapping=slot_mapping,
-                               row_slots=row_slots)
+                               row_slots=row_slots,
+                               decode_mode=decode_mode)
         store = self.expert_store
         # Warm the prefetch pipeline for the first streamed layers.
         store.advance(-1, self.streamed_moe_layers)
@@ -509,7 +511,8 @@ class ModelRunner:
         for _ in range(horizon):
             sampled, logprobs = self._execute_staged(
                 tok, pos, qsl, sl, bt, slot, li, temperature, top_k,
-                top_p, min_p, seeds, stp, row_slots=row_slots)
+                top_p, min_p, seeds, stp, row_slots=row_slots,
+                decode_mode=True)
             toks_h.append(sampled)
             lps_h.append(logprobs)
             tok, pos, sl, stp, slot = self._offload_adv_fn(
@@ -661,7 +664,7 @@ class ModelRunner:
               mm_mask=None, mm_deepstack=None,
               dcp_slot_mapping=None, want_hidden=False,
               cascade_args=None, aux_layers=(), draft_mat=None,
-              draft_q=None, cross_args=None):
+              draft_q=None, cross_args=None, decode_mode=False):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -677,6 +680,7 @@ class ModelRunner:
             row_slots=row_slots,
             single_seq_prefill=single_seq_prefill,
             pcp_prefill=pcp_prefill,
+            decode_mode=decode_mode,
             dcp_slot_mapping=dcp_slot_mapping,
             cascade_prefix_blocks=casc[0],
             cascade_prefix_len=casc[1],
@@ -810,7 +814,7 @@ class ModelRunner:
             md = AttentionMetadata(
                 query_start_loc=qsl, seq_lens=sl,
                 block_table=block_table, slot_mapping=slot,
-                row_slots=row_slots,
+                row_slots=row_slots, decode_mode=True,
                 cross_kv=cross_args[0] if cross_args is not None else None,
                 cross_slots=(cross_args[1] if cross_args is not None
                              else None))
@@ -1417,6 +1421,14 @@ class ModelRunner:
             and len(so.num_scheduled_tokens) == 1
             and next(iter(so.num_scheduled_tokens.values())) >= 64)
 
+        # Static decode path: every scheduled request contributes one
+        # token — recurrent-state layers take the batched parallel update
+        # instead of the T-step scan (ops/gdn.py *_decode).
+        decode_step = bool(
+            self.config.model_config.layer_types is not None
+            and not so.scheduled_spec_decode_tokens
+            and all(n == 1 for n in so.num_scheduled_tokens.values()))
+
         # Static PCP path: one long-prefill chunk → queries sharded over
         # the mesh "context" axis (eligibility asserted at init).
         pcp_step = bool(
@@ -1478,7 +1490,8 @@ class ModelRunner:
             sampled, logprobs = self._execute_staged(
                 *dev_args, penalty_args=penalty_args,
                 grammar_mask=grammar_mask, draft_mat=draft_mat,
-                draft_q=draft_q, row_slots=row_slots)
+                draft_q=draft_q, row_slots=row_slots,
+                decode_mode=decode_step)
             packed = jnp.stack([
                 jnp.asarray(sampled),
                 jax.lax.bitcast_convert_type(
@@ -1499,6 +1512,7 @@ class ModelRunner:
                 async_args=async_args, greedy_only=greedy_only,
                 row_slots=row_slots, want_topk_logprobs=want_topk,
                 single_seq_prefill=single_seq, pcp_prefill=pcp_step,
+                decode_mode=decode_step,
                 dcp_slot_mapping=(jnp.asarray(dcp_slot)
                                   if dcp_slot is not None else None),
                 want_hidden=want_hidden, cascade_args=cascade_args,

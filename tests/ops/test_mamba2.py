@@ -83,3 +83,51 @@ def test_chunked_matches_scan():
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(got_h), want_h, rtol=3e-4,
                                atol=3e-4)
+
+
+def test_mamba_decode_matches_scan():
+    """mamba2_decode / mamba1_decode == their scans for one-token-per-
+    request batches."""
+    import jax.numpy as jnp
+
+    from lvllm_tpu.ops.mamba1 import mamba1_decode, mamba1_scan_ragged
+    from lvllm_tpu.ops.mamba2 import mamba2_decode, mamba2_scan_ragged
+    rng = np.random.default_rng(11)
+    T, S = 5, 6
+    NH, HD, N = 3, 8, 4
+    x = rng.standard_normal((T, NH, HD)).astype(np.float32)
+    B = rng.standard_normal((T, NH, N)).astype(np.float32)
+    C = rng.standard_normal((T, NH, N)).astype(np.float32)
+    dt = rng.uniform(0.01, 0.5, (T, NH)).astype(np.float32)
+    A = -rng.uniform(0.5, 2.0, NH).astype(np.float32)
+    D = rng.standard_normal(NH).astype(np.float32)
+    st = rng.standard_normal((S, NH, HD, N)).astype(np.float32) * 0.3
+    slots = jnp.asarray([0, 2, 4, 5, 5], jnp.int32)
+    reset = jnp.asarray([True, False, False, False, False])
+    args = tuple(map(jnp.asarray, (x, B, C, dt, A, D, st)))
+    ref_y, ref_s = mamba2_scan_ragged(*args, slots, reset)
+    got_y, got_s = mamba2_decode(*args, slots, reset)
+    active = np.asarray(slots) != 5
+    np.testing.assert_allclose(np.asarray(got_y)[active],
+                               np.asarray(ref_y)[active], atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s)[:5],
+                               np.asarray(ref_s)[:5], atol=1e-5, rtol=1e-5)
+
+    Dm, Nm = 8, 4
+    x1 = rng.standard_normal((T, Dm)).astype(np.float32)
+    B1 = rng.standard_normal((T, Nm)).astype(np.float32)
+    C1 = rng.standard_normal((T, Nm)).astype(np.float32)
+    dt1 = rng.uniform(0.01, 0.5, (T, Dm)).astype(np.float32)
+    A1 = -rng.uniform(0.5, 2.0, (Dm, Nm)).astype(np.float32)
+    Ds = rng.standard_normal(Dm).astype(np.float32)
+    st1 = rng.standard_normal((S, Dm, Nm)).astype(np.float32) * 0.3
+    args1 = tuple(map(jnp.asarray, (x1, B1, C1, dt1, A1, Ds, st1)))
+    ref_y1, ref_s1 = mamba1_scan_ragged(*args1, slots, reset)
+    got_y1, got_s1 = mamba1_decode(*args1, slots, reset)
+    np.testing.assert_allclose(np.asarray(got_y1)[active],
+                               np.asarray(ref_y1)[active], atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s1)[:5],
+                               np.asarray(ref_s1)[:5], atol=1e-5,
+                               rtol=1e-5)
