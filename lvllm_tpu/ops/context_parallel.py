@@ -86,7 +86,8 @@ def _partial_attention_token_klen(
     return out.astype(q.dtype), lse
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "sliding_window"))
+@functools.partial(jax.jit, static_argnames=("scale", "sliding_window",
+                                             "use_pallas"))
 def ragged_paged_attention_with_lse(
     q: jax.Array,                # [T, Hq, D]
     kv_cache: jax.Array,         # [2, NB, BS, Hkv, D] (local shard pages)
@@ -95,6 +96,7 @@ def ragged_paged_attention_with_lse(
     seq_lens: jax.Array,         # [R] — LOCAL kv length on this shard
     scale: float,
     sliding_window: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Partial attention over a KV shard → (out [T,Hq,D], lse [T,Hq]).
 
@@ -103,7 +105,21 @@ def ragged_paged_attention_with_lse(
     key sequence: each query covers ``seq_lens - q_len + pos + 1`` local
     keys — for DCP decode (q_len=1) that is the whole shard; for cascade
     suffixes it is the usual causal prefix.
+
+    On TPU this runs as the Pallas flash kernel with its LSE output
+    (ops/pallas/ragged_attention.py want_lse) — no per-token vmap.
     """
+    if use_pallas is None:
+        from lvllm_tpu import envs
+        use_pallas = (not envs.LVLLM_USE_REFERENCE_OPS
+                      and jax.default_backend() in ("tpu", "axon")
+                      and q.shape[-1] % 128 == 0)
+    if use_pallas:
+        from lvllm_tpu.ops.pallas.ragged_attention import \
+            ragged_paged_attention_pallas
+        return ragged_paged_attention_pallas(
+            q, kv_cache, block_table, query_start_loc, seq_lens,
+            scale=scale, sliding_window=sliding_window, want_lse=True)
     T = q.shape[0]
     R = block_table.shape[0]
     req_idx = _token_request_map(query_start_loc, T, R)
@@ -212,6 +228,11 @@ def dcp_write_and_attend(
     T = q.shape[0]
     R = block_table.shape[0]
 
+    from lvllm_tpu import envs
+    use_pallas = (not envs.LVLLM_USE_REFERENCE_OPS
+                  and jax.default_backend() in ("tpu", "axon")
+                  and q.shape[-1] % 128 == 0)
+
     def body(q, k, v, kv, slot, bt, pos, qsl):
         kv_local = kv[0]
         kv_local = write_kv(kv_local, k, v, slot[0])
@@ -220,6 +241,27 @@ def dcp_write_and_attend(
         # positions 0..p that page-interleave onto this shard (includes the
         # token itself exactly on its owner shard, whose K was just written).
         klen = dcp_shard_seq_lens(pos + 1, s, CP, interleave=BS)
+        if use_pallas:
+            # Pallas flash kernel in explicit-klen mode: window/ALiBi
+            # masks over GLOBAL key positions via the page-interleave
+            # mapping; LSE comes out of the kernel (no per-token vmap).
+            from lvllm_tpu.ops.pallas.ragged_attention import \
+                ragged_paged_attention_pallas
+            req_last = jnp.maximum(qsl[1:] - 1, qsl[:-1])
+            req_seq = pos[jnp.clip(req_last, 0, T - 1)] + 1
+            local_lens = dcp_shard_seq_lens(req_seq, s, CP, interleave=BS)
+            out, lse = ragged_paged_attention_pallas(
+                q, kv_local, bt, qsl, local_lens, scale=scale,
+                sliding_window=sliding_window,
+                logits_soft_cap=logits_soft_cap,
+                alibi_slopes=alibi_slopes, want_lse=True,
+                token_klen=klen, token_gpos=pos,
+                cp_shards=CP, shard_idx=s)
+            outs = jax.lax.all_gather(out.astype(jnp.float32),
+                                      AXIS_CONTEXT)
+            lses = jax.lax.all_gather(lse, AXIS_CONTEXT)
+            merged = merge_attention_partials(outs, lses, sinks=sinks)
+            return merged.astype(q.dtype), kv_local[None]
         req_idx = _token_request_map(qsl, T, R)
         # Global position of local slot c under page interleave: logical
         # page (c // BS) on this shard is global page (c // BS) * CP + s.

@@ -105,6 +105,12 @@ def _attn_kernel(
     tile_q: int,
     sink_ref=None,     # [Hkv, ROWS] f32 VMEM (gpt-oss attention sinks)
     alibi_ref=None,    # [Hkv, ROWS] f32 VMEM (ALiBi per-row slopes)
+    # DCP / partial-attention extensions (ops/context_parallel.py):
+    klen_ref=None,     # [1, tile_q] i32 VMEM — per-token visible key count
+    gpos_ref=None,     # [1, tile_q] i32 VMEM — per-token GLOBAL position
+    shard_ref=None,    # [1] i32 scalar prefetch — this context shard
+    cp_shards: int = 1,
+    lse_tile_ref=None,  # [1, tile_q, Hq] f32 VMEM output (log-sum-exp)
 ):
     t = pl.program_id(0)
     r = tile_req_ref[t]
@@ -158,7 +164,8 @@ def _attn_kernel(
         # Sliding window: skip chunks entirely before the earliest row's
         # window start (row 0 has the smallest context) — for short windows
         # against long contexts this collapses the loop to O(window) work.
-        if sliding_window is not None:
+        # (Skipped in klen mode: local column order is shard-interleaved.)
+        if sliding_window is not None and klen_ref is None:
             first_col = seq_len - q_len + qpos0 + 1 - sliding_window
             c_start = jnp.maximum(first_col // chunk_k, 0)
         else:
@@ -189,7 +196,19 @@ def _attn_kernel(
         # Mosaic kernels).
         row_tok = jax.lax.broadcasted_iota(
             jnp.int32, (ROWS, chunk_k), 0) // G
-        row_ctx = seq_len - q_len + qpos0 + row_tok + 1    # [ROWS, chunk_k]
+        if klen_ref is None:
+            row_ctx = seq_len - q_len + qpos0 + row_tok + 1  # [ROWS, CK]
+            row_gpos = row_ctx - 1     # query position in its own order
+        else:
+            # Explicit per-token visible-key counts (DCP interleave /
+            # partial attention): broadcast [tile_q] → [ROWS, CHUNK_K]
+            # without gather (broadcast_to + reshape only).
+            def rows_of(vec):
+                m = jnp.broadcast_to(vec.reshape(tile_q, 1, 1),
+                                     (tile_q, G, chunk_k))
+                return m.reshape(ROWS, chunk_k)
+            row_ctx = rows_of(klen_ref[0])
+            row_gpos = rows_of(gpos_ref[0])
 
         def body(c, carry):
             m, l, acc = carry
@@ -205,8 +224,20 @@ def _attn_kernel(
             col_idx = col0 + jax.lax.broadcasted_iota(
                 jnp.int32, (ROWS, chunk_k), 1)
             mask = col_idx < row_ctx
+            if cp_shards > 1:
+                # Global position of local column c under page interleave:
+                # logical page (c // BS) lives at global page
+                # (c // BS) * CP + shard.
+                sh = shard_ref[0]
+                col_global = (((col_idx // block_size) * cp_shards + sh)
+                              * block_size + col_idx % block_size)
+            else:
+                col_global = col_idx
             if sliding_window is not None:
-                mask &= col_idx >= (row_ctx - sliding_window)
+                if klen_ref is None:
+                    mask &= col_idx >= (row_ctx - sliding_window)
+                else:
+                    mask &= col_global >= (row_gpos + 1 - sliding_window)
 
             def load_slot(buf):
                 x = buf[slot]
@@ -228,9 +259,9 @@ def _attn_kernel(
                 if logits_soft_cap is not None:
                     s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
                 if alibi_ref is not None:
-                    # slope * (key_pos - query_pos); query_pos = row_ctx-1.
+                    # slope * (key_pos - query_pos).
                     slope = alibi_ref[h].reshape(ROWS, 1)
-                    s = s + slope * (col_idx - (row_ctx - 1)).astype(
+                    s = s + slope * (col_global - row_gpos).astype(
                         jnp.float32)
                 s = jnp.where(mask, s, -jnp.inf)
                 m_h = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
@@ -260,11 +291,24 @@ def _attn_kernel(
         out = out.reshape(Hkv, tile_q, G, D)
         out = jnp.transpose(out, (1, 0, 2, 3)).reshape(tile_q, Hkv * G, D)
         out_tile_ref[0] = out.astype(out_tile_ref.dtype)
+        if lse_tile_ref is not None:
+            # Emitted in the kernel's native [Hkv, ROWS] layout (the
+            # lane-collapsing (tile_q, Hkv, G)→(tile_q, Hq) reshape does
+            # not lower in Mosaic); the wrapper rearranges outside.
+            lse = jnp.where(l > 0.0,
+                            jnp.where(jnp.isfinite(m), m, 0.0)
+                            + jnp.log(jnp.maximum(l, 1e-30)),
+                            -jnp.inf)                         # [Hkv,ROWS,1]
+            lse_tile_ref[0] = lse.reshape(Hkv, ROWS)
 
     @pl.when(r < 0)
     def _pad():
         out_tile_ref[0] = jnp.zeros((tile_q, num_kv_heads * q_heads_per_kv,
                                      head_dim), out_tile_ref.dtype)
+        if lse_tile_ref is not None:
+            lse_tile_ref[0] = jnp.full(
+                (num_kv_heads, tile_q * q_heads_per_kv), -jnp.inf,
+                jnp.float32)
 
 
 def ragged_paged_attention_pallas(
@@ -283,6 +327,11 @@ def ragged_paged_attention_pallas(
     tile_qpos: Optional[jax.Array] = None,
     tile_token: Optional[jax.Array] = None,  # [NT, tile_q]
     tile_q: Optional[int] = None,
+    want_lse: bool = False,
+    token_klen: Optional[jax.Array] = None,  # [T] visible key count
+    token_gpos: Optional[jax.Array] = None,  # [T] global query position
+    cp_shards: int = 1,
+    shard_idx: Optional[jax.Array] = None,   # scalar i32 context shard
 ) -> jax.Array:
     T, Hq, D = q.shape
     R = seq_lens.shape[0]
@@ -325,6 +374,21 @@ def ragged_paged_attention_pallas(
     ]
     inputs = [q_tiles, kv_cache]
 
+    use_klen = token_klen is not None
+    if use_klen:
+        # Per-token visible-key counts and global positions, gathered into
+        # the tile layout (pad rows → klen 0: fully masked).
+        klen_tiles = jnp.where(
+            tile_token >= 0, token_klen[safe_idx.reshape(-1)].reshape(
+                NT, tile_q), 0).astype(jnp.int32)
+        gpos_tiles = token_gpos[safe_idx.reshape(-1)].reshape(
+            NT, tile_q).astype(jnp.int32)
+        for arr in (klen_tiles, gpos_tiles):
+            in_specs.append(pl.BlockSpec(
+                (1, tile_q), lambda t, *_: (t, 0),
+                memory_space=pltpu.VMEM))
+        inputs.extend([klen_tiles, gpos_tiles])
+
     def per_row(vals):
         # Per-row values in the kernel's [Hkv, ROWS] layout
         # (row = tok*G + g → q-head h*G + g).
@@ -341,13 +405,24 @@ def ragged_paged_attention_pallas(
             inputs.append(per_row(vals))
             n_extra += 1
 
+    out_specs = pl.BlockSpec((1, tile_q, Hq, D),
+                             lambda t, *_: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((NT, tile_q, Hq, D), q.dtype)
+    if want_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, Hkv, tile_q * G),
+                                  lambda t, *_: (t, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((NT, Hkv, tile_q * G),
+                                          jnp.float32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(NT,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_q, Hq, D),
-                               lambda t, *_: (t, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(scratch_kv, kv_cache.dtype),
             pltpu.VMEM(scratch_kv, kv_cache.dtype),
@@ -355,7 +430,7 @@ def ragged_paged_attention_pallas(
         ],
     )
 
-    kernel = functools.partial(
+    base = functools.partial(
         _attn_kernel,
         scale=scale,
         block_size=BS,
@@ -366,41 +441,63 @@ def ragged_paged_attention_pallas(
         q_heads_per_kv=G,
         head_dim=D,
         tile_q=tile_q,
+        cp_shards=cp_shards,
     )
-    if n_extra:
-        base = kernel
-        has_sinks = sinks is not None
-        has_alibi = alibi_slopes is not None
+    has_sinks = sinks is not None
+    has_alibi = alibi_slopes is not None
+    n_klen = 2 if use_klen else 0
+    n_out = 2 if want_lse else 1
 
-        def kernel(*args):
-            scalars, rest = args[:5], args[5:]
-            q_t, kv = rest[0], rest[1]
-            extras = rest[2:2 + n_extra]
-            out, kb, vb, sm = rest[2 + n_extra:]
-            kw, j = {}, 0
-            if has_sinks:
-                kw["sink_ref"] = extras[j]
-                j += 1
-            if has_alibi:
-                kw["alibi_ref"] = extras[j]
-            base(*scalars, q_t, kv, out, kb, vb, sm, **kw)
+    def kernel(*args):
+        scalars, rest = args[:6], args[6:]
+        shard = scalars[5]
+        q_t, kv = rest[0], rest[1]
+        j = 2
+        kw = {"shard_ref": shard}
+        if use_klen:
+            kw["klen_ref"] = rest[j]
+            kw["gpos_ref"] = rest[j + 1]
+            j += 2
+        if has_sinks:
+            kw["sink_ref"] = rest[j]
+            j += 1
+        if has_alibi:
+            kw["alibi_ref"] = rest[j]
+            j += 1
+        out = rest[j]
+        j += 1
+        if want_lse:
+            kw["lse_tile_ref"] = rest[j]
+            j += 1
+        kb, vb, sm = rest[j:]
+        base(*scalars[:5], q_t, kv, out, kb, vb, sm, **kw)
 
-    out_tiles = pl.pallas_call(
+    shard_arr = (jnp.asarray(shard_idx, jnp.int32).reshape(1)
+                 if shard_idx is not None else jnp.zeros(1, jnp.int32))
+    result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NT, tile_q, Hq, D), q.dtype),
+        out_shape=out_shape,
     )(tile_req, tile_qpos, seq_lens, query_start_loc, block_table,
-      *inputs)
+      shard_arr, *inputs)
 
     # Scatter tiles back to flat [T, Hq, D]. Pad rows are marked -1, which
     # would WRAP to T-1 under jax negative indexing — remap them to T so
     # mode="drop" discards them.
     flat_idx = tile_token.reshape(-1)
     flat_idx = jnp.where(flat_idx < 0, T, flat_idx)
+    out_tiles = result[0] if want_lse else result
     out = jnp.zeros_like(q)
     out = out.at[flat_idx].set(
         out_tiles.reshape(NT * tile_q, Hq, D), mode="drop")
-    return out
+    if not want_lse:
+        return out
+    lse_tiles = result[1].reshape(NT, Hkv, tile_q, G)
+    lse_tiles = jnp.transpose(lse_tiles, (0, 2, 1, 3))     # [NT,tq,Hkv,G]
+    lse = jnp.full((T, Hq), -jnp.inf, jnp.float32)
+    lse = lse.at[flat_idx].set(
+        lse_tiles.reshape(NT * tile_q, Hq), mode="drop")
+    return out, lse
 
 
 def device_tile_metadata(query_start_loc: jax.Array, T: int, R: int,

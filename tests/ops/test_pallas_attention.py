@@ -167,3 +167,74 @@ def test_alibi_multi_chunk():
     from lvllm_tpu.ops.attention import alibi_slopes
     run_both(rng, ctx_lens=[300, 150], q_lens=[4, 1], Hq=8, Hkv=2,
              num_blocks=48, alibi=alibi_slopes(8))
+
+
+def test_lse_output_matches_jnp():
+    """want_lse: kernel (out, lse) == the jnp partial-attention oracle
+    (causal local semantics used by cascade suffixes / DCP decode)."""
+    from lvllm_tpu.ops.context_parallel import \
+        ragged_paged_attention_with_lse
+    rng = np.random.default_rng(6)
+    q, cache, table, qsl, seq_lens = setup_case(
+        rng, ctx_lens=[20, 33, 7], q_lens=[1, 5, 1], Hq=4, Hkv=2, D=128,
+        bs=16, num_blocks=64)
+    scale = 128 ** -0.5
+    ref_o, ref_l = ragged_paged_attention_with_lse(
+        q, cache, table, qsl, seq_lens, scale=scale, use_pallas=False)
+    with pltpu_interpret():
+        got_o, got_l = ra.ragged_paged_attention_pallas(
+            q, cache, table, qsl, seq_lens, scale=scale, want_lse=True)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("window,alibi_on", [(None, False), (24, False),
+                                             (None, True)])
+def test_klen_mode_matches_partial_oracle(window, alibi_on):
+    """Explicit-klen mode (DCP page interleave, CP=2 shard 1): masks and
+    ALiBi biases over GLOBAL key positions must match the jnp oracle."""
+    from lvllm_tpu.ops.attention import _token_request_map, alibi_slopes
+    from lvllm_tpu.ops.context_parallel import (
+        _partial_attention_token_klen, dcp_shard_seq_lens)
+    rng = np.random.default_rng(7)
+    Hq, Hkv, D, bs = 4, 2, 128, 16
+    CP, shard = 2, 1
+    # Local shard view: ctx_lens are LOCAL key counts per request.
+    local_ctx = [32, 16]
+    q_lens = [1, 1]
+    q, cache, table, qsl, local_lens = setup_case(
+        rng, local_ctx, q_lens, Hq, Hkv, D, bs, num_blocks=64)
+    # Global positions: local count c on shard s means global seq len
+    # covers pages interleaved; choose gpos so that
+    # dcp_shard_seq_lens(gpos+1, shard, CP, bs) == local_ctx.
+    gpos = np.asarray([63, 31], np.int32)   # 64 → 32 local, 32 → 16 local
+    for r in range(2):
+        got = int(dcp_shard_seq_lens(jnp.asarray([gpos[r] + 1]), shard,
+                                     CP, interleave=bs)[0])
+        assert got == local_ctx[r], (r, got)
+    T = sum(q_lens)
+    req_idx = _token_request_map(qsl, T, 2)
+    klen = jnp.asarray(local_ctx, jnp.int32)[req_idx]
+    token_gpos = jnp.asarray(gpos, jnp.int32)[req_idx]
+    C = table.shape[1] * bs
+    c_idx = np.arange(C, dtype=np.int32)
+    col_global = jnp.asarray(((c_idx // bs) * CP + shard) * bs
+                             + c_idx % bs)
+    slopes = alibi_slopes(Hq) if alibi_on else None
+    scale = D ** -0.5
+    ref_o, ref_l = _partial_attention_token_klen(
+        q, cache, table, req_idx, klen, scale, sliding_window=window,
+        global_pos=token_gpos, col_global=col_global,
+        alibi_slopes=slopes)
+    with pltpu_interpret():
+        got_o, got_l = ra.ragged_paged_attention_pallas(
+            q, cache, table, qsl, local_lens, scale=scale,
+            sliding_window=window, alibi_slopes=slopes, want_lse=True,
+            token_klen=klen, token_gpos=token_gpos, cp_shards=CP,
+            shard_idx=jnp.asarray(shard, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                               rtol=2e-4, atol=2e-4)
