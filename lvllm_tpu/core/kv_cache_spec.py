@@ -84,16 +84,18 @@ class MLAAttentionSpec(FullAttentionSpec):
 
 @dataclass(frozen=True)
 class Int4KVSpec(KVCacheSpec):
-    """4-bit paged K/V + per-(token, head) f16 scales in one int8 leaf
-    [2, NB, BS, H+1, D//2] (reference: turboquant_4bit kv_cache_dtype,
-    config.yaml:22). ~3.2x bf16 token capacity at H=4, D=128."""
+    """4-bit paged K/V + per-(token, head) f32 scales in a two-leaf dict
+    {packed [2, NB, BS, H*D//2] int8, scales [2, NB, BS, H] f32}
+    (reference: turboquant_4bit kv_cache_dtype, config.yaml:22).
+    ~3.5x bf16 token capacity at H=4, D=128; the read path is the Pallas
+    in-DMA-dequant kernel (ops/pallas/int4_attention.py)."""
 
     num_kv_heads: int
     head_dim: int
 
     def bytes_per_block(self, block_size: int) -> int:
-        return (2 * block_size * (self.num_kv_heads + 1) *
-                (self.head_dim // 2))
+        return 2 * block_size * self.num_kv_heads * (self.head_dim // 2
+                                                     + 4)
 
     def make(self, num_blocks: int, block_size: int, max_reqs: int):
         from lvllm_tpu.ops.kv_cache_int4 import new_kv_cache_int4

@@ -427,10 +427,10 @@ class Qwen3Model:
                                  lora[f"{layer_idx}.o_proj"],
                                  token_adapter)
             return out, kv_cache
-        if kv_cache.dtype == jnp.int8 and \
-                kv_cache.shape[-2] == c.num_key_value_heads + 1:
-            # INT4 KV (Int4KVSpec layout is self-describing: extra scale
-            # row + int8 storage). jnp read path, ops/kv_cache_int4.py.
+        if isinstance(kv_cache, dict) and "packed" in kv_cache:
+            # INT4 KV (Int4KVSpec two-leaf dict layout). Pallas
+            # in-DMA-dequant read on TPU, jnp oracle elsewhere
+            # (ops/kv_cache_int4.py, ops/pallas/int4_attention.py).
             from lvllm_tpu.ops.kv_cache_int4 import (
                 ragged_paged_attention_int4, write_kv_int4)
             kv_cache = write_kv_int4(kv_cache, k, v, md.slot_mapping)

@@ -53,14 +53,15 @@ def test_fp8_kv_outputs_track_full_precision():
 
 
 def test_int4_kv_cache_layout_and_decode():
-    """INT4 KV (reference: turboquant_4bit_nc, config.yaml:22): one int8
-    leaf [2, NB, BS, H+1, D/2] with the scale row appended; engine decode
-    must run end-to-end on it."""
+    """INT4 KV (reference: turboquant_4bit_nc, config.yaml:22): two-leaf
+    dict {packed int8, scales f32}; engine decode must run end-to-end."""
     eng = build("int4")
     kv = eng.core.runner.kv_caches[0]
-    assert kv.dtype == jnp.int8
-    assert kv.shape[-2] == 2 + 1              # H + scale row
-    assert kv.shape[-1] == (64 // 4) // 2     # head_dim 16 packed
+    assert kv["packed"].dtype == jnp.int8
+    # [2, NB, Hp/2, BS, D] head-pair planes with (BS, D) minor dims.
+    assert kv["packed"].shape[2:] == (1, 16, 64 // 4)
+    assert kv["scales"].dtype == jnp.float32
+    assert kv["scales"].shape[-1] == 128            # per-page scale row
     toks = run(eng, [1, 2, 3, 4, 5])
     assert len(toks) == 10
 
@@ -89,9 +90,9 @@ def test_int4_kv_roundtrip_attention_matches_dense():
     only difference vs bf16 KV)."""
     import jax
     from lvllm_tpu.ops.kv_cache_int4 import (new_kv_cache_int4,
+                                             quantize_roundtrip,
                                              ragged_paged_attention_int4,
-                                             write_kv_int4, _quantize,
-                                             _dequantize)
+                                             write_kv_int4)
 
     rng = np.random.default_rng(0)
     H, D, BS = 2, 64, 16
@@ -115,8 +116,8 @@ def test_int4_kv_roundtrip_attention_matches_dense():
         jnp.asarray([0, 1, 2], jnp.int32), jnp.asarray(lens, jnp.int32),
         scale=D ** -0.5)
     # Oracle over the quantize→dequantize'd K/V (exact same values).
-    kq = np.asarray(_dequantize(*_quantize(jnp.asarray(k))))
-    vq = np.asarray(_dequantize(*_quantize(jnp.asarray(v))))
+    kq = np.asarray(quantize_roundtrip(jnp.asarray(k)))
+    vq = np.asarray(quantize_roundtrip(jnp.asarray(v)))
     for r, L in enumerate(lens):
         off = sum(lens[:r])
         for hq in range(4):
@@ -127,3 +128,45 @@ def test_int4_kv_roundtrip_attention_matches_dense():
             ref = p @ vq[off:off + L, hk]
             np.testing.assert_allclose(np.asarray(out)[r, hq], ref,
                                        rtol=2e-3, atol=2e-3)
+
+
+def test_int4_pallas_kernel_matches_jnp():
+    """Pallas in-DMA-dequant int4 attention (interpret mode) == jnp."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lvllm_tpu.ops.kv_cache_int4 import (new_kv_cache_int4,
+                                             ragged_paged_attention_int4,
+                                             write_kv_int4)
+    rng = np.random.default_rng(3)
+    H, D, BS = 4, 128, 16
+    lens = [13, 40, 7]
+    q_lens = [1, 9, 1]
+    cache = new_kv_cache_int4(16, BS, H, D)
+    bt = np.zeros((3, 4), np.int32)
+    p = 1
+    slots = []
+    for r, L in enumerate(lens):
+        nb = -(-L // BS)
+        bt[r, :nb] = np.arange(p, p + nb)
+        for t in range(L):
+            slots.append(int(bt[r, t // BS]) * BS + t % BS)
+        p += nb
+    T_ctx = sum(lens)
+    k = rng.standard_normal((T_ctx, H, D)).astype(np.float32)
+    v = rng.standard_normal((T_ctx, H, D)).astype(np.float32)
+    cache = write_kv_int4(cache, jnp.asarray(k), jnp.asarray(v),
+                          jnp.asarray(slots, jnp.int32))
+    T = sum(q_lens)
+    q = jnp.asarray(rng.standard_normal((T, 8, D)), jnp.float32)
+    qsl = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    sl = jnp.asarray(lens, jnp.int32)
+    ref = ragged_paged_attention_int4(
+        q, cache, jnp.asarray(bt), qsl, sl, scale=D ** -0.5,
+        use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = ragged_paged_attention_int4(
+            q, cache, jnp.asarray(bt), qsl, sl, scale=D ** -0.5,
+            use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
