@@ -68,27 +68,43 @@ def _model_config(quantization="int4", num_layers=24):
         eos_token_id=-1, quantization=quantization)
 
 
-def _model_config_30b():
-    """Qwen3-Coder-30B-A3B geometry (BASELINE config #2), int4 experts:
-    48L x 128 experts (top-8), h2048, 32q/4kv heads. ~18 GB packed —
-    does NOT fit one v5e's HBM; the cold tail of MoE layers lives in the
-    host tier and streams per decode step."""
+def _model_config_next80(num_layers=18):
+    """Qwen3-Next-80B-A3B per-layer geometry — the BASELINE HEADLINE
+    architecture (README.md:108-113): hybrid GDN linear attention (3:1
+    with gated full attention), 512 experts top-10 + gated shared expert,
+    h2048, int4 experts (~0.8 GB/MoE layer packed). ``num_layers`` trims
+    the 48-layer stack so the streamed host tier matches what the dev
+    tunnel can move inside the bench budget — every per-layer shape is
+    the real model's."""
     from lvllm_tpu.config import ModelConfig
     if os.environ.get("LVLLM_BENCH_SMALL"):
         return ModelConfig(
-            model="dummy", architecture="Qwen3MoeForCausalLM",
+            model="dummy", architecture="Qwen3NextForCausalLM",
             dtype="bfloat16", vocab_size=2048, hidden_size=256,
             intermediate_size=512, num_hidden_layers=8,
             num_attention_heads=4, num_key_value_heads=2, head_dim=128,
+            layer_types=("linear_attention", "linear_attention",
+                         "linear_attention", "full_attention") * 2,
+            linear_num_value_heads=4, linear_num_key_heads=2,
+            linear_key_head_dim=64, linear_value_head_dim=64,
+            linear_conv_kernel_dim=4,
             num_experts=8, num_experts_per_tok=2, moe_intermediate_size=256,
             max_position_embeddings=8192, max_model_len=2048,
             eos_token_id=-1, quantization="int4")
+    pat = ("linear_attention", "linear_attention", "linear_attention",
+           "full_attention")
+    layer_types = (pat * ((num_layers + 3) // 4))[:num_layers]
     return ModelConfig(
-        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="bfloat16",
-        vocab_size=151936, hidden_size=2048, intermediate_size=6144,
-        num_hidden_layers=48, num_attention_heads=32,
-        num_key_value_heads=4, head_dim=128, num_experts=128,
-        num_experts_per_tok=8, moe_intermediate_size=768,
+        model="dummy", architecture="Qwen3NextForCausalLM",
+        dtype="bfloat16", vocab_size=151936, hidden_size=2048,
+        intermediate_size=5120, num_hidden_layers=num_layers,
+        num_attention_heads=16, num_key_value_heads=2, head_dim=256,
+        layer_types=layer_types,
+        linear_num_value_heads=32, linear_num_key_heads=16,
+        linear_key_head_dim=128, linear_value_head_dim=128,
+        linear_conv_kernel_dim=4,
+        num_experts=512, num_experts_per_tok=10, moe_intermediate_size=512,
+        num_shared_experts=1, shared_expert_intermediate_size=512,
         max_position_embeddings=8192, max_model_len=2048,
         eos_token_id=-1, quantization="int4")
 
@@ -113,21 +129,23 @@ def _stream_probe_mbps(device) -> float:
 
 
 def _bench_offload(remaining, stream_mbps) -> dict:
-    """North-star leg: 30B-A3B int4 that does not fit HBM; cold MoE
-    layers stream from the host tier inside staged multi-step decode
-    (reference anchors: moe_runner.py:915-1130 prefetch-window streaming,
-    offloader/prefetch.py:60,127)."""
+    """North-star leg: Qwen3-Next-80B-A3B hybrid geometry (GDN + MoE,
+    int4) that does not fit HBM; cold MoE layers stream from the host
+    tier inside staged multi-step decode with the GDN/conv states riding
+    as device carries (reference anchors: moe_runner.py:915-1130
+    prefetch-window streaming, offloader/prefetch.py:60,127; BASELINE
+    headline row README.md:112)."""
     import jax
 
     from lvllm_tpu.config import OffloadConfig
     from lvllm_tpu.entrypoints.llm import LLM
     from lvllm_tpu.sampling_params import SamplingParams
 
-    mc = _model_config_30b()
+    mc = _model_config_next80()
     n_layers = mc.num_hidden_layers
     n_resident = int(os.environ.get(
         "LVLLM_BENCH_OFFLOAD_RESIDENT",
-        str(max(n_layers - 12, (n_layers + 1) // 2))))
+        str(max(n_layers - 6, (n_layers + 1) // 2))))
     horizon = 2
     batch = 8
     oc = OffloadConfig(
@@ -179,10 +197,17 @@ def _bench_offload(remaining, stream_mbps) -> dict:
     streamed = store.stats["bytes_streamed"] - b0
     decoded = batch * horizon * osteps
     eng.abort_request([f"off-{i}" for i in range(batch)])
+    n_gdn = sum(1 for t in (mc.layer_types or ())
+                if t == "linear_attention")
     result = {
-        "model": (f"Qwen3-Coder-30B-A3B geometry: {mc.num_experts}e "
-                  f"top-{mc.num_experts_per_tok}, {n_layers}L, h2048, "
-                  f"int4 experts"),
+        "model": (f"Qwen3-Next-80B-A3B geometry: {mc.num_experts}e "
+                  f"top-{mc.num_experts_per_tok}+shared, {n_layers}L "
+                  f"({n_gdn} GDN + {n_layers - n_gdn} full attn), "
+                  f"h2048, int4 experts"),
+        "layer_geometry_note": (
+            "per-layer shapes are the real Qwen3-Next-80B-A3B's; the "
+            f"48-layer stack is trimmed to {n_layers} so the streamed "
+            "host tier fits the dev-tunnel bench budget"),
         "param_gb_total": round(total_gb, 2),
         "hbm_limit_gb": round(limit_gb, 2),
         "does_not_fit_hbm": bool(total_gb > limit_gb),
@@ -219,6 +244,76 @@ def _bench_offload(remaining, stream_mbps) -> dict:
     return result
 
 
+def _bench_hybrid_resident(remaining) -> dict:
+    """Resident decode on the BASELINE headline architecture: an 8-layer
+    slice of Qwen3-Next-80B-A3B (exact per-layer shapes — 6 GDN + 2 gated
+    full attention, 512e top-10+shared, int4) that fits HBM. Exercises
+    the hybrid multi-step scan (states as carries) and the GDN decode
+    fast path end-to-end through the engine loop."""
+    import gc
+
+    import jax
+
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    mc = _model_config_next80(num_layers=8)
+    batch, horizon, prompt_len = 16, 16, 128
+    t0 = time.time()
+    llm = LLM(model_config=mc, load_format="dummy_device",
+              max_num_seqs=batch, max_num_batched_tokens=2048,
+              block_size=16, num_kv_blocks=1024,
+              multi_step_decode=horizon)
+    eng = llm.engine
+    runner = eng.core.runner
+    param_gb = sum(l.nbytes for l in jax.tree.leaves(runner.params)) / 1e9
+    print(f"[bench] hybrid model up: {param_gb:.2f} GB, "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    rng = np.random.default_rng(1)
+    sp = SamplingParams(temperature=0.0, max_tokens=3 * horizon)
+    for i in range(batch):
+        eng.add_request(
+            f"hy-{i}",
+            rng.integers(0, mc.vocab_size, size=prompt_len).tolist(), sp)
+    tp0 = time.time()
+    while eng.get_stats()["num_waiting"] > 0:
+        eng.step()
+    prefill_s = time.time() - tp0
+    eng.step()                       # compiles the hybrid multi-step scan
+    print(f"[bench] hybrid warm: {time.time() - t0:.1f}s", file=sys.stderr)
+    t1 = time.time()
+    steps = 0
+    while eng.has_unfinished_requests() and steps < 2:
+        eng.step()
+        steps += 1
+    el = time.time() - t1
+    eng.abort_request([f"hy-{i}" for i in range(batch)])
+    n_gdn = sum(1 for t in mc.layer_types if t == "linear_attention")
+    result = {
+        "model": (f"Qwen3-Next-80B-A3B geometry slice: "
+                  f"{mc.num_hidden_layers}L ({n_gdn} GDN + "
+                  f"{mc.num_hidden_layers - n_gdn} full attn), "
+                  f"{mc.num_experts}e top-{mc.num_experts_per_tok}"
+                  f"+shared, int4"),
+        "param_gb": round(param_gb, 2),
+        "batch": batch,
+        "multi_step_horizon": horizon,
+        "decode_tokens_per_s": round(batch * horizon * steps / el, 1)
+        if el else None,
+        "prefill_tokens_per_s": round(batch * prompt_len / prefill_s, 1)
+        if prefill_s else None,
+        "note": ("engine-loop rates on an HBM-resident 8-of-48-layer "
+                 "slice of the headline architecture; the offload leg "
+                 "carries the does-not-fit-HBM configuration"),
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    runner.params = None
+    runner.kv_caches = None
+    del llm, eng, runner
+    gc.collect()
+    return result
+
+
 def main() -> None:
     import jax
 
@@ -248,6 +343,15 @@ def main() -> None:
     import gc
     gc.collect()
     print(f"[bench] offload leg done: {time.time() - t_start:.1f}s",
+          file=sys.stderr)
+
+    # ---- leg 0b: resident hybrid decode (headline architecture) -----------
+    try:
+        hybrid = _bench_hybrid_resident(remaining)
+    except Exception as e:  # noqa: BLE001
+        hybrid = {"hybrid_error": repr(e)[:300]}
+    gc.collect()
+    print(f"[bench] hybrid leg done: {time.time() - t_start:.1f}s",
           file=sys.stderr)
 
     batch = 16
@@ -321,6 +425,21 @@ def main() -> None:
                                            horizon=horizon, greedy_only=True)
     packed.block_until_ready()
     device_step_ms = (time.time() - t4) / (n_rep * horizon) * 1000
+    # Routing-sensitivity check (VERDICT r03 weak #3): a second,
+    # independent random token vector re-routes the MoE; close agreement
+    # means the replay number is not flattered by a lucky routing.
+    tokens_b = (rng.integers(1, mc.vocab_size, size=R)).astype(np.int32)
+    margs_b = (jnp.asarray(tokens_b),) + margs[1:]
+    kv, packed = runner._multi_step_fn(runner.params, kv, *margs_b,
+                                       horizon=horizon, greedy_only=True)
+    packed.block_until_ready()
+    t4b = time.time()
+    for _ in range(n_rep):
+        kv, packed = runner._multi_step_fn(runner.params, kv, *margs_b,
+                                           horizon=horizon,
+                                           greedy_only=True)
+    packed.block_until_ready()
+    device_step_ms_alt = (time.time() - t4b) / (n_rep * horizon) * 1000
     runner.kv_caches = kv
 
     # Roofline: HBM bytes read per decode step = all weights except the
@@ -388,7 +507,9 @@ def main() -> None:
             "hbm_read_bytes_per_decode_step": int(bytes_per_step),
             "hbm_bw_achieved_gbps": round(achieved_bps / 1e9, 1),
             "hbm_bw_util": round(hbm_util, 3),
+            "device_step_ms_alt_routing": round(device_step_ms_alt, 3),
             "offload": offload,
+            "hybrid_resident": hybrid,
             "baseline_note": (
                 "vs_baseline divides this chip's 8B-A3B int4 engine-loop "
                 "rate by the fork's published 80B-A3B bf16 rate on "
