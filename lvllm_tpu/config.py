@@ -178,6 +178,13 @@ class ModelConfig:
     # layers typed "short_conv" are LFM2-style gated convolutions.
     mamba_dt_rank: int = 0
 
+    # LongcatFlash: zero-compute (identity) experts appended to the
+    # routed set, and the MLA q/kv LoRA output scalings
+    # (modeling_longcat_flash.LongcatFlashMLA.mla_scale_*_lora).
+    zero_expert_num: int = 0
+    mla_scale_q_lora: Optional[float] = None
+    mla_scale_kv_lora: Optional[float] = None
+
     # MLA (DeepSeek latent attention). attention_type "mha" | "mla".
     attention_type: str = "mha"
     q_lora_rank: Optional[int] = None

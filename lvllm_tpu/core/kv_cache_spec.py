@@ -108,6 +108,30 @@ class Int4KVSpec(KVCacheSpec):
 
 
 @dataclass(frozen=True)
+class PairSpec(KVCacheSpec):
+    """Two independent sub-caches in one dict leaf — LongcatFlash's
+    dual-sublayer layers carry one MLA cache per attention sublayer
+    (reference: models/longcat_flash.py layer_idx*2 + i sub-caches)."""
+
+    keys: Tuple[str, ...]
+    specs: Tuple[KVCacheSpec, ...]
+
+    def bytes_per_block(self, block_size: int) -> int:
+        return sum(s.bytes_per_block(block_size) for s in self.specs)
+
+    def fixed_bytes(self, max_reqs: int) -> int:
+        return sum(s.fixed_bytes(max_reqs) for s in self.specs)
+
+    def make(self, num_blocks: int, block_size: int, max_reqs: int):
+        return {k: s.make(num_blocks, block_size, max_reqs)
+                for k, s in zip(self.keys, self.specs)}
+
+    @property
+    def type_key(self) -> str:
+        return "pair." + ".".join(s.type_key for s in self.specs)
+
+
+@dataclass(frozen=True)
 class LinearAttentionSpec(KVCacheSpec):
     """Constant-size recurrent state per request slot (GDN conv + delta
     state; reference MambaSpec shape tuple)."""

@@ -27,6 +27,19 @@ def load_model_config(model_path: str,
     arch = (hf.get("architectures") or
             (hf.get("text_config") or {}).get("architectures") or
             ["Qwen3ForCausalLM"])[0]
+    if arch == "LongcatFlashForCausalLM":
+        # Dual-sublayer layers: HF num_layers counts LOGICAL layers (each
+        # holding 2 MLA sublayers); num_hidden_layers in the checkpoint
+        # is the sublayer count — our model is logical-layer indexed.
+        hf = dict(hf)
+        hf["num_hidden_layers"] = hf.get("num_layers",
+                                         hf.get("num_hidden_layers"))
+        hf["intermediate_size"] = hf.get("ffn_hidden_size",
+                                         hf.get("intermediate_size"))
+        hf["moe_intermediate_size"] = hf.get("expert_ffn_hidden_size")
+        hf["num_experts"] = hf.get("n_routed_experts", 0)
+        hf["num_experts_per_tok"] = hf.get("moe_topk", 2)
+
     if arch == "DbrxForCausalLM":
         # DBRX nests attention/ffn settings (reference: models/dbrx.py).
         attn = hf.get("attn_config") or {}
@@ -733,7 +746,17 @@ def load_model_config(model_path: str,
         partial_rotary_factor=partial_rotary,
         n_group=hf.get("n_group") or 1,
         topk_group=hf.get("topk_group") or 1,
-        attention_type="mla" if arch.startswith("Deepseek") else "mha",
+        attention_type=("mla" if arch.startswith("Deepseek")
+                        or arch == "LongcatFlashForCausalLM" else "mha"),
+        zero_expert_num=hf.get("zero_expert_num", 0) or 0,
+        mla_scale_q_lora=(
+            (hf["hidden_size"] / hf["q_lora_rank"]) ** 0.5
+            if arch == "LongcatFlashForCausalLM" and hf.get("q_lora_rank")
+            else None),
+        mla_scale_kv_lora=(
+            (hf["hidden_size"] / hf["kv_lora_rank"]) ** 0.5
+            if arch == "LongcatFlashForCausalLM" and hf.get("kv_lora_rank")
+            else None),
         q_lora_rank=hf.get("q_lora_rank"),
         kv_lora_rank=hf.get("kv_lora_rank", 512),
         qk_nope_head_dim=hf.get("qk_nope_head_dim", 128),

@@ -107,11 +107,19 @@ class DeepseekModel(Qwen3Model):
                           attn["q_a_norm"]["weight"], c.rms_norm_eps)
             q = qa @ attn["q_b_proj"]["kernel"]
         q = q.reshape(T, H, dn + dr)
+        if c.mla_scale_q_lora:
+            # LongcatFlash LoRA output scaling (uniform over nope+rope).
+            q = q * c.mla_scale_q_lora
         q_nope, q_pe = q[..., :dn], q[..., dn:]
 
         ckv_pe = x @ attn["kv_a_proj"]["kernel"]          # [T, Dc+dr]
         c_kv = rms_norm(ckv_pe[:, :Dc], attn["kv_a_norm"]["weight"],
                         c.rms_norm_eps)
+        if c.mla_scale_kv_lora:
+            # Scaling the latent directly == HF's scale-before-kv_b (both
+            # K-nope and V come from kv_b of the scaled latent; k_pe is
+            # NOT scaled).
+            c_kv = c_kv * c.mla_scale_kv_lora
         k_pe = ckv_pe[:, Dc:][:, None, :]                 # [T, 1, dr]
 
         q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,

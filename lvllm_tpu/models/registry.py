@@ -134,6 +134,8 @@ def _register_builtin() -> None:
                  "Gemma3ForCausalLM"):
         _REGISTRY[arch] = GemmaModel
 
+    from lvllm_tpu.models import longcat_flash  # noqa: F401
+
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
                  "DeepseekForCausalLM"):

@@ -521,3 +521,54 @@ def test_glm4_dense_parity(tmp_path):
     hf = hf_logits(hf_model, tokens)
     ours = our_logits(str(tmp_path), tokens)
     compare(hf, ours, "glm4-dense")
+
+
+def test_longcat_flash_parity(tmp_path):
+    """LongcatFlash dual-sublayer + shortcut zero-expert MoE (reference:
+    models/longcat_flash.py; HF modeling_longcat_flash)."""
+    cfg = transformers.LongcatFlashConfig(
+        vocab_size=256, hidden_size=64, ffn_hidden_size=128,
+        expert_ffn_hidden_size=32, num_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=48, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        n_routed_experts=8, zero_expert_num=4, moe_topk=3,
+        routed_scaling_factor=1.5, max_position_embeddings=256,
+        rope_theta=10000.0, tie_word_embeddings=False)
+    hf_model = save_hf_model(cfg, tmp_path)
+    tokens = [1, 5, 9, 200, 3, 77, 40, 23, 8, 151]
+    hf = hf_logits(hf_model, tokens)
+    ours = our_logits(str(tmp_path), tokens)
+    compare(hf, ours, "longcat-flash")
+
+
+def test_longcat_engine_generates(tmp_path):
+    """End-to-end engine run on LongcatFlash's paired MLA caches
+    (PairSpec dict leaves) with multi-step decode."""
+    from lvllm_tpu.config import ModelConfig
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model="dummy", architecture="LongcatFlashForCausalLM",
+        dtype="float32", vocab_size=256, hidden_size=64,
+        intermediate_size=96, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=256,
+        max_model_len=128, eos_token_id=-1, attention_type="mla",
+        q_lora_rank=48, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, num_experts=8,
+        num_experts_per_tok=2, moe_intermediate_size=32,
+        zero_expert_num=4, mla_scale_q_lora=1.15, mla_scale_kv_lora=1.41,
+        routed_scaling_factor=1.5, seed=7)
+
+    def gen(h):
+        llm = LLM(model_config=mc, load_format="dummy", max_num_seqs=4,
+                  max_num_batched_tokens=128, num_kv_blocks=64,
+                  multi_step_decode=h)
+        return [o.outputs[0].token_ids for o in llm.generate(
+            [[1, 2, 3, 4], [9] * 20],
+            SamplingParams(temperature=0.0, max_tokens=9))]
+
+    single = gen(1)
+    assert all(len(t) == 9 for t in single)
+    assert gen(4) == single  # paired caches ride the multi-step scan
