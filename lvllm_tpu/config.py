@@ -178,6 +178,17 @@ class ModelConfig:
     # layers typed "short_conv" are LFM2-style gated convolutions.
     mamba_dt_rank: int = 0
 
+    # Zamba2 shared-block hybrid (models/zamba2.py): count of distinct
+    # shared transformer blocks cycled over the hybrid layers; LoRA-style
+    # per-use adapters on qkv / gate_up; rope in the shared attention.
+    num_mem_blocks: int = 0
+    adapter_rank: int = 8
+    use_shared_attention_adapter: bool = False
+    use_mem_rope: bool = True
+    # Grouped gated RMSNorm in the mamba2 mixer (Zamba2RMSNormGated
+    # group_size = intermediate // n_groups; 0 = flat).
+    mamba_norm_group_size: int = 0
+
     # LongcatFlash: zero-compute (identity) experts appended to the
     # routed set, and the MLA q/kv LoRA output scalings
     # (modeling_longcat_flash.LongcatFlashMLA.mla_scale_*_lora).

@@ -370,6 +370,28 @@ def load_model_config(model_path: str,
         layer_types = ["full_attention" if i in attn_idx else
                        "linear_attention"
                        for i in range(hf["num_hidden_layers"])]
+    if arch == "Zamba2ForCausalLM":
+        # Shared-block hybrid (HF modeling_zamba2): mamba2 backbone with
+        # num_mem_blocks shared transformer blocks at the "hybrid"
+        # positions; attention reads concat(hidden, embed) = 2H and its
+        # head_dim defaults to 2H / heads.
+        layer_types = ["hybrid" if t == "hybrid" else "linear_attention"
+                       for t in (hf.get("layers_block_type") or [])]
+        d_inner = int(hf.get("mamba_expand", 2) * hf["hidden_size"])
+        hf = {**hf,
+              "head_dim": hf.get("attention_head_dim") or
+              2 * hf["hidden_size"] // hf["num_attention_heads"],
+              "mamba_n_heads": hf.get("n_mamba_heads"),
+              "mamba_d_head": hf.get("mamba_headdim", 64),
+              "mamba_n_groups": hf.get("mamba_ngroups", 1),
+              "mamba_conv_bias": True,          # Conv1d(bias=True) fixed
+              "mamba_proj_bias": hf.get("add_bias_linear", False),
+              "mamba_norm_group_size": d_inner //
+              hf.get("mamba_ngroups", 1),
+              "max_position_embeddings": hf.get("max_position_embeddings",
+                                                4096),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+
     if not layer_types and arch in ("Mamba2ForCausalLM",
                                     "MambaForCausalLM"):
         layer_types = ["linear_attention"] * hf["num_hidden_layers"]
@@ -433,6 +455,7 @@ def load_model_config(model_path: str,
     keep_layer_types = bool(layer_types) and (
         "linear_attention" in layer_types or
         "short_conv" in layer_types or
+        "hybrid" in layer_types or
         "sliding_attention" in layer_types)
 
     # Per-family fixups (reference: transformers_utils config patches).
@@ -834,6 +857,12 @@ def load_model_config(model_path: str,
         time_step_limit=(tuple(hf["time_step_limit"])
                          if hf.get("time_step_limit") else None),
         mamba_dt_rank=hf.get("mamba_dt_rank") or 0,
+        mamba_norm_group_size=hf.get("mamba_norm_group_size", 0),
+        num_mem_blocks=hf.get("num_mem_blocks", 0) or 0,
+        adapter_rank=hf.get("adapter_rank", 8) or 8,
+        use_shared_attention_adapter=hf.get(
+            "use_shared_attention_adapter", False),
+        use_mem_rope=hf.get("use_mem_rope", True),
         linear_num_value_heads=hf.get("linear_num_value_heads", 8),
         linear_num_key_heads=hf.get("linear_num_key_heads", 4),
         linear_key_head_dim=hf.get("linear_key_head_dim", 64),

@@ -113,8 +113,18 @@ def mamba2_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
     y = y.reshape(T, d_inner)
     y = y * jax.nn.silu(gate.astype(jnp.float32))
     if c.mamba_use_gated_norm:
-        y = rms_norm(y, mp["norm"]["weight"].astype(jnp.float32),
-                     c.rms_norm_eps)
+        gs = c.mamba_norm_group_size
+        if gs and gs < d_inner:
+            # Zamba2RMSNormGated: rms over groups of gs channels, one
+            # flat weight (group_size = intermediate // n_groups).
+            yg = y.reshape(T, d_inner // gs, gs)
+            var = jnp.mean(jnp.square(yg), axis=-1, keepdims=True)
+            yg = yg * jax.lax.rsqrt(var + c.rms_norm_eps)
+            y = (yg.reshape(T, d_inner) *
+                 mp["norm"]["weight"].astype(jnp.float32))
+        else:
+            y = rms_norm(y, mp["norm"]["weight"].astype(jnp.float32),
+                         c.rms_norm_eps)
     out = y.astype(x.dtype) @ mp["out_proj"]["kernel"]
     if "bias" in mp["out_proj"]:
         out = out + mp["out_proj"]["bias"]

@@ -135,6 +135,7 @@ def _register_builtin() -> None:
         _REGISTRY[arch] = GemmaModel
 
     from lvllm_tpu.models import longcat_flash  # noqa: F401
+    from lvllm_tpu.models import zamba2  # noqa: F401
 
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
