@@ -275,6 +275,14 @@ def _bench_hybrid_resident(remaining) -> dict:
         eng.add_request(
             f"hy-{i}",
             rng.integers(0, mc.vocab_size, size=prompt_len).tolist(), sp)
+    while eng.get_stats()["num_waiting"] > 0:
+        eng.step()                   # first prefill: includes compiles
+    # Warm prefill rate: a second batch replays the compiled bucket.
+    sp1 = SamplingParams(temperature=0.0, max_tokens=1)
+    for i in range(batch):
+        eng.add_request(
+            f"hyp-{i}",
+            rng.integers(0, mc.vocab_size, size=prompt_len).tolist(), sp1)
     tp0 = time.time()
     while eng.get_stats()["num_waiting"] > 0:
         eng.step()

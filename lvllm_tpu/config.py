@@ -197,6 +197,9 @@ class ModelConfig:
     mla_scale_kv_lora: Optional[float] = None
 
     # MLA (DeepSeek latent attention). attention_type "mha" | "mla".
+    # DeepSeek checkpoints use the interleaved (GPT-J) rope pairing on the
+    # rope sub-dims; MiniCPM3 uses plain neox pairing.
+    mla_rope_interleaved: bool = True
     attention_type: str = "mha"
     q_lora_rank: Optional[int] = None
     kv_lora_rank: int = 512

@@ -108,6 +108,18 @@ class Int4KVSpec(KVCacheSpec):
 
 
 @dataclass(frozen=True)
+class NullSpec(KVCacheSpec):
+    """No per-layer cache (NemotronH MLP/MoE-only layers): a 1-element
+    placeholder leaf keeps the per-layer cache list uniform."""
+
+    def bytes_per_block(self, block_size: int) -> int:
+        return 0
+
+    def make(self, num_blocks: int, block_size: int, max_reqs: int):
+        return jnp.zeros((1,), jnp.float32)
+
+
+@dataclass(frozen=True)
 class PairSpec(KVCacheSpec):
     """Two independent sub-caches in one dict leaf — LongcatFlash's
     dual-sublayer layers carry one MLA cache per attention sublayer

@@ -370,6 +370,80 @@ def load_model_config(model_path: str,
         layer_types = ["full_attention" if i in attn_idx else
                        "linear_attention"
                        for i in range(hf["num_hidden_layers"])]
+    if arch in ("ChatGLMModel", "ChatGLMForCausalLM",
+                "ChatGLMForConditionalGeneration"):
+        # chatglm-format config keys (reference
+        # transformers_utils/configs/chatglm.py): partial-rotary 0.5 with
+        # interleaved pairing (original_rope=True), fused qkv bias.
+        hf = {**hf,
+              "num_hidden_layers": hf.get("num_layers",
+                                          hf.get("num_hidden_layers")),
+              "intermediate_size": hf.get("ffn_hidden_size"),
+              "vocab_size": hf.get("padded_vocab_size",
+                                   hf.get("vocab_size")),
+              "num_key_value_heads": (
+                  hf.get("multi_query_group_num")
+                  if hf.get("multi_query_attention")
+                  else hf["num_attention_heads"]),
+              "rms_norm_eps": hf.get("layernorm_epsilon", 1e-5),
+              "rope_theta": 10000.0 * hf.get("rope_ratio", 1.0),
+              "partial_rotary_factor": 0.5,
+              "rope_interleaved": hf.get("original_rope", True),
+              "attention_bias": hf.get("add_qkv_bias",
+                                       hf.get("add_bias_linear", False)),
+              "max_position_embeddings": hf.get("seq_length", 8192),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+
+    if arch in ("MiniCPMForCausalLM", "MiniCPM3ForCausalLM"):
+        # MiniCPM muP (reference models/minicpm.py:384-393,604): embeds
+        # scaled by scale_emb, each sublayer output by
+        # scale_depth/sqrt(L), logits divided by hidden/dim_model_base.
+        import math
+        L = hf["num_hidden_layers"]
+        hf = {**hf,
+              "embedding_multiplier": hf.get("scale_emb", 1.0),
+              "residual_multiplier": hf.get("scale_depth", 1.0)
+              / math.sqrt(L),
+              "logits_scaling": hf["hidden_size"]
+              / hf.get("dim_model_base", hf["hidden_size"]),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+
+    if arch == "NemotronHForCausalLM":
+        # Single-mixer hybrid layers from hybrid_override_pattern
+        # (reference transformers_utils/configs/nemotron_h.py):
+        # M=mamba2, *=NoPE attention, -=ReLU^2 MLP, E=MoE.
+        pat = hf.get("hybrid_override_pattern") or "M"
+        type_of = {"M": "linear_attention", "*": "full_attention",
+                   "-": "mlp", "E": "moe"}
+        layer_types = [type_of.get(ch, "mlp") for ch in pat]
+        inter = hf.get("intermediate_size")
+        if isinstance(inter, list):
+            inter = inter[0]
+        hf = {**hf,
+              "num_hidden_layers": len(pat),
+              "intermediate_size": inter,
+              "head_dim": hf.get("attention_head_dim") or
+              hf.get("head_dim"),
+              "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-5),
+              "mamba_n_heads": hf.get("mamba_num_heads"),
+              "mamba_d_head": hf.get("mamba_head_dim", 64),
+              "mamba_d_state": hf.get("ssm_state_size", 128),
+              "mamba_n_groups": hf.get("n_groups",
+                                       hf.get("mamba_n_groups", 1)),
+              "mamba_d_conv": hf.get("conv_kernel", 4),
+              "mamba_conv_bias": hf.get("use_conv_bias", True),
+              "mamba_proj_bias": hf.get("use_bias", False),
+              "num_experts": hf.get("n_routed_experts",
+                                    hf.get("num_experts", 0)) or 0,
+              "num_experts_per_tok": hf.get("num_experts_per_tok", 2),
+              "n_shared_experts": None,
+              "num_shared_experts": hf.get("n_shared_experts", 0) or 0,
+              "shared_expert_intermediate_size": hf.get(
+                  "moe_shared_expert_intermediate_size"),
+              "max_position_embeddings": hf.get("max_position_embeddings",
+                                                8192),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+
     if arch == "Zamba2ForCausalLM":
         # Shared-block hybrid (HF modeling_zamba2): mamba2 backbone with
         # num_mem_blocks shared transformer blocks at the "hybrid"
@@ -456,6 +530,7 @@ def load_model_config(model_path: str,
         "linear_attention" in layer_types or
         "short_conv" in layer_types or
         "hybrid" in layer_types or
+        "mlp" in layer_types or "moe" in layer_types or
         "sliding_attention" in layer_types)
 
     # Per-family fixups (reference: transformers_utils config patches).
@@ -770,7 +845,9 @@ def load_model_config(model_path: str,
         n_group=hf.get("n_group") or 1,
         topk_group=hf.get("topk_group") or 1,
         attention_type=("mla" if arch.startswith("Deepseek")
-                        or arch == "LongcatFlashForCausalLM" else "mha"),
+                        or arch in ("LongcatFlashForCausalLM",
+                                    "MiniCPM3ForCausalLM") else "mha"),
+        mla_rope_interleaved=arch != "MiniCPM3ForCausalLM",
         zero_expert_num=hf.get("zero_expert_num", 0) or 0,
         mla_scale_q_lora=(
             (hf["hidden_size"] / hf["q_lora_rank"]) ** 0.5

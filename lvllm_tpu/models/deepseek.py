@@ -122,8 +122,12 @@ class DeepseekModel(Qwen3Model):
             c_kv = c_kv * c.mla_scale_kv_lora
         k_pe = ckv_pe[:, Dc:][:, None, :]                 # [T, 1, dr]
 
-        q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,
-                                            self.cos_sin)
+        if c.mla_rope_interleaved:
+            q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions,
+                                                self.cos_sin)
+        else:
+            from lvllm_tpu.ops.rope import apply_rope
+            q_pe, k_pe = apply_rope(q_pe, k_pe, positions, self.cos_sin)
         k_pe = k_pe[:, 0, :]
 
         # Absorb q_nope into latent space: q_lat[h] = W_uk[h] @ q_nope[h].

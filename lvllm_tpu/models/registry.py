@@ -98,7 +98,10 @@ def _register_builtin() -> None:
                  "XverseForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
-    for arch in ("GlmForCausalLM", "VaultGemmaForCausalLM",
+    # MiniCPM 1/2 are llama-structured with muP multipliers (hf_config
+    # fixups); MiniCPM3 swaps in MLA attention (DeepseekModel below).
+    for arch in ("MiniCPMForCausalLM",
+                 "GlmForCausalLM", "VaultGemmaForCausalLM",
                  "FlexOlmoForCausalLM", "PhimoeForCausalLM",
                  "ApertusForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
@@ -136,10 +139,12 @@ def _register_builtin() -> None:
 
     from lvllm_tpu.models import longcat_flash  # noqa: F401
     from lvllm_tpu.models import zamba2  # noqa: F401
+    from lvllm_tpu.models import nemotron_h  # noqa: F401
+    from lvllm_tpu.models import chatglm  # noqa: F401
 
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
-                 "DeepseekForCausalLM"):
+                 "DeepseekForCausalLM", "MiniCPM3ForCausalLM"):
         _REGISTRY[arch] = DeepseekModel
 
     from lvllm_tpu.models.mamba1 import (JambaModel, Lfm2Model,
