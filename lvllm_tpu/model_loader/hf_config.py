@@ -370,6 +370,30 @@ def load_model_config(model_path: str,
         layer_types = ["full_attention" if i in attn_idx else
                        "linear_attention"
                        for i in range(hf["num_hidden_layers"])]
+    if arch == "KimiLinearForCausalLM":
+        # KDA hybrid (reference transformers_utils/configs/kimi_linear.py):
+        # linear_attn_config names the KDA layers (1-BASED); others MLA.
+        lac = hf.get("linear_attn_config") or {}
+        kda = set(lac.get("kda_layers") or ())
+        L = hf["num_hidden_layers"]
+        layer_types = ["linear_attention" if (i + 1) in kda
+                       else "full_attention" for i in range(L)]
+        hf = {**hf,
+              "linear_num_key_heads": lac.get("num_heads", 4),
+              "linear_num_value_heads": lac.get("num_heads", 4),
+              "linear_key_head_dim": lac.get("head_dim", 64),
+              "linear_value_head_dim": lac.get("head_dim", 64),
+              "linear_conv_kernel_dim": lac.get("short_conv_kernel_size",
+                                                4),
+              "num_experts_per_tok": hf.get("num_experts_per_token",
+                                            hf.get("num_experts_per_tok",
+                                                   2)),
+              "num_experts": hf.get("num_experts") or 0,
+              "norm_topk_prob": hf.get("moe_renormalize", True),
+              "scoring_func": hf.get("moe_router_activation_func",
+                                     "sigmoid"),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+
     if arch in ("ChatGLMModel", "ChatGLMForCausalLM",
                 "ChatGLMForConditionalGeneration"):
         # chatglm-format config keys (reference
@@ -846,7 +870,8 @@ def load_model_config(model_path: str,
         topk_group=hf.get("topk_group") or 1,
         attention_type=("mla" if arch.startswith("Deepseek")
                         or arch in ("LongcatFlashForCausalLM",
-                                    "MiniCPM3ForCausalLM") else "mha"),
+                                    "MiniCPM3ForCausalLM",
+                                    "KimiLinearForCausalLM") else "mha"),
         mla_rope_interleaved=arch != "MiniCPM3ForCausalLM",
         zero_expert_num=hf.get("zero_expert_num", 0) or 0,
         mla_scale_q_lora=(
