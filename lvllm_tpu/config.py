@@ -208,7 +208,9 @@ class ModelConfig:
     v_head_dim: int = 128
 
     max_model_len: int = 4096
-    quantization: Optional[str] = None  # None | "int8" | "int4" | "fp8"
+    # None | "int8" | "int4" | "fp8" (weight-only) | "w8a8" | "w4a8"
+    # (weight + dynamic per-token int8 activation quant on the int8 MXU).
+    quantization: Optional[str] = None
     # Per-layer MoE quantization overrides (reference: the fork's
     # MoeComputeStrategy KEEP|INT4, envs.py:233-240 + FP8→INT4 repack
     # fused_moe/layer.py:2074): "method:ranges;method:ranges" with the

@@ -275,23 +275,44 @@ def fused_moe_quant(
 
     tile_m = _pick_tile_m(T, top_k)
     d = moe_align.align_tokens(x, topk_ids, E, tile_m)
+    # Activation-quantized variants (reference: cutlass w8a8 /
+    # compressed-tensors w8a8-int8): weights stored exactly as int8/int4;
+    # activations get dynamic per-token symmetric int8 scales so both GEMM
+    # operands ride the int8 MXU at 2x the bf16 rate. Decode row blocks
+    # (tile_m < 32) stay on the weight-dequant path: they are HBM-bound,
+    # so activation quant only adds VPU work (probed 0.11 → 0.20 ms at
+    # batch-16 decode) while prefill tiles gain 17-23%
+    # (tools/probe_ffn_a8.py) — and the unquantized-activation decode is
+    # strictly closer to the f32 function, never further.
+    act_quant = params.method in ("w8a8", "w4a8")
+    wmethod = {"w8a8": "int8", "w4a8": "int4"}.get(params.method,
+                                                   params.method)
+    act_quant = act_quant and tile_m >= 32
     if (use_pallas and params.w1_q.ndim == 4 and params.w2_q.ndim == 4
-            and params.method in ("int4", "int8")):
+            and wmethod in ("int4", "int8")):
         # Fused whole-FFN kernel: w1 GEMM → SiLU·mul → w2 GEMM in one
         # launch with a single uninterrupted weight stream per expert
         # (quant_gemm.grouped_quant_ffn_tiled).
         y_aligned = quant_gemm.grouped_quant_ffn_tiled(
             d.x_aligned, params.w1_q, params.w1_scales,
             params.w2_q, params.w2_scales, d.block_expert,
-            method=params.method, tile_m=tile_m,
-            group_size=params.group_size)
+            method=wmethod, tile_m=tile_m,
+            group_size=params.group_size, act_quant=act_quant)
+    elif act_quant:
+        # Oracle path keeps the activation-quant numerics (weight-only
+        # fallback would silently change the computed function).
+        y_aligned = quant_gemm.grouped_quant_ffn_reference(
+            d.x_aligned, params.w1_q, params.w1_scales,
+            params.w2_q, params.w2_scales, d.block_expert,
+            method=wmethod, tile_m=tile_m,
+            group_size=params.group_size, act_quant=True)
     else:
         h = gmm(d.x_aligned, params.w1_q, params.w1_scales, d.block_expert,
-                method=params.method, tile_m=tile_m,
+                method=wmethod, tile_m=tile_m,
                 group_size=params.group_size)
         h = silu_and_mul(h)
         y_aligned = gmm(h, params.w2_q, params.w2_scales, d.block_expert,
-                        method=params.method, tile_m=tile_m,
+                        method=wmethod, tile_m=tile_m,
                         group_size=params.group_size)
     y = moe_align.combine_tokens(y_aligned, d.pair_pos, topk_w,
                                  out_dtype=x.dtype)

@@ -60,9 +60,13 @@ def quantize_moe_weights(params, config: ModelConfig):
         method = config.quant_method_for_layer(i)
         if method is None:
             continue
-        assert method in ("int4", "int8", "fp8"), method
+        # Activation-quant variants store weights exactly like their
+        # weight-only siblings; the activation side is dynamic (computed
+        # in-kernel per token), so load-time work is identical.
+        wmethod = {"w8a8": "int8", "w4a8": "int4"}.get(method, method)
+        assert wmethod in ("int4", "int8", "fp8"), method
         if "w1" not in moe:
-            if method == "int4" and "w1_q" in moe and \
+            if wmethod == "int4" and "w1_q" in moe and \
                     str(moe["w1_q"].dtype).startswith("float8"):
                 # FP8→INT4 repack (fused_moe/layer.py:2074).
                 for name in ("w1", "w2"):
@@ -82,10 +86,10 @@ def quantize_moe_weights(params, config: ModelConfig):
             # internally (a standalone astype of multi-GB bf16 zeros costs
             # minutes on the shape probe for nothing).
             w = np.asarray(moe.pop(name))
-            if method == "int4":
+            if wmethod == "int4":
                 qw, s = quant.quantize_int4_np(w, 128)
                 qw, s = quant.tile_quant_layout_np(qw, s)
-            elif method == "int8":
+            elif wmethod == "int8":
                 qw, s = quant.quantize_int8_np(w, 128)
                 qw, s = quant.tile_quant_layout_np(qw, s)
             else:

@@ -437,6 +437,20 @@ def _dequant_tile_f32(packed, scales, group_size, method):
     return (w * scales.astype(jnp.float32)[:, None, :]).reshape(K, tn)
 
 
+def _act_quant_rows(x: jax.Array):
+    """Dynamic symmetric per-token int8 activation quant (in-VMEM).
+
+    Counterpart of the reference's per-token dynamic quant epilogue in the
+    cutlass w8a8 path (``csrc/quantization/`` scaled_mm): scale[m] =
+    max|x[m,:]| / 127; returns (xq int8 [M, K], inv_scale f32 [M, 1] such
+    that x ≈ xq * inv_scale)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    absmax = jnp.maximum(absmax, 1e-8)
+    q = jnp.clip(jnp.round(xf * (127.0 / absmax)), -127.0, 127.0)
+    return q.astype(jnp.int8), absmax * (1.0 / 127.0)
+
+
 def grouped_quant_ffn_tiled(
     x_aligned: jax.Array,     # [M_pad, K]
     w1_t: jax.Array,          # [E, nb1, rows1, tn1] (gate‖up, N1 = 2I)
@@ -448,6 +462,7 @@ def grouped_quant_ffn_tiled(
     method: str,              # int4 | int8
     tile_m: int,
     group_size: int = 128,
+    act_quant: bool = False,
 ) -> jax.Array:
     """Whole MoE FFN (w1 GEMM → SiLU·mul → w2 GEMM) as ONE fused kernel.
 
@@ -479,14 +494,16 @@ def grouped_quant_ffn_tiled(
     # either way (K/M times less VPU work than per-weight scaling).
     use_bf16_dot = tile_m >= 32
 
-    def dot_tile(xv, w_ref_tile, s_ref_tile, K_full):
+    def unpack_w(w_ref_tile):
         if method == "int4":
             pck = w_ref_tile.astype(jnp.int32)
             lo = (pck << 28) >> 28
             hi = pck >> 4
-            q = jnp.concatenate([lo, hi], axis=0)
-        else:
-            q = w_ref_tile.astype(jnp.int32)
+            return jnp.concatenate([lo, hi], axis=0)
+        return w_ref_tile.astype(jnp.int32)
+
+    def dot_tile(xv, w_ref_tile, s_ref_tile, K_full):
+        q = unpack_w(w_ref_tile)
         Kq, tn = q.shape
         cdt = jnp.bfloat16 if use_bf16_dot else jnp.float32
         qf = q.astype(cdt)
@@ -503,6 +520,25 @@ def grouped_quant_ffn_tiled(
             acc = part if acc is None else acc + part
         return acc
 
+    def dot_tile_a8(xq, xs, w_ref_tile, s_ref_tile, K_full):
+        """int8-MXU path (w8a8/w4a8): int8 activations x int8 weights at
+        2x the bf16 MXU rate (probed 148 vs 87 TF/s on v5e at prefill
+        tiles, tools/probe_int8_mxu.py); per-group weight scale and
+        per-token activation scale applied on the int32 OUTPUT partial."""
+        q = unpack_w(w_ref_tile).astype(jnp.int8)
+        Kq, tn = q.shape
+        sc = s_ref_tile.astype(jnp.float32)           # [Kq//G, tn]
+        acc = None
+        for g in range(Kq // group_size):
+            part = jax.lax.dot_general(
+                xq[:, g * group_size:(g + 1) * group_size],
+                q[g * group_size:(g + 1) * group_size, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = part.astype(jnp.float32) * sc[g][None, :]
+            acc = part if acc is None else acc + part
+        return acc * xs
+
     def kernel(be_ref, x_ref, w1_ref, s1_ref, w2_ref, s2_ref, o_ref):
         m = pl.program_id(0)
 
@@ -513,10 +549,14 @@ def grouped_quant_ffn_tiled(
         # that combine_tokens never gathers.
         @pl.when(be_ref[m] >= 0)
         def _body():
-            x = x_ref[:].astype(jnp.float32)
-            hs = []
-            for n in range(nb1):
-                hs.append(dot_tile(x, w1_ref[0, n], s1_ref[0, n], K))
+            if act_quant:
+                xq, xs = _act_quant_rows(x_ref[:])
+                hs = [dot_tile_a8(xq, xs, w1_ref[0, n], s1_ref[0, n], K)
+                      for n in range(nb1)]
+            else:
+                x = x_ref[:].astype(jnp.float32)
+                hs = [dot_tile(x, w1_ref[0, n], s1_ref[0, n], K)
+                      for n in range(nb1)]
             # Match the two-kernel path's numerics exactly: the first
             # GEMM's output is cast to the activation dtype BEFORE SiLU
             # (which runs in f32), and the product is in that dtype.
@@ -524,10 +564,14 @@ def grouped_quant_ffn_tiled(
             gate = h[:, :I].astype(jnp.float32)
             up = h[:, I:]
             hb = (gate * jax.lax.logistic(gate)).astype(out_dtype) * up
-            hb = hb.astype(jnp.float32)
-            outs = []
-            for n in range(nb2):
-                outs.append(dot_tile(hb, w2_ref[0, n], s2_ref[0, n], I))
+            if act_quant:
+                hq, hsc = _act_quant_rows(hb)
+                outs = [dot_tile_a8(hq, hsc, w2_ref[0, n], s2_ref[0, n], I)
+                        for n in range(nb2)]
+            else:
+                hb = hb.astype(jnp.float32)
+                outs = [dot_tile(hb, w2_ref[0, n], s2_ref[0, n], I)
+                        for n in range(nb2)]
             o_ref[:] = jnp.concatenate(outs, axis=1).astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -560,6 +604,44 @@ def grouped_quant_ffn_tiled(
 
 
 # ---- jnp reference ---------------------------------------------------------
+
+def grouped_quant_ffn_reference(x_aligned, w1_t, s1_t, w2_t, s2_t,
+                                block_expert, *, method, tile_m,
+                                group_size=128, act_quant=False):
+    """Oracle for the fused FFN kernel incl. the w8a8/w4a8 activation-quant
+    path: dequantize whole experts, quantize activations per token with the
+    same symmetric dynamic rule as the kernel, run the FFN in f32."""
+    from lvllm_tpu.layers.common import silu_and_mul
+
+    def dq(w, s):
+        if w.ndim == 4:
+            w = untile_last_dim(w)
+            s = untile_last_dim(s)
+        from lvllm_tpu.ops import quant as q
+        if method in ("int4", "w4a8"):
+            return q.dequant_int4(w, s, group_size, jnp.float32)
+        return q.dequant_int8(w, s, group_size, jnp.float32)
+
+    w1 = dq(w1_t, s1_t)
+    w2 = dq(w2_t, s2_t)
+
+    def maybe_q(x):
+        if not act_quant:
+            return x.astype(jnp.float32)
+        xq, xs = _act_quant_rows(x)
+        return xq.astype(jnp.float32) * xs
+
+    M_pad = x_aligned.shape[0]
+    nb = M_pad // tile_m
+    safe = jnp.maximum(block_expert, 0)
+    out_dtype = x_aligned.dtype
+    xb = maybe_q(x_aligned).reshape(nb, tile_m, -1)
+    h = jnp.einsum("bmk,bkn->bmn", xb, w1[safe])
+    h = h.reshape(M_pad, -1).astype(out_dtype)
+    hb = silu_and_mul(h)
+    hq = maybe_q(hb).reshape(nb, tile_m, -1)
+    out = jnp.einsum("bmk,bkn->bmn", hq, w2[safe])
+    return out.reshape(M_pad, -1).astype(out_dtype)
 
 def grouped_quant_matmul_reference(x_aligned, w, scales, block_expert, *,
                                    method, tile_m, group_size=128):
