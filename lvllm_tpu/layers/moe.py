@@ -268,13 +268,25 @@ def fused_moe_quant(
     gmm = (quant_gemm.grouped_quant_matmul if use_pallas
            else quant_gemm.grouped_quant_matmul_reference)
 
-    topk_w, topk_ids = route_tokens(
-        x, params.router, top_k, norm_topk_prob, scoring_fn,
-        params.router_bias, e_score_bias, scaling_factor, n_group,
-        topk_group)
-
     tile_m = _pick_tile_m(T, top_k)
-    d = moe_align.align_tokens(x, topk_ids, E, tile_m)
+    if (use_pallas and scoring_fn in ("softmax", "sigmoid")
+            and n_group <= 1 and e_score_bias is None):
+        # One-launch routing (router GEMM → top-k → counting-sort rank):
+        # the XLA route+rank pipeline cost ~0.40 ms/layer at prefill
+        # width (ops/pallas/moe_route.py).
+        from lvllm_tpu.ops.pallas import moe_route
+        topk_w, topk_ids, rank, counts = moe_route.fused_route_rank(
+            x, params.router, top_k, router_bias=params.router_bias,
+            scoring_fn=scoring_fn, norm_topk_prob=norm_topk_prob,
+            scaling_factor=scaling_factor)
+        d = moe_align.align_tokens_from_rank(x, topk_ids, rank, counts,
+                                             E, tile_m)
+    else:
+        topk_w, topk_ids = route_tokens(
+            x, params.router, top_k, norm_topk_prob, scoring_fn,
+            params.router_bias, e_score_bias, scaling_factor, n_group,
+            topk_group)
+        d = moe_align.align_tokens(x, topk_ids, E, tile_m)
     # Activation-quantized variants (reference: cutlass w8a8 /
     # compressed-tensors w8a8-int8): weights stored exactly as int8/int4;
     # activations get dynamic per-token symmetric int8 scales so both GEMM

@@ -35,22 +35,40 @@ def align_tokens(
     tile_m: int,
 ) -> AlignedDispatch:
     T, K = topk_ids.shape
-    H = x.shape[1]
-    N = T * K
-    E = num_experts
-    M_pad = max_padded_rows(N, E, tile_m)
-
     flat = topk_ids.reshape(-1)
     # Stable counting sort via one-hot cumsum — a general argsort costs
     # ~2 ms at prefill widths (16k pairs) on TPU and dominated the MoE
     # glue; the destination row of each pair is just
     # offsets[expert] + (# earlier pairs of the same expert).
     onehot = (flat[:, None] ==
-              jnp.arange(E, dtype=flat.dtype)[None, :]).astype(jnp.int32)
+              jnp.arange(num_experts, dtype=flat.dtype)[None, :]
+              ).astype(jnp.int32)
     csum = jnp.cumsum(onehot, axis=0)                    # inclusive [N, E]
     counts = csum[-1]                                    # [E]
     rank = jnp.take_along_axis(csum - onehot, flat[:, None],
                                axis=1)[:, 0]             # [N]
+    return align_tokens_from_rank(x, topk_ids, rank, counts, num_experts,
+                                  tile_m)
+
+
+def align_tokens_from_rank(
+    x: jax.Array,         # [T, H]
+    topk_ids: jax.Array,  # [T, K] i32
+    rank: jax.Array,      # [T*K] or [T, K] i32 — earlier same-expert pairs
+    counts: jax.Array,    # [E] i32
+    num_experts: int,
+    tile_m: int,
+) -> AlignedDispatch:
+    """Dispatch from precomputed (rank, counts) — the fused routing kernel
+    (ops/pallas/moe_route.fused_route_rank) produces them in one launch;
+    dest rows are identical to the jnp counting sort."""
+    T, K = topk_ids.shape
+    H = x.shape[1]
+    N = T * K
+    E = num_experts
+    M_pad = max_padded_rows(N, E, tile_m)
+    flat = topk_ids.reshape(-1)
+    rank = rank.reshape(-1)
     padded = ((counts + tile_m - 1) // tile_m) * tile_m  # [E]
     offsets = jnp.cumsum(padded) - padded                # exclusive [E]
     dest = (offsets[flat] + rank).astype(jnp.int32)      # [N] in M_pad
@@ -58,9 +76,15 @@ def align_tokens(
     # pair_pos[pair] = destination row of that (token, k) pair.
     pair_pos = dest
 
+    # Row placement as an int32 index scatter + H-wide row GATHER: the
+    # direct H-wide row scatter (.at[dest].set(x[token])) costs 1.13 ms at
+    # prefill width on v5e vs 0.19 ms for this form (tools/probe_moe_glue.py)
+    # — TPU scatter lowering serializes, gathers stream. Pad rows pull the
+    # appended zero row (src == T).
     token_of_pair = (jnp.arange(N, dtype=jnp.int32) // K)
-    x_aligned = jnp.zeros((M_pad, H), x.dtype)
-    x_aligned = x_aligned.at[dest].set(x[token_of_pair])
+    src = jnp.full((M_pad,), T, jnp.int32).at[dest].set(token_of_pair)
+    xp = jnp.concatenate([x, jnp.zeros((1, H), x.dtype)], axis=0)
+    x_aligned = xp[src]
 
     # Expert of each row-block: block b starts at row b*tile_m; it belongs
     # to expert e iff offsets[e] <= b*tile_m < offsets[e] + padded[e].
@@ -82,10 +106,13 @@ def combine_tokens(
     topk_weights: jax.Array,  # [T, K] f32
     out_dtype=None,
 ) -> jax.Array:
-    """Gather expert outputs back to (token, k) order and combine."""
+    """Gather expert outputs back to (token, k) order and combine.
+
+    Broadcast-multiply + sum instead of einsum: the [T, K, H] einsum
+    relayouts for the MXU where a VPU mul+reduce streams (0.26 → 0.22 ms
+    at prefill width, tools/probe_moe_glue.py)."""
     T, K = topk_weights.shape
     H = y_aligned.shape[1]
-    y_pairs = y_aligned[pair_pos].reshape(T, K, H)
-    y = jnp.einsum("tkh,tk->th", y_pairs.astype(jnp.float32),
-                   topk_weights.astype(jnp.float32))
+    y_pairs = y_aligned[pair_pos].reshape(T, K, H).astype(jnp.float32)
+    y = (y_pairs * topk_weights.astype(jnp.float32)[:, :, None]).sum(1)
     return y.astype(out_dtype or y_aligned.dtype)

@@ -241,6 +241,40 @@ def test_fused_ffn_act_quant_matches_oracle(method):
     assert err.mean() / scale < 0.08
 
 
+@pytest.mark.parametrize("scoring,T,bias", [
+    ("softmax", 100, False), ("softmax", 512, False),
+    ("sigmoid", 64, True), ("softmax", 6, False)])
+def test_fused_route_rank_matches_jnp(scoring, T, bias):
+    """fused_route_rank (one Pallas launch) must reproduce route_tokens'
+    ids/weights and the counting sort's rank/counts exactly."""
+    from lvllm_tpu.layers.moe import route_tokens
+    from lvllm_tpu.ops.pallas import moe_route
+
+    rng = np.random.default_rng(21)
+    H, E, K = 128, 16, 4
+    x = jnp.asarray(rng.standard_normal((T, H)) * 0.5, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)) * 0.3, jnp.float32)
+    rb = (jnp.asarray(rng.standard_normal(E) * 0.1, jnp.float32)
+          if bias else None)
+
+    want_w, want_ids = route_tokens(x, router, K, True, scoring,
+                                    router_bias=rb)
+    flat = np.asarray(want_ids).reshape(-1)
+    onehot = (flat[:, None] == np.arange(E)).astype(np.int64)
+    cs = onehot.cumsum(0) - onehot
+    want_rank = cs[np.arange(flat.size), flat]
+    want_counts = onehot.sum(0)
+
+    with pltpu.force_tpu_interpret_mode():
+        w, ids, rank, counts = moe_route.fused_route_rank(
+            x, router, K, router_bias=rb, scoring_fn=scoring, chunk=64)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(want_w),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(rank).reshape(-1), want_rank)
+    np.testing.assert_array_equal(np.asarray(counts), want_counts)
+
+
 def test_fused_moe_quant_w8a8_layer_path():
     """fused_moe_quant with method='w8a8' routes through the act-quant
     oracle off-TPU and stays close to the weight-only int8 result."""
