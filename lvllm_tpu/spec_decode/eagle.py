@@ -46,6 +46,36 @@ def _bucket(n: int) -> int:
     return b
 
 
+def sample_draft_token(logits, temperature, top_k, top_p, min_p, seed,
+                       draw):
+    """Draw one draft token from the head's own filtered distribution and
+    return (token, q) — q is the filtered, renormalized proposal the
+    general-q rejection verifier accepts against (reference
+    rejection_sampler.py; same math as DraftModelProposer.step_sampled).
+    ``logits`` is a [V] row."""
+    V = logits.shape[-1]
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    lse = jax.scipy.special.logsumexp(scaled, keepdims=True)
+    sort_idx = jnp.argsort(-scaled)
+    sorted_logits = scaled[sort_idx]
+    probs_sorted = jnp.exp(sorted_logits - lse)
+    cumsum = jnp.cumsum(probs_sorted)
+    rv = jnp.arange(V, dtype=jnp.int32)
+    kk = jnp.where(top_k <= 0, V, top_k)
+    keep_sorted = (rv < kk) & ((cumsum - probs_sorted) < top_p) & \
+        (probs_sorted >= min_p * probs_sorted[0])
+    keep = jnp.zeros((V,), jnp.bool_).at[sort_idx].set(keep_sorted)
+    p = jnp.where(keep, jnp.exp(scaled - lse), 0.0)
+    q = p / jnp.maximum(p.sum(), 1e-20)
+    # Draft chain rng: fold 3 = disjoint from the target's sample/accept/
+    # recovery streams; per-draw offset separates chain positions.
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(seed), 3), draw)
+    g = jax.random.gumbel(key, (V,), dtype=jnp.float32)
+    tok = jnp.argmax(jnp.where(keep, scaled + g, -jnp.inf))
+    return tok.astype(jnp.int32), q
+
+
 class EagleProposer:
     """One-layer EAGLE head over the target's feature stream."""
 
@@ -81,6 +111,9 @@ class EagleProposer:
         self._free_blocks = list(range(num_blocks - 1, 0, -1))
         self._reqs: Dict[str, dict] = {}
         self._max_blocks = -(-c.max_model_len // block_size)
+        # rid → [k, V] f32 proposal distributions of the last sampled
+        # proposal (consumed by the runner's rejection_sample draft_q).
+        self.last_q: Dict[str, np.ndarray] = {}
 
         self._ingest_fn = jax.jit(self._fwd_ingest, donate_argnums=(1,),
                                   static_argnames=("tied",))
@@ -178,7 +211,7 @@ class EagleProposer:
         return x, kv_cache
 
     def _head(self, p, tokens, feats, positions, kv_cache, slots, seq_len,
-              blocks, n, last_idx, embed_w, lm_w, tied):
+              blocks, n, last_idx, embed_w, lm_w, tied, sample_args=None):
         emb = embed_w[tokens].astype(self.dtype)
         if feats.shape[-1] != emb.shape[-1]:
             # EAGLE-3 multi-level features: fuse [num_feats*H] → [H].
@@ -191,27 +224,38 @@ class EagleProposer:
         hidden = rms_norm(feat_out, p["norm"], self.config.rms_norm_eps)
         kernel = embed_w.T if tied else lm_w
         logits = (hidden @ kernel).astype(jnp.float32)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return tok, feat_out, kv_cache
+        return self._emit(logits, feat_out, kv_cache, sample_args)
+
+    def _emit(self, logits, feat_out, kv_cache, sample_args):
+        """Greedy argmax by default; sampled (token + proposal q) when the
+        request decodes at temperature > 0 — the runner verifies sampled
+        drafts with the general-q stochastic rejection sampler."""
+        if sample_args is None:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return tok, None, feat_out, kv_cache
+        tok, q = sample_draft_token(logits, *sample_args)
+        return tok, q, feat_out, kv_cache
 
     def _fwd_ingest(self, p, kv_cache, hidden_src, feat_offset, tokens,
                     positions, slots, seq_len, blocks, n, last_idx,
-                    embed_w, lm_w, tied=False):
+                    embed_w, lm_w, tied=False, sample_args=None):
         B = tokens.shape[0]
         H = hidden_src.shape[-1]
         padded = jnp.concatenate(
             [hidden_src, jnp.zeros((B, H), hidden_src.dtype)])
         feats = jax.lax.dynamic_slice_in_dim(padded, feat_offset, B)
         return self._head(p, tokens, feats, positions, kv_cache, slots,
-                          seq_len, blocks, n, last_idx, embed_w, lm_w, tied)
+                          seq_len, blocks, n, last_idx, embed_w, lm_w, tied,
+                          sample_args)
 
     def _fwd_decode(self, p, kv_cache, feat, tokens, positions, slots,
                     seq_len, blocks, n, last_idx, embed_w, lm_w,
-                    tied=False):
+                    tied=False, sample_args=None):
         B = tokens.shape[0]
         feats = jnp.zeros((B, feat.shape[-1]), feat.dtype).at[0].set(feat)
         return self._head(p, tokens, feats, positions, kv_cache, slots,
-                          seq_len, blocks, n, last_idx, embed_w, lm_w, tied)
+                          seq_len, blocks, n, last_idx, embed_w, lm_w, tied,
+                          sample_args)
 
     # ---- request lifecycle ---------------------------------------------------
 
@@ -219,6 +263,7 @@ class EagleProposer:
         st = self._reqs.pop(rid, None)
         if st:
             self._free_blocks.extend(reversed(st["blocks"]))
+        self.last_q.pop(rid, None)
 
     def _state(self, rid: str) -> dict:
         if rid not in self._reqs:
@@ -255,9 +300,13 @@ class EagleProposer:
         room: int,
         embed_w,                  # target embedding [V, H] (device, shared)
         lm_w,                     # target lm_head kernel or None if tied
+        sampling=None,            # (temperature, top_k, top_p, min_p, seed)
     ) -> List[int]:
         """Ingest pairs for target positions [cursor, accepted_end) from the
-        step's hidden states, then (optionally) decode up to k drafts."""
+        step's hidden states, then (optionally) decode up to k drafts —
+        greedy argmax at temperature 0, sampled from the head's own
+        filtered distribution otherwise (q recorded in ``last_q`` for the
+        general-q rejection verifier; reference default for MTP)."""
         st = self._state(rid)
         cursor = st["processed"]
         if cursor < chunk_start:
@@ -272,6 +321,18 @@ class EagleProposer:
             return []
         tied = bool(self.config.tie_word_embeddings)
         lm_arg = embed_w if lm_w is None else lm_w
+        sampled_mode = bool(sampling is not None and sampling[0] > 0.0)
+        self.last_q.pop(rid, None)
+        qs: List[np.ndarray] = []
+
+        def sargs(draw):
+            if not sampled_mode:
+                return None
+            t, tk, tp, mp, seed = sampling
+            return (jnp.asarray(t, jnp.float32), jnp.asarray(tk, jnp.int32),
+                    jnp.asarray(tp, jnp.float32), jnp.asarray(mp, jnp.float32),
+                    jnp.asarray(seed, jnp.uint32),
+                    jnp.asarray(accepted_end * 131 + draw, jnp.int32))
 
         feat = None
         tok = -1
@@ -282,7 +343,7 @@ class EagleProposer:
             positions = np.zeros(B, np.int32)
             positions[:n_pairs] = np.arange(cursor, accepted_end)
             slots = self._slots(st, cursor, n_pairs, B)
-            tok, feat, self.kv_cache = self._ingest_fn(
+            tok, q, feat, self.kv_cache = self._ingest_fn(
                 self.params, self.kv_cache, hidden,
                 jnp.asarray(row_t0 + (cursor - chunk_start), jnp.int32),
                 jnp.asarray(tokens),
@@ -290,7 +351,10 @@ class EagleProposer:
                 jnp.asarray(accepted_end, jnp.int32),
                 jnp.asarray(self._pad_blocks(st), jnp.int32),
                 jnp.asarray(n_pairs, jnp.int32),
-                n_pairs - 1, embed_w, lm_arg, tied=tied)
+                n_pairs - 1, embed_w, lm_arg, tied=tied,
+                sample_args=sargs(0))
+            if q is not None:
+                qs.append(np.asarray(q))
             st["processed"] = accepted_end
         if not want_drafts or n_pairs <= 0:
             return []
@@ -308,14 +372,20 @@ class EagleProposer:
             positions = np.zeros(B, np.int32)
             positions[0] = p
             slots = self._slots(st, p, 1, B)
-            tok, feat, self.kv_cache = self._decode_fn(
+            tok, q, feat, self.kv_cache = self._decode_fn(
                 self.params, self.kv_cache, feat, jnp.asarray(tokens),
                 jnp.asarray(positions), jnp.asarray(slots),
                 jnp.asarray(p + 1, jnp.int32),
                 jnp.asarray(self._pad_blocks(st), jnp.int32),
-                jnp.asarray(1, jnp.int32), 0, embed_w, lm_arg, tied=tied)
+                jnp.asarray(1, jnp.int32), 0, embed_w, lm_arg, tied=tied,
+                sample_args=sargs(j))
+            if q is not None:
+                qs.append(np.asarray(q))
             drafts.append(int(tok))
-        return drafts[:room]
+        drafts = drafts[:room]
+        if sampled_mode and qs:
+            self.last_q[rid] = np.stack(qs[:len(drafts)])
+        return drafts
 
     def _pad_blocks(self, st: dict) -> List[int]:
         return st["blocks"] + [0] * (self._max_blocks - len(st["blocks"]))

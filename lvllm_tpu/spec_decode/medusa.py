@@ -95,7 +95,9 @@ class MedusaProposer:
     def ingest_and_propose(self, rid: str, hidden, row_t0: int,
                            chunk_start: int, accepted_end: int,
                            token_ids, want_drafts: bool, room: int,
-                           embed_w, lm_w) -> List[int]:
+                           embed_w, lm_w, sampling=None) -> List[int]:
+        # Medusa heads are independent per-position classifiers; sampled
+        # drafting (chain q) does not apply — greedy heads as reference.
         if not want_drafts or room <= 0 or accepted_end <= chunk_start:
             return []
         idx = row_t0 + (accepted_end - 1 - chunk_start)

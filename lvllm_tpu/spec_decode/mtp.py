@@ -121,7 +121,7 @@ class MTPProposer(EagleProposer):
     # ---- forward ------------------------------------------------------------
 
     def _head(self, p, tokens, feats, positions, kv_cache, slots, seq_len,
-              blocks, n, last_idx, embed_w, lm_w, tied):
+              blocks, n, last_idx, embed_w, lm_w, tied, sample_args=None):
         c = self.config
         emb = embed_w[tokens].astype(self.dtype)
         # Position 0 has no previous token context (deepseek_mtp.py:110).
@@ -144,5 +144,6 @@ class MTPProposer(EagleProposer):
         else:
             kernel = embed_w.T if tied else lm_w
         logits = (hidden @ kernel).astype(jnp.float32)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return tok, feat_out, kv_cache
+        tok, q, feat_out, kv_cache = self._emit(logits, feat_out, kv_cache,
+                                                sample_args)
+        return tok, q, feat_out, kv_cache

@@ -1616,10 +1616,22 @@ class ModelRunner:
         lm_w = None
         if not mc.tie_word_embeddings:
             lm_w = self.params["lm_head"]["kernel"]
+        # Sampled drafting (the reference default for MTP/EAGLE): at
+        # temperature > 0 the head samples its own filtered distribution
+        # and records q — verified by the general-q rejection sampler
+        # instead of exact match.
+        sampling = None
+        if float(ib.temperature[idx]) > 0.0:
+            sampling = (float(ib.temperature[idx]), int(ib.top_k[idx]),
+                        float(ib.top_p[idx]), float(ib.min_p[idx]),
+                        int(ib.seeds[idx]))
         drafts = self.eagle_proposer.ingest_and_propose(
             rid, handle.hidden, handle.row_t0s[r], handle.row_starts[r],
             accepted_end, ib.token_ids[idx], want, max(room, 0),
-            self.params["embed"]["weight"], lm_w)
+            self.params["embed"]["weight"], lm_w, sampling=sampling)
+        q = getattr(self.eagle_proposer, "last_q", {}).get(rid)
+        if q is not None and drafts:
+            self.draft_q_store[rid] = q
         if drafts:
             if out.spec_token_ids is None:
                 out.spec_token_ids = {}

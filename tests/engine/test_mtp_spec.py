@@ -138,3 +138,56 @@ def test_mtp_acceptance_stats_in_engine_metrics():
     assert sd["num_draft_tokens"] > 0
     assert 0 <= sd["num_accepted_tokens"] <= sd["num_draft_tokens"]
     assert sd["acceptance_rate"] is not None
+
+
+def test_mtp_sampled_drafts_beat_greedy_acceptance():
+    """At temperature > 0 the MTP head samples its own filtered
+    distribution and ships q to the general-q rejection verifier
+    (reference MTP default). Acceptance = E[min(1, p/q)] summed over the
+    draft support beats the one-hot p(argmax q) of greedy drafting when
+    q tracks p — on the random-weight DeepSeek-V3-mini the head shares
+    the target's lm kernel, so they correlate."""
+
+    def run(seed):
+        spec = SpeculativeConfig(method="mtp", num_speculative_tokens=2)
+        eng = _engine(_deepseek_config(), spec)
+        for rid, p in enumerate(PROMPTS):
+            eng.add_request(
+                f"r{rid}", p,
+                SamplingParams(temperature=0.8, seed=seed + rid,
+                               max_tokens=24))
+        steps = 0
+        while eng.has_unfinished_requests() and steps < 300:
+            eng.step()
+            steps += 1
+        sd = eng.get_stats()["spec_decode"]
+        return eng, sd
+
+    eng, sd = run(7)
+    # Sampled mode engaged: q distributions were stored for verification.
+    assert sd["num_draft_tokens"] > 20
+    sampled_rate = sd["acceptance_rate"]
+
+    # Force greedy drafting for comparison: same engine config, but the
+    # proposer ignores sampling (sampling=None path) via temperature on
+    # the DRAFT side only — emulate by monkeypatching ingest sampling off.
+    spec = SpeculativeConfig(method="mtp", num_speculative_tokens=2)
+    eng2 = _engine(_deepseek_config(), spec)
+    orig = eng2.core.runner.eagle_proposer.ingest_and_propose
+
+    def greedy_ingest(*args, **kw):
+        kw["sampling"] = None
+        return orig(*args, **kw)
+
+    eng2.core.runner.eagle_proposer.ingest_and_propose = greedy_ingest
+    for rid, p in enumerate(PROMPTS):
+        eng2.add_request(
+            f"r{rid}", p,
+            SamplingParams(temperature=0.8, seed=7 + rid, max_tokens=24))
+    steps = 0
+    while eng2.has_unfinished_requests() and steps < 300:
+        eng2.step()
+        steps += 1
+    sd2 = eng2.get_stats()["spec_decode"]
+    greedy_rate = sd2["acceptance_rate"]
+    assert sampled_rate > greedy_rate, (sampled_rate, greedy_rate)
