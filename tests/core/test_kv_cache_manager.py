@@ -12,6 +12,8 @@ from lvllm_tpu.core.kv_cache_utils import hash_request_tokens
 from lvllm_tpu.core.request import Request
 from lvllm_tpu.sampling_params import SamplingParams
 
+pytestmark = pytest.mark.smoke
+
 
 def make_request(rid, prompt_len, prompt=None):
     tokens = prompt if prompt is not None else list(range(prompt_len))

@@ -9,6 +9,8 @@ from lvllm_tpu.core.scheduler import Scheduler
 from lvllm_tpu.core.sched_output import ModelRunnerOutput
 from lvllm_tpu.sampling_params import SamplingParams
 
+pytestmark = pytest.mark.smoke
+
 
 def create_scheduler(max_num_batched_tokens=64, max_num_seqs=8,
                      num_kv_blocks=64, block_size=16,

@@ -114,19 +114,18 @@ def test_dp_standby_promotion_on_rank_death():
     group = DPEngineGroup(tiny_cfg(), num_ranks=2, load_format="dummy",
                           standby_ranks=1)
     try:
-        import threading
-        import time as _t
         prompts = [[i + 1, i + 2, i + 3] for i in range(8)]
         sp = SamplingParams(temperature=0.0, max_tokens=24)
 
-        def killer():
-            _t.sleep(0.5)                 # mid-generation
-            group._procs[0].terminate()   # exact child handle, not pattern
-
-        t = threading.Thread(target=killer)
-        t.start()
+        # Deterministic death (the old mid-generation sleep raced the
+        # suite's load: generation could finish before the kill landed and
+        # the monitor loop never saw a dead rank): terminate rank 0 and
+        # WAIT for the exit before dispatching — every request routed to
+        # slot 0 must then ride the promotion + re-dispatch path.
+        group._procs[0].terminate()       # exact child handle, not pattern
+        group._procs[0].join(timeout=30)
+        assert not group._procs[0].is_alive()
         outs = group.generate(prompts, sp)
-        t.join()
         assert len(outs) == 8
         assert all(len(o.outputs[0].token_ids) == 24 for o in outs)
         assert 0 in group._dead

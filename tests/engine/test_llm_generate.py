@@ -11,6 +11,8 @@ from lvllm_tpu.config import ModelConfig
 from lvllm_tpu.entrypoints.llm import LLM
 from lvllm_tpu.sampling_params import SamplingParams
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def tiny_llm():

@@ -6,6 +6,7 @@ The op-level tests check the combined output law IS the target sampling
 distribution; the engine test runs ngram spec decode at temperature > 0.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,8 @@ from lvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
 from lvllm_tpu.engine.llm_engine import LLMEngine
 from lvllm_tpu.ops.sampling import SamplingTensors, rejection_sample
 from lvllm_tpu.sampling_params import SamplingParams
+
+pytestmark = pytest.mark.smoke
 
 V = 8
 

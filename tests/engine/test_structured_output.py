@@ -11,6 +11,8 @@ from lvllm_tpu.sampling_params import SamplingParams
 from lvllm_tpu.structured_output.grammar import (ChoiceGrammar, JsonGrammar,
                                                  _json_prefix_valid)
 
+pytestmark = pytest.mark.smoke
+
 
 class CharTokenizer:
     """One token per printable char; id = ord(c). Vocab 128; id 0 = EOS."""

@@ -14,6 +14,8 @@ from lvllm_tpu.models.model_base import AttentionMetadata
 from lvllm_tpu.models.registry import build_model
 from lvllm_tpu.ops.kv_cache import new_kv_cache
 
+pytestmark = pytest.mark.smoke
+
 
 def tiny_config(moe=False):
     return ModelConfig(

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from lvllm_tpu.ops.attention import ragged_paged_attention_reference
 from lvllm_tpu.ops.kv_cache import new_kv_cache, write_kv
 
+pytestmark = pytest.mark.smoke
+
 
 def dense_causal_attention(q, k, v, scale, start_pos, sliding_window=None):
     """Oracle: q [Tq,Hq,D] attends to k/v [Tc,Hkv,D]; query i sits at

@@ -10,6 +10,8 @@ from jax.experimental.pallas import tpu as pltpu
 from lvllm_tpu.ops import moe_align, quant
 from lvllm_tpu.ops.pallas import quant_gemm
 
+pytestmark = pytest.mark.smoke
+
 
 def test_align_tokens_structure():
     T, K, E, TM = 5, 2, 4, 8

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from lvllm_tpu.ops import quant
 
+pytestmark = pytest.mark.smoke
+
 
 def test_int4_roundtrip_exact():
     """Values exactly representable at the group scale must round-trip."""
