@@ -1,95 +1,98 @@
-"""gRPC serving endpoint.
+"""gRPC serving endpoint — protobuf wire format.
 
 Counterpart of the reference's gRPC server (``vllm/entrypoints/
 grpc_server.py:serve_grpc`` — an AsyncLLM-backed engine servicer with
-Generate/Abort/Health RPCs). The reference delegates message types to an
-external protobuf package; this image has no ``protoc``/``grpc_tools``, so
-the service is registered through ``grpc.aio`` *generic handlers* with
-JSON-over-bytes messages — the RPC surface and streaming semantics match,
-the wire encoding is documented here instead of a .proto:
+Generate/Abort/Health RPCs; message types from the external
+``smg_grpc_proto`` package). The image has no ``protoc``, so the schema
+(``engine.proto``) resolves through hand-constructed descriptors
+(``engine_pb2.py``) — messages are standard proto3 wire bytes and any
+stack compiling ``engine.proto`` interoperates.
 
 service lvllm.Engine:
-  Generate  (unary → server streaming)
-      request : {"prompt": str | [int], "request_id"?: str,
-                 "sampling_params"?: {temperature, top_p, top_k, min_p,
-                                      max_tokens, stop, seed, ...}}
-      response: {"request_id", "text", "token_ids", "finished",
-                 "finish_reason"}   (deltas: new tokens since last message)
-  Abort     (unary → unary)   request {"request_id"} → {"aborted": bool}
-  Health    (unary → unary)   {} → {"status": "SERVING", "stats": {...}}
+  Generate  (unary → server streaming)  GenerateRequest → GenerateResponse*
+            (responses carry DELTA text/token_ids since the last message)
+  Abort     AbortRequest → AbortResponse
+  Health    HealthRequest → HealthResponse
 """
 
 import asyncio
 import json
-from typing import Optional
 
+from lvllm_tpu.entrypoints import engine_pb2 as pb
 from lvllm_tpu.logger import init_logger
 from lvllm_tpu.sampling_params import SamplingParams
 
 logger = init_logger(__name__)
 
-SERVICE = "lvllm.Engine"
+SERVICE = pb.SERVICE_NAME
 
-_SAMPLING_FIELDS = (
+_SCALAR_FIELDS = (
     "temperature", "top_p", "top_k", "min_p", "max_tokens", "min_tokens",
-    "stop", "stop_token_ids", "seed", "presence_penalty",
-    "frequency_penalty", "repetition_penalty", "logprobs", "n",
-    "ignore_eos",
+    "seed", "presence_penalty", "frequency_penalty", "repetition_penalty",
+    "logprobs", "n", "ignore_eos",
 )
 
 
-def _parse_sampling(d: Optional[dict]) -> SamplingParams:
-    d = d or {}
-    kwargs = {k: d[k] for k in _SAMPLING_FIELDS if k in d}
+def _parse_sampling(msg) -> SamplingParams:
+    """Proto → SamplingParams; unset optional fields keep the engine
+    defaults (proto3 explicit presence via synthetic oneofs)."""
+    kwargs = {}
+    for name in _SCALAR_FIELDS:
+        if msg.HasField(name):
+            kwargs[name] = getattr(msg, name)
+    if msg.stop:
+        kwargs["stop"] = list(msg.stop)
+    if msg.stop_token_ids:
+        kwargs["stop_token_ids"] = list(msg.stop_token_ids)
     return SamplingParams(**kwargs)
-
-
-def _json_bytes(obj) -> bytes:
-    return json.dumps(obj).encode()
 
 
 def make_server(async_llm, host: str = "0.0.0.0", port: int = 50051):
     """Build (not start) a grpc.aio server wrapping an AsyncLLM."""
     import grpc
 
-    async def generate(request: bytes, context):
-        req = json.loads(request)
-        sp = _parse_sampling(req.get("sampling_params"))
-        prompt = req["prompt"]
-        rid = req.get("request_id")
+    async def generate(request, context):
+        sp = (_parse_sampling(request.sampling_params)
+              if request.HasField("sampling_params") else SamplingParams())
+        prompt = (list(request.prompt_token_ids)
+                  if request.prompt_token_ids else request.prompt)
+        rid = request.request_id or None
         sent = 0
         sent_text = 0
         async for out in async_llm.generate(prompt, sp, request_id=rid):
             seq = out.outputs[0]
             text = seq.text or ""
-            msg = {
-                "request_id": out.request_id,
-                "text": text[sent_text:],
-                "token_ids": list(seq.token_ids[sent:]),
-                "finished": out.finished,
-                "finish_reason": seq.finish_reason,
-            }
+            msg = pb.GenerateResponse(
+                request_id=out.request_id,
+                text=text[sent_text:],
+                token_ids=list(seq.token_ids[sent:]),
+                finished=out.finished,
+                finish_reason=seq.finish_reason or "")
             sent = len(seq.token_ids)
             sent_text = len(text)
-            yield _json_bytes(msg)
+            yield msg
 
-    async def abort(request: bytes, context):
-        req = json.loads(request)
-        await async_llm.abort(req["request_id"])
-        return _json_bytes({"aborted": True})
+    async def abort(request, context):
+        await async_llm.abort(request.request_id)
+        return pb.AbortResponse(aborted=True)
 
-    async def health(request: bytes, context):
-        return _json_bytes({"status": "SERVING",
-                            "stats": async_llm.get_stats()})
+    async def health(request, context):
+        return pb.HealthResponse(
+            status="SERVING", stats_json=json.dumps(async_llm.get_stats()))
 
-    ident = lambda x: x  # noqa: E731  bytes in, bytes out
     handlers = grpc.method_handlers_generic_handler(SERVICE, {
         "Generate": grpc.unary_stream_rpc_method_handler(
-            generate, request_deserializer=ident, response_serializer=ident),
+            generate,
+            request_deserializer=pb.GenerateRequest.FromString,
+            response_serializer=pb.GenerateResponse.SerializeToString),
         "Abort": grpc.unary_unary_rpc_method_handler(
-            abort, request_deserializer=ident, response_serializer=ident),
+            abort,
+            request_deserializer=pb.AbortRequest.FromString,
+            response_serializer=pb.AbortResponse.SerializeToString),
         "Health": grpc.unary_unary_rpc_method_handler(
-            health, request_deserializer=ident, response_serializer=ident),
+            health,
+            request_deserializer=pb.HealthRequest.FromString,
+            response_serializer=pb.HealthResponse.SerializeToString),
     })
     server = grpc.aio.server()
     server.add_generic_rpc_handlers((handlers,))
@@ -145,34 +148,51 @@ if __name__ == "__main__":
 
 
 class EngineStub:
-    """Minimal client for the JSON-over-gRPC service (test/tooling use;
-    the reference ships generated *_pb2_grpc stubs instead)."""
+    """Typed client stub over the proto service (the reference ships
+    generated *_pb2_grpc stubs; this is their hand-rolled equivalent)."""
 
     def __init__(self, channel):
-        import grpc  # noqa: F401
-        ident = lambda x: x  # noqa: E731
         self._generate = channel.unary_stream(
-            f"/{SERVICE}/Generate", request_serializer=ident,
-            response_deserializer=ident)
+            f"/{SERVICE}/Generate",
+            request_serializer=pb.GenerateRequest.SerializeToString,
+            response_deserializer=pb.GenerateResponse.FromString)
         self._abort = channel.unary_unary(
-            f"/{SERVICE}/Abort", request_serializer=ident,
-            response_deserializer=ident)
+            f"/{SERVICE}/Abort",
+            request_serializer=pb.AbortRequest.SerializeToString,
+            response_deserializer=pb.AbortResponse.FromString)
         self._health = channel.unary_unary(
-            f"/{SERVICE}/Health", request_serializer=ident,
-            response_deserializer=ident)
+            f"/{SERVICE}/Health",
+            request_serializer=pb.HealthRequest.SerializeToString,
+            response_deserializer=pb.HealthResponse.FromString)
 
     def generate(self, prompt, sampling_params=None, request_id=None):
-        req = {"prompt": prompt}
-        if sampling_params:
-            req["sampling_params"] = sampling_params
+        req = pb.GenerateRequest()
+        if isinstance(prompt, str):
+            req.prompt = prompt
+        else:
+            req.prompt_token_ids.extend(prompt)
         if request_id:
-            req["request_id"] = request_id
-        for msg in self._generate(_json_bytes(req)):
-            yield json.loads(msg)
+            req.request_id = request_id
+        if sampling_params:
+            for k, v in dict(sampling_params).items():
+                if k in ("stop", "stop_token_ids"):
+                    getattr(req.sampling_params, k).extend(
+                        [v] if isinstance(v, str) else v)
+                else:
+                    setattr(req.sampling_params, k, v)
+        else:
+            req.sampling_params.SetInParent()
+        for msg in self._generate(req):
+            yield {"request_id": msg.request_id, "text": msg.text,
+                   "token_ids": list(msg.token_ids),
+                   "finished": msg.finished,
+                   "finish_reason": msg.finish_reason or None}
 
     def abort(self, request_id: str) -> dict:
-        return json.loads(self._abort(_json_bytes({"request_id":
-                                                   request_id})))
+        resp = self._abort(pb.AbortRequest(request_id=request_id))
+        return {"aborted": resp.aborted}
 
     def health(self) -> dict:
-        return json.loads(self._health(_json_bytes({})))
+        resp = self._health(pb.HealthRequest())
+        return {"status": resp.status,
+                "stats": json.loads(resp.stats_json or "{}")}
