@@ -241,6 +241,15 @@ class ModelConfig:
     type_vocab_size: int = 0
     position_offset: int = 0
     encoder_rope: bool = False
+    # Sequence/token classification head width (cross-encoder score /
+    # rerank models; 0 = no classification head).
+    num_labels: int = 0
+    # ModernBERT encoder knobs (alternating global/local attention).
+    global_attn_every_n_layers: int = 3
+    local_attention: int = 128
+    global_rope_theta: float = 160000.0
+    local_rope_theta: float = 10000.0
+    classifier_pooling: str = "cls"
 
     # Special tokens (filled by tokenizer glue when available).
     eos_token_id: int = 2

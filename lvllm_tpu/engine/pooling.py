@@ -59,6 +59,33 @@ class PoolingRunner:
         return jnp.where(row_valid[:, None], emb / jnp.maximum(norm, 1e-12),
                          0.0)
 
+    def _forward_classify(self, params, input_ids, positions, qsl,
+                          seq_lens, block_table, slot_mapping, kv_caches):
+        md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
+                               block_table=block_table,
+                               slot_mapping=slot_mapping)
+        hidden, _ = self.model(params, input_ids, positions, kv_caches, md)
+        return self.model.classify(params, hidden, qsl)
+
+    def classify(self, token_lists: List[List[int]]) -> List[np.ndarray]:
+        """Cross-encoder classification (score/rerank models): returns a
+        [num_labels] logit vector per input (sequence-level heads) or a
+        [len, num_labels] matrix (token-level heads)."""
+        if not hasattr(self, "_fwd_cls"):
+            self._fwd_cls = jax.jit(self._forward_classify)
+        results: List[np.ndarray] = []
+        for chunk_start in range(0, len(token_lists), 16):
+            batch = token_lists[chunk_start:chunk_start + 16]
+            args = self._batch_args(batch)
+            logits = np.asarray(self._fwd_cls(self.params, *args))
+            qsl = np.cumsum([0] + [len(t) for t in batch])
+            for r, toks in enumerate(batch):
+                if getattr(self.model, "token_level", False):
+                    results.append(logits[qsl[r]:qsl[r] + len(toks)])
+                else:
+                    results.append(logits[r])
+        return results
+
     def embed(self, token_lists: List[List[int]],
               pooling: str = "auto", normalize: bool = True) -> np.ndarray:
         """Returns [N, H] float32 (L2-normalized). pooling="auto" follows
@@ -83,7 +110,10 @@ class PoolingRunner:
         return np.concatenate(out) if out else np.zeros((0, mc.hidden_size),
                                                         np.float32)
 
-    def _embed_batch(self, batch: List[List[int]], pooling: str):
+    def _batch_args(self, batch: List[List[int]]):
+        """Flatten a prompt batch into the device forward args
+        (input_ids, positions, qsl, seq_lens, block_table, slot_mapping,
+        kv_caches)."""
         mc = self.model.config
         bs = self.block_size
         R = len(batch)
@@ -119,10 +149,13 @@ class PoolingRunner:
                            jnp.bfloat16 if mc.dtype == "bfloat16"
                            else jnp.float32)
               for _ in range(mc.num_hidden_layers)]
-        row_valid = np.ones(R, bool)
-        emb = self._fwd(self.params, jnp.asarray(input_ids),
-                        jnp.asarray(positions), jnp.asarray(qsl),
-                        jnp.asarray(seq_lens), jnp.asarray(table),
-                        jnp.asarray(slot_mapping), kv,
-                        jnp.asarray(row_valid), pooling=pooling)
+        return (jnp.asarray(input_ids), jnp.asarray(positions),
+                jnp.asarray(qsl), jnp.asarray(seq_lens),
+                jnp.asarray(table), jnp.asarray(slot_mapping), kv)
+
+    def _embed_batch(self, batch: List[List[int]], pooling: str):
+        args = self._batch_args(batch)
+        row_valid = np.ones(len(batch), bool)
+        emb = self._fwd(self.params, *args, jnp.asarray(row_valid),
+                        pooling=pooling)
         return np.asarray(emb)

@@ -219,5 +219,27 @@ class LLM:
                 block_size=self.engine.config.cache_config.block_size)
         return self._pooling_runner.embed(token_lists, pooling=pooling)
 
+    def classify(self, prompts):
+        """Cross-encoder classification logits (reference: LLM.classify /
+        score over BertForSequenceClassification-style models)."""
+        from lvllm_tpu.engine.pooling import PoolingRunner
+        if isinstance(prompts, str) or (
+                prompts and isinstance(prompts, (list, tuple))
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        token_lists = []
+        for p in prompts:
+            if isinstance(p, str):
+                if self.engine.tokenizer is None:
+                    raise ValueError("string prompt requires a tokenizer")
+                token_lists.append(self.engine.tokenizer.encode(p))
+            else:
+                token_lists.append(list(p))
+        if not hasattr(self, "_pooling_runner"):
+            self._pooling_runner = PoolingRunner(
+                self.engine.core.model, self.engine.core.runner.params,
+                block_size=self.engine.config.cache_config.block_size)
+        return self._pooling_runner.classify(token_lists)
+
     def get_stats(self) -> dict:
         return self.engine.get_stats()

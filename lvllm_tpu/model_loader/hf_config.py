@@ -71,13 +71,21 @@ def load_model_config(model_path: str,
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
     if arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
                 "RobertaForMaskedLM", "XLMRobertaModel", "CamembertModel",
-                "NewModel", "GteModel"):
+                "NewModel", "GteModel",
+                "BertForSequenceClassification",
+                "BertForTokenClassification",
+                "RobertaForSequenceClassification",
+                "XLMRobertaForSequenceClassification",
+                "CamembertForSequenceClassification"):
         # Encoder-only embedding families (reference: models/bert.py,
         # roberta.py, bert_with_rope.py). RoBERTa position ids start at
         # padding_idx + 1; GTE "NewModel" replaces absolute positions
         # with rope and uses a gated MLP.
         roberta = arch in ("RobertaModel", "RobertaForMaskedLM",
-                           "XLMRobertaModel", "CamembertModel")
+                           "XLMRobertaModel", "CamembertModel",
+                           "RobertaForSequenceClassification",
+                           "XLMRobertaForSequenceClassification",
+                           "CamembertForSequenceClassification")
         gte = arch in ("NewModel", "GteModel")
         hf = {**hf,
               "num_key_value_heads": hf["num_attention_heads"],
@@ -92,6 +100,17 @@ def load_model_config(model_path: str,
             # The HF table is max_position_embeddings + offset rows.
             hf["max_position_embeddings"] = (
                 hf["max_position_embeddings"] - hf["position_offset"])
+    if arch in ("ModernBertModel", "ModernBertForSequenceClassification",
+                "ModernBertForTokenClassification"):
+        # ModernBERT encoder (models/modernbert.py): RoPE positions,
+        # alternating global/local attention, GeGLU MLP, bias-free norms.
+        hf = {**hf,
+              "num_key_value_heads": hf["num_attention_heads"],
+              "rms_norm_eps": hf.get("norm_eps", 1e-5),
+              "encoder_rope": True,  # marks the encoder family for
+                                     # type_vocab_size plumbing (none)
+              "type_vocab_size": 0,
+              "tie_word_embeddings": False}
     if arch == "BloomForCausalLM":
         # Bloom configs use n_layer/n_head; no intermediate_size (4×H),
         # no max positions (ALiBi).
@@ -667,8 +686,13 @@ def load_model_config(model_path: str,
     elif arch == "Starcoder2ForCausalLM":
         norm_type, mlp_gated = "layernorm", False
         hidden_act_override = "gelu_only"
-    elif arch == "StableLmForCausalLM":
+    elif arch in ("StableLmForCausalLM", "StableLMEpochForCausalLM"):
+        # StableLMEpoch (older alias; norm_eps field, use_qkv_bias) maps
+        # onto the same stablelm structure (reference registry:
+        # StableLMEpochForCausalLM → stablelm).
         norm_type = "layernorm"
+        if "rms_norm_eps" not in hf and "norm_eps" in hf:
+            hf = {**hf, "rms_norm_eps": hf["norm_eps"]}
     elif arch == "NemotronForCausalLM":
         norm_type, mlp_gated = "layernorm1p", False
         hidden_act_override = "relu2"
@@ -980,6 +1004,13 @@ def load_model_config(model_path: str,
         if "position_offset" in hf or "encoder_rope" in hf else 0,
         position_offset=hf.get("position_offset", 0),
         encoder_rope=hf.get("encoder_rope", False),
+        num_labels=hf.get("num_labels", 0) or len(hf.get("id2label") or ())
+        or 0,
+        global_attn_every_n_layers=hf.get("global_attn_every_n_layers", 3),
+        local_attention=hf.get("local_attention", 128),
+        global_rope_theta=hf.get("global_rope_theta", 160000.0),
+        local_rope_theta=hf.get("local_rope_theta", 10000.0),
+        classifier_pooling=hf.get("classifier_pooling", "cls"),
     )
     if override_arch is not None:
         mc.architecture = override_arch

@@ -282,3 +282,101 @@ for _arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
               "RobertaForMaskedLM", "XLMRobertaModel", "CamembertModel",
               "NewModel", "GteModel"):
     register_model(_arch)(BertModel)
+
+
+class BertClassifierModel(BertModel):
+    """Sequence/token classification heads over the BERT encoder
+    (reference: ``models/bert.py`` BertForSequenceClassification,
+    ``roberta.py`` RobertaForSequenceClassification — cross-encoder
+    scoring/rerank models like ms-marco MiniLM rerankers).
+
+    Two HF head conventions:
+    - BERT: pooler (dense+tanh on CLS) → ``classifier`` linear.
+    - RoBERTa: ``classifier.dense`` + tanh on CLS → ``classifier.out_proj``
+      (no pooler).
+    Token classification applies ``classifier`` per token (no pooler).
+    """
+
+    is_classifier = True
+    head_style = "bert"        # bert | roberta
+    token_level = False
+
+    def init_params(self, rng) -> Params:
+        params = super().init_params(rng)
+        c = self.config
+        n = max(int(getattr(c, "num_labels", 2) or 2), 1)
+        H = c.hidden_size
+        z = lambda *s: jnp.zeros(s, self.dtype)  # noqa: E731
+        if self.head_style == "roberta":
+            params["cls_dense"] = {"kernel": z(H, H), "bias": z(H)}
+        params["classifier"] = {"kernel": z(H, n), "bias": z(n)}
+        return params
+
+    def classify(self, params, hidden, qsl):
+        """[T, H] hidden → [R, num_labels] (sequence) or [T, labels]
+        (token-level) logits in f32."""
+        if self.token_level:
+            h = hidden
+        else:
+            cls = hidden[qsl[:-1]]                       # [R, H]
+            if self.head_style == "roberta":
+                h = jnp.tanh((cls @ params["cls_dense"]["kernel"]
+                              + params["cls_dense"]["bias"]
+                              ).astype(jnp.float32)).astype(self.dtype)
+            else:
+                h = jnp.tanh((cls @ params["pooler"]["kernel"]
+                              + params["pooler"]["bias"]
+                              ).astype(jnp.float32)).astype(self.dtype)
+        return (h @ params["classifier"]["kernel"]
+                + params["classifier"]["bias"]).astype(jnp.float32)
+
+    def load_weights(self, weights) -> Params:
+        passthrough = []
+        head = {}
+        for name, w in weights:
+            if name.startswith("classifier."):
+                head[name] = w
+            else:
+                passthrough.append((name, w))
+        params = super().load_weights(iter(passthrough))
+        c = self.config
+        n = max(int(getattr(c, "num_labels", 2) or 2), 1)
+        H = c.hidden_size
+        z = lambda *s: jnp.zeros(s, self.dtype)  # noqa: E731
+        if self.head_style == "roberta":
+            params.setdefault("cls_dense", {"kernel": z(H, H),
+                                            "bias": z(H)})
+        params.setdefault("classifier", {"kernel": z(H, n), "bias": z(n)})
+        t = lambda a: jnp.asarray(np.ascontiguousarray(a.T), self.dtype)  # noqa: E731
+        v = lambda a: jnp.asarray(a, self.dtype)  # noqa: E731
+        for name, w in head.items():
+            if name == "classifier.weight":
+                params["classifier"]["kernel"] = t(w)
+            elif name == "classifier.bias":
+                params["classifier"]["bias"] = v(w)
+            elif name == "classifier.dense.weight":
+                params["cls_dense"]["kernel"] = t(w)
+            elif name == "classifier.dense.bias":
+                params["cls_dense"]["bias"] = v(w)
+            elif name == "classifier.out_proj.weight":
+                params["classifier"]["kernel"] = t(w)
+            elif name == "classifier.out_proj.bias":
+                params["classifier"]["bias"] = v(w)
+        return params
+
+
+class RobertaClassifierModel(BertClassifierModel):
+    head_style = "roberta"
+
+
+class BertTokenClassifierModel(BertClassifierModel):
+    token_level = True
+
+
+register_model("BertForSequenceClassification")(BertClassifierModel)
+register_model("BertForTokenClassification")(BertTokenClassifierModel)
+register_model("RobertaForSequenceClassification")(RobertaClassifierModel)
+register_model("XLMRobertaForSequenceClassification")(
+    RobertaClassifierModel)
+register_model("CamembertForSequenceClassification")(
+    RobertaClassifierModel)

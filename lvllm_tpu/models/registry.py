@@ -156,6 +156,23 @@ def _register_builtin() -> None:
 
     # Encoder-only embedding families (registered via decorator on import).
     from lvllm_tpu.models import bert  # noqa: F401
+    from lvllm_tpu.models import modernbert  # noqa: F401
+    # Reward-model heads over causal decoders.
+    from lvllm_tpu.models import reward  # noqa: F401
+
+    # Embedding conversions of causal decoders (reference registry
+    # _EMBEDDING_MODELS: the decoder serves /v1/embeddings with last-token
+    # or mean pooling; same forward, no LM head required) plus llama-clone
+    # aliases the reference maps straight onto llama/qwen2
+    # (InternLM3/Cwm → llama, MiMo → qwen2 + ignored MTP layers,
+    # StableLMEpoch → stablelm).
+    for arch in ("LlamaModel", "MistralModel", "Qwen2Model", "GritLM",
+                 "InternLM3ForCausalLM", "CwmForCausalLM",
+                 "MiMoForCausalLM", "StableLMEpochForCausalLM"):
+        _REGISTRY[arch] = Qwen3Model
+    for arch in ("Gemma2Model", "Gemma3TextModel"):
+        from lvllm_tpu.models.gemma import GemmaModel as _GM
+        _REGISTRY[arch] = _GM
 
     # Multimodal families registered via decorator on import.
     from lvllm_tpu.models import gemma3_mm  # noqa: F401
