@@ -239,6 +239,20 @@ def load_model_config(model_path: str,
         hf = {**hf, **text}
         arch = outer_arch
     override_arch = None
+    if arch == "PaliGemmaForConditionalGeneration":
+        # PaliGemma: SigLIP + linear projector + Gemma/Gemma2 decoder with
+        # prefix-LM attention (models/paligemma.py). Flatten text_config;
+        # the family switch keys on the text arch.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("image_token_index",
+                                hf.get("image_token_id", 257152))
+        text = dict(hf.get("text_config") or {})
+        text_arch = (text.get("architectures") or [
+            {"gemma": "GemmaForCausalLM",
+             "gemma2": "Gemma2ForCausalLM"}.get(
+                text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
+        hf = {**hf, **text}
+        override_arch, arch = arch, text_arch
     if arch == "Gemma3ForConditionalGeneration":
         # Gemma3 MM: flatten text_config (Gemma3TextConfig); the vision
         # dict keeps SigLIP geometry + mm_tokens_per_image for the

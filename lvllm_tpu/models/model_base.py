@@ -28,6 +28,10 @@ class AttentionMetadata:
     # Hybrid (linear-attention) layers: persistent state slot per batch row
     # (index max_num_reqs = scratch); None for pure-paged models.
     row_slots: Optional[jax.Array] = None
+    # Prefix-LM (PaliGemma): [R] bidirectional-prefix length per request
+    # (image + prompt tokens attend each other both ways; completion stays
+    # causal). Filled by the runner for models with prefix_lm = True.
+    prefix_lens: Optional[jax.Array] = None
     # DCP (decode context parallel): [CP, T] per-shard local slot mapping;
     # non-None switches attention to the context-sharded write+attend+merge
     # path (ops/context_parallel.py dcp_write_and_attend).

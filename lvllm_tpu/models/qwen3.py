@@ -472,7 +472,8 @@ class Qwen3Model:
                 q, kv_cache, md.block_table, md.query_start_loc,
                 md.seq_lens, scale=self.scale,
                 sliding_window=window, logits_soft_cap=soft_cap,
-                sinks=sinks, alibi_slopes=self.alibi_slopes)
+                sinks=sinks, alibi_slopes=self.alibi_slopes,
+                prefix_lens=md.prefix_lens)
         attn_flat = out.reshape(T, c.num_attention_heads * D)
         out = attn_flat @ attn["o_proj"]["kernel"]
         if "bias" in attn["o_proj"]:

@@ -63,6 +63,7 @@ def ragged_paged_attention_reference(
     logits_soft_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,   # [Hq] f32 per-head sink logit
     alibi_slopes: Optional[jax.Array] = None,  # [Hq] f32 ALiBi slopes
+    prefix_lens: Optional[jax.Array] = None,   # [R] bidirectional prefix
 ) -> jax.Array:
     """Correctness-oracle ragged paged attention (GQA, causal).
 
@@ -88,6 +89,13 @@ def ragged_paged_attention_reference(
     ctx_len = seq_lens[req_idx]
     # Causal KV length for each token: context up to and including itself.
     kv_len = ctx_len - q_len + pos_in_query + 1
+    if prefix_lens is not None:
+        # Prefix-LM (PaliGemma): tokens inside the prefix attend
+        # bidirectionally over the whole prefix (clamped to the keys
+        # actually written — full fidelity needs the prefix in one
+        # prefill chunk).
+        kv_len = jnp.maximum(kv_len,
+                             jnp.minimum(prefix_lens[req_idx], ctx_len))
     valid_token = (jnp.arange(T, dtype=jnp.int32) < query_start_loc[R]) & \
         (pos_in_query < q_len)
 
@@ -134,6 +142,7 @@ def ragged_paged_attention(
     logits_soft_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    prefix_lens: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU, else the jnp reference."""
     D = q.shape[-1]
@@ -150,26 +159,45 @@ def ragged_paged_attention(
                or q.shape[-1] % 128 != 0)
     out = _ragged_paged_attention_inner(
         q, kv_cache, block_table, query_start_loc, seq_lens, scale,
-        sliding_window, logits_soft_cap, sinks, alibi_slopes, use_ref)
+        sliding_window, logits_soft_cap, sinks, alibi_slopes, use_ref,
+        prefix_lens)
     return out[..., :D] if D < Dp else out
 
 
 def _ragged_paged_attention_inner(q, kv_cache, block_table,
                                   query_start_loc, seq_lens, scale,
                                   sliding_window, logits_soft_cap, sinks,
-                                  alibi_slopes, use_ref):
+                                  alibi_slopes, use_ref, prefix_lens=None):
     if not use_ref:
         try:
             from lvllm_tpu.ops.pallas.ragged_attention import (
                 ragged_paged_attention_pallas)
+            token_klen = token_gpos = None
+            if prefix_lens is not None:
+                # Prefix-LM visible-key counts ride the kernel's explicit
+                # klen mode (the DCP/partial-attention machinery): klen =
+                # max(causal, min(prefix, ctx)), gpos = global position.
+                T = q.shape[0]
+                R = seq_lens.shape[0]
+                req_idx = _token_request_map(query_start_loc, T, R)
+                pos_in_q = (jnp.arange(T, dtype=jnp.int32)
+                            - query_start_loc[req_idx])
+                q_len = (query_start_loc[req_idx + 1]
+                         - query_start_loc[req_idx])
+                ctx = seq_lens[req_idx]
+                gpos = ctx - q_len + pos_in_q
+                token_klen = jnp.maximum(
+                    gpos + 1, jnp.minimum(prefix_lens[req_idx], ctx))
+                token_gpos = gpos
             return ragged_paged_attention_pallas(
                 q, kv_cache, block_table, query_start_loc, seq_lens,
                 scale=scale, sliding_window=sliding_window,
                 logits_soft_cap=logits_soft_cap, sinks=sinks,
-                alibi_slopes=alibi_slopes)
+                alibi_slopes=alibi_slopes, token_klen=token_klen,
+                token_gpos=token_gpos)
         except ImportError:
             pass
     return ragged_paged_attention_reference(
         q, kv_cache, block_table, query_start_loc, seq_lens, scale=scale,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        sinks=sinks, alibi_slopes=alibi_slopes)
+        sinks=sinks, alibi_slopes=alibi_slopes, prefix_lens=prefix_lens)

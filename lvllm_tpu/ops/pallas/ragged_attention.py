@@ -106,8 +106,8 @@ def _attn_kernel(
     sink_ref=None,     # [Hkv, ROWS] f32 VMEM (gpt-oss attention sinks)
     alibi_ref=None,    # [Hkv, ROWS] f32 VMEM (ALiBi per-row slopes)
     # DCP / partial-attention extensions (ops/context_parallel.py):
-    klen_ref=None,     # [1, tile_q] i32 VMEM — per-token visible key count
-    gpos_ref=None,     # [1, tile_q] i32 VMEM — per-token GLOBAL position
+    klen_ref=None,     # [NT*tile_q] i32 SMEM — per-token visible key count
+    gpos_ref=None,     # [NT*tile_q] i32 SMEM — per-token GLOBAL position
     shard_ref=None,    # [1] i32 scalar prefetch — this context shard
     cp_shards: int = 1,
     lse_tile_ref=None,  # [1, tile_q, Hq] f32 VMEM output (log-sum-exp)
@@ -201,14 +201,17 @@ def _attn_kernel(
             row_gpos = row_ctx - 1     # query position in its own order
         else:
             # Explicit per-token visible-key counts (DCP interleave /
-            # partial attention): broadcast [tile_q] → [ROWS, CHUNK_K]
-            # without gather (broadcast_to + reshape only).
-            def rows_of(vec):
-                m = jnp.broadcast_to(vec.reshape(tile_q, 1, 1),
-                                     (tile_q, G, chunk_k))
-                return m.reshape(ROWS, chunk_k)
-            row_ctx = rows_of(klen_ref[0])
-            row_gpos = rows_of(gpos_ref[0])
+            # partial attention / prefix-LM): flat [NT*tile_q] SMEM
+            # scalars expanded per row by iota select — a VMEM vector
+            # would need a lane→sublane relayout Mosaic can't lower.
+            def rows_of(ref):
+                acc = jnp.zeros((ROWS, chunk_k), jnp.int32)
+                for i in range(tile_q):
+                    acc = jnp.where(row_tok == i, ref[t * tile_q + i],
+                                    acc)
+                return acc
+            row_ctx = rows_of(klen_ref)
+            row_gpos = rows_of(gpos_ref)
 
         def body(c, carry):
             m, l, acc = carry
@@ -378,16 +381,15 @@ def ragged_paged_attention_pallas(
     if use_klen:
         # Per-token visible-key counts and global positions, gathered into
         # the tile layout (pad rows → klen 0: fully masked).
-        klen_tiles = jnp.where(
+        # Flat [NT*tile_q] SCALAR-PREFETCH arrays (SMEM): a VMEM (1, tile_q)
+        # block would need a lane→sublane relayout inside the kernel
+        # ('unsupported shape cast' in Mosaic) and only lowered at NT == 1;
+        # scalar reads + iota selects build the per-row values natively.
+        klen_flat = jnp.where(
             tile_token >= 0, token_klen[safe_idx.reshape(-1)].reshape(
-                NT, tile_q), 0).astype(jnp.int32)
-        gpos_tiles = token_gpos[safe_idx.reshape(-1)].reshape(
-            NT, tile_q).astype(jnp.int32)
-        for arr in (klen_tiles, gpos_tiles):
-            in_specs.append(pl.BlockSpec(
-                (1, tile_q), lambda t, *_: (t, 0),
-                memory_space=pltpu.VMEM))
-        inputs.extend([klen_tiles, gpos_tiles])
+                NT, tile_q), 0).astype(jnp.int32).reshape(-1)
+        gpos_flat = token_gpos[safe_idx.reshape(-1)].astype(
+            jnp.int32).reshape(-1)
 
     def per_row(vals):
         # Per-row values in the kernel's [Hkv, ROWS] layout
@@ -418,8 +420,9 @@ def ragged_paged_attention_pallas(
                      jax.ShapeDtypeStruct((NT, Hkv, tile_q * G),
                                           jnp.float32)]
 
+    n_scalar = 6 + (2 if use_klen else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=n_scalar,
         grid=(NT,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -449,15 +452,14 @@ def ragged_paged_attention_pallas(
     n_out = 2 if want_lse else 1
 
     def kernel(*args):
-        scalars, rest = args[:6], args[6:]
+        scalars, rest = args[:n_scalar], args[n_scalar:]
         shard = scalars[5]
         q_t, kv = rest[0], rest[1]
         j = 2
         kw = {"shard_ref": shard}
         if use_klen:
-            kw["klen_ref"] = rest[j]
-            kw["gpos_ref"] = rest[j + 1]
-            j += 2
+            kw["klen_ref"] = scalars[6]
+            kw["gpos_ref"] = scalars[7]
         if has_sinks:
             kw["sink_ref"] = rest[j]
             j += 1
@@ -474,12 +476,15 @@ def ragged_paged_attention_pallas(
 
     shard_arr = (jnp.asarray(shard_idx, jnp.int32).reshape(1)
                  if shard_idx is not None else jnp.zeros(1, jnp.int32))
+    scalar_args = [tile_req, tile_qpos, seq_lens, query_start_loc,
+                   block_table, shard_arr]
+    if use_klen:
+        scalar_args.extend([klen_flat, gpos_flat])
     result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(tile_req, tile_qpos, seq_lens, query_start_loc, block_table,
-      shard_arr, *inputs)
+    )(*scalar_args, *inputs)
 
     # Scatter tiles back to flat [T, Hq, D]. Pad rows are marked -1, which
     # would WRAP to T-1 under jax negative indexing — remap them to T so

@@ -664,7 +664,8 @@ class ModelRunner:
               mm_mask=None, mm_deepstack=None,
               dcp_slot_mapping=None, want_hidden=False,
               cascade_args=None, aux_layers=(), draft_mat=None,
-              draft_q=None, cross_args=None, decode_mode=False):
+              draft_q=None, cross_args=None, decode_mode=False,
+              prefix_lens=None):
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -688,6 +689,7 @@ class ModelRunner:
             cascade_suffix_seq_lens=casc[3],
             cross_kv=cross_args[0] if cross_args is not None else None,
             cross_slots=cross_args[1] if cross_args is not None else None,
+            prefix_lens=prefix_lens,
         )
         mm_kwargs = {}
         if mm_embeds is not None:
@@ -1506,6 +1508,14 @@ class ModelRunner:
                 grammar_mask=grammar_mask, async_args=async_args,
                 greedy_only=greedy_only, want_topk=want_topk)
         else:
+            prefix_arg = None
+            if getattr(self.model, "prefix_lm", False):
+                # Prefix-LM (PaliGemma): bidirectional span = the prompt
+                # (image placeholders + text) of each scheduled row.
+                pl = np.zeros(len(seq_lens), np.int32)
+                for r, rid in enumerate(row_req_ids):
+                    pl[r] = ib.num_prompt_tokens[ib.req_id_to_index[rid]]
+                prefix_arg = jnp.asarray(pl)
             kv, packed, topk, hidden = self._step_fn(
                 self.params, self.kv_caches, *dev_args,
                 penalty_args=penalty_args, grammar_mask=grammar_mask,
@@ -1518,7 +1528,7 @@ class ModelRunner:
                 want_hidden=want_hidden, cascade_args=cascade_args,
                 aux_layers=eagle_aux, draft_mat=draft_mat,
                 draft_q=draft_q, cross_args=cross_args,
-                **mm_args, **lora_args)
+                prefix_lens=prefix_arg, **mm_args, **lora_args)
             self.kv_caches = kv
 
         # EAGLE drafting: grammar rows are excluded (grammar state can't

@@ -238,3 +238,32 @@ def test_klen_mode_matches_partial_oracle(window, alibi_on):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_prefix_lm_klen_mode():
+    """Prefix-LM (PaliGemma): bidirectional prefix via the klen scalar
+    path, multi-tile (NT > 1 — the old VMEM klen layout only lowered at
+    one tile)."""
+    from lvllm_tpu.ops.attention import _token_request_map
+
+    rng = np.random.default_rng(11)
+    ctx_lens = [24, 17]
+    q_lens = [24, 17]
+    q, cache, table, qsl, seq_lens = setup_case(
+        rng, ctx_lens, q_lens, 4, 2, 128, 16, 64)
+    scale = 128 ** -0.5
+    prefix = jnp.asarray([10, 17], jnp.int32)
+    ref = ragged_paged_attention_reference(
+        q, cache, table, qsl, seq_lens, scale=scale, prefix_lens=prefix)
+    T = sum(q_lens)
+    req_idx = _token_request_map(qsl, T, 2)
+    pos_in_q = jnp.arange(T, dtype=jnp.int32) - qsl[req_idx]
+    gpos = seq_lens[req_idx] - (qsl[req_idx + 1] - qsl[req_idx]) + pos_in_q
+    klen = jnp.maximum(gpos + 1,
+                       jnp.minimum(prefix[req_idx], seq_lens[req_idx]))
+    with pltpu_interpret():
+        got = ra.ragged_paged_attention_pallas(
+            q, cache, table, qsl, seq_lens, scale=scale,
+            token_klen=klen, token_gpos=gpos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
