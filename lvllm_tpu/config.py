@@ -244,6 +244,10 @@ class ModelConfig:
     # Sequence/token classification head width (cross-encoder score /
     # rerank models; 0 = no classification head).
     num_labels: int = 0
+    # MiniMax-Text-01 residual scaling (layernorm_*_alpha/beta) and
+    # postnorm variant: (full_a, full_b, linear_a, linear_b, mlp_a, mlp_b).
+    minimax_residual_factors: Optional[Tuple[float, ...]] = None
+    minimax_postnorm: bool = False
     # ModernBERT encoder knobs (alternating global/local attention).
     global_attn_every_n_layers: int = 3
     local_attention: int = 128

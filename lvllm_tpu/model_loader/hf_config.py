@@ -403,6 +403,36 @@ def load_model_config(model_path: str,
         layer_types = ["full_attention" if i in attn_idx else
                        "linear_attention"
                        for i in range(hf["num_hidden_layers"])]
+    if arch in ("MiniMaxText01ForCausalLM", "MiniMaxM1ForCausalLM",
+                "MiniMaxForCausalLM"):
+        # Lightning-attention hybrid (models/minimax_text01.py). The HF
+        # "minimax" config carries layer_types directly; the original
+        # MiniMax-Text-01 config uses attn_type_list (0=linear, 1=full).
+        if not layer_types and hf.get("attn_type_list"):
+            layer_types = ["linear_attention" if t == 0 else
+                           "full_attention"
+                           for t in hf["attn_type_list"]]
+        hd = hf.get("head_dim") or (hf["hidden_size"]
+                                    // hf["num_attention_heads"])
+        hf = {**hf,
+              "minimax_residual_factors": (
+                  hf.get("layernorm_full_attention_alpha",
+                         hf.get("full_attn_alpha_factor", 1.0)),
+                  hf.get("layernorm_full_attention_beta",
+                         hf.get("full_attn_beta_factor", 1.0)),
+                  hf.get("layernorm_linear_attention_alpha",
+                         hf.get("linear_attn_alpha_factor", 1.0)),
+                  hf.get("layernorm_linear_attention_beta",
+                         hf.get("linear_attn_beta_factor", 1.0)),
+                  hf.get("layernorm_mlp_alpha",
+                         hf.get("mlp_alpha_factor", 1.0)),
+                  hf.get("layernorm_mlp_beta",
+                         hf.get("mlp_beta_factor", 1.0))),
+              # HF modeling_minimax hardcodes the postnorm structure
+              # (residual = layernorm OUTPUT on both sublayers).
+              "minimax_postnorm": hf.get("postnorm", True)}
+        if hf.get("rotary_dim"):
+            hf = {**hf, "partial_rotary_factor": hf["rotary_dim"] / hd}
     if arch == "KimiLinearForCausalLM":
         # KDA hybrid (reference transformers_utils/configs/kimi_linear.py):
         # linear_attn_config names the KDA layers (1-BASED); others MLA.
@@ -524,9 +554,10 @@ def load_model_config(model_path: str,
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
 
     if not layer_types and arch in ("Mamba2ForCausalLM",
-                                    "MambaForCausalLM"):
+                                    "MambaForCausalLM",
+                                    "FalconMambaForCausalLM"):
         layer_types = ["linear_attention"] * hf["num_hidden_layers"]
-    if arch == "MambaForCausalLM":
+    if arch in ("MambaForCausalLM", "FalconMambaForCausalLM"):
         # Mamba1 (HF modeling_mamba): d_inner carried as
         # intermediate_size; channels become "heads" of head_dim 1.
         hf = {**hf,
@@ -794,7 +825,9 @@ def load_model_config(model_path: str,
                       hf.get("layer_norm_epsilon") or
                       hf.get("layer_norm_eps") or      # StableLM
                       hf.get("norm_epsilon") or        # Starcoder2
-                      hf.get("norm_eps") or 1e-6),     # Nemotron
+                      hf.get("norm_eps") or            # Nemotron
+                      hf.get("layer_norm_epsilon") or  # Mamba/FalconMamba
+                      1e-6),
         rope_theta=hf.get("rope_theta", 10000.0),
         rope_scaling=_patch_rope_scaling(hf),
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
@@ -1020,6 +1053,10 @@ def load_model_config(model_path: str,
         encoder_rope=hf.get("encoder_rope", False),
         num_labels=hf.get("num_labels", 0) or len(hf.get("id2label") or ())
         or 0,
+        minimax_residual_factors=(
+            tuple(hf["minimax_residual_factors"])
+            if hf.get("minimax_residual_factors") else None),
+        minimax_postnorm=hf.get("minimax_postnorm", False),
         global_attn_every_n_layers=hf.get("global_attn_every_n_layers", 3),
         local_attention=hf.get("local_attention", 128),
         global_rope_theta=hf.get("global_rope_theta", 160000.0),

@@ -34,10 +34,13 @@ logger = init_logger(__name__)
 
 def mamba1_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
                  c: ModelConfig, positions: jax.Array,
-                 dtbc_norms: bool = False):
+                 dtbc_norms: bool = False,
+                 mixer_rms_eps: float = 0.0):
     """One mamba1 mixer forward. ``state`` = {"conv", "rec"} slot cache
     (rec [S+1, D, 1, N]); returns (out [T, H], new_state).
-    ``dtbc_norms``: Jamba's RMSNorms over dt / B / C before dt_proj."""
+    ``dtbc_norms``: Jamba's RMSNorms over dt / B / C before dt_proj.
+    ``mixer_rms_eps``: FalconMamba's WEIGHTLESS RMSNorm over dt / B / C
+    (HF modeling_falcon_mamba.rms_forward, eps = config.mixer_rms_eps)."""
     T = x.shape[0]
     D = c.mamba_num_heads              # d_inner (head_dim == 1)
     N = c.mamba_state_size
@@ -60,10 +63,11 @@ def mamba1_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
 
     conv_fn = causal_conv1d_decode if md.decode_mode \
         else causal_conv1d_ragged
+    # conv_fn applies SiLU internally (HF mamba: act(conv1d(x))).
     conv_out, conv_state = conv_fn(
         xs, state["conv"], mp["conv_weight"].astype(jnp.float32),
         token_slot, reset, bias=mp.get("conv_bias"))
-    xc = jax.nn.silu(conv_out.astype(jnp.float32))
+    xc = conv_out.astype(jnp.float32)
 
     ssm_in = xc @ mp["x_proj"]["kernel"].astype(jnp.float32)  # [T, R+2N]
     dt_r, B, C = ssm_in[:, :R], ssm_in[:, R:R + N], ssm_in[:, R + N:]
@@ -71,6 +75,11 @@ def mamba1_mixer(mp: Params, x: jax.Array, state, md: AttentionMetadata,
         dt_r = rms_norm(dt_r, mp["dt_norm"]["weight"], c.rms_norm_eps)
         B = rms_norm(B, mp["b_norm"]["weight"], c.rms_norm_eps)
         C = rms_norm(C, mp["c_norm"]["weight"], c.rms_norm_eps)
+    elif mixer_rms_eps:
+        def _wrms(v):
+            var = jnp.mean(jnp.square(v), axis=-1, keepdims=True)
+            return v * jax.lax.rsqrt(var + mixer_rms_eps)
+        dt_r, B, C = _wrms(dt_r), _wrms(B), _wrms(C)
     dt = dt_r.astype(jnp.float32) @ \
         mp["dt_proj"]["kernel"].astype(jnp.float32)
     dt = jax.nn.softplus(dt + mp["dt_proj"]["bias"].astype(jnp.float32))
@@ -149,9 +158,11 @@ def short_conv_mixer(mp: Params, x: jax.Array, state,
     Bx = B * xs
     conv_fn = causal_conv1d_decode if md.decode_mode \
         else causal_conv1d_ragged
+    # LFM2's short conv has NO activation on the conv output
+    # (HF Lfm2ShortConv.slow_forward: out = C * conv(B * x)).
     conv_out, conv_state = conv_fn(
         Bx, state["conv"], mp["conv_weight"].astype(jnp.float32),
-        token_slot, reset, bias=mp.get("conv_bias"))
+        token_slot, reset, bias=mp.get("conv_bias"), activation=False)
     y = C * conv_out.astype(C.dtype)
     out = y @ mp["out_proj"]["kernel"]
     if "bias" in mp["out_proj"]:
@@ -209,13 +220,16 @@ class MambaModel(Qwen3Model):
             })
         return params
 
+    mixer_rms_eps = 0.0   # FalconMamba: weightless dt/B/C RMSNorm
+
     def apply_layer(self, layer_params, x, residual, positions, kv_cache,
                     attn_metadata, layer_idx, lora=None, token_adapter=None):
         c = self.config
         h, residual = fused_add_rms_norm(
             x, residual, layer_params["norm"]["weight"], c.rms_norm_eps)
         out, new_state = mamba1_mixer(layer_params["mixer"], h, kv_cache,
-                                      attn_metadata, c, positions)
+                                      attn_metadata, c, positions,
+                                      mixer_rms_eps=self.mixer_rms_eps)
         return out, residual, new_state
 
     def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]
@@ -270,6 +284,14 @@ class MambaModel(Qwen3Model):
             else:
                 logger.debug("skipping weight %s", name)
         return params
+
+
+class FalconMambaModel(MambaModel):
+    """FalconMamba (HF modeling_falcon_mamba): mamba1 with a WEIGHTLESS
+    RMSNorm over dt/B/C after x_proj (eps = config.mixer_rms_eps —
+    1e-6 in every published FalconMamba config)."""
+
+    mixer_rms_eps = 1e-6
 
 
 class JambaModel(Qwen3Model):

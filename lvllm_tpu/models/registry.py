@@ -142,6 +142,7 @@ def _register_builtin() -> None:
     from lvllm_tpu.models import nemotron_h  # noqa: F401
     from lvllm_tpu.models import chatglm  # noqa: F401
     from lvllm_tpu.models import kimi_linear  # noqa: F401
+    from lvllm_tpu.models import minimax_text01  # noqa: F401
 
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
@@ -151,6 +152,8 @@ def _register_builtin() -> None:
     from lvllm_tpu.models.mamba1 import (JambaModel, Lfm2Model,
                                          MambaModel)
     _REGISTRY["MambaForCausalLM"] = MambaModel
+    from lvllm_tpu.models.mamba1 import FalconMambaModel
+    _REGISTRY["FalconMambaForCausalLM"] = FalconMambaModel
     _REGISTRY["JambaForCausalLM"] = JambaModel
     _REGISTRY["Lfm2ForCausalLM"] = Lfm2Model
 

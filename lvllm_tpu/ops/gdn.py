@@ -40,6 +40,7 @@ def causal_conv1d_ragged(
     token_slot: jax.Array,  # [T] i32 (S = scratch)
     reset: jax.Array,       # [T] bool — reset the window at this token
     bias: jax.Array = None,  # [C] optional (Mamba2 use_conv_bias)
+    activation: bool = True,  # SiLU on the conv output (False: LFM2)
 ) -> Tuple[jax.Array, jax.Array]:
     """Depthwise causal conv with per-request state, SiLU activation."""
     K = weight.shape[1]
@@ -58,7 +59,9 @@ def causal_conv1d_ragged(
         (x.astype(jnp.float32), token_slot, reset))
     if bias is not None:
         ys = ys + bias.astype(jnp.float32)
-    return jax.nn.silu(ys).astype(x.dtype), conv_state.astype(jnp.float32)
+    if activation:
+        ys = jax.nn.silu(ys)
+    return ys.astype(x.dtype), conv_state.astype(jnp.float32)
 
 
 def causal_conv1d_decode(
@@ -68,6 +71,7 @@ def causal_conv1d_decode(
     token_slot: jax.Array,  # [T] i32 (S = scratch)
     reset: jax.Array,       # [T] bool
     bias: jax.Array = None,
+    activation: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Decode-batch fast path: every token is a distinct request's single
     token, so there is NO sequential dependency between tokens — the
@@ -83,7 +87,9 @@ def causal_conv1d_decode(
         full[:, :, 1:])
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return jax.nn.silu(y).astype(x.dtype), conv_state
+    if activation:
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype), conv_state
 
 
 def causal_conv1d_single(

@@ -104,3 +104,32 @@ def test_lfm2_parity(tmp_path):
     want = _hf_greedy(hf_model, tokens)
     got = _our_logits_engine(str(tmp_path), tokens)
     assert got == want, (got, want)
+
+
+def test_falcon_mamba_parity(tmp_path):
+    """FalconMamba = mamba1 + weightless dt/B/C RMSNorm (HF
+    modeling_falcon_mamba rms_forward, mixer_rms_eps): engine greedy
+    decode must match HF generate."""
+    cfg = transformers.FalconMambaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        state_size=8, num_hidden_layers=2, conv_kernel=4,
+        time_step_rank=8, use_bias=False, use_conv_bias=True,
+        tie_word_embeddings=True)
+    torch.manual_seed(3)
+    hf_model = transformers.FalconMambaForCausalLM(cfg).eval()
+    hf_model.save_pretrained(tmp_path, safe_serialization=True)
+    tokens = [5, 77, 123, 9, 31, 2, 200]
+    want = _hf_greedy(hf_model, tokens)
+    got = _our_logits_engine(str(tmp_path), tokens)
+    assert got == want, (got, want)
+
+    # The weightless dt/B/C norm must actually matter: with it disabled
+    # the decode diverges from HF.
+    from lvllm_tpu.models.mamba1 import FalconMambaModel
+    orig = FalconMambaModel.mixer_rms_eps
+    try:
+        FalconMambaModel.mixer_rms_eps = 0.0
+        got_off = _our_logits_engine(str(tmp_path), tokens)
+    finally:
+        FalconMambaModel.mixer_rms_eps = orig
+    assert got_off != want
