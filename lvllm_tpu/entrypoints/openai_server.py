@@ -555,18 +555,58 @@ class OpenAIServer:
         return await loop.run_in_executor(
             None, lambda: self._pooling_runner.embed(token_lists))
 
+    def _is_cross_encoder(self) -> bool:
+        m = self.llm.core.model
+        return bool(getattr(m, "is_classifier", False)
+                    and not getattr(m, "token_level", False))
+
+    async def _cross_scores(self, query: str, docs) -> list:
+        """Cross-encoder scoring (reference: /score and /rerank over
+        BertForSequenceClassification-style models): each (query, doc)
+        pair runs jointly through the classifier; single-label heads map
+        through sigmoid (ms-marco reranker convention)."""
+        import math
+
+        tok = self.llm.tokenizer
+        token_lists = []
+        for d in docs:
+            try:
+                token_lists.append(tok.encode(query, d))
+            except TypeError:   # tokenizer without pair support
+                token_lists.append(tok.encode(query) + tok.encode(d))
+        if not hasattr(self, "_pooling_runner"):
+            from lvllm_tpu.engine.pooling import PoolingRunner
+            self._pooling_runner = PoolingRunner(
+                self.llm.core.model, self.llm.core.runner.params,
+                block_size=self.llm.config.cache_config.block_size)
+        import asyncio as _aio
+        loop = _aio.get_running_loop()
+        logits = await loop.run_in_executor(
+            None, lambda: self._pooling_runner.classify(token_lists))
+        out = []
+        for lg in logits:
+            if lg.shape[-1] == 1:
+                out.append(1.0 / (1.0 + math.exp(-float(lg[0]))))
+            else:
+                out.append(float(lg.max()))
+        return out
+
     async def score(self, request: web.Request) -> web.Response:
-        """Similarity scores between text_1 and each text_2 (reference:
-        /score endpoint)."""
+        """Scores between text_1 and each text_2 (reference: /score):
+        cross-encoder classification when the model has a classifier
+        head, embedding dot product otherwise."""
         body = await request.json()
         if self.llm.tokenizer is None:
             return self._error("no tokenizer loaded", 400)
         t1 = body["text_1"]
         t2 = body["text_2"] if isinstance(body["text_2"], list) \
             else [body["text_2"]]
-        embs = await self._embed_texts([t1] + t2)
-        qv = embs[0]
-        scores = [float((qv * d).sum()) for d in embs[1:]]
+        if self._is_cross_encoder():
+            scores = await self._cross_scores(t1, t2)
+        else:
+            embs = await self._embed_texts([t1] + t2)
+            qv = embs[0]
+            scores = [float((qv * d).sum()) for d in embs[1:]]
         return web.json_response({
             "object": "list", "model": self.model_name,
             "data": [{"index": i, "score": s_}
@@ -574,19 +614,25 @@ class OpenAIServer:
         })
 
     async def rerank(self, request: web.Request) -> web.Response:
-        """Document reranking by embedding similarity (reference:
-        /rerank)."""
+        """Document reranking (reference: /rerank): cross-encoder
+        classification when available, embedding similarity otherwise."""
         body = await request.json()
         if self.llm.tokenizer is None:
             return self._error("no tokenizer loaded", 400)
         query = body["query"]
         docs = body["documents"]
         top_n = body.get("top_n", len(docs))
-        embs = await self._embed_texts([query] + list(docs))
-        qv = embs[0]
-        scored = sorted(
-            ((float((qv * d).sum()), i) for i, d in enumerate(embs[1:])),
-            reverse=True)[:top_n]
+        if self._is_cross_encoder():
+            sc = await self._cross_scores(query, list(docs))
+            scored = sorted(((s_, i) for i, s_ in enumerate(sc)),
+                            reverse=True)[:top_n]
+        else:
+            embs = await self._embed_texts([query] + list(docs))
+            qv = embs[0]
+            scored = sorted(
+                ((float((qv * d).sum()), i)
+                 for i, d in enumerate(embs[1:])),
+                reverse=True)[:top_n]
         return web.json_response({
             "model": self.model_name,
             "results": [{"index": i, "relevance_score": s_,

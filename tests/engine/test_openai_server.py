@@ -364,3 +364,52 @@ def test_streaming_without_tools_keeps_content():
         assert "<tool_call>" in content  # raw markup passes through
 
     run_scripted_scenario(scenario, SCRIPT)
+
+
+def test_cross_encoder_score_and_rerank():
+    """A classifier model (cross-encoder) routes /score and /rerank
+    through joint-pair classification instead of embedding similarity."""
+    async def scenario_with_classifier():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        mc = ModelConfig(
+            model="dummy", architecture="BertForSequenceClassification",
+            dtype="float32", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4, head_dim=16,
+            max_position_embeddings=256, max_model_len=128,
+            eos_token_id=-1, num_labels=1, type_vocab_size=2)
+        cfg = EngineConfig(
+            model_config=mc,
+            cache_config=CacheConfig(block_size=16, num_gpu_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_batched_tokens=128, max_num_seqs=4,
+                max_model_len=128))
+        llm = AsyncLLM(cfg, load_format="dummy",
+                       tokenizer=IdentityTokenizer())
+        await llm.start()
+        server = OpenAIServer(llm, model_name="tiny-ce")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/score", json={
+                "text_1": "q", "text_2": ["aa", "bb"]})
+            assert r.status == 200
+            data = await r.json()
+            assert len(data["data"]) == 2
+            # single-label head → sigmoid probabilities in (0, 1)
+            for row in data["data"]:
+                assert 0.0 < row["score"] < 1.0
+
+            r = await client.post("/v1/rerank", json={
+                "query": "q", "documents": ["aa", "bb", "cc"],
+                "top_n": 2})
+            data = await r.json()
+            assert len(data["results"]) == 2
+            assert data["results"][0]["relevance_score"] >= \
+                data["results"][1]["relevance_score"]
+        finally:
+            await client.close()
+            await llm.stop()
+
+    asyncio.run(scenario_with_classifier())
