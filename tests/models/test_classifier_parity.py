@@ -183,3 +183,33 @@ def test_embedding_model_aliases_register():
                  "XLMRobertaForSequenceClassification",
                  "Qwen2ForRewardModel", "Qwen2ForProcessRewardModel"):
         assert get_model_class(arch) is not None, arch
+
+
+def test_bare_llama_model_embedding_checkpoint_loads(tmp_path):
+    """Embedding conversions (LlamaModel/MistralModel/Qwen2Model) ship
+    checkpoints WITHOUT the "model." prefix (e5-mistral style) — the
+    loader must map them and the pooling path must produce embeddings."""
+    import json
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128)
+    torch.manual_seed(0)
+    hf = transformers.LlamaModel(cfg).eval()
+    hf.save_pretrained(str(tmp_path), safe_serialization=True)
+    c = json.load(open(tmp_path / "config.json"))
+    c["architectures"] = ["LlamaModel"]
+    json.dump(c, open(tmp_path / "config.json", "w"))
+
+    mc = load_model_config(str(tmp_path), max_model_len=64,
+                           dtype="float32")
+    model, params = load_model(mc, "safetensors")
+    import safetensors.numpy as stn
+    sd = stn.load_file(str(tmp_path / "model.safetensors"))
+    np.testing.assert_array_equal(
+        np.asarray(params["embed"]["weight"]), sd["embed_tokens.weight"])
+    runner = PoolingRunner(model, params)
+    emb = runner.embed([[1, 2, 3], [4, 5]], pooling="last")
+    assert emb.shape == (2, 64)
+    assert np.all(np.isfinite(emb))
