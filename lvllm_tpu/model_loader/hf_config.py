@@ -253,6 +253,31 @@ def load_model_config(model_path: str,
                 text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
+    if arch == "AyaVisionForConditionalGeneration":
+        # Aya Vision (models/aya_vision.py): SigLIP + pixel-shuffle SwiGLU
+        # projector + Cohere/Cohere2 decoder. Projector knobs live on the
+        # OUTER config — stash them into vision_config.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["downsample_factor"] = hf.get("downsample_factor", 2)
+        vision_cfg["adapter_layer_norm_eps"] = hf.get(
+            "adapter_layer_norm_eps", 1e-6)
+        if hf.get("alignment_intermediate_size"):
+            vision_cfg["alignment_intermediate_size"] = \
+                hf["alignment_intermediate_size"]
+        image_token_id = hf.get("image_token_index",
+                                hf.get("image_token_id", 255036))
+        text = dict(hf.get("text_config") or {})
+        text_arch = (text.get("architectures") or [
+            {"cohere": "CohereForCausalLM",
+             "cohere2": "Cohere2ForCausalLM"}.get(
+                text.get("model_type", "cohere2"),
+                "Cohere2ForCausalLM")])[0]
+        hf = {**hf, **text}
+        # HF's AyaVisionForConditionalGeneration computes lm_head WITHOUT
+        # Cohere's logit_scale (modeling_aya_vision — the vLLM reference
+        # disagrees and applies it); match HF, the checkpoint authority.
+        hf["logit_scale"] = None
+        override_arch, arch = arch, text_arch
     if arch == "Gemma3ForConditionalGeneration":
         # Gemma3 MM: flatten text_config (Gemma3TextConfig); the vision
         # dict keeps SigLIP geometry + mm_tokens_per_image for the

@@ -180,6 +180,7 @@ def _register_builtin() -> None:
     # Multimodal families registered via decorator on import.
     from lvllm_tpu.models import gemma3_mm  # noqa: F401
     from lvllm_tpu.models import paligemma  # noqa: F401
+    from lvllm_tpu.models import aya_vision  # noqa: F401
     from lvllm_tpu.models import glm4v  # noqa: F401
     from lvllm_tpu.models import internvl  # noqa: F401
     from lvllm_tpu.models import idefics3  # noqa: F401

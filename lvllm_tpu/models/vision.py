@@ -88,7 +88,8 @@ def _gelu_tanh(x):
 
 def siglip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
                          patch_size: int, num_heads: int,
-                         eps: float = 1e-6) -> jax.Array:
+                         eps: float = 1e-6,
+                         post_layernorm: bool = True) -> jax.Array:
     """SigLIP vision tower (HF ``SiglipVisionTransformer``): patch conv with
     bias, learned position embeddings, NO class token, pre-LN blocks with
     gelu_pytorch_tanh MLPs, and a final post layernorm. Returns the full
@@ -128,6 +129,10 @@ def siglip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
                         lp["layer_norm2"]["bias"], eps)
         h = _gelu_tanh(h @ lp["fc1"]["kernel"] + lp["fc1"]["bias"])
         h = res + (h @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+    if not post_layernorm:
+        # vision_feature_layer = -1 families (AyaVision) read the raw
+        # last encoder layer, before the tower's post layernorm.
+        return h
     return _layer_norm(h, params["post_layernorm"]["weight"],
                        params["post_layernorm"]["bias"], eps)
 
