@@ -509,20 +509,26 @@ def run(offload):
         eng.step()
     for _ in range(4):
         eng.step()          # warm
-    t0 = time.time(); n = 16
-    for _ in range(n):
-        eng.step()
-    el = (time.time() - t0) / n
+    # min over windows: host-load spikes (this leg shares the machine
+    # with the TPU bench process) otherwise skew one config and produce
+    # unphysical ratios.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time(); n = 8
+        for _ in range(n):
+            eng.step()
+        best = min(best, (time.time() - t0) / n)
     st = getattr(eng.core.runner, "expert_store", None)
     stats = dict(st.stats) if st is not None else {}
-    return el * 1000, stats
+    return best * 1000, stats
 
 resident_ms, _ = run(False)
 streamed_ms, stats = run(True)
 print(json.dumps({
     "resident_step_ms": round(resident_ms, 2),
     "streamed_step_ms": round(streamed_ms, 2),
-    "overlap_efficiency": round(resident_ms / streamed_ms, 3),
+    "overlap_efficiency": round(min(resident_ms / streamed_ms, 1.0), 3),
+    "overlap_ratio_raw": round(resident_ms / streamed_ms, 3),
     "prefetch_hits": stats.get("prefetch_hits"),
     "prefetch_misses": stats.get("prefetch_misses"),
 }))
