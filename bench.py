@@ -592,16 +592,10 @@ def main() -> None:
     try:
         # ~90-130 s with warm compile caches; the demo is a headline
         # (fork README:47) so run it even late in the budget.
+        # Skipped legs emit only the skip marker; prior-round numbers
+        # live in BENCH_r{N}.json, not source constants (ADVICE r04).
         concurrent = (_bench_concurrent(remaining, stream_mbps)
-                      if remaining() > 120 else {
-                          "skipped": "budget",
-                          "last_measured": {
-                              "concurrent_offload_decode_tps": 3.397,
-                              "concurrent_prefill_tps": 253.7,
-                              "decode_retention": 0.98,
-                              "note": "r04 dev-run measurement "
-                                      "(2026-08-21); leg skipped for "
-                                      "budget this run"}})
+                      if remaining() > 120 else {"skipped": "budget"})
     except Exception as e:  # noqa: BLE001
         concurrent = {"concurrent_error": repr(e)[:300]}
     gc.collect()
@@ -611,13 +605,7 @@ def main() -> None:
     # ---- leg 0d: overlap efficiency at PCIe-class stream:compute (CPU) ----
     try:
         overlap = (_bench_overlap_cpu(remaining)
-                   if remaining() > 100 else {
-                       "skipped": "budget",
-                       "last_measured": {
-                           "overlap_efficiency": 0.813,
-                           "prefetch_hits": 84, "prefetch_misses": 0,
-                           "note": "r04 dev-run measurement (2026-08-21); "
-                                   "leg skipped for budget this run"}})
+                   if remaining() > 100 else {"skipped": "budget"})
     except Exception as e:  # noqa: BLE001
         overlap = {"overlap_error": repr(e)[:300]}
     print(f"[bench] overlap leg done: {time.time() - t_start:.1f}s",
@@ -793,7 +781,55 @@ def main() -> None:
             "elapsed_s": round(time.time() - t_start, 1),
         },
     }
+    # Projected real-host decode for the offload leg (VERDICT r04 weak #5):
+    # the dev tunnel is ~3 orders below PCIe, so the transport-bound
+    # number is modeled as min(transport rate at PCIe bw x overlap
+    # efficiency, resident compute ceiling). Auditable inputs: measured
+    # bytes/token, measured overlap efficiency, published PCIe gen4 x16
+    # effective bandwidth (~25 GB/s; fork rig README.md:112).
+    projected = None
+    try:
+        tps = offload.get("offload_decode_tokens_per_s")
+        gbps = offload.get("offload_stream_gbps")
+        eff = overlap.get("overlap_efficiency")
+        ceil_tps = hybrid.get("decode_tokens_per_s")
+        if tps and gbps and eff:
+            bytes_per_token = gbps * 1e9 / tps
+            transport_tps = 25e9 / bytes_per_token * eff
+            projected = round(min(transport_tps, ceil_tps)
+                              if ceil_tps else transport_tps, 1)
+            offload["projected_pcie_decode_tokens_per_s"] = projected
+            offload["projection_model"] = (
+                "min(25 GB/s / measured bytes-per-token x overlap_eff "
+                f"{eff}, resident compute ceiling {ceil_tps} tok/s)")
+    except Exception:  # noqa: BLE001
+        pass
+    # Two stdout lines: full detail first, compact headline LAST so the
+    # driver's tail capture always contains metric+value (VERDICT r04
+    # weak #1 — the r04 detail line outgrew the tail and truncated the
+    # headline away).
     print(json.dumps(result))
+    headline = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "device_step_ms": result["detail"]["device_step_ms"],
+        "device_decode_tokens_per_s":
+            result["detail"]["device_decode_tokens_per_s"],
+        "device_prefill_tokens_per_s":
+            result["detail"]["device_prefill_tokens_per_s"],
+        "hbm_bw_util": result["detail"]["hbm_bw_util"],
+        "offload_decode_tokens_per_s":
+            offload.get("offload_decode_tokens_per_s"),
+        "projected_pcie_decode_tokens_per_s": projected,
+        "overlap_efficiency": overlap.get("overlap_efficiency"),
+        "concurrent_decode_retention":
+            concurrent.get("decode_retention"),
+        "hybrid_decode_tokens_per_s": hybrid.get("decode_tokens_per_s"),
+        "elapsed_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -378,6 +378,12 @@ class SchedulerConfig:
     # checked post-hoc (same multi-token truncation as spec decode).
     multi_step_decode: int = 1
     long_prefill_token_threshold: int = 0  # 0 => no cap beyond budget
+    # Prefix-LM models (PaliGemma): the bidirectional prefix span is only
+    # correct when the whole prompt lands in one prefill chunk (keys for
+    # later prefix tokens must exist when earlier ones attend). Set by
+    # the engine from model.prefix_lm; a request is held until a step
+    # with enough budget for its entire remaining prompt.
+    atomic_prefill: bool = False
     # Multimodal encoder budget per step (reference: encoder budget in
     # Scheduler.schedule, v1/core/sched/scheduler.py:1114): caps how many
     # image-placeholder tokens' worth of encoder work may be admitted in

@@ -257,6 +257,18 @@ class Scheduler:
             num_new_tokens = min(num_new_tokens, budget)
             if num_new_tokens <= 0:
                 break
+            if (self.scheduler_config.atomic_prefill
+                    and req.num_computed_tokens + num_cached_tokens
+                    + num_new_tokens < req.num_prompt_tokens):
+                # Prefix-LM: splitting the prompt across chunks would
+                # truncate the bidirectional prefix span (earlier-chunk
+                # prefix tokens never see later prefix keys). Hold until
+                # a step whose budget reaches the end of the prompt; the
+                # engine rejects prompts longer than the full budget at
+                # add time, so this always terminates. (Generated tokens
+                # recomputed after preemption are plain causal and may
+                # still chunk.)
+                break
 
             if not resumed and num_cached_tokens:
                 req.num_computed_tokens = num_cached_tokens

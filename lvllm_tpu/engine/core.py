@@ -151,6 +151,10 @@ class EngineCore:
         # flight so a later batch's early stages overlap this batch's
         # late stages. Rides the async-scheduling machinery (optimistic
         # bookkeeping + on-device placeholder tokens).
+        if getattr(self.model, "prefix_lm", False):
+            # ADVICE r04: chunked prefill silently truncates the
+            # bidirectional prefix span — force whole-prompt prefill.
+            config.scheduler_config.atomic_prefill = True
         pp = config.parallel_config.pipeline_parallel_size
         self._batch_queue_depth = max(1, pp)
         if pp > 1 and not config.scheduler_config.async_scheduling:
@@ -282,6 +286,14 @@ class EngineCore:
             raise ValueError(
                 f"prompt ({len(request.prompt_token_ids)} tokens) exceeds "
                 f"max_model_len {self.config.model_config.max_model_len}")
+        if (self.config.scheduler_config.atomic_prefill
+                and len(request.prompt_token_ids)
+                > self.config.scheduler_config.max_num_batched_tokens):
+            raise ValueError(
+                f"prefix-LM model requires the whole prompt in one prefill "
+                f"chunk: prompt ({len(request.prompt_token_ids)} tokens) "
+                f"exceeds max_num_batched_tokens "
+                f"{self.config.scheduler_config.max_num_batched_tokens}")
         self.structured_manager.maybe_attach(request)
         if getattr(request, "mm_data", None):
             # Encoder-budget accounting (reference: scheduler encoder

@@ -74,8 +74,22 @@ class PoolingRunner:
         if not hasattr(self, "_fwd_cls"):
             self._fwd_cls = jax.jit(self._forward_classify)
         results: List[np.ndarray] = []
-        for chunk_start in range(0, len(token_lists), 16):
-            batch = token_lists[chunk_start:chunk_start + 16]
+        # Greedy token-budget batching (same as embed): a fixed prompt
+        # count lets 16 long query+doc pairs blow up T_pad — each new
+        # bucket is a fresh 20-60s remote compile over the tunnel
+        # (ADVICE r04).
+        batches: List[List[List[int]]] = []
+        cur: List[List[int]] = []
+        total = 0
+        for toks in token_lists:
+            if cur and total + len(toks) > self.max_tokens:
+                batches.append(cur)
+                cur, total = [], 0
+            cur.append(toks)
+            total += len(toks)
+        if cur:
+            batches.append(cur)
+        for batch in batches:
             args = self._batch_args(batch)
             logits = np.asarray(self._fwd_cls(self.params, *args))
             qsl = np.cumsum([0] + [len(t) for t in batch])

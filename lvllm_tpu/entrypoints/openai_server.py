@@ -584,11 +584,21 @@ class OpenAIServer:
         logits = await loop.run_in_executor(
             None, lambda: self._pooling_runner.classify(token_lists))
         out = []
+        import numpy as np
         for lg in logits:
             if lg.shape[-1] == 1:
                 out.append(1.0 / (1.0 + math.exp(-float(lg[0]))))
             else:
-                out.append(float(lg.max()))
+                # Multi-label heads (NLI-style cross-encoders): softmax
+                # over labels so scores are comparable probabilities; use
+                # the model's designated relevance label when known, else
+                # the max class probability (ADVICE r04).
+                x = lg.astype(np.float64) - float(lg.max())
+                probs = np.exp(x) / np.exp(x).sum()
+                label = getattr(self.llm.core.model, "relevance_label",
+                                None)
+                out.append(float(probs[label]) if label is not None
+                           else float(probs.max()))
         return out
 
     async def score(self, request: web.Request) -> web.Response:

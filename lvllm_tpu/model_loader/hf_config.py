@@ -851,7 +851,6 @@ def load_model_config(model_path: str,
                       hf.get("layer_norm_eps") or      # StableLM
                       hf.get("norm_epsilon") or        # Starcoder2
                       hf.get("norm_eps") or            # Nemotron
-                      hf.get("layer_norm_epsilon") or  # Mamba/FalconMamba
                       1e-6),
         rope_theta=hf.get("rope_theta", 10000.0),
         rope_scaling=_patch_rope_scaling(hf),

@@ -241,3 +241,26 @@ def test_pause_drain_and_freeze():
     sched.resume()
     out = sched.schedule()
     assert "r1" in out.num_scheduled_tokens
+
+
+def test_atomic_prefill_holds_until_budget_reaches_prompt_end():
+    """Prefix-LM models (atomic_prefill): a prompt never splits across
+    prefill chunks — the request waits for a step with enough budget
+    (ADVICE r04: chunked prefill truncated the bidirectional span)."""
+    sched = Scheduler(
+        SchedulerConfig(max_num_batched_tokens=64, max_num_seqs=8,
+                        max_model_len=1024, atomic_prefill=True),
+        CacheConfig(block_size=16, enable_prefix_caching=False),
+        num_kv_blocks=64,
+    )
+    # r0 eats 40 of the 64-token budget; r1 (40 tokens) must NOT take the
+    # remaining 24 as a partial chunk.
+    sched.add_request(make_request("r0", 40, max_tokens=2))
+    sched.add_request(make_request("r1", 40, max_tokens=2))
+    out = sched.schedule()
+    assert out.num_scheduled_tokens == {"r0": 40}
+    sched.update_from_output(out, ModelRunnerOutput(
+        sampled_token_ids={"r0": [7]}))
+    # Next step: r0 decodes 1 token, leaving 63 — r1 fits whole.
+    out2 = sched.schedule()
+    assert out2.num_scheduled_tokens["r1"] == 40
