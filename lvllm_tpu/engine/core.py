@@ -179,7 +179,10 @@ class EngineCore:
             self.runner.lora_manager = self.lora_manager
 
         from lvllm_tpu.engine.metrics import EngineMetrics
-        self.metrics = EngineMetrics()
+        self.metrics = EngineMetrics(
+            max_model_len=config.model_config.max_model_len,
+            max_num_batched_tokens=(
+                config.scheduler_config.max_num_batched_tokens))
 
         # Per-request tracing spans (reference: vllm/tracing/otel.py,
         # emitted from the output processor with the same attribute names).
@@ -309,7 +312,8 @@ class EngineCore:
             request.lora_slot = self.lora_manager.slot_for(
                 request.lora_int_id)
         self.metrics.on_request_added(request.request_id,
-                                      request.num_prompt_tokens)
+                                      request.num_prompt_tokens,
+                                      params=request.sampling_params)
         self.scheduler.add_request(request)
 
     # ---- LoRA management (reference: lora load/unload API) ----------------
@@ -357,6 +361,8 @@ class EngineCore:
         scheduler_output = self.scheduler.schedule()
         for nr in scheduler_output.scheduled_new_reqs:
             self.metrics.on_request_scheduled(nr.req_id)
+        self.metrics.on_iteration(
+            scheduler_output.total_num_scheduled_tokens)
         self._kv_offload_load(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             # Nothing runnable (e.g. all waiting blocked on KV); runner still
@@ -383,7 +389,10 @@ class EngineCore:
             if req.is_finished:
                 self.tracer.on_request_finished(
                     req, self.metrics.timing(req.request_id))
-                self.metrics.on_request_finished(req.request_id)
+                self.metrics.on_request_finished(
+                    req.request_id,
+                    finish_reason=req.get_finished_reason(),
+                    num_cached_tokens=req.num_cached_tokens)
                 if self.runner.eagle_proposer is not None:
                     self.runner.eagle_proposer.free(req.request_id)
             if sm.has_grammar(req.request_id):

@@ -25,6 +25,19 @@ E2E_BUCKETS = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 20.0, 40.0, 80.0,
                160.0, 320.0)
 
 
+def _125_buckets(max_value: int) -> tuple:
+    """1-2-5 ladder up to max_value (reference: build_1_2_5_buckets,
+    v1/metrics/loggers.py)."""
+    out, exp = [], 0
+    while True:
+        for m in (1, 2, 5):
+            v = m * 10 ** exp
+            if v > max_value:
+                return tuple(out)
+            out.append(v)
+        exp += 1
+
+
 class Histogram:
 
     def __init__(self, buckets):
@@ -67,26 +80,63 @@ class RequestTiming:
     first_token: Optional[float] = None
     last_token: Optional[float] = None
     num_generated: int = 0
+    num_prompt: int = 0
 
 
 class EngineMetrics:
-    """Collects per-request TTFT/TPOT/E2E + cumulative counters."""
+    """Collects per-request TTFT/TPOT/E2E + cumulative counters.
 
-    def __init__(self) -> None:
+    Series breadth matches the reference Prometheus logger
+    (v1/metrics/loggers.py:452-930): interval histograms (TTFT, ITL,
+    E2E, queue/prefill/decode/inference time), request-size histograms
+    (prompt/generation tokens, per-request mean TPOT, params n /
+    max_tokens), iteration tokens, and cumulative counters (prompt /
+    cached / generation tokens, success by reason, preemptions live in
+    the scheduler stats)."""
+
+    def __init__(self, max_model_len: int = 32768,
+                 max_num_batched_tokens: int = 8192) -> None:
         self.ttft = Histogram(TTFT_BUCKETS)
         self.tpot = Histogram(TPOT_BUCKETS)
         self.e2e = Histogram(E2E_BUCKETS)
+        self.queue_time = Histogram(E2E_BUCKETS)
+        self.prefill_time = Histogram(E2E_BUCKETS)
+        self.decode_time = Histogram(E2E_BUCKETS)
+        self.inference_time = Histogram(E2E_BUCKETS)
+        len_buckets = _125_buckets(max_model_len)
+        self.request_prompt_tokens = Histogram(len_buckets)
+        self.request_generation_tokens = Histogram(len_buckets)
+        self.request_mean_tpot = Histogram(TPOT_BUCKETS)
+        self.request_params_n = Histogram((1, 2, 5, 10, 20))
+        self.request_params_max_tokens = Histogram(len_buckets)
+        self.iteration_tokens = Histogram(
+            _125_buckets(max_num_batched_tokens))
         self.num_prompt_tokens = 0
+        self.num_cached_tokens = 0
         self.num_generation_tokens = 0
         self.num_requests_finished = 0
+        self.finished_by_reason: Dict[str, int] = {}
         self._timing: Dict[str, RequestTiming] = {}
 
     # ---- lifecycle hooks ---------------------------------------------------
 
     def on_request_added(self, request_id: str, num_prompt_tokens: int,
-                         now: Optional[float] = None) -> None:
-        self._timing[request_id] = RequestTiming(now or time.time())
+                         now: Optional[float] = None,
+                         params=None) -> None:
+        self._timing[request_id] = RequestTiming(now or time.time(),
+                                                 num_prompt=num_prompt_tokens)
         self.num_prompt_tokens += num_prompt_tokens
+        self.request_prompt_tokens.observe(num_prompt_tokens)
+        if params is not None:
+            self.request_params_n.observe(getattr(params, "n", 1) or 1)
+            mt = getattr(params, "max_tokens", None)
+            if mt:
+                self.request_params_max_tokens.observe(mt)
+
+    def on_iteration(self, num_tokens: int) -> None:
+        """One engine step's total scheduled tokens (reference:
+        vllm:iteration_tokens_total, loggers.py:712)."""
+        self.iteration_tokens.observe(num_tokens)
 
     def on_request_scheduled(self, request_id: str,
                              now: Optional[float] = None) -> None:
@@ -116,12 +166,29 @@ class EngineMetrics:
         self.num_generation_tokens += num_new
 
     def on_request_finished(self, request_id: str,
-                            now: Optional[float] = None) -> None:
+                            now: Optional[float] = None,
+                            finish_reason: Optional[str] = None,
+                            num_cached_tokens: int = 0) -> None:
         t = self._timing.pop(request_id, None)
         if t is None:
             return
-        self.e2e.observe((now or time.time()) - t.arrival)
+        now = now or time.time()
+        self.e2e.observe(now - t.arrival)
         self.num_requests_finished += 1
+        reason = finish_reason or "stop"
+        self.finished_by_reason[reason] = \
+            self.finished_by_reason.get(reason, 0) + 1
+        self.num_cached_tokens += num_cached_tokens
+        self.request_generation_tokens.observe(t.num_generated)
+        if t.scheduled is not None:
+            self.queue_time.observe(t.scheduled - t.arrival)
+            self.inference_time.observe(now - t.scheduled)
+            if t.first_token is not None:
+                self.prefill_time.observe(t.first_token - t.scheduled)
+                self.decode_time.observe(now - t.first_token)
+                if t.num_generated > 1:
+                    self.request_mean_tpot.observe(
+                        (now - t.first_token) / (t.num_generated - 1))
 
     # ---- export ------------------------------------------------------------
 
@@ -129,14 +196,46 @@ class EngineMetrics:
         lines = [
             "# TYPE vllm:prompt_tokens_total counter",
             f"vllm:prompt_tokens_total {self.num_prompt_tokens}",
+            "# TYPE vllm:prompt_tokens_cached_total counter",
+            f"vllm:prompt_tokens_cached_total {self.num_cached_tokens}",
             "# TYPE vllm:generation_tokens_total counter",
             f"vllm:generation_tokens_total {self.num_generation_tokens}",
             "# TYPE vllm:request_success_total counter",
-            f"vllm:request_success_total {self.num_requests_finished}",
         ]
+        if self.finished_by_reason:
+            for reason, n in sorted(self.finished_by_reason.items()):
+                lines.append(
+                    f'vllm:request_success_total{{finished_reason='
+                    f'"{reason}"}} {n}')
+        else:
+            lines.append(
+                f"vllm:request_success_total {self.num_requests_finished}")
         lines += self.ttft.prometheus_lines("vllm:time_to_first_token_seconds")
         lines += self.tpot.prometheus_lines("vllm:time_per_output_token_seconds")
+        # Same observations under the reference's newer name
+        # (loggers.py:788 — dashboards may scrape either).
+        lines += self.tpot.prometheus_lines("vllm:inter_token_latency_seconds")
+        lines += self.request_mean_tpot.prometheus_lines(
+            "vllm:request_time_per_output_token_seconds")
         lines += self.e2e.prometheus_lines("vllm:e2e_request_latency_seconds")
+        lines += self.queue_time.prometheus_lines(
+            "vllm:request_queue_time_seconds")
+        lines += self.prefill_time.prometheus_lines(
+            "vllm:request_prefill_time_seconds")
+        lines += self.decode_time.prometheus_lines(
+            "vllm:request_decode_time_seconds")
+        lines += self.inference_time.prometheus_lines(
+            "vllm:request_inference_time_seconds")
+        lines += self.request_prompt_tokens.prometheus_lines(
+            "vllm:request_prompt_tokens")
+        lines += self.request_generation_tokens.prometheus_lines(
+            "vllm:request_generation_tokens")
+        lines += self.request_params_n.prometheus_lines(
+            "vllm:request_params_n")
+        lines += self.request_params_max_tokens.prometheus_lines(
+            "vllm:request_params_max_tokens")
+        lines += self.iteration_tokens.prometheus_lines(
+            "vllm:iteration_tokens_total")
         return lines
 
     def summary(self) -> dict:

@@ -428,6 +428,21 @@ class OpenAIServer:
                 f"{sd['num_accepted_tokens']}",
             ]
         lines += self.llm.core.metrics.prometheus_lines()
+        # Sleep state + cache-config info gauges (reference:
+        # loggers.py:494, :1040).
+        sleeping = 0
+        try:
+            sleeping = int(bool(self.llm.core.is_sleeping()))
+        except Exception:  # noqa: BLE001
+            pass
+        cc = self.llm.config.cache_config
+        lines += [
+            "# TYPE vllm:engine_sleep_state gauge",
+            f"vllm:engine_sleep_state {sleeping}",
+            "# TYPE vllm:cache_config_info gauge",
+            f'vllm:cache_config_info{{block_size="{cc.block_size}",'
+            f'enable_prefix_caching="{cc.enable_prefix_caching}"}} 1',
+        ]
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
 

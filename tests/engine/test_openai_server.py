@@ -128,10 +128,38 @@ def test_bad_request():
 
 def test_metrics_and_tokenize():
     async def scenario(client):
+        # One finished request so latency/size histograms are populated.
+        r = await client.post("/v1/completions", json={
+            "prompt": "metrics probe", "max_tokens": 3,
+            "temperature": 0.0})
+        assert r.status == 200
         r = await client.get("/metrics")
         text = await r.text()
         assert "vllm:num_requests_running" in text
         assert "vllm:kv_cache_usage_perc" in text
+        # Reference-parity breadth (loggers.py:452-930).
+        for series in (
+                "vllm:num_requests_waiting",
+                "vllm:num_preemptions_total",
+                "vllm:prefix_cache_queries_total",
+                "vllm:prefix_cache_hits_total",
+                "vllm:prompt_tokens_cached_total",
+                "vllm:request_queue_time_seconds_bucket",
+                "vllm:request_prefill_time_seconds_bucket",
+                "vllm:request_decode_time_seconds_bucket",
+                "vllm:request_inference_time_seconds_bucket",
+                "vllm:inter_token_latency_seconds_bucket",
+                "vllm:request_time_per_output_token_seconds_bucket",
+                "vllm:request_prompt_tokens_bucket",
+                "vllm:request_generation_tokens_bucket",
+                "vllm:request_params_n_bucket",
+                "vllm:request_params_max_tokens_bucket",
+                "vllm:iteration_tokens_total_bucket",
+                'vllm:request_success_total{finished_reason=',
+                "vllm:engine_sleep_state",
+                "vllm:cache_config_info",
+        ):
+            assert series in text, f"missing series: {series}"
         r = await client.post("/tokenize", json={"prompt": "hello"})
         data = await r.json()
         assert data["count"] == 5
