@@ -35,8 +35,27 @@ class StructuredOutputManager:
         elif sp.guided_json is not None:
             if self.tokenizer is None:
                 raise ValueError("guided_json requires a tokenizer")
-            self.grammars[request.request_id] = JsonGrammar(
-                self.tokenizer, self.vocab_size, self.eos_token_id)
+            schema = sp.guided_json
+            if isinstance(schema, (str, bytes)):
+                import json as _json
+                try:
+                    schema = _json.loads(schema)
+                except ValueError:
+                    raise ValueError("guided_json is not valid JSON")
+            if isinstance(schema, dict) and schema:
+                # Schema-enforcing path (reference compiles the schema:
+                # backend_xgrammar.py:81): JSON Schema -> EBNF -> Earley
+                # token masks. guided_json=True / {} means plain
+                # JSON-mode below.
+                from lvllm_tpu.structured_output.ebnf import EbnfGrammar
+                from lvllm_tpu.structured_output.json_schema import \
+                    schema_to_ebnf
+                self.grammars[request.request_id] = EbnfGrammar(
+                    schema_to_ebnf(schema), self.tokenizer,
+                    self.vocab_size, self.eos_token_id)
+            else:
+                self.grammars[request.request_id] = JsonGrammar(
+                    self.tokenizer, self.vocab_size, self.eos_token_id)
         elif sp.guided_regex is not None:
             if self.tokenizer is None:
                 raise ValueError("guided_regex requires a tokenizer")

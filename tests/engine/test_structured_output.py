@@ -141,3 +141,70 @@ def test_guided_json_e2e():
     assert ok, text
     if out.outputs[0].finish_reason == "stop":
         _json.loads(text)
+
+
+# ---- schema-enforcing guided_json (VERDICT r04 missing #2) -----------------
+
+def test_schema_to_ebnf_masks_schema_violating_tokens():
+    """A token that is valid JSON but violates the SCHEMA must be masked
+    (the old JsonGrammar path only enforced JSON syntax)."""
+    from lvllm_tpu.structured_output.ebnf import EbnfGrammar
+    from lvllm_tpu.structured_output.json_schema import schema_to_ebnf
+
+    tok = CharTokenizer()
+    schema = {"type": "object",
+              "properties": {"age": {"type": "integer"}},
+              "required": ["age"]}
+    g = EbnfGrammar(schema_to_ebnf(schema), tok, 128, eos_token_id=0)
+    # Walk '{"age": ' then check the next-token mask.
+    for ch in '{"age": ':
+        assert g.advance(ord(ch)), ch
+    mask = g.allowed_token_mask()
+    assert mask[ord("3")]            # digit: schema-conforming
+    assert mask[ord("-")]            # negative integer fine
+    assert not mask[ord('"')]        # a string value violates the schema
+    assert not mask[ord("t")]        # true violates the schema
+    assert not mask[ord("[")]        # array violates the schema
+    # After the value, only "}" (and ws/eos-path) continue: a second,
+    # undeclared property cannot start.
+    assert g.advance(ord("7"))
+    mask = g.allowed_token_mask()
+    assert mask[ord("}")]
+    assert not mask[ord(",")]
+
+
+def test_schema_required_property_order_and_enum():
+    from lvllm_tpu.structured_output.ebnf import EbnfGrammar
+    from lvllm_tpu.structured_output.json_schema import schema_to_ebnf
+
+    tok = CharTokenizer()
+    schema = {"type": "object",
+              "properties": {"kind": {"enum": ["cat", "dog"]},
+                             "n": {"type": "number"}},
+              "required": ["kind", "n"]}
+    g = EbnfGrammar(schema_to_ebnf(schema), tok, 128, eos_token_id=0)
+    for ch in '{"kind": "':
+        assert g.advance(ord(ch)), ch
+    mask = g.allowed_token_mask()
+    assert mask[ord("c")] and mask[ord("d")]
+    assert not mask[ord("x")]        # enum-violating first char masked
+    for ch in 'cat", "n": 1}':
+        assert g.advance(ord(ch)), ch
+    assert g.is_complete
+
+
+def test_guided_json_schema_e2e():
+    import json as _json
+    eng = build_engine()
+    schema = {"type": "object",
+              "properties": {"a": {"type": "boolean"},
+                             "b": {"enum": ["x", "y"]}},
+              "required": ["a", "b"]}
+    sp = SamplingParams(temperature=0.8, seed=5, max_tokens=60,
+                        guided_json=schema)
+    out = run(eng, "fill the form", sp)
+    text = out.outputs[0].text
+    if out.outputs[0].finish_reason == "stop":
+        data = _json.loads(text)
+        assert isinstance(data["a"], bool)
+        assert data["b"] in ("x", "y")
