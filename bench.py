@@ -461,6 +461,73 @@ def _bench_concurrent(remaining, stream_mbps) -> dict:
     return result
 
 
+def _bench_tree_spec(remaining) -> dict:
+    """Multi-candidate (tree) speculation counter (VERDICT r04 #1): one
+    engine run single-chain vs 3-chain on ambiguity-rich prompts; reports
+    acceptance rates + non-first-chain wins. Runs on the CPU backend in a
+    subprocess (tiny model, ~20 s) so the TPU budget is untouched."""
+    import subprocess
+
+    code = r"""
+import json, sys
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                              SchedulerConfig, SpeculativeConfig)
+from lvllm_tpu.engine.llm_engine import LLMEngine
+from lvllm_tpu.sampling_params import SamplingParams
+
+def run(n_chains):
+    mc = ModelConfig(model="dummy", architecture="Qwen3ForCausalLM",
+                     dtype="float32", vocab_size=64, hidden_size=64,
+                     intermediate_size=128, num_hidden_layers=2,
+                     num_attention_heads=4, num_key_value_heads=2,
+                     max_position_embeddings=512, max_model_len=256,
+                     eos_token_id=-1, seed=5)
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=256,
+                                         max_num_seqs=8,
+                                         max_model_len=256),
+        speculative_config=SpeculativeConfig(
+            method="ngram", num_speculative_tokens=3, ngram_min=2,
+            ngram_max=3, num_spec_chains=n_chains))
+    eng = LLMEngine(cfg, load_format="dummy")
+    prompts = [[1, 2, 7, 7, 5, 1, 2, 9, 9, 5, 1, 2],
+               [3, 4, 3, 4, 8, 3, 4],
+               list(range(12)) + list(range(12))]
+    for i, p in enumerate(prompts):
+        eng.add_request(f"r{i}", p, SamplingParams(temperature=0.0,
+                                                   max_tokens=32))
+    steps = 0
+    while eng.has_unfinished_requests() and steps < 2000:
+        eng.step()
+        steps += 1
+    sd = eng.get_stats()["spec_decode"]
+    return sd, steps
+
+sd1, steps1 = run(1)
+sd3, steps3 = run(3)
+print(json.dumps({
+    "single_chain_acceptance": round(sd1["acceptance_rate"] or 0, 3),
+    "tree3_acceptance": round(sd3["acceptance_rate"] or 0, 3),
+    "tree3_nonfirst_chain_wins": sd3["chain_wins"][1],
+    "single_chain_steps": steps1,
+    "tree3_steps": steps3,
+}))
+""" % (os.path.dirname(os.path.abspath(__file__)),)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=max(remaining() - 30, 120),
+                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        return json.loads(line)
+    except Exception:
+        return {"tree_spec_error": (out.stderr or out.stdout)[-300:]}
+
+
 def _bench_overlap_cpu(remaining) -> dict:
     """Overlap-efficiency leg (r03 VERDICT weak #1): on the dev tunnel the
     offload tier is transport-bound (host->HBM ~3 orders below PCIe), so
@@ -609,6 +676,15 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         overlap = {"overlap_error": repr(e)[:300]}
     print(f"[bench] overlap leg done: {time.time() - t_start:.1f}s",
+          file=sys.stderr)
+
+    # ---- leg 0e: multi-candidate speculation counter (CPU subprocess) -----
+    try:
+        tree_spec = (_bench_tree_spec(remaining)
+                     if remaining() > 90 else {"skipped": "budget"})
+    except Exception as e:  # noqa: BLE001
+        tree_spec = {"tree_spec_error": repr(e)[:300]}
+    print(f"[bench] tree-spec leg done: {time.time() - t_start:.1f}s",
           file=sys.stderr)
 
     batch = 16
@@ -769,6 +845,7 @@ def main() -> None:
             "hybrid_resident": hybrid,
             "concurrent": concurrent,
             "overlap_pcie_regime": overlap,
+            "tree_spec": tree_spec,
             "baseline_note": (
                 "vs_baseline divides this chip's 8B-A3B int4 engine-loop "
                 "rate by the fork's published 80B-A3B bf16 rate on "
@@ -827,6 +904,7 @@ def main() -> None:
         "concurrent_decode_retention":
             concurrent.get("decode_retention"),
         "hybrid_decode_tokens_per_s": hybrid.get("decode_tokens_per_s"),
+        "tree_spec_acceptance": tree_spec.get("tree3_acceptance"),
         "elapsed_s": round(time.time() - t_start, 1),
     }
     print(json.dumps(headline))

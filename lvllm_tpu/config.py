@@ -507,6 +507,17 @@ class SpeculativeConfig:
     # (None => {1, L/2, L-2}).
     eagle_aux_layers: Optional[tuple] = None
     num_speculative_tokens: int = 4
+    # Multi-candidate (tree) speculation (reference: tree_attn.py:32 +
+    # SpeculativeConfig.speculative_token_tree, config/speculative.py:140):
+    # verify up to this many candidate chains per step via row expansion —
+    # each chain is a virtual request row sharing the prefix blocks with a
+    # chain-private scratch block for its draft KV. 1 = classic single
+    # chain.
+    num_spec_chains: int = 1
+    # Reference-style tree spec: a literal like "[(0,),(1,),(0,0)]" whose
+    # tuples are root-to-node child paths. Parsed into (num chains, depth):
+    # chains = leaves, depth = longest path (proposers branch at the root).
+    speculative_token_tree: Optional[str] = None
     ngram_min: int = 2
     ngram_max: int = 4
     # draft_model method: checkpoint path of the small LM (or a full
@@ -517,6 +528,31 @@ class SpeculativeConfig:
     @property
     def enabled(self) -> bool:
         return self.method is not None
+
+    def _tree_paths(self):
+        import ast
+        return [tuple(p) for p in
+                ast.literal_eval(self.speculative_token_tree)]
+
+    @property
+    def resolved_num_chains(self) -> int:
+        """Chains to verify per step (leaves of speculative_token_tree if
+        given, else num_spec_chains)."""
+        if self.speculative_token_tree:
+            paths = self._tree_paths()
+            leaves = [p for p in paths
+                      if not any(len(q) > len(p) and q[:len(p)] == p
+                                 for q in paths)]
+            return max(len(leaves), 1)
+        return max(self.num_spec_chains, 1)
+
+    @property
+    def resolved_depth(self) -> int:
+        """Draft depth per chain (longest tree path if given, else
+        num_speculative_tokens)."""
+        if self.speculative_token_tree:
+            return max(len(p) for p in self._tree_paths())
+        return self.num_speculative_tokens
 
 
 @dataclass

@@ -74,6 +74,9 @@ class Request:
         self.num_cached_tokens: int = 0
         # Draft tokens proposed by spec-decode, pending verification.
         self.spec_token_ids: List[int] = []
+        # Multi-candidate speculation: all candidate chains (chain 0 is
+        # mirrored into spec_token_ids). None => single-chain.
+        self.spec_chains: Optional[List[List[int]]] = None
         self.num_preemptions: int = 0
         # Multimodal: encoder tokens (image placeholders) this request
         # needs encoded before its prefill can run (reference: encoder

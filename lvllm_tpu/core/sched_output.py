@@ -47,6 +47,16 @@ class SchedulerOutput:
     # req_id -> spec-decode draft token ids scheduled for verification.
     scheduled_spec_decode_tokens: Dict[str, List[int]] = field(
         default_factory=dict)
+    # Multi-candidate (tree) speculation (reference: tree_attn.py:32,
+    # speculative_token_tree): req_id -> ALL candidate chains (chain 0 ==
+    # scheduled_spec_decode_tokens[rid]). Each chain becomes a virtual
+    # request row in the runner; chains past the first write their draft
+    # KV into per-chain scratch blocks.
+    spec_chains: Dict[str, List[List[int]]] = field(default_factory=dict)
+    # req_id -> per-extra-chain scratch block ids (len == num_chains - 1);
+    # freed by update_from_output after the verify step.
+    spec_scratch_blocks: Dict[str, List[List[int]]] = field(
+        default_factory=dict)
     finished_req_ids: List[str] = field(default_factory=list)
     preempted_req_ids: List[str] = field(default_factory=list)
     # Async scheduling: rows scheduled with optimistic bookkeeping whose
@@ -83,3 +93,11 @@ class ModelRunnerOutput:
     topk_logprobs: Dict[str, List[dict]] = field(default_factory=dict)
     # req_id -> draft tokens proposed for the *next* step.
     spec_token_ids: Optional[Dict[str, List[int]]] = None
+    # Multi-candidate verification: req_id -> absolute canonical-KV
+    # computed-token count after the step (the winning chain's drafts may
+    # live in scratch blocks; their KV is recomputed as a catch-up chunk
+    # next step). Also req_id -> winning chain index (bench counter).
+    spec_kv_computed: Dict[str, int] = field(default_factory=dict)
+    spec_winner_chain: Dict[str, int] = field(default_factory=dict)
+    # req_id -> next-step candidate chains (chain 0 == spec_token_ids).
+    spec_next_chains: Optional[Dict[str, List[List[int]]]] = None

@@ -79,6 +79,10 @@ class Scheduler:
         # SpecDecodingStats — vllm:spec_decode_num_{draft,accepted}_tokens).
         self.num_spec_draft_tokens = 0
         self.num_spec_accepted_tokens = 0
+        # Multi-candidate speculation: [single-or-chain0 wins, other-chain
+        # wins] + in-flight scratch blocks for extra chains' draft KV.
+        self.num_spec_chain_wins = [0, 0]
+        self._chain_scratch: List = []
 
     # ---- request intake ---------------------------------------------------
 
@@ -176,9 +180,30 @@ class Scheduler:
                 idx += 1
                 continue
 
+            # Multi-candidate speculation: extra chains each add a virtual
+            # row re-processing the base (known) tokens + their own drafts.
+            # Canonical slots cover base + the longest chain (whichever
+            # chain wins, its emitted tokens append to the sequence); the
+            # extra chains' draft KV goes to per-chain scratch blocks.
+            chains = req.spec_chains
+            extra_chain_tokens = 0
+            alloc_tokens = num_new_tokens
+            if chains and len(chains) > 1 and \
+                    num_new_tokens == req.num_tokens_with_spec - \
+                    req.num_computed_tokens:
+                base = req.num_tokens - req.num_computed_tokens
+                extra_chain_tokens = sum(base + len(c) for c in chains[1:])
+                if extra_chain_tokens > budget - num_new_tokens:
+                    chains = None  # no budget: single-chain fallback
+                    extra_chain_tokens = 0
+                else:
+                    alloc_tokens = base + max(len(c) for c in chains)
+            else:
+                chains = None
+
             while True:
                 new_blocks = self.kv_cache_manager.allocate_slots(
-                    req, num_new_tokens,
+                    req, alloc_tokens,
                     num_lookahead_tokens=horizon - 1)
                 if new_blocks is not None:
                     break
@@ -203,6 +228,13 @@ class Scheduler:
             if num_spec:
                 output.scheduled_spec_decode_tokens[req.request_id] = \
                     list(req.spec_token_ids)
+            if chains and len(chains) > 1:
+                scratch = self._alloc_chain_scratch(req, chains)
+                if scratch is not None:
+                    output.spec_chains[req.request_id] = \
+                        [list(c) for c in chains]
+                    output.spec_scratch_blocks[req.request_id] = scratch
+                    num_new_tokens += extra_chain_tokens
             output.num_scheduled_tokens[req.request_id] = num_new_tokens
             if self.async_scheduling:
                 self._advance_optimistically(req, num_new_tokens, output)
@@ -362,6 +394,7 @@ class Scheduler:
         req.num_computed_tokens = 0
         req.num_preemptions += 1
         req.spec_token_ids = []
+        req.spec_chains = None
         if req.num_placeholders:
             del req.output_token_ids[-req.num_placeholders:]
             req.num_placeholders = 0
@@ -413,6 +446,37 @@ class Scheduler:
 
     # ---- post-execution update -------------------------------------------
 
+    def _alloc_chain_scratch(self, req: Request,
+                             chains: List[List[int]]):
+        """Per-chain KV-slot accounting for multi-candidate verification:
+        chains past the first write their draft KV into private scratch
+        blocks covering the draft positions (the first scratch block is a
+        copy of the straddling canonical block, made in-step by the
+        runner). Returns per-extra-chain block-id lists, or None if the
+        pool can't supply them (caller falls back to chain 0 only)."""
+        bs = self.block_size
+        pool = self.kv_cache_manager.block_pool
+        computed = req.num_computed_tokens
+        base = req.num_tokens - computed
+        needs = []
+        for c in chains[1:]:
+            last = computed + base + len(c) - 1
+            needs.append(last // bs - computed // bs + 1)
+        if sum(needs) > pool.get_num_free_blocks():
+            return None
+        out = []
+        for n in needs:
+            blocks = pool.get_new_blocks(n)
+            self._chain_scratch.extend(blocks)
+            out.append([b.block_id for b in blocks])
+        return out
+
+    def _free_chain_scratch(self) -> None:
+        if self._chain_scratch:
+            self.kv_cache_manager.block_pool.free_blocks(
+                self._chain_scratch)
+            self._chain_scratch = []
+
     def update_from_output(
         self,
         scheduler_output: SchedulerOutput,
@@ -423,6 +487,7 @@ class Scheduler:
         Reference: sched/scheduler.py:1301."""
         finished: List[Request] = []
         stepped: List[Request] = []
+        self._free_chain_scratch()
 
         if scheduler_output.async_mode:
             return self._update_from_output_async(scheduler_output,
@@ -441,7 +506,23 @@ class Scheduler:
             # tokens past the first may be rejected — computed tokens advance
             # only by accepted count.
             num_draft = len(spec_scheduled)
-            if num_draft:
+            if rid in scheduler_output.spec_chains and \
+                    rid in runner_output.spec_kv_computed:
+                # Multi-candidate verification: the runner reports the
+                # canonical-KV watermark directly (a non-first winning
+                # chain's accepted tokens live in scratch blocks; their
+                # KV recomputes as a catch-up chunk next step). Drafts
+                # count the LONGEST chain so acceptance_rate stays <= 1.
+                num_draft = max(
+                    len(c) for c in scheduler_output.spec_chains[rid])
+                num_accepted = max(len(sampled) - 1, 0)
+                self.num_spec_draft_tokens += num_draft
+                self.num_spec_accepted_tokens += num_accepted
+                self.num_spec_chain_wins[
+                    runner_output.spec_winner_chain.get(rid, 0) > 0] += 1
+                req.num_computed_tokens = \
+                    runner_output.spec_kv_computed[rid]
+            elif num_draft:
                 num_accepted = max(len(sampled) - 1, 0)
                 num_rejected = num_draft - num_accepted
                 self.num_spec_draft_tokens += num_draft
@@ -454,6 +535,7 @@ class Scheduler:
             else:
                 req.num_computed_tokens += num_scheduled
             req.spec_token_ids = []
+            req.spec_chains = None
 
             if req.num_computed_tokens < req.num_prompt_tokens:
                 continue  # mid chunked-prefill: no token sampled yet
@@ -467,6 +549,9 @@ class Scheduler:
             # Stash next-step drafts.
             if runner_output.spec_token_ids:
                 req.spec_token_ids = runner_output.spec_token_ids.get(rid, [])
+                if runner_output.spec_next_chains:
+                    req.spec_chains = \
+                        runner_output.spec_next_chains.get(rid)
 
         for req in finished:
             self.running.remove(req)
@@ -564,6 +649,7 @@ class Scheduler:
             "spec_decode": {
                 "num_draft_tokens": self.num_spec_draft_tokens,
                 "num_accepted_tokens": self.num_spec_accepted_tokens,
+                "chain_wins": list(self.num_spec_chain_wins),
                 "acceptance_rate": (
                     self.num_spec_accepted_tokens /
                     self.num_spec_draft_tokens

@@ -279,6 +279,30 @@ class EngineCore:
                 block_size=config.cache_config.block_size, weights=weights,
                 mode=sc.method, aux_layers=aux)
 
+        # Multi-candidate (tree) speculation gate (reference:
+        # tree_attn.py:32 + speculative_token_tree): row expansion rides
+        # the plain single-step causal path — configs whose execution goes
+        # through staged offload / PP / DCP / hybrid-state / enc-dec /
+        # async scheduling fall back to single-chain.
+        self._spec_chains = 1
+        if sc.enabled and sc.resolved_num_chains > 1:
+            pc = config.parallel_config
+            unsupported = (
+                pc.pipeline_parallel_size > 1
+                or pc.decode_context_parallel_size > 1
+                or config.offload_config.enabled
+                or config.model_config.layer_types is not None
+                or self.runner.is_enc_dec
+                or config.scheduler_config.async_scheduling)
+            if unsupported:
+                logger.warning("multi-candidate speculation (%d chains) "
+                               "unsupported in this config; single-chain",
+                               sc.resolved_num_chains)
+            else:
+                self._spec_chains = sc.resolved_num_chains
+                if self.runner.eagle_proposer is not None:
+                    self.runner.eagle_proposer.n_chains = self._spec_chains
+
     # ---- request API -------------------------------------------------------
 
     def add_request(self, request: Request) -> None:
@@ -550,9 +574,26 @@ class EngineCore:
             elif hasattr(self.proposer, "propose_for"):
                 drafts = self.proposer.propose_for(req.request_id,
                                                    req.all_token_ids)
+            elif self._spec_chains > 1 and \
+                    hasattr(self.proposer, "propose_chains"):
+                # Multi-candidate proposal: distinct continuations become
+                # verification chains (row expansion in the runner).
+                chains = self.proposer.propose_chains(req.all_token_ids,
+                                                      self._spec_chains)
+                cap = min(k, room)
+                seen, uniq = set(), []
+                for c in chains:
+                    tc = tuple(c[:cap])
+                    if tc and tc not in seen:
+                        seen.add(tc)
+                        uniq.append(list(tc))
+                req.spec_token_ids = uniq[0] if uniq else []
+                req.spec_chains = uniq if len(uniq) > 1 else None
+                continue
             else:
                 drafts = self.proposer.propose(req.all_token_ids)
             req.spec_token_ids = drafts[:min(k, room)]
+            req.spec_chains = None
         if hasattr(self.proposer, "free"):
             for req in stepped:
                 if req.is_finished:

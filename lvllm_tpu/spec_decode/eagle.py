@@ -112,13 +112,19 @@ class EagleProposer:
         self._reqs: Dict[str, dict] = {}
         self._max_blocks = -(-c.max_model_len // block_size)
         # rid → [k, V] f32 proposal distributions of the last sampled
-        # proposal (consumed by the runner's rejection_sample draft_q).
-        self.last_q: Dict[str, np.ndarray] = {}
+        # proposal (consumed by the runner's rejection_sample draft_q);
+        # a LIST of such stacks (one per chain) in multi-candidate mode.
+        self.last_q: Dict[str, object] = {}
+        # Multi-candidate (tree) speculation: number of chains to branch
+        # at the root (set by EngineCore before first use; reference:
+        # speculative_token_tree, llm_base_proposer.py:282).
+        self.n_chains = 1
+        self._copy_block_fn = None
 
         self._ingest_fn = jax.jit(self._fwd_ingest, donate_argnums=(1,),
-                                  static_argnames=("tied",))
+                                  static_argnames=("tied", "want_logits"))
         self._decode_fn = jax.jit(self._fwd_decode, donate_argnums=(1,),
-                                  static_argnames=("tied",))
+                                  static_argnames=("tied", "want_logits"))
 
     # ---- params -------------------------------------------------------------
 
@@ -211,7 +217,8 @@ class EagleProposer:
         return x, kv_cache
 
     def _head(self, p, tokens, feats, positions, kv_cache, slots, seq_len,
-              blocks, n, last_idx, embed_w, lm_w, tied, sample_args=None):
+              blocks, n, last_idx, embed_w, lm_w, tied, sample_args=None,
+              want_logits=False):
         emb = embed_w[tokens].astype(self.dtype)
         if feats.shape[-1] != emb.shape[-1]:
             # EAGLE-3 multi-level features: fuse [num_feats*H] → [H].
@@ -224,12 +231,19 @@ class EagleProposer:
         hidden = rms_norm(feat_out, p["norm"], self.config.rms_norm_eps)
         kernel = embed_w.T if tied else lm_w
         logits = (hidden @ kernel).astype(jnp.float32)
-        return self._emit(logits, feat_out, kv_cache, sample_args)
+        return self._emit(logits, feat_out, kv_cache, sample_args,
+                          want_logits)
 
-    def _emit(self, logits, feat_out, kv_cache, sample_args):
+    def _emit(self, logits, feat_out, kv_cache, sample_args,
+              want_logits=False):
         """Greedy argmax by default; sampled (token + proposal q) when the
         request decodes at temperature > 0 — the runner verifies sampled
-        drafts with the general-q stochastic rejection sampler."""
+        drafts with the general-q stochastic rejection sampler. With
+        ``want_logits`` (multi-candidate mode) the first slot carries the
+        full [V] logits row instead — branching/sampling happens host-side
+        in propose_chains."""
+        if want_logits:
+            return logits, None, feat_out, kv_cache
         if sample_args is None:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return tok, None, feat_out, kv_cache
@@ -238,7 +252,8 @@ class EagleProposer:
 
     def _fwd_ingest(self, p, kv_cache, hidden_src, feat_offset, tokens,
                     positions, slots, seq_len, blocks, n, last_idx,
-                    embed_w, lm_w, tied=False, sample_args=None):
+                    embed_w, lm_w, tied=False, sample_args=None,
+                    want_logits=False):
         B = tokens.shape[0]
         H = hidden_src.shape[-1]
         padded = jnp.concatenate(
@@ -246,16 +261,16 @@ class EagleProposer:
         feats = jax.lax.dynamic_slice_in_dim(padded, feat_offset, B)
         return self._head(p, tokens, feats, positions, kv_cache, slots,
                           seq_len, blocks, n, last_idx, embed_w, lm_w, tied,
-                          sample_args)
+                          sample_args, want_logits)
 
     def _fwd_decode(self, p, kv_cache, feat, tokens, positions, slots,
                     seq_len, blocks, n, last_idx, embed_w, lm_w,
-                    tied=False, sample_args=None):
+                    tied=False, sample_args=None, want_logits=False):
         B = tokens.shape[0]
         feats = jnp.zeros((B, feat.shape[-1]), feat.dtype).at[0].set(feat)
         return self._head(p, tokens, feats, positions, kv_cache, slots,
                           seq_len, blocks, n, last_idx, embed_w, lm_w, tied,
-                          sample_args)
+                          sample_args, want_logits)
 
     # ---- request lifecycle ---------------------------------------------------
 
@@ -334,6 +349,7 @@ class EagleProposer:
                     jnp.asarray(seed, jnp.uint32),
                     jnp.asarray(accepted_end * 131 + draw, jnp.int32))
 
+        chains_mode = self.n_chains > 1
         feat = None
         tok = -1
         if n_pairs > 0:
@@ -352,12 +368,18 @@ class EagleProposer:
                 jnp.asarray(self._pad_blocks(st), jnp.int32),
                 jnp.asarray(n_pairs, jnp.int32),
                 n_pairs - 1, embed_w, lm_arg, tied=tied,
-                sample_args=sargs(0))
+                sample_args=None if chains_mode else sargs(0),
+                want_logits=chains_mode)
             if q is not None:
                 qs.append(np.asarray(q))
             st["processed"] = accepted_end
         if not want_drafts or n_pairs <= 0:
             return []
+        if chains_mode:
+            # Multi-candidate branch: `tok` carries the [V] logits row.
+            return self._propose_chains(
+                rid, st, np.asarray(tok), feat, accepted_end, room,
+                embed_w, lm_arg, tied, sampling)
 
         drafts = [int(tok)]
         B = 8
@@ -389,3 +411,146 @@ class EagleProposer:
 
     def _pad_blocks(self, st: dict) -> List[int]:
         return st["blocks"] + [0] * (self._max_blocks - len(st["blocks"]))
+
+    # ---- multi-candidate (tree) proposal ------------------------------------
+
+    def _host_sample(self, logits: np.ndarray, sampling, draw: int):
+        """Numpy replica of sample_draft_token's filtering (temperature /
+        top-k / top-p / min-p) with deterministic per-(seed, draw) gumbel —
+        used in multi-candidate mode where branching happens host-side on
+        the returned logits row. Returns (token, q [V] f32)."""
+        t, tk, tp, mp, seed = sampling
+        scaled = logits.astype(np.float64) / max(t, 1e-6)
+        scaled -= scaled.max()
+        probs = np.exp(scaled)
+        probs /= probs.sum()
+        order = np.argsort(-probs, kind="stable")
+        ps = probs[order]
+        cum = np.cumsum(ps)
+        V = len(probs)
+        kk = V if tk <= 0 else tk
+        keep_sorted = (np.arange(V) < kk) & ((cum - ps) < tp) & \
+            (ps >= mp * ps[0])
+        keep = np.zeros(V, bool)
+        keep[order] = keep_sorted
+        q = np.where(keep, probs, 0.0)
+        q = q / q.sum()
+        rng = np.random.default_rng([int(seed), 3, int(draw)])
+        g = rng.gumbel(size=V)
+        tok = int(np.argmax(np.where(
+            keep, np.log(np.maximum(q, 1e-30)) + g, -np.inf)))
+        return tok, q.astype(np.float32)
+
+    def _copy_head_block(self, src: int, dst: int) -> None:
+        """Copy one head-cache block (chain-private straddling-block copy;
+        only positions < accepted_end are ever read from it — later slots
+        are overwritten by the chain's own decode writes)."""
+        if self._copy_block_fn is None:
+            def _cp(kv, s_, d_):
+                def go(leaf):
+                    if hasattr(leaf, "ndim") and leaf.ndim >= 3 and \
+                            leaf.shape[0] == 2:
+                        return leaf.at[:, d_].set(leaf[:, s_])
+                    return leaf
+                return jax.tree.map(go, kv)
+            self._copy_block_fn = jax.jit(_cp, donate_argnums=(0,))
+        self.kv_cache = self._copy_block_fn(
+            self.kv_cache, jnp.asarray(src, jnp.int32),
+            jnp.asarray(dst, jnp.int32))
+
+    def _propose_chains(self, rid, st, root_logits, feat, accepted_end,
+                        room, embed_w, lm_arg, tied, sampling):
+        """Root-branched candidate chains (reference capability:
+        speculative_token_tree / propose_tree, llm_base_proposer.py:282):
+        n_chains roots from the post-ingest logits — top-n at temperature
+        0, independent filtered samples otherwise — each continued to
+        depth k with the head's autoregressive decode. Chain 0 writes its
+        draft KV into the canonical head blocks (rolled back by cursor on
+        the next ingest, as in single-chain); later chains write into
+        private scratch blocks of the head cache so their positions don't
+        collide."""
+        k = min(self.k, max(room, 1))
+        bs = self.block_size
+        mm = self.config.max_model_len
+        sampled_mode = bool(sampling is not None and sampling[0] > 0.0)
+        n = self.n_chains
+        self.last_q.pop(rid, None)
+        if sampled_mode:
+            roots, root_qs = [], []
+            for i in range(n):
+                t_, q_ = self._host_sample(
+                    root_logits, sampling, draw=accepted_end * 131 * 97 + i)
+                roots.append(t_)
+                root_qs.append(q_)
+        else:
+            nn = min(n, root_logits.shape[0])
+            top = np.argpartition(-root_logits, nn - 1)[:nn]
+            roots = [int(x) for x in top[np.argsort(-root_logits[top])]]
+            root_qs = [None] * len(roots)
+        b0 = accepted_end // bs
+        span_last = accepted_end + max(k - 2, 0)
+        n_priv = span_last // bs - b0 + 1
+        chains: List[List[int]] = []
+        chain_qs: List[Optional[np.ndarray]] = []
+        for i, root in enumerate(roots):
+            priv = None
+            if i > 0 and k >= 2:
+                if len(self._free_blocks) < n_priv:
+                    break
+                priv = [self._free_blocks.pop() for _ in range(n_priv)]
+                if len(st["blocks"]) > b0:
+                    self._copy_head_block(st["blocks"][b0], priv[0])
+            chain = [int(root)]
+            cqs = [root_qs[i]] if sampled_mode else []
+            cf = feat
+            for j in range(1, k):
+                p = accepted_end + j - 1
+                if p + 2 >= mm:
+                    break
+                if i == 0 and not self._ensure_blocks(st, p + 1):
+                    break
+                blocks_list = self._pad_blocks(st)
+                if priv is not None:
+                    for j2, pb in enumerate(priv):
+                        if b0 + j2 < len(blocks_list):
+                            blocks_list[b0 + j2] = pb
+                B = 8
+                tokens = np.zeros(B, np.int32)
+                tokens[0] = chain[-1]
+                positions = np.zeros(B, np.int32)
+                positions[0] = p
+                slots = np.zeros(B, np.int32)
+                slots[0] = blocks_list[p // bs] * bs + p % bs
+                lg, _, cf, self.kv_cache = self._decode_fn(
+                    self.params, self.kv_cache, cf, jnp.asarray(tokens),
+                    jnp.asarray(positions), jnp.asarray(slots),
+                    jnp.asarray(p + 1, jnp.int32),
+                    jnp.asarray(blocks_list, jnp.int32),
+                    jnp.asarray(1, jnp.int32), 0, embed_w, lm_arg,
+                    tied=tied, sample_args=None, want_logits=True)
+                lg = np.asarray(lg)
+                if sampled_mode:
+                    t_, q_ = self._host_sample(
+                        lg, sampling,
+                        draw=accepted_end * 131 * 97 + i * 1009 + j)
+                    chain.append(t_)
+                    cqs.append(q_)
+                else:
+                    chain.append(int(np.argmax(lg)))
+            if priv is not None:
+                self._free_blocks.extend(reversed(priv))
+            chains.append(chain[:room])
+            chain_qs.append(np.stack([q[None] if q.ndim == 0 else q
+                                      for q in cqs])[:room]
+                            if sampled_mode and cqs else None)
+        # Dedup identical chains (sampled roots can coincide).
+        seen, uniq, uniq_q = set(), [], []
+        for c, q in zip(chains, chain_qs):
+            tc = tuple(c)
+            if tc and tc not in seen:
+                seen.add(tc)
+                uniq.append(list(c))
+                uniq_q.append(q)
+        if sampled_mode and uniq:
+            self.last_q[rid] = uniq_q
+        return uniq

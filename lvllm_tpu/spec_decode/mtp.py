@@ -121,7 +121,8 @@ class MTPProposer(EagleProposer):
     # ---- forward ------------------------------------------------------------
 
     def _head(self, p, tokens, feats, positions, kv_cache, slots, seq_len,
-              blocks, n, last_idx, embed_w, lm_w, tied, sample_args=None):
+              blocks, n, last_idx, embed_w, lm_w, tied, sample_args=None,
+              want_logits=False):
         c = self.config
         emb = embed_w[tokens].astype(self.dtype)
         # Position 0 has no previous token context (deepseek_mtp.py:110).
@@ -145,5 +146,5 @@ class MTPProposer(EagleProposer):
             kernel = embed_w.T if tied else lm_w
         logits = (hidden @ kernel).astype(jnp.float32)
         tok, q, feat_out, kv_cache = self._emit(logits, feat_out, kv_cache,
-                                                sample_args)
+                                                sample_args, want_logits)
         return tok, q, feat_out, kv_cache

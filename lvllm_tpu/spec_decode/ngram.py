@@ -43,3 +43,34 @@ class NgramProposer:
                         return cont
                     break
         return []
+
+    def propose_chains(self, token_ids: Sequence[int],
+                       n_chains: int) -> List[List[int]]:
+        """Multi-candidate proposal (tree speculation via row expansion):
+        distinct continuations from SEVERAL earlier occurrences of the
+        suffix n-gram, most recent first — each becomes a verification
+        chain. Reference capability: speculative_token_tree +
+        tree_attn.py:32 (the reference branches an EAGLE tree; the n-gram
+        analog branches on occurrence sites)."""
+        c = self.config
+        k = c.num_speculative_tokens
+        toks = list(token_ids)
+        L = len(toks)
+        if L < c.min_ngram + 1:
+            return []
+        chains: List[List[int]] = []
+        seen = set()
+        for n in range(min(c.max_ngram, L - 1), c.min_ngram - 1, -1):
+            suffix = toks[L - n:]
+            for start in range(L - n - 1, -1, -1):
+                if toks[start:start + n] == suffix:
+                    cont = toks[start + n:start + n + k]
+                    key = tuple(cont)
+                    if cont and key not in seen:
+                        seen.add(key)
+                        chains.append(cont)
+                        if len(chains) >= n_chains:
+                            return chains
+            # Fall through to shorter n-gram orders: weaker matches make
+            # good hedge chains (longest-match continuation stays chain 0).
+        return chains

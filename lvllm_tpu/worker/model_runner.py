@@ -59,6 +59,10 @@ class StepHandle:
     row_starts: List[int] = field(default_factory=list)
     row_t0s: List[int] = field(default_factory=list)
     row_propose: List[bool] = field(default_factory=list)
+    # Multi-candidate speculation: per-row chain index (-1 single-chain)
+    # and rid -> row-group for winner selection in finalize.
+    row_chain: List[int] = field(default_factory=list)
+    chain_groups: Dict[str, List[int]] = field(default_factory=dict)
 
 
 class ModelRunner:
@@ -665,7 +669,21 @@ class ModelRunner:
               dcp_slot_mapping=None, want_hidden=False,
               cascade_args=None, aux_layers=(), draft_mat=None,
               draft_q=None, cross_args=None, decode_mode=False,
-              prefix_lens=None):
+              prefix_lens=None, kv_copy=None):
+        if kv_copy is not None:
+            # Multi-candidate speculation: copy each straddling canonical
+            # block into its chain-private scratch block BEFORE this
+            # step's KV scatter, so extra-chain rows see the block's
+            # earlier (real) tokens while writing their own drafts at
+            # positions >= num_computed. Pad pairs are (0, 0) no-ops.
+            src, dst = kv_copy
+
+            def _cp_blocks(leaf):
+                if hasattr(leaf, "ndim") and leaf.ndim >= 3 and \
+                        leaf.shape[0] == 2:
+                    return leaf.at[:, dst].set(leaf[:, src])
+                return leaf
+            kv_caches = jax.tree.map(_cp_blocks, kv_caches)
         if async_args is not None:
             # Async scheduling: placeholder inputs (-1) read the previous
             # step's on-device sampled tokens — no host round-trip.
@@ -1177,6 +1195,10 @@ class ModelRunner:
         row_req_ids: List[Optional[str]] = []
         row_drafts: List[List[int]] = []
         row_samples: List[bool] = []
+        row_chain: List[int] = []     # chain index; -1 = single-chain row
+        chain_groups: Dict[str, List[int]] = {}
+        copy_src: List[int] = []      # straddling-block copies for extra
+        copy_dst: List[int] = []      # chains (canonical -> scratch)
         ph_rows = np.zeros(T, dtype=np.int32)
         has_placeholder = False
         row_starts: List[int] = []
@@ -1186,6 +1208,25 @@ class ModelRunner:
         for rid, n_tok in scheduled:
             idx = ib.req_id_to_index[rid]
             drafts = so.scheduled_spec_decode_tokens.get(rid, [])
+            # Multi-candidate (tree) speculation: chains past the first
+            # become extra rows below; this (chain-0) row carries only
+            # base + chain-0 tokens.
+            chains = so.spec_chains.get(rid)
+            extra_chains: List = []
+            if chains and len(chains) > 1:
+                start_c = int(ib.num_computed_tokens[idx])
+                base_c = int(ib.num_tokens[idx]) - start_c
+                n_extra = len(chains) - 1
+                if row + 1 + n_extra <= R:
+                    drafts = chains[0]
+                    n_tok = base_c + len(drafts)
+                    extra_chains = list(zip(
+                        chains[1:], so.spec_scratch_blocks[rid]))
+                else:
+                    drafts = chains[0]          # rows exhausted: chain 0
+                    n_tok = base_c + len(drafts)
+                chain_groups[rid] = [row + j
+                                     for j in range(1 + len(extra_chains))]
             if drafts:
                 # Stage draft tokens after the known tokens so the input
                 # slice below picks them up (num_tokens NOT advanced —
@@ -1243,6 +1284,7 @@ class ModelRunner:
             row_req_ids.append(rid)
             row_drafts.append(drafts)
             row_samples.append(end >= ib.num_tokens[idx] + len(drafts))
+            row_chain.append(0 if rid in chain_groups else -1)
             row_starts.append(int(start))
             row_t0s.append(int(t))
             if async_mode:
@@ -1257,6 +1299,49 @@ class ModelRunner:
                     has_placeholder = True
             t += n_tok
             row += 1
+            # Extra candidate-chain rows (row expansion, CLAUDE.md design;
+            # reference capability: tree_attn.py:32): each chain is a
+            # virtual row over the same prefix whose draft positions map
+            # to chain-private scratch blocks. The straddling block (the
+            # one containing position `start`) is copied canonical ->
+            # scratch in-step, BEFORE the KV scatter, so earlier real
+            # tokens in it stay visible.
+            for ci, (ctoks, priv) in enumerate(extra_chains):
+                bs0 = self.block_size
+                b0 = start // bs0
+                nt_j = base_c + len(ctoks)
+                input_ids[t:t + base_c] = ib.token_ids[idx,
+                                                       start:start + base_c]
+                input_ids[t + base_c:t + nt_j] = ctoks
+                positions[t:t + nt_j] = np.arange(start, start + nt_j)
+                if mrope_np is not None:
+                    mrope_np[:, t:t + nt_j] = positions[t:t + nt_j]
+                bt = blocks.copy()
+                for j, pb in enumerate(priv):
+                    bt[b0 + j] = pb
+                pos_j = np.arange(start, start + nt_j)
+                slot_mapping[t:t + nt_j] = (
+                    bt[pos_j // bs0] * bs0 + pos_j % bs0)
+                copy_src.append(int(blocks[b0]))
+                copy_dst.append(int(priv[0]))
+                qsl[row + 1] = t + nt_j
+                seq_lens[row] = start + nt_j
+                block_table[row] = bt
+                kj = len(ctoks)
+                last_j = t + nt_j - 1
+                for j in range(S1):
+                    back = min(S1 - 1 - j, kj)
+                    logits_indices[row, j] = max(last_j - back, t)
+                for i, dtok in enumerate(ctoks):
+                    draft_np[row, S1 - 1 - kj + i] = dtok
+                row_req_ids.append(rid)
+                row_drafts.append(ctoks)
+                row_samples.append(True)
+                row_chain.append(ci + 1)
+                row_starts.append(int(start))
+                row_t0s.append(int(t))
+                t += nt_j
+                row += 1
         qsl[row + 1:] = t
 
         # Sampling tensors gathered in row order.
@@ -1318,6 +1403,16 @@ class ModelRunner:
                     hit = True
             if hit:
                 grammar_mask = jnp.asarray(gm)
+
+        # Multi-candidate chains: canonical->scratch straddling-block
+        # copies, executed in-step before the KV scatter.
+        kv_copy = None
+        if copy_src:
+            src_np = np.zeros(R, np.int32)
+            dst_np = np.zeros(R, np.int32)
+            src_np[:len(copy_src)] = copy_src
+            dst_np[:len(copy_dst)] = copy_dst
+            kv_copy = (jnp.asarray(src_np), jnp.asarray(dst_np))
 
         self.step_counter += 1
         dev_args = (
@@ -1388,7 +1483,7 @@ class ModelRunner:
         from lvllm_tpu.ops.cascade import use_cascade_heuristic
         mc = self.config.model_config
         if (n_act >= 8 and self.dcp == 1 and self.pp == 1
-                and mc.sliding_window is None
+                and mc.sliding_window is None and not chain_groups
                 and not envs.LVLLM_DISABLE_CASCADE):
             bt = block_table[:n_act]
             limit = min(int(np.min(seq_lens[:n_act])) // self.block_size,
@@ -1472,6 +1567,12 @@ class ModelRunner:
                     pos_idx = np.clip(draft_np[r], 0, Vv - 1)
                     q_np[j, np.arange(S1), pos_idx] = 1.0
                     qr = self.draft_q_store[row_req_ids[r]]
+                    if isinstance(qr, list):
+                        # Multi-candidate: one q stack per chain.
+                        ci = row_chain[r] if row_chain[r] >= 0 else 0
+                        qr = qr[ci] if ci < len(qr) else None
+                    if qr is None:
+                        continue
                     kd = len(row_drafts[r])
                     for i in range(min(kd, qr.shape[0])):
                         q_np[j, S1 - 1 - kd + i] = qr[i]
@@ -1528,7 +1629,8 @@ class ModelRunner:
                 want_hidden=want_hidden, cascade_args=cascade_args,
                 aux_layers=eagle_aux, draft_mat=draft_mat,
                 draft_q=draft_q, cross_args=cross_args,
-                prefix_lens=prefix_arg, **mm_args, **lora_args)
+                prefix_lens=prefix_arg, kv_copy=kv_copy,
+                **mm_args, **lora_args)
             self.kv_caches = kv
 
         # EAGLE drafting: grammar rows are excluded (grammar state can't
@@ -1549,7 +1651,8 @@ class ModelRunner:
             topk_logprobs=topk[0] if topk else None,
             topk_ids=topk[1] if topk else None,
             hidden=hidden, row_starts=row_starts, row_t0s=row_t0s,
-            row_propose=row_propose)
+            row_propose=row_propose, row_chain=row_chain,
+            chain_groups=chain_groups)
         self._prev_rows = {rid: r for r, rid in enumerate(row_req_ids)}
         self._prev_sampled = packed
         if async_mode:
@@ -1575,6 +1678,12 @@ class ModelRunner:
             idx = ib.req_id_to_index.get(rid)
             if idx is None:
                 continue  # finished/preempted while in flight
+            if handle.row_chain and handle.row_chain[r] > 0:
+                continue  # extra chain rows fold into the group below
+            if rid in handle.chain_groups:
+                self._finalize_chain_group(handle, out, rid, idx,
+                                           sampled_np, logprobs_np)
+                continue
             drafts = handle.row_drafts[r]
             k = len(drafts)
             if handle.row_samples[r]:
@@ -1611,13 +1720,67 @@ class ModelRunner:
                 self._eagle_step(handle, out, r, rid, idx)
         return out
 
-    def _eagle_step(self, handle, out, r: int, rid: str, idx: int) -> None:
+    def _finalize_chain_group(self, handle, out, rid, idx, sampled_np,
+                              logprobs_np) -> None:
+        """Multi-candidate verification: each chain row verified
+        independently (right-aligned columns, same per-row law as single
+        chain — exact match greedy / rejection-sampled otherwise); the
+        row with the longest accepted run wins, ties to the lowest chain
+        index. A non-first winner's accepted tokens have KV only in
+        scratch blocks, so the canonical watermark stays at base and the
+        next step recomputes them as a catch-up chunk (reference
+        capability: tree_attn.py:32 + speculative_token_tree)."""
+        ib = self.input_batch
+        S1 = handle.S1
+        rows = handle.chain_groups[rid]
+        r0 = rows[0]
+        start = handle.row_starts[r0]
+        base = int(handle.seq_lens[r0]) - start - len(handle.row_drafts[r0])
+        best_r, best_acc = r0, -1
+        for r in rows:
+            drafts = handle.row_drafts[r]
+            seq = sampled_np[r, S1 - 1 - len(drafts):]
+            acc = 0
+            for i in range(len(drafts)):
+                if int(seq[i]) == drafts[i]:
+                    acc += 1
+                else:
+                    break
+            if acc > best_acc:
+                best_r, best_acc = r, acc
+        r = best_r
+        drafts = handle.row_drafts[r]
+        k = len(drafts)
+        seq = sampled_np[r, S1 - 1 - k:]
+        emitted = [int(x) for x in seq[:best_acc + 1]]
+        out.sampled_token_ids[rid] = emitted
+        if ib.wants_logprobs[idx]:
+            lp = logprobs_np[r, S1 - 1 - k:]
+            out.logprobs[rid] = [float(x) for x in lp[:best_acc + 1]]
+        nt = ib.num_tokens[idx]
+        ib.token_ids[idx, nt:nt + len(emitted)] = emitted
+        ib.num_tokens[idx] = nt + len(emitted)
+        winner_chain = handle.row_chain[r]
+        if winner_chain == 0:
+            computed = int(handle.seq_lens[r]) - (k - best_acc)
+        else:
+            computed = start + base
+        ib.num_computed_tokens[idx] = computed
+        out.spec_kv_computed[rid] = computed
+        out.spec_winner_chain[rid] = winner_chain
+        if handle.hidden is not None:
+            self._eagle_step(handle, out, r, rid, idx,
+                             accepted_end=start + base + best_acc)
+
+    def _eagle_step(self, handle, out, r: int, rid: str, idx: int,
+                    accepted_end: Optional[int] = None) -> None:
         """Feed this step's accepted positions to the EAGLE head and stash
         next-step drafts in the runner output (scheduler consumes
         ModelRunnerOutput.spec_token_ids)."""
         ib = self.input_batch
         mc = self.config.model_config
-        accepted_end = int(ib.num_computed_tokens[idx])
+        if accepted_end is None:
+            accepted_end = int(ib.num_computed_tokens[idx])
         emitted = out.sampled_token_ids.get(rid)
         want = bool(handle.row_propose[r] and emitted)
         room = mc.max_model_len - int(ib.num_tokens[idx]) - 1
@@ -1642,7 +1805,19 @@ class ModelRunner:
         q = getattr(self.eagle_proposer, "last_q", {}).get(rid)
         if q is not None and drafts:
             self.draft_q_store[rid] = q
-        if drafts:
+        if drafts and isinstance(drafts[0], list):
+            # Multi-candidate proposal: list of chains (chain 0 doubles
+            # as the single-chain draft for back-compat paths).
+            chains = [c[:self.num_spec] for c in drafts if c]
+            if chains:
+                if out.spec_token_ids is None:
+                    out.spec_token_ids = {}
+                out.spec_token_ids[rid] = chains[0]
+                if len(chains) > 1:
+                    if out.spec_next_chains is None:
+                        out.spec_next_chains = {}
+                    out.spec_next_chains[rid] = chains
+        elif drafts:
             if out.spec_token_ids is None:
                 out.spec_token_ids = {}
             out.spec_token_ids[rid] = drafts[:self.num_spec]
