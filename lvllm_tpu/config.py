@@ -211,6 +211,10 @@ class ModelConfig:
     # None | "int8" | "int4" | "fp8" (weight-only) | "w8a8" | "w4a8"
     # (weight + dynamic per-token int8 activation quant on the int8 MXU).
     quantization: Optional[str] = None
+    # Dense-layer quantization under w8a8/w4a8 (attention qkv/o, dense
+    # MLP, lm_head -> int8 per-channel; reference compressed-tensors
+    # w8a8-int8 quantizes every linear). "off" keeps dense layers bf16.
+    dense_quantization: Optional[str] = None
     # Per-layer MoE quantization overrides (reference: the fork's
     # MoeComputeStrategy KEEP|INT4, envs.py:233-240 + FP8→INT4 repack
     # fused_moe/layer.py:2074): "method:ranges;method:ranges" with the

@@ -100,6 +100,56 @@ def quantize_moe_weights(params, config: ModelConfig):
                 else jax.numpy.float32)
         counts[method] = counts.get(method, 0) + 1
     logger.info("quantized MoE layers: %s", counts or "none")
+    params = quantize_dense_weights(params, config)
+    return params
+
+
+_DENSE_QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                     "gate_up", "up", "down")
+
+
+def quantize_dense_weights(params, config: ModelConfig):
+    """Dense-layer w8a8 (reference: compressed-tensors w8a8-int8 quantizes
+    every linear, schemes/compressed_tensors_w8a8_int8.py): under
+    quantization w8a8/w4a8, attention qkv/o, dense-MLP and lm_head
+    kernels are stored int8 with per-output-channel scales; the matmuls
+    quantize activations per token and run the int8 MXU dot
+    (ops/quant.w8a8_dense). Families with bespoke projection names
+    (MLA q_a_proj etc.) keep bf16 — only the unified-layout keys convert.
+    """
+    from lvllm_tpu.ops import quant
+
+    if config.quantization not in ("w8a8", "w4a8") or \
+            getattr(config, "dense_quantization", None) == "off":
+        return params
+    n_q = 0
+
+    def convert(p):
+        nonlocal n_q
+        w = p.get("kernel")
+        if w is None or getattr(w, "ndim", 0) != 2:
+            return
+        qw, s = quant.quantize_dense_np(np.asarray(p.pop("kernel")))
+        p["kernel_q"] = jax.numpy.asarray(qw)
+        p["scale"] = jax.numpy.asarray(s, jax.numpy.float32)
+        n_q += 1
+
+    for layer in params.get("layers", []):
+        attn = layer.get("self_attn")
+        if attn is not None:
+            for key in _DENSE_QUANT_KEYS[:4]:
+                if isinstance(attn.get(key), dict):
+                    convert(attn[key])
+        mlp = layer.get("mlp")
+        if isinstance(mlp, dict):
+            for key in ("gate_up", "up", "down"):
+                if isinstance(mlp.get(key), dict):
+                    convert(mlp[key])
+    if not config.tie_word_embeddings and \
+            isinstance(params.get("lm_head"), dict):
+        convert(params["lm_head"])
+    if n_q:
+        logger.info("dense w8a8: %d kernels -> int8 per-channel", n_q)
     return params
 
 

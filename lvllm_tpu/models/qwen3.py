@@ -26,6 +26,7 @@ import numpy as np
 from lvllm_tpu.config import ModelConfig
 from lvllm_tpu.layers.common import (fused_add_rms_norm, layer_norm,
                                      rms_norm, silu_and_mul)
+from lvllm_tpu.ops.quant import dense_matmul
 from lvllm_tpu.layers.moe import (MoEParams, QuantMoEParams, fused_moe,
                                   fused_moe_quant)
 from lvllm_tpu.models.model_base import AttentionMetadata, KVCaches, Params
@@ -318,7 +319,7 @@ class Qwen3Model:
         soft_cap = c.attn_logit_softcap
 
         def proj(p, heads, target):
-            y = x @ p["kernel"]
+            y = dense_matmul(x, p)
             if "bias" in p:
                 y = y + p["bias"]
             lkey = f"{layer_idx}.{target}"
@@ -405,7 +406,7 @@ class Qwen3Model:
                 q, k, v, kv_cache, md.block_table[0], positions,
                 md.slot_mapping, n_valid, start, self.mesh, self.scale)
             attn_flat = out.reshape(T, c.num_attention_heads * D)
-            out = attn_flat @ attn["o_proj"]["kernel"]
+            out = dense_matmul(attn_flat, attn["o_proj"])
             if "bias" in attn["o_proj"]:
                 out = out + attn["o_proj"]["bias"]
             return out, kv_cache
@@ -418,7 +419,7 @@ class Qwen3Model:
                 logits_soft_cap=soft_cap, sinks=sinks,
                 alibi_slopes=self.alibi_slopes)
             attn_flat = out.reshape(T, c.num_attention_heads * D)
-            out = attn_flat @ attn["o_proj"]["kernel"]
+            out = dense_matmul(attn_flat, attn["o_proj"])
             if "bias" in attn["o_proj"]:
                 out = out + attn["o_proj"]["bias"]
             if lora is not None and f"{layer_idx}.o_proj" in lora:
@@ -439,7 +440,7 @@ class Qwen3Model:
                 md.seq_lens, scale=self.scale, sliding_window=window,
                 logits_soft_cap=soft_cap)
             attn_flat = out.reshape(T, c.num_attention_heads * D)
-            out = attn_flat @ attn["o_proj"]["kernel"]
+            out = dense_matmul(attn_flat, attn["o_proj"])
             if "bias" in attn["o_proj"]:
                 out = out + attn["o_proj"]["bias"]
             if lora is not None and f"{layer_idx}.o_proj" in lora:
@@ -475,7 +476,7 @@ class Qwen3Model:
                 sinks=sinks, alibi_slopes=self.alibi_slopes,
                 prefix_lens=md.prefix_lens)
         attn_flat = out.reshape(T, c.num_attention_heads * D)
-        out = attn_flat @ attn["o_proj"]["kernel"]
+        out = dense_matmul(attn_flat, attn["o_proj"])
         if "bias" in attn["o_proj"]:
             out = out + attn["o_proj"]["bias"]
         if lora is not None and f"{layer_idx}.o_proj" in lora:
@@ -599,28 +600,28 @@ class Qwen3Model:
         if "up" in mlp and c.hidden_act == "xielu":
             # Apertus xIELU (HF XIELUActivation._xielu_python): learnable
             # alpha_p/alpha_n per layer, beta=0.5, eps=-1e-6.
-            h = (x @ mlp["up"]["kernel"]).astype(jnp.float32)
+            h = dense_matmul(x, mlp["up"]).astype(jnp.float32)
             ap = jax.nn.softplus(mlp["alpha_p"].astype(jnp.float32))
             an = 0.5 + jax.nn.softplus(mlp["alpha_n"].astype(jnp.float32))
             y = jnp.where(
                 h > 0,
                 ap * h * h + 0.5 * h,
                 (jnp.expm1(jnp.minimum(h, -1e-6)) - h) * an + 0.5 * h)
-            return (y.astype(x.dtype) @ mlp["down"]["kernel"])
+            return dense_matmul(y.astype(x.dtype), mlp["down"])
         if "up" in mlp:
             # Non-gated MLP (GPT-2 c_fc/c_proj, Starcoder2, Nemotron relu²).
             from lvllm_tpu.layers.common import ACTIVATIONS_SINGLE
             act = ACTIVATIONS_SINGLE[c.hidden_act]
-            h = x @ mlp["up"]["kernel"]
+            h = dense_matmul(x, mlp["up"])
             if "bias" in mlp["up"]:
                 h = h + mlp["up"]["bias"]
-            y = act(h) @ mlp["down"]["kernel"]
+            y = dense_matmul(act(h), mlp["down"])
             if "bias" in mlp["down"]:
                 y = y + mlp["down"]["bias"]
             return y
         from lvllm_tpu.layers.common import ACTIVATIONS
         act = ACTIVATIONS[c.hidden_act]
-        h = x @ mlp["gate_up"]["kernel"]
+        h = dense_matmul(x, mlp["gate_up"])
         if "bias" in mlp["gate_up"]:
             h = h + mlp["gate_up"]["bias"]
         if lora is not None and f"{layer_idx}.gate_up" in lora:
@@ -628,7 +629,7 @@ class Qwen3Model:
             h = apply_lora(x, h, lora[f"{layer_idx}.gate_up"],
                            token_adapter)
         a = act(h)
-        y = a @ mlp["down"]["kernel"]
+        y = dense_matmul(a, mlp["down"])
         if "bias" in mlp["down"]:
             y = y + mlp["down"]["bias"]
         if lora is not None and f"{layer_idx}.down" in lora:
@@ -790,10 +791,11 @@ class Qwen3Model:
 
     def compute_logits(self, params: Params, hidden: jax.Array) -> jax.Array:
         if self.config.tie_word_embeddings:
-            kernel = params["embed"]["weight"].T
+            logits = (hidden @ params["embed"]["weight"].T
+                      ).astype(jnp.float32)
         else:
-            kernel = params["lm_head"]["kernel"]
-        logits = (hidden @ kernel).astype(jnp.float32)
+            logits = dense_matmul(hidden,
+                                  params["lm_head"]).astype(jnp.float32)
         if not self.config.tie_word_embeddings and \
                 "bias" in params.get("lm_head", {}):
             logits = logits + params["lm_head"]["bias"].astype(jnp.float32)

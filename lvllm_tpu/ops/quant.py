@@ -148,3 +148,42 @@ def dequant_int8(q: jax.Array, scales: jax.Array,
 def dequant_fp8(q: jax.Array, scales: jax.Array,
                 dtype=jnp.bfloat16) -> jax.Array:
     return q.astype(dtype) * scales[..., None, :].astype(dtype)
+
+
+# ---- dense-layer w8a8 ------------------------------------------------------
+
+def quantize_dense_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8 for a dense [K, N] kernel
+    (reference: compressed_tensors w8a8-int8 channel scheme,
+    schemes/compressed_tensors_w8a8_int8.py). Returns (q int8 [K, N],
+    scales f32 [N])."""
+    K, N = w.shape
+    q, s = quantize_int8_np(w, group_size=K)      # one group = per-channel
+    return q, s.reshape(N)
+
+
+def w8a8_dense(x: jax.Array, wq: jax.Array, wscale: jax.Array
+               ) -> jax.Array:
+    """Dense w8a8 matmul: per-token symmetric int8 activation quant +
+    int8xint8 MXU dot (v5e legalizes s8xs8->s32 at ~2x bf16 FLOPs;
+    tools/probe_int8_mxu.py), rescaled by act_scale[t] * w_scale[n].
+    Weight HBM reads halve vs bf16 — the decode win — and the dot runs
+    the int8 MXU path at prefill tiles — the prefill win."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.round(xf / s).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * s * wscale.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def dense_matmul(x: jax.Array, p: dict) -> jax.Array:
+    """``x @ p['kernel']`` with transparent dense-w8a8: a layer whose
+    kernel was replaced at load time by ``kernel_q`` + ``scale`` takes the
+    int8 path (loader.quantize_dense_weights). Bias NOT applied here."""
+    if "kernel_q" in p:
+        return w8a8_dense(x, p["kernel_q"], p["scale"])
+    return x @ p["kernel"]

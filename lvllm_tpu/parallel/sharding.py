@@ -87,11 +87,14 @@ def spec_for_param(path_names: Tuple[str, ...], ndim: int,
             return P(AXIS_MODEL, None)
         return P()
 
-    if leaf == "bias":
-        # Column-parallel biases shard with the output dim; row-parallel
-        # (o_proj/down) biases add after the all-reduce → replicated.
+    if leaf in ("bias", "scale"):
+        # Column-parallel biases / per-output-channel w8a8 scales shard
+        # with the output dim; row-parallel (o_proj/down) ones apply
+        # after the all-reduce → replicated.
         if name in ("q_proj", "k_proj", "v_proj", "gate_up") and \
                 div(shape[0], tp):
+            return P(AXIS_MODEL)
+        if leaf == "scale" and name == "lm_head" and div(shape[0], tp):
             return P(AXIS_MODEL)
         return P()
     if name in ("q_proj", "k_proj", "v_proj"):

@@ -1788,7 +1788,17 @@ class ModelRunner:
             want = False
         lm_w = None
         if not mc.tie_word_embeddings:
-            lm_w = self.params["lm_head"]["kernel"]
+            lm = self.params["lm_head"]
+            lm_w = lm.get("kernel")
+            if lm_w is None:
+                # Dense w8a8 replaced the bf16 kernel; the draft head
+                # wants a plain matmul operand — dequantize once, cache.
+                if not hasattr(self, "_lm_w_deq"):
+                    import jax.numpy as jnp
+                    self._lm_w_deq = (
+                        lm["kernel_q"].astype(jnp.bfloat16)
+                        * lm["scale"].astype(jnp.bfloat16))
+                lm_w = self._lm_w_deq
         # Sampled drafting (the reference default for MTP/EAGLE): at
         # temperature > 0 the head samples its own filtered distribution
         # and records q — verified by the general-q rejection sampler

