@@ -224,7 +224,8 @@ def load_model_config(model_path: str,
                              mrope_section[1], mrope_section[2])
         hf = {**hf, "rope_scaling": None, "mrope_interleaved": True}
     if arch in ("LlavaForConditionalGeneration",
-                "LlavaNextForConditionalGeneration"):
+                "LlavaNextForConditionalGeneration",
+                "LlavaOnevisionForConditionalGeneration"):
         # Nested multimodal config: flatten text_config into the main
         # fields, keep the vision tower dict (reference:
         # transformers_utils/config.py nested-config handling).
@@ -233,8 +234,18 @@ def load_model_config(model_path: str,
                               hf.get("vision_feature_layer", -2))
         image_token_id = hf.get("image_token_index", hf.get("image_token_id"))
         text = dict(hf.get("text_config") or {})
+        # Derive the decoder family from model_type when the nested
+        # config carries no architectures (programmatic HF configs):
+        # LLaVA ships Llama/Mistral/Vicuna; OneVision ships Qwen2.
+        _mt_arch = {"qwen2": "Qwen2ForCausalLM",
+                    "mistral": "MistralForCausalLM",
+                    "llama": "LlamaForCausalLM"}
         text["architectures"] = text.get("architectures") or \
-            ["LlamaForCausalLM"]
+            [_mt_arch.get(text.get("model_type"), "LlamaForCausalLM")]
+        if text.get("model_type") == "qwen2":
+            # HF Qwen2 hardcodes qkv bias; the outer arch won't hit the
+            # Qwen2 entry in the attention_bias default table below.
+            text.setdefault("attention_bias", True)
         outer_arch = arch
         hf = {**hf, **text}
         arch = outer_arch
@@ -253,6 +264,32 @@ def load_model_config(model_path: str,
                 text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
+    if arch == "Mistral3ForConditionalGeneration":
+        # Mistral Small 3.1 VLM (models/mistral3.py): Pixtral tower +
+        # patch merger; spatial_merge_size lives on the OUTER config.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["model_type"] = "pixtral"
+        vision_cfg["spatial_merge_size"] = hf.get("spatial_merge_size", 2)
+        image_token_id = hf.get("image_token_index",
+                                hf.get("image_token_id", 10))
+        text = dict(hf.get("text_config") or {})
+        text["architectures"] = text.get("architectures") or \
+            ["MistralForCausalLM"]
+        hf = {**hf, **text}
+    if arch == "Cohere2VisionForConditionalGeneration":
+        # Command A Vision (models/cohere2_vision.py): SigLIP2 +
+        # pixel-shuffle SwiGLU projector (no adapter LN) + Cohere2.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["downsample_factor"] = hf.get("downsample_factor", 2)
+        if hf.get("alignment_intermediate_size"):
+            vision_cfg["alignment_intermediate_size"] = \
+                hf["alignment_intermediate_size"]
+        image_token_id = hf.get("image_token_id",
+                                hf.get("image_token_index", 255036))
+        text = dict(hf.get("text_config") or {})
+        hf = {**hf, **text, "logit_scale": hf.get("logit_scale")}
+        override_arch, arch = arch, (text.get("architectures") or
+                                     ["Cohere2ForCausalLM"])[0]
     if arch == "AyaVisionForConditionalGeneration":
         # Aya Vision (models/aya_vision.py): SigLIP + pixel-shuffle SwiGLU
         # projector + Cohere/Cohere2 decoder. Projector knobs live on the

@@ -129,7 +129,14 @@ def quantize_dense_weights(params, config: ModelConfig):
         w = p.get("kernel")
         if w is None or getattr(w, "ndim", 0) != 2:
             return
-        qw, s = quant.quantize_dense_np(np.asarray(p.pop("kernel")))
+        w = p.pop("kernel")
+        if isinstance(w, _ProbeZeros):
+            # Dummy shape probe: skip the real per-channel reduction over
+            # multi-GB zeros (same trick as the probe init, r03).
+            qw = np.zeros(w.shape, np.int8)
+            s = np.full((w.shape[1],), 1e-4, np.float32)
+        else:
+            qw, s = quant.quantize_dense_np(np.asarray(w))
         p["kernel_q"] = jax.numpy.asarray(qw)
         p["scale"] = jax.numpy.asarray(s, jax.numpy.float32)
         n_q += 1

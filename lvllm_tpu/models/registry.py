@@ -113,6 +113,8 @@ def _register_builtin() -> None:
     for arch in ("LlavaForConditionalGeneration",
                  "LlavaNextForConditionalGeneration"):
         _REGISTRY[arch] = LlavaModel
+    import lvllm_tpu.models.llava_onevision  # noqa: F401
+    import lvllm_tpu.models.mistral3  # noqa: F401
     from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
     for arch in ("Qwen2VLForConditionalGeneration",
                  "Qwen2_5_VLForConditionalGeneration"):
@@ -181,6 +183,7 @@ def _register_builtin() -> None:
     from lvllm_tpu.models import gemma3_mm  # noqa: F401
     from lvllm_tpu.models import paligemma  # noqa: F401
     from lvllm_tpu.models import aya_vision  # noqa: F401
+    from lvllm_tpu.models import cohere2_vision  # noqa: F401
     from lvllm_tpu.models import glm4v  # noqa: F401
     from lvllm_tpu.models import internvl  # noqa: F401
     from lvllm_tpu.models import idefics3  # noqa: F401

@@ -14,7 +14,7 @@ the CLS token ("default" strategy).
 """
 
 import re
-from typing import Any, Dict, List
+from typing import Tuple, Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -86,28 +86,10 @@ def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)
 
 
-def siglip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
-                         patch_size: int, num_heads: int,
-                         eps: float = 1e-6,
-                         post_layernorm: bool = True) -> jax.Array:
-    """SigLIP vision tower (HF ``SiglipVisionTransformer``): patch conv with
-    bias, learned position embeddings, NO class token, pre-LN blocks with
-    gelu_pytorch_tanh MLPs, and a final post layernorm. Returns the full
-    patch sequence [B, N, D] (reference:
-    ``vllm/model_executor/models/siglip.py``)."""
-    B, C, S, _ = pixel_values.shape
-    P = patch_size
-    G = S // P
-    x = pixel_values.astype(jnp.float32)
-    x = x.reshape(B, C, G, P, G, P)
-    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(B, G * G, C * P * P)
-    h = x @ params["patch_embedding"].reshape(
-        params["patch_embedding"].shape[0], -1).T
-    h = h + params["patch_bias"]
-    D = h.shape[-1]
-    h = h + params["position_embedding"][None]
-
-    T = h.shape[1]
+def _siglip_blocks(params: Dict[str, Any], h: jax.Array,
+                   num_heads: int, eps: float) -> jax.Array:
+    """Pre-LN SigLIP/SigLIP2 encoder blocks over [B, T, D]."""
+    B, T, D = h.shape
     Hd = D // num_heads
     scale = Hd ** -0.5
     for lp in params["layers"]:
@@ -129,6 +111,72 @@ def siglip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
                         lp["layer_norm2"]["bias"], eps)
         h = _gelu_tanh(h @ lp["fc1"]["kernel"] + lp["fc1"]["bias"])
         h = res + (h @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+    return h
+
+
+def patchify_chw(pixel_values, patch_size: int):
+    """[B, C, S, S] -> ([B, gh*gw, P*P*C], (gh, gw)) in the SigLIP2 naflex
+    processor layout (HWC patches in raster order;
+    image_processing_siglip2.convert_image_to_patches). jnp-native so it
+    traces inside the runner's jitted encode."""
+    x = jnp.asarray(pixel_values)
+    B, C, H, W = x.shape
+    P = patch_size
+    gh, gw = H // P, W // P
+    x = jnp.transpose(x, (0, 2, 3, 1))               # BHWC
+    x = x.reshape(B, gh, P, gw, P, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, gh * gw, P * P * C), (gh, gw)
+
+
+def siglip2_vision_encode(params: Dict[str, Any], patches: jax.Array,
+                          spatial_shape: Tuple[int, int], num_heads: int,
+                          eps: float = 1e-6,
+                          post_layernorm: bool = True) -> jax.Array:
+    """SigLIP2 naflex tower (HF ``Siglip2VisionTransformer``): LINEAR
+    patch embedding over pre-patchified inputs [B, L, C*P*P] + learned
+    position embeddings bilinearly resized to the image's patch grid,
+    then the shared pre-LN blocks. All images in the batch share one
+    spatial shape here (uniform-resolution serving path)."""
+    h = patches.astype(jnp.float32) @ params["patch_embedding"].T \
+        + params["patch_bias"]
+    pos = params["position_embedding"]
+    P0 = int(round(pos.shape[0] ** 0.5))
+    gh, gw = spatial_shape
+    grid = pos.reshape(P0, P0, -1)
+    if (gh, gw) != (P0, P0):
+        grid = jax.image.resize(grid, (gh, gw, grid.shape[-1]),
+                                method="bilinear")
+    h = h + grid.reshape(1, gh * gw, -1)
+    h = _siglip_blocks(params, h, num_heads, eps)
+    if not post_layernorm:
+        return h
+    return _layer_norm(h, params["post_layernorm"]["weight"],
+                       params["post_layernorm"]["bias"], eps)
+
+
+def siglip_vision_encode(params: Dict[str, Any], pixel_values: jax.Array,
+                         patch_size: int, num_heads: int,
+                         eps: float = 1e-6,
+                         post_layernorm: bool = True) -> jax.Array:
+    """SigLIP vision tower (HF ``SiglipVisionTransformer``): patch conv with
+    bias, learned position embeddings, NO class token, pre-LN blocks with
+    gelu_pytorch_tanh MLPs, and a final post layernorm. Returns the full
+    patch sequence [B, N, D] (reference:
+    ``vllm/model_executor/models/siglip.py``)."""
+    B, C, S, _ = pixel_values.shape
+    P = patch_size
+    G = S // P
+    x = pixel_values.astype(jnp.float32)
+    x = x.reshape(B, C, G, P, G, P)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(B, G * G, C * P * P)
+    h = x @ params["patch_embedding"].reshape(
+        params["patch_embedding"].shape[0], -1).T
+    h = h + params["patch_bias"]
+    D = h.shape[-1]
+    h = h + params["position_embedding"][None]
+
+    h = _siglip_blocks(params, h, num_heads, eps)
     if not post_layernorm:
         # vision_feature_layer = -1 families (AyaVision) read the raw
         # last encoder layer, before the tower's post layernorm.

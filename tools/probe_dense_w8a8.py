@@ -39,24 +39,37 @@ def rtt() -> float:
     return (time.time() - t0) / 6
 
 
-def chain_time(fn, x, iters, label):
-    """fn: x -> y with y.shape == x.shape-compatible chain carry."""
+def chain_time(fn, x, wargs, iters, label):
+    """fn(c, *wargs) -> y. Weights are jit ARGUMENTS (a closed-over
+    622 MB lm_head becomes a >100 MB remote-compile payload -> HTTP 413;
+    CLAUDE.md r02). Differential timing: per-iter = (t(4N) - t(N)) / 3N
+    with a fresh carry per timed run — subtracting the two runs cancels
+    dispatch/fetch constants, and varying the input defeats any
+    result-level caching in the remote transport."""
+    import functools
 
-    @jax.jit
-    def run(x0):
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run(n, x0, *ws):
         def body(i, c):
-            y = fn(c)
-            # Data dependency XLA can't fold away.
-            return c + (y.ravel()[0] * 1e-20).astype(c.dtype)
-        return jax.lax.fori_loop(0, iters, body, x0)
+            y = fn(c, *ws)
+            # Data dependency XLA can't fold away: y feeds the carry at
+            # full rank (not just one element).
+            return c + y * 1e-20
+        return jax.lax.fori_loop(0, n, body, x0, unroll=False)
 
-    run(x).block_until_ready()
-    r = rtt()
-    t0 = time.time()
-    float(_probe(run(x)))
-    el = time.time() - t0 - r
-    per = el / iters * 1e6
-    print(f"{label:34s} {per:9.2f} us/iter")
+    run(iters, x, *wargs).block_until_ready()
+    run(4 * iters, x, *wargs).block_until_ready()
+
+    def timed(n, seed):
+        xv = x + jnp.bfloat16(seed * 1e-6)
+        t0 = time.time()
+        float(_probe(run(n, xv, *wargs)))
+        return time.time() - t0
+
+    t1 = min(timed(iters, 1), timed(iters, 2))
+    t4 = min(timed(4 * iters, 3), timed(4 * iters, 4))
+    per = (t4 - t1) / (3 * iters) * 1e6
+    print(f"{label:34s} {per:9.2f} us/iter", flush=True)
     return per
 
 
@@ -69,15 +82,16 @@ def bench_shape(M, K, N, iters, tag):
     s = jnp.asarray(s)
     x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
 
-    t_bf = chain_time(lambda c: (c @ wb).astype(jnp.bfloat16)[:, :K],
-                      x, iters, f"{tag} bf16 M={M}")
+    t_bf = chain_time(lambda c, wb_: (c @ wb_).astype(jnp.bfloat16)[:, :K],
+                      x, (wb,), iters, f"{tag} bf16 M={M}")
     t_q = chain_time(
-        lambda c: w8a8_dense(c, qw, s).astype(jnp.bfloat16)[:, :K],
-        x, iters, f"{tag} w8a8 M={M}")
+        lambda c, qw_, s_:
+            w8a8_dense(c, qw_, s_).astype(jnp.bfloat16)[:, :K],
+        x, (qw, s), iters, f"{tag} w8a8 M={M}")
     gb = (K * N) / 1e9
     print(f"  -> bf16 {2 * gb / (t_bf / 1e6):6.1f} GB/s eff | w8a8 "
           f"{gb / (t_q / 1e6):6.1f} GB/s eff | speedup "
-          f"{t_bf / t_q:.2f}x")
+          f"{t_bf / t_q:.2f}x", flush=True)
     return t_bf, t_q
 
 
