@@ -27,6 +27,13 @@ def load_model_config(model_path: str,
     arch = (hf.get("architectures") or
             (hf.get("text_config") or {}).get("architectures") or
             ["Qwen3ForCausalLM"])[0]
+    # Spelling / structural aliases (reference registry.py maps these onto
+    # the same module files): normalize before family fixups.
+    arch = {"PhiMoEForCausalLM": "PhimoeForCausalLM",
+            "TeleChat3ForCausalLM": "LlamaForCausalLM",
+            "Ministral3ForCausalLM": "MistralForCausalLM",
+            "MantisForConditionalGeneration":
+                "LlavaForConditionalGeneration"}.get(arch, arch)
     if arch == "LongcatFlashForCausalLM":
         # Dual-sublayer layers: HF num_layers counts LOGICAL layers (each
         # holding 2 MLA sublayers); num_hidden_layers in the checkpoint
@@ -264,6 +271,27 @@ def load_model_config(model_path: str,
                 text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
+    if arch == "VoxtralForConditionalGeneration":
+        # Voxtral (models/voxtral.py): Whisper tower + frame-stacking
+        # GELU projector + Llama/Mistral decoder.
+        vision_cfg = dict(hf.get("audio_config") or {})
+        image_token_id = hf.get("audio_token_id", 24)
+        text = dict(hf.get("text_config") or {})
+        text["architectures"] = text.get("architectures") or \
+            ["LlamaForCausalLM"]
+        hf = {**hf, **text}
+    if arch == "Qwen2AudioForConditionalGeneration":
+        # Qwen2-Audio (models/qwen2_audio.py): Whisper tower + avg-pool +
+        # linear projector; the audio placeholder rides the generic
+        # image_token_id slot (one placeholder id per request).
+        vision_cfg = dict(hf.get("audio_config") or {})
+        image_token_id = hf.get("audio_token_index",
+                                hf.get("audio_token_id", 151646))
+        text = dict(hf.get("text_config") or {})
+        text["architectures"] = text.get("architectures") or \
+            ["Qwen2ForCausalLM"]
+        text.setdefault("attention_bias", True)
+        hf = {**hf, **text}
     if arch == "Mistral3ForConditionalGeneration":
         # Mistral Small 3.1 VLM (models/mistral3.py): Pixtral tower +
         # patch merger; spatial_merge_size lives on the OUTER config.

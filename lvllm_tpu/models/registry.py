@@ -103,7 +103,11 @@ def _register_builtin() -> None:
     for arch in ("MiniCPMForCausalLM",
                  "GlmForCausalLM", "VaultGemmaForCausalLM",
                  "FlexOlmoForCausalLM", "PhimoeForCausalLM",
-                 "ApertusForCausalLM"):
+                 "ApertusForCausalLM",
+                 # Spelling / structural aliases (reference registry.py
+                 # maps these onto the same module files).
+                 "PhiMoEForCausalLM", "TeleChat3ForCausalLM",
+                 "Ministral3ForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
@@ -111,10 +115,15 @@ def _register_builtin() -> None:
 
     from lvllm_tpu.models.llava import LlavaModel
     for arch in ("LlavaForConditionalGeneration",
-                 "LlavaNextForConditionalGeneration"):
+                 "LlavaNextForConditionalGeneration",
+                 # Mantis is plain LLaVA with a different chat recipe
+                 # (reference registry.py: ("llava", "Mantis...")).
+                 "MantisForConditionalGeneration"):
         _REGISTRY[arch] = LlavaModel
     import lvllm_tpu.models.llava_onevision  # noqa: F401
     import lvllm_tpu.models.mistral3  # noqa: F401
+    import lvllm_tpu.models.qwen2_audio  # noqa: F401
+    import lvllm_tpu.models.voxtral  # noqa: F401
     from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
     for arch in ("Qwen2VLForConditionalGeneration",
                  "Qwen2_5_VLForConditionalGeneration"):

@@ -32,6 +32,82 @@ def _ln(x, node, eps=1e-5):
             + node["bias"]).astype(x.dtype)
 
 
+def whisper_encoder_states(ep, input_features: jax.Array,
+                           num_heads: int) -> jax.Array:
+    """Shared Whisper-architecture audio encoder (conv1 s1 → gelu →
+    conv2 s2 → gelu → +positions → pre-LN blocks), WITHOUT the final
+    layer norm — Whisper applies it directly; Qwen2-Audio pools first
+    (modeling_qwen2_audio.py:436)."""
+    x = input_features.astype(jnp.float32)           # [B, M, T]
+    x = jax.lax.conv_general_dilated(
+        x, ep["conv1"]["kernel"], window_strides=(1,), padding=((1, 1),),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    x = jax.nn.gelu(x + ep["conv1"]["bias"][None, :, None],
+                    approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, ep["conv2"]["kernel"], window_strides=(2,), padding=((1, 1),),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    x = jax.nn.gelu(x + ep["conv2"]["bias"][None, :, None],
+                    approximate=False)
+    h = jnp.transpose(x, (0, 2, 1))                  # [B, S, D]
+    h = h + ep["pos_embed"][None, : h.shape[1]]
+
+    B, S, D = h.shape
+    Dh = D // num_heads
+    scale = Dh ** -0.5
+    for lp in ep["layers"]:
+        res = h
+        hn = _ln(h, lp["self_attn_layer_norm"])
+        q = (hn @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"]) * scale
+        k = hn @ lp["k_proj"]["kernel"]
+        v = hn @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"]
+        q = q.reshape(B, S, num_heads, Dh)
+        k = k.reshape(B, S, num_heads, Dh)
+        v = v.reshape(B, S, num_heads, Dh)
+        s = jnp.einsum("bthd,bshd->bhts", q, k)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", p, v).reshape(B, S, D)
+        h = res + (o @ lp["out_proj"]["kernel"] + lp["out_proj"]["bias"])
+        res = h
+        hn = _ln(h, lp["final_layer_norm"])
+        hn = jax.nn.gelu(hn @ lp["fc1"]["kernel"] + lp["fc1"]["bias"],
+                         approximate=False)
+        h = res + (hn @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+    return h
+
+
+def route_whisper_encoder_weight(encoder: dict, rest: str, w) -> bool:
+    """Route one encoder-relative HF weight (``layers.N...``, ``convN``,
+    ``embed_positions``, ``layer_norm``) into the params node shared by
+    Whisper and Qwen2-Audio towers."""
+    if m := re.match(r"layers\.(\d+)\.(.+)\.(weight|bias)", rest):
+        i, name, kind = int(m.group(1)), m.group(2), m.group(3)
+        name = name.replace("self_attn.", "")
+        lp = encoder["layers"][i]
+        if "norm" in name:
+            lp.setdefault(name, {})[kind] = jnp.asarray(w, jnp.float32)
+        elif kind == "weight" and w.ndim == 2:
+            lp.setdefault(name, {})["kernel"] = jnp.asarray(
+                np.ascontiguousarray(w.T), jnp.float32)
+        else:
+            lp.setdefault(name, {})[
+                "kernel" if kind == "weight" else "bias"] = \
+                jnp.asarray(w, jnp.float32)
+    elif rest.startswith("conv"):
+        which, kind = rest.split(".")
+        encoder.setdefault(which, {})[
+            "kernel" if kind == "weight" else "bias"] = \
+            jnp.asarray(w, jnp.float32)
+    elif rest == "embed_positions.weight":
+        encoder["pos_embed"] = jnp.asarray(w, jnp.float32)
+    elif rest.startswith("layer_norm."):
+        encoder.setdefault("layer_norm", {})[rest.split(".")[-1]] = \
+            jnp.asarray(w, jnp.float32)
+    else:
+        return False
+    return True
+
+
 @register_model("WhisperForConditionalGeneration")
 class WhisperModel(Qwen3Model):
 
@@ -61,42 +137,7 @@ class WhisperModel(Qwen3Model):
         WhisperEncoder: conv1 s1 → gelu → conv2 s2 → gelu → +sinusoid
         positions → pre-LN layers → final LN)."""
         ep = params["encoder"]
-        x = input_features.astype(jnp.float32)       # [B, M, T]
-        x = jax.lax.conv_general_dilated(
-            x, ep["conv1"]["kernel"], window_strides=(1,), padding=((1, 1),),
-            dimension_numbers=("NCH", "OIH", "NCH"))
-        x = jax.nn.gelu(x + ep["conv1"]["bias"][None, :, None],
-                        approximate=False)
-        x = jax.lax.conv_general_dilated(
-            x, ep["conv2"]["kernel"], window_strides=(2,), padding=((1, 1),),
-            dimension_numbers=("NCH", "OIH", "NCH"))
-        x = jax.nn.gelu(x + ep["conv2"]["bias"][None, :, None],
-                        approximate=False)
-        h = jnp.transpose(x, (0, 2, 1))              # [B, S, D]
-        h = h + ep["pos_embed"][None, : h.shape[1]]
-
-        B, S, D = h.shape
-        Hh = self.enc_heads
-        Dh = D // Hh
-        scale = Dh ** -0.5
-        for lp in ep["layers"]:
-            res = h
-            hn = _ln(h, lp["self_attn_layer_norm"])
-            q = (hn @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"]) * scale
-            k = hn @ lp["k_proj"]["kernel"]
-            v = hn @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"]
-            q = q.reshape(B, S, Hh, Dh)
-            k = k.reshape(B, S, Hh, Dh)
-            v = v.reshape(B, S, Hh, Dh)
-            s = jnp.einsum("bthd,bshd->bhts", q, k)
-            p = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum("bhts,bshd->bthd", p, v).reshape(B, S, D)
-            h = res + (o @ lp["out_proj"]["kernel"] + lp["out_proj"]["bias"])
-            res = h
-            hn = _ln(h, lp["final_layer_norm"])
-            hn = jax.nn.gelu(hn @ lp["fc1"]["kernel"] + lp["fc1"]["bias"],
-                             approximate=False)
-            h = res + (hn @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+        h = whisper_encoder_states(ep, input_features, self.enc_heads)
         return _ln(h, ep["layer_norm"])
 
     def compute_cross_kv(self, params, enc: jax.Array) -> jax.Array:
