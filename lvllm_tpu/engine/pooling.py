@@ -158,11 +158,17 @@ class PoolingRunner:
             t += n
         qsl[R] = t
         num_blocks = next_block + 1
-        kv = [new_kv_cache(num_blocks, bs, mc.kv_cache_heads,
-                           mc.kv_cache_dim,
-                           jnp.bfloat16 if mc.dtype == "bfloat16"
-                           else jnp.float32)
-              for _ in range(mc.num_hidden_layers)]
+        dt = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+        if hasattr(self.model, "make_layer_cache"):
+            # Hybrid backbones (Jamba classifiers etc.) carry per-layer
+            # cache structures (recurrent state dicts) the model builds.
+            kv = [self.model.make_layer_cache(i, num_blocks, bs, dt,
+                                              max_reqs=R)
+                  for i in range(mc.num_hidden_layers)]
+        else:
+            kv = [new_kv_cache(num_blocks, bs, mc.kv_cache_heads,
+                               mc.kv_cache_dim, dt)
+                  for _ in range(mc.num_hidden_layers)]
         return (jnp.asarray(input_ids), jnp.asarray(positions),
                 jnp.asarray(qsl), jnp.asarray(seq_lens),
                 jnp.asarray(table), jnp.asarray(slot_mapping), kv)

@@ -34,6 +34,14 @@ def load_model_config(model_path: str,
             "Ministral3ForCausalLM": "MistralForCausalLM",
             "MantisForConditionalGeneration":
                 "LlavaForConditionalGeneration"}.get(arch, arch)
+    # Sequence-classifier variants of causal backbones: run the family
+    # fixups under the base arch; the classifier arch is restored for the
+    # registry (reference: as_seq_cls_model adapters).
+    _clf_base = {"GPT2ForSequenceClassification": "GPT2LMHeadModel",
+                 "JambaForSequenceClassification": "JambaForCausalLM"}
+    _clf_arch = None
+    if arch in _clf_base:
+        _clf_arch, arch = arch, _clf_base[arch]
     if arch == "LongcatFlashForCausalLM":
         # Dual-sublayer layers: HF num_layers counts LOGICAL layers (each
         # holding 2 MLA sublayers); num_hidden_layers in the checkpoint
@@ -79,6 +87,9 @@ def load_model_config(model_path: str,
     if arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
                 "RobertaForMaskedLM", "XLMRobertaModel", "CamembertModel",
                 "NewModel", "GteModel",
+                "ErnieModel", "ErnieForSequenceClassification",
+                "ErnieForTokenClassification",
+                "GteNewForSequenceClassification",
                 "BertForSequenceClassification",
                 "BertForTokenClassification",
                 "RobertaForSequenceClassification",
@@ -93,7 +104,8 @@ def load_model_config(model_path: str,
                            "RobertaForSequenceClassification",
                            "XLMRobertaForSequenceClassification",
                            "CamembertForSequenceClassification")
-        gte = arch in ("NewModel", "GteModel")
+        gte = arch in ("NewModel", "GteModel",
+                       "GteNewForSequenceClassification")
         hf = {**hf,
               "num_key_value_heads": hf["num_attention_heads"],
               "rms_norm_eps": hf.get("layer_norm_eps", 1e-12),
@@ -1152,6 +1164,8 @@ def load_model_config(model_path: str,
         local_rope_theta=hf.get("local_rope_theta", 10000.0),
         classifier_pooling=hf.get("classifier_pooling", "cls"),
     )
+    if _clf_arch is not None:
+        mc.architecture = _clf_arch
     if override_arch is not None:
         mc.architecture = override_arch
     from lvllm_tpu.model_loader.quant_ckpt import detect_ckpt_quant

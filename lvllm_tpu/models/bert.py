@@ -158,6 +158,11 @@ class BertModel:
         if "token_type_embed" in params:
             x = x + params["token_type_embed"]["weight"][0].astype(
                 self.dtype)
+        if "task_type_embed" in params:
+            # ERNIE task-type embeddings (modeling_ernie.py:115): ids
+            # default to 0 at inference.
+            x = x + params["task_type_embed"]["weight"][0].astype(
+                self.dtype)
         x = self._ln(params["embed_norm"], x)
 
         # Segment mask: token i attends j iff same request AND j is a real
@@ -225,7 +230,8 @@ class BertModel:
         t = lambda a: jnp.asarray(np.ascontiguousarray(a.T), self.dtype)  # noqa: E731
         v = lambda a: jnp.asarray(a, self.dtype)  # noqa: E731
         for name, w in weights:
-            for pref in ("bert.", "roberta.", "new."):
+            for pref in ("bert.", "roberta.", "new.",
+                         "ernie."):
                 name = name.removeprefix(pref)
             if name == "embeddings.word_embeddings.weight":
                 params["embed"]["weight"] = v(w)
@@ -238,6 +244,8 @@ class BertModel:
             elif name == "embeddings.token_type_embeddings.weight":
                 if "token_type_embed" in params:
                     params["token_type_embed"]["weight"] = v(w)
+            elif name == "embeddings.task_type_embeddings.weight":
+                params["task_type_embed"] = {"weight": v(w)}
             elif name.startswith("embeddings.LayerNorm."):
                 params["embed_norm"][name.split(".")[-1]] = v(w)
             elif name.startswith("pooler.dense."):
@@ -380,3 +388,10 @@ register_model("XLMRobertaForSequenceClassification")(
     RobertaClassifierModel)
 register_model("CamembertForSequenceClassification")(
     RobertaClassifierModel)
+# ERNIE 1.0/2.0/3.0 (HF modeling_ernie.py): BERT structure + optional
+# task-type embeddings; GTE-New classifier = NewModel + pooler head
+# (reference bert_with_rope.py:679).
+register_model("ErnieModel")(BertModel)
+register_model("ErnieForSequenceClassification")(BertClassifierModel)
+register_model("ErnieForTokenClassification")(BertTokenClassifierModel)
+register_model("GteNewForSequenceClassification")(BertClassifierModel)

@@ -816,6 +816,10 @@ class Qwen3Model:
         and qkv is fused in c_attn (reference: models/gpt2.py load_weights
         Conv1D handling)."""
         arch = self.config.architecture
+        # Classifier variants load their backbone with the base family's
+        # name mapping (the head itself is handled by the subclass).
+        arch = {"GPT2ForSequenceClassification": "GPT2LMHeadModel"}.get(
+            arch, arch)
         if arch == "VaultGemmaForCausalLM":
             # VaultGemma (HF modeling_vaultgemma): standard two-pre-norm
             # layer — pre_feedforward_layernorm takes our

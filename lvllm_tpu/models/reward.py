@@ -85,3 +85,68 @@ class Qwen2ProcessRewardModel(Qwen2RewardModel):
 
 register_model("Qwen2ForRewardModel")(Qwen2RewardModel)
 register_model("Qwen2ForProcessRewardModel")(Qwen2ProcessRewardModel)
+
+
+class _ScoreHeadMixin:
+    """Single-linear ``score`` head over a causal backbone, pooled at the
+    last token (reference: as_seq_cls_model adapters — HF
+    GPT2ForSequenceClassification / JambaForSequenceClassification pool
+    the last non-pad token through ``score`` without bias)."""
+
+    is_classifier = True
+    token_level = False
+    default_pooling = "last"
+
+    def init_params(self, rng):
+        params = super().init_params(rng)
+        c = self.config
+        n = max(int(getattr(c, "num_labels", 2) or 2), 1)
+        params["classifier"] = {
+            "kernel": jnp.zeros((c.hidden_size, n), self.dtype)}
+        return params
+
+    def classify(self, params, hidden, qsl):
+        h = hidden[jnp.maximum(qsl[1:] - 1, 0)]          # last token
+        return (h @ params["classifier"]["kernel"]).astype(jnp.float32)
+
+    def load_weights(self, weights):
+        head = {}
+
+        def passthrough():
+            for name, w in weights:
+                if name.startswith("score."):
+                    head[name] = w
+                else:
+                    # GPT2ForSequenceClassification prefixes the backbone
+                    # with "transformer." (the LM checkpoint doesn't).
+                    yield name.removeprefix("transformer."), w
+
+        params = super().load_weights(passthrough())
+        c = self.config
+        n = max(int(getattr(c, "num_labels", 2) or 2), 1)
+        params.setdefault("classifier", {
+            "kernel": jnp.zeros((c.hidden_size, n), self.dtype)})
+        if "score.weight" in head:
+            params["classifier"]["kernel"] = jnp.asarray(
+                np.ascontiguousarray(head["score.weight"].T), self.dtype)
+        return params
+
+
+class GPT2SequenceClassifier(_ScoreHeadMixin, Qwen3Model):
+    pass
+
+
+register_model("GPT2ForSequenceClassification")(GPT2SequenceClassifier)
+
+
+def _register_jamba_classifier():
+    from lvllm_tpu.models.mamba1 import JambaModel
+
+    class JambaSequenceClassifier(_ScoreHeadMixin, JambaModel):
+        pass
+
+    register_model("JambaForSequenceClassification")(
+        JambaSequenceClassifier)
+
+
+_register_jamba_classifier()

@@ -213,3 +213,65 @@ def test_bare_llama_model_embedding_checkpoint_loads(tmp_path):
     emb = runner.embed([[1, 2, 3], [4, 5]], pooling="last")
     assert emb.shape == (2, 64)
     assert np.all(np.isfinite(emb))
+
+
+def test_ernie_sequence_classifier_parity(tmp_path):
+    cfg = transformers.ErnieConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, type_vocab_size=2,
+        task_type_vocab_size=3, use_task_id=True,
+        hidden_act="gelu", num_labels=3)
+    torch.manual_seed(3)
+    hf = transformers.ErnieForSequenceClassification(cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    _m, got = _our_classify(str(tmp_path), SEQS)
+    for r, toks in enumerate(SEQS):
+        with torch.no_grad():
+            want = hf(torch.tensor([toks])).logits[0].float().numpy()
+        np.testing.assert_allclose(got[r], want, rtol=2e-3, atol=2e-3)
+
+
+def test_gpt2_sequence_classifier_parity(tmp_path):
+    cfg = transformers.GPT2Config(
+        vocab_size=512, n_embd=64, n_inner=128, n_layer=2, n_head=4,
+        n_positions=128, num_labels=3, pad_token_id=0)
+    torch.manual_seed(4)
+    hf = transformers.GPT2ForSequenceClassification(cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    _m, got = _our_classify(str(tmp_path), SEQS)
+    for r, toks in enumerate(SEQS):
+        with torch.no_grad():
+            want = hf(torch.tensor([toks])).logits[0].float().numpy()
+        np.testing.assert_allclose(got[r], want, rtol=3e-3, atol=3e-3)
+
+
+def test_new_classifier_archs_register_and_build():
+    from lvllm_tpu.models.registry import get_model_class
+
+    for arch in ("JambaForSequenceClassification",
+                 "GteNewForSequenceClassification",
+                 "ErnieModel", "ErnieForTokenClassification",
+                 "GPT2ForSequenceClassification"):
+        get_model_class(arch)
+
+
+def test_jamba_sequence_classifier_parity(tmp_path):
+    cfg = transformers.JambaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_period=2, attn_layer_offset=1,
+        expert_layer_period=2, expert_layer_offset=1,
+        num_experts=4, num_experts_per_tok=2,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        mamba_dt_rank=8, use_mamba_kernels=False,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        num_labels=3, pad_token_id=0)
+    torch.manual_seed(5)
+    hf = transformers.JambaForSequenceClassification(cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    _m, got = _our_classify(str(tmp_path), SEQS)
+    for r, toks in enumerate(SEQS):
+        with torch.no_grad():
+            want = hf(torch.tensor([toks])).logits[0].float().numpy()
+        np.testing.assert_allclose(got[r], want, rtol=3e-3, atol=3e-3)
