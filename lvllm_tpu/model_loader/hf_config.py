@@ -283,6 +283,12 @@ def load_model_config(model_path: str,
                 text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
+    if arch == "Emu3ForConditionalGeneration":
+        # Emu3 (models/emu3.py): images/video are VQ-tokenized by the
+        # PROCESSOR into discrete vocab ids; the model itself is the
+        # llama-structured text stack (Emu3TextConfig).
+        text = dict(hf.get("text_config") or {})
+        hf = {**hf, **text}
     if arch == "VoxtralForConditionalGeneration":
         # Voxtral (models/voxtral.py): Whisper tower + frame-stacking
         # GELU projector + Llama/Mistral decoder.
@@ -496,6 +502,10 @@ def load_model_config(model_path: str,
     # layers_block_type ("mamba"/"attention") or imply all-mamba
     # (Mamba2ForCausalLM); normalize onto our vocabulary.
     layer_types = hf.get("layer_types")
+    if layer_types and arch == "GraniteMoeHybridForCausalLM":
+        # GraniteMoeHybrid spells them "mamba"/"attention".
+        layer_types = ["linear_attention" if t == "mamba" else
+                       "full_attention" for t in layer_types]
     if not layer_types and hf.get("layers_block_type"):
         layer_types = ["linear_attention" if t == "mamba" else
                        "full_attention" for t in hf["layers_block_type"]]
@@ -750,10 +760,16 @@ def load_model_config(model_path: str,
         moe_inter = moe_inter or hf.get("intermediate_size")
     if arch == "GPTNeoXForCausalLM" and hf.get("rotary_pct"):
         partial_rotary = hf["rotary_pct"]
-    if arch in ("GraniteMoeForCausalLM", "GraniteMoeSharedForCausalLM"):
+    if arch == "GraniteMoeHybridForCausalLM" and \
+            hf.get("position_embedding_type") != "rope":
+        # Granite 4.0 hybrid attention layers are NoPE
+        # (modeling_granitemoehybrid applies rotary only for "rope").
+        hf = {**hf, "no_rope_layers": [0] * hf["num_hidden_layers"]}
+    if arch in ("GraniteMoeForCausalLM", "GraniteMoeSharedForCausalLM",
+                "GraniteMoeHybridForCausalLM"):
         # GraniteMoE routes by topk-then-softmax (GraniteMoeTopKGating),
-        # experts sized by the dense intermediate_size; the Shared variant
-        # adds an always-on MLP (shared_intermediate_size).
+        # experts sized by the dense intermediate_size; the Shared and
+        # Hybrid variants add an always-on MLP (shared_intermediate_size).
         scoring_fn = "softmax_topk"
         moe_inter = moe_inter or hf.get("intermediate_size")
     if arch == "GPTJForCausalLM" and hf.get("rotary_dim"):
@@ -904,7 +920,8 @@ def load_model_config(model_path: str,
     if arch == "HunYuanMoEV1ForCausalLM":
         # One always-on shared MLP sized like a dense FFN.
         n_shared, shared_inter = 1, hf.get("intermediate_size")
-    if arch == "GraniteMoeSharedForCausalLM" and \
+    if arch in ("GraniteMoeSharedForCausalLM",
+                "GraniteMoeHybridForCausalLM") and \
             hf.get("shared_intermediate_size"):
         n_shared, shared_inter = 1, hf["shared_intermediate_size"]
     if n_shared and shared_inter is None:
@@ -961,6 +978,7 @@ def load_model_config(model_path: str,
         qk_norm=hf.get("use_qk_norm",
                        hf.get("qk_layernorm",
                               arch in ("Qwen3ForCausalLM",
+                                       "ChameleonForConditionalGeneration",
                                        "Qwen3MoeForCausalLM",
                                        "Qwen3NextForCausalLM",
                                        "Qwen3VLForConditionalGeneration",
@@ -978,13 +996,15 @@ def load_model_config(model_path: str,
                                        "Exaone4ForCausalLM"))),
         qk_norm_after_rope=arch in ("HunYuanMoEV1ForCausalLM",
                                     "HunYuanDenseV1ForCausalLM"),
-        qk_norm_type=("layernorm" if arch in ("CohereForCausalLM",
-                                              "Cohere2ForCausalLM",
-                                              "PersimmonForCausalLM")
-                      else "rmsnorm"),
-        qk_norm_bias=arch == "PersimmonForCausalLM",
+        qk_norm_type=("layernorm" if arch in (
+            "CohereForCausalLM", "Cohere2ForCausalLM",
+            "PersimmonForCausalLM",
+            "ChameleonForConditionalGeneration") else "rmsnorm"),
+        qk_norm_bias=arch in ("PersimmonForCausalLM",
+                              "ChameleonForConditionalGeneration"),
         qk_norm_per_head=arch in ("CohereForCausalLM",
-                                  "Cohere2ForCausalLM"),
+                                  "Cohere2ForCausalLM",
+                                  "ChameleonForConditionalGeneration"),
         clip_qkv=hf.get("clip_qkv"),
         parallel_residual=parallel_residual,
         lm_head_bias=lm_head_bias,

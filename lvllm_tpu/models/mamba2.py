@@ -209,10 +209,14 @@ class BambaModel(Qwen3Model):
             x, residual, lp["input_layernorm"]["weight"], c.rms_norm_eps)
         out, new_state = mamba2_mixer(lp["mamba"], h, kv_cache,
                                       attn_metadata, c, positions)
+        if c.residual_multiplier != 1.0:       # Granite 4.0 hybrid muP
+            out = out * c.residual_multiplier
         h, residual = fused_add_rms_norm(
             out, residual, lp["post_attention_layernorm"]["weight"],
             c.rms_norm_eps)
         x = self._ffn(lp, h, layer_idx)
+        if c.residual_multiplier != 1.0:
+            x = x * c.residual_multiplier
         return x, residual, new_state
 
     def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]

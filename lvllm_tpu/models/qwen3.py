@@ -1023,7 +1023,8 @@ class Qwen3Model:
                 else:
                     yield name, w
         elif arch in ("GraniteMoeForCausalLM",
-                      "GraniteMoeSharedForCausalLM"):
+                      "GraniteMoeSharedForCausalLM",
+                      "GraniteMoeHybridForCausalLM"):
             # GraniteMoE stacks experts: input_linear [E, 2I, H] (gate‖up
             # halves of the output dim), output_linear [E, H, I]; router
             # at block_sparse_moe.router.layer.

@@ -107,7 +107,10 @@ def _register_builtin() -> None:
                  # Spelling / structural aliases (reference registry.py
                  # maps these onto the same module files).
                  "PhiMoEForCausalLM", "TeleChat3ForCausalLM",
-                 "Ministral3ForCausalLM"):
+                 "Ministral3ForCausalLM",
+                 # Chameleon: llama + per-head biased qk-layernorm; VQ
+                 # image tokens come from the processor.
+                 "ChameleonForConditionalGeneration"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel
@@ -124,6 +127,7 @@ def _register_builtin() -> None:
     import lvllm_tpu.models.mistral3  # noqa: F401
     import lvllm_tpu.models.qwen2_audio  # noqa: F401
     import lvllm_tpu.models.voxtral  # noqa: F401
+    import lvllm_tpu.models.emu3  # noqa: F401
     from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
     for arch in ("Qwen2VLForConditionalGeneration",
                  "Qwen2_5_VLForConditionalGeneration"):
@@ -142,6 +146,9 @@ def _register_builtin() -> None:
     from lvllm_tpu.models.mamba2 import BambaModel, Mamba2Model
     _REGISTRY["Mamba2ForCausalLM"] = Mamba2Model
     _REGISTRY["BambaForCausalLM"] = BambaModel
+    # Granite 4.0 hybrid: Bamba layer mix + GraniteMoE FFN/shared MLP +
+    # Granite multipliers, all config-driven.
+    _REGISTRY["GraniteMoeHybridForCausalLM"] = BambaModel
 
     from lvllm_tpu.models.gemma import GemmaModel
     for arch in ("GemmaForCausalLM", "Gemma2ForCausalLM",

@@ -72,3 +72,75 @@ def test_apertus_parity(tmp_path):
     hf_model = save_hf_model(cfg, tmp_path)
     compare(hf_logits(hf_model, TOKENS), our_logits(str(tmp_path), TOKENS),
             "apertus")
+
+
+def test_granitemoehybrid_parity(tmp_path):
+    """Granite 4.0 hybrid (GraniteMoeHybridForCausalLM): Bamba-style
+    mamba2/attention mix + GraniteMoE FFN + shared MLP + NoPE attention
+    + Granite multipliers."""
+    cfg = transformers.GraniteMoeHybridConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["mamba", "attention", "mamba", "mamba"],
+        num_local_experts=4, num_experts_per_tok=2,
+        shared_intermediate_size=96,
+        mamba_n_heads=4, mamba_d_head=32, mamba_d_state=16,
+        mamba_n_groups=1, mamba_d_conv=4, mamba_expand=2,
+        embedding_multiplier=2.0, attention_multiplier=0.1,
+        residual_multiplier=0.5, logits_scaling=2.0,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        position_embedding_type=None)
+    hf_model = save_hf_model(cfg, tmp_path)
+    toks = [2, 7, 100, 3, 9, 55, 12]
+    compare(hf_logits(hf_model, toks), our_logits(str(tmp_path), toks),
+            "granitemoehybrid")
+
+
+def test_emu3_text_parity(tmp_path):
+    """Emu3 (VQ-token multimodal): the model side is the llama-structured
+    text stack; images become discrete vocab ids in the PROCESSOR."""
+    tc = transformers.Emu3TextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_scaling=None,
+        pad_token_id=0, tie_word_embeddings=False)
+    vq = transformers.Emu3VQVAEConfig(
+        embed_dim=32, latent_channels=32, codebook_size=16, base_channels=32,
+        channel_multiplier=[1, 1], num_res_blocks=1, attn_resolutions=[4])
+    cfg = transformers.Emu3Config(
+        text_config=tc.to_dict(), vq_config=vq.to_dict(),
+        vocabulary_map={"<|extra_200|>": 3, "<image>": 4})
+    torch.manual_seed(12)
+    hf_full = transformers.Emu3ForConditionalGeneration(cfg).eval()
+    hf_full.save_pretrained(tmp_path, safe_serialization=True)
+    toks = TOKENS
+    with torch.no_grad():
+        want = hf_full(input_ids=torch.tensor([toks])
+                       ).logits[0].float().numpy()
+    got = our_logits(str(tmp_path), toks)
+    compare(want, got, "emu3")
+
+
+def test_chameleon_text_parity(tmp_path):
+    """Chameleon: llama + per-head biased qk-layernorm (ChameleonLayerNorm
+    applies per-head gamma/beta over head_dim); VQ image tokens come from
+    the processor."""
+    vq = transformers.ChameleonVQVAEConfig(
+        embed_dim=32, latent_channels=32, num_embeddings=16,
+        base_channels=32, channel_multiplier=[1, 1], num_res_blocks=1,
+        attn_resolutions=[4], resolution=32)
+    cfg = transformers.ChameleonConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, swin_norm=False,
+        vq_config=vq.to_dict(),
+        vocabulary_map={"<image>": 3}, tie_word_embeddings=False)
+    torch.manual_seed(13)
+    hf_full = transformers.ChameleonForConditionalGeneration(cfg).eval()
+    hf_full.save_pretrained(tmp_path, safe_serialization=True)
+    toks = TOKENS
+    with torch.no_grad():
+        want = hf_full(input_ids=torch.tensor([toks])
+                       ).logits[0].float().numpy()
+    got = our_logits(str(tmp_path), toks)
+    compare(want, got, "chameleon")
