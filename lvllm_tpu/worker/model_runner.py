@@ -409,12 +409,34 @@ class ModelRunner:
         SURVEY.md §2.11.6, rebuilt without CUDA streams)."""
         import jax.numpy as jnp  # local alias for clarity
 
+        store = self.expert_store
+        if self._offload_use_scan():
+            # Whole streamed set fits transiently: bind every streamed
+            # layer's weights as ARGUMENTS to one fused step — a single
+            # dispatch instead of ~(groups+2). The r05 overlap-leg
+            # ablation showed the per-group dispatch boundaries cost a
+            # near-constant ~20 ms regardless of streamed bytes (0.83
+            # efficiency plateau with 3 MB streamed); transfers still
+            # overlap compute because the next step's prefetches kick
+            # right after this (async) dispatch.
+            merged = self._offload_merged_params()
+            kv, packed, _tk, _ = self._step_fn(
+                merged, self.kv_caches, input_ids, positions, qsl,
+                seq_lens, block_table, slot_mapping, logits_indices,
+                temperature, top_k, top_p, min_p, seeds, steps,
+                penalty_args=penalty_args, grammar_mask=grammar_mask,
+                row_slots=row_slots, decode_mode=decode_mode,
+                draft_mat=draft_mat, draft_q=draft_q)
+            self.kv_caches = kv
+            store.advance(-1, self.streamed_moe_layers)
+            return packed[0], jax.lax.bitcast_convert_type(
+                packed[1], jnp.float32)
+
         md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
                                block_table=block_table,
                                slot_mapping=slot_mapping,
                                row_slots=row_slots,
                                decode_mode=decode_mode)
-        store = self.expert_store
         # Warm the prefetch pipeline for the first streamed layers.
         store.advance(-1, self.streamed_moe_layers)
 
