@@ -204,6 +204,22 @@ class EngineCore:
 
         self.proposer = None
         sc = config.speculative_config
+        if sc.enabled and sc.method == "auto" and sc.draft_model:
+            # Reference behavior: the draft checkpoint's own architecture
+            # (EagleLlamaForCausalLM, MedusaModel, DeepSeekMTPModel, ...)
+            # selects the proposer (registry.py:570+,
+            # spec_decode/draft_archs.py).
+            import json as _json
+            import os as _os
+            from lvllm_tpu.spec_decode.draft_archs import DRAFT_ARCH_METHOD
+            cfg_path = _os.path.join(sc.draft_model, "config.json")
+            arch0 = ""
+            if _os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    arch0 = (_json.load(f).get("architectures") or [""])[0]
+            sc.method = DRAFT_ARCH_METHOD.get(arch0, "draft_model")
+            logger.info("speculative method auto-detected from %s: %s",
+                        arch0 or "<no config>", sc.method)
         if sc.enabled and sc.method == "ngram":
             from lvllm_tpu.spec_decode.ngram import NgramConfig, NgramProposer
             self.proposer = NgramProposer(NgramConfig(

@@ -283,6 +283,53 @@ def load_model_config(model_path: str,
                 text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
+    if arch == "MolmoForCausalLM":
+        # Molmo (models/molmo.py; trust-remote family): OLMo-style text
+        # knobs. HF intermediate_size counts BOTH swiglu halves
+        # (LanguageModelMLP halves it); vocab = embedding_size +
+        # additional_vocab_size (wte.embedding ++ wte.new_embedding).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("image_token_id")
+        emb = hf.get("embedding_size") or hf.get("vocab_size", 152064)
+        hf = {**hf,
+              "intermediate_size": hf.get("intermediate_size", 22016) // 2,
+              "vocab_size": emb + hf.get("additional_vocab_size", 0),
+              "attention_bias": hf.get("qkv_bias", False),
+              "rms_norm_eps": hf.get("layer_norm_eps",
+                                     hf.get("rms_norm_eps", 1e-6)),
+              "use_qk_norm": bool(hf.get("attention_layer_norm", False)),
+              "qk_norm_across_heads": bool(
+                  hf.get("attention_layer_norm", False)),
+              "norm_after": bool(hf.get("norm_after", False)),
+              "tie_word_embeddings": hf.get("weight_tying",
+                                            hf.get("tie_word_embeddings",
+                                                   False))}
+    if arch == "KimiVLForConditionalGeneration":
+        # Kimi-VL (models/kimi_vl.py): MoonViT tower + DeepSeek MLA text.
+        # Family fixups run under the nested text arch; the outer name is
+        # restored for the registry.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("media_placeholder_token_id", 163605)
+        text = dict(hf.get("text_config") or {})
+        text_arch = (text.get("architectures") or [
+            "DeepseekV3ForCausalLM"])[0]
+        hf = {**hf, **text}
+        override_arch, arch = arch, text_arch
+    if arch in ("MiniCPMV", "MiniCPMO"):
+        # MiniCPM-V (models/minicpmv.py): SigLIP tower + perceiver
+        # resampler; text fields live at the TOP level (Qwen2 for
+        # version >= 2.6, Llama-3 for 2.5). MiniCPM-O adds audio; its
+        # image path is the same model here.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg.setdefault("query_num", hf.get("query_num", 64))
+        for k in ("image_size", "patch_size"):
+            if hf.get(k):
+                vision_cfg.setdefault(k, hf[k])
+        image_token_id = hf.get("image_token_id",
+                                hf.get("im_token_id"))
+        ver = float(hf.get("version", 2.6) or 2.6)
+        if ver >= 2.6:
+            hf = {**hf, "attention_bias": hf.get("attention_bias", True)}
     if arch == "Emu3ForConditionalGeneration":
         # Emu3 (models/emu3.py): images/video are VQ-tokenized by the
         # PROCESSOR into discrete vocab ids; the model itself is the
@@ -1008,11 +1055,12 @@ def load_model_config(model_path: str,
         clip_qkv=hf.get("clip_qkv"),
         parallel_residual=parallel_residual,
         lm_head_bias=lm_head_bias,
-        qk_norm_across_heads=arch in (
+        qk_norm_across_heads=(arch in (
             "MiniMaxM2ForCausalLM",
             # OLMo2/OLMoE norm q over all heads jointly (HF Olmo2Attention).
             "Olmo2ForCausalLM", "Olmo3ForCausalLM", "OlmoeForCausalLM",
-            "FlexOlmoForCausalLM"),
+            "FlexOlmoForCausalLM")
+            or bool(hf.get("qk_norm_across_heads"))),
         norm_type=norm_type,
         mlp_gated=mlp_gated,
         # GPT-J biases its fc_in/fc_out but not the attention projections.
@@ -1032,10 +1080,12 @@ def load_model_config(model_path: str,
                  "Glm4ForCausalLM"),
         sandwich_output_norms=arch == "Glm4ForCausalLM",
         learned_pos_embeddings=learned_pos,
-        norm_after=arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
-                            "Exaone4ForCausalLM",
-                            # FlexOlmo keeps OLMo2's output-norm layout.
-                            "FlexOlmoForCausalLM"),
+        norm_after=(arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
+                             "Exaone4ForCausalLM",
+                             # FlexOlmo keeps OLMo2's output-norm layout.
+                             "FlexOlmoForCausalLM")
+                    or (arch == "MolmoForCausalLM"
+                        and bool(hf.get("norm_after")))),
         attention_bias=(bias_all or hf.get("use_qkv_bias", False) or
                         (arch == "InternLM2ForCausalLM" and
                          hf.get("bias", False)) or

@@ -128,6 +128,11 @@ def _register_builtin() -> None:
     import lvllm_tpu.models.qwen2_audio  # noqa: F401
     import lvllm_tpu.models.voxtral  # noqa: F401
     import lvllm_tpu.models.emu3  # noqa: F401
+    import lvllm_tpu.spec_decode.draft_archs  # noqa: F401
+    from lvllm_tpu.models.minicpmv import MiniCPMVModel
+    _REGISTRY["MiniCPMO"] = MiniCPMVModel
+    import lvllm_tpu.models.kimi_vl  # noqa: F401
+    import lvllm_tpu.models.molmo  # noqa: F401
     from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
     for arch in ("Qwen2VLForConditionalGeneration",
                  "Qwen2_5_VLForConditionalGeneration"):

@@ -103,3 +103,42 @@ def test_eagle_proposes_drafts():
                 saw_drafts = True
         steps += 1
     assert saw_drafts
+
+
+def test_draft_arch_autodetect(tmp_path):
+    """SpeculativeConfig(method='auto', draft_model=<eagle checkpoint>)
+    resolves the proposer from the checkpoint's architecture name
+    (reference: _SPECULATIVE_DECODING_MODELS registry entries)."""
+    import json
+
+    from lvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig, SpeculativeConfig)
+    from lvllm_tpu.engine.llm_engine import LLMEngine
+    from lvllm_tpu.models.registry import get_model_class
+    from lvllm_tpu.spec_decode.draft_archs import (DRAFT_ARCH_METHOD,
+                                                   DraftHeadModel)
+
+    for arch in DRAFT_ARCH_METHOD:
+        assert get_model_class(arch) is DraftHeadModel
+    (tmp_path / "config.json").write_text(json.dumps(
+        {"architectures": ["Eagle3LlamaForCausalLM"]}))
+    import numpy as np
+    from safetensors.numpy import save_file
+    save_file({"norm.weight": np.ones((64,), np.float32)},
+              str(tmp_path / "model.safetensors"))
+    mc = ModelConfig(
+        model="dummy", architecture="Qwen3ForCausalLM", dtype="float32",
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, max_model_len=64, eos_token_id=-1)
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=16),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                         max_num_seqs=2, max_model_len=64),
+        speculative_config=SpeculativeConfig(
+            method="auto", draft_model=str(tmp_path),
+            num_speculative_tokens=2))
+    eng = LLMEngine(cfg, load_format="dummy")
+    assert cfg.speculative_config.method == "eagle3"
+    assert eng.core.runner.eagle_proposer is not None
