@@ -244,6 +244,7 @@ def load_model_config(model_path: str,
         hf = {**hf, "rope_scaling": None, "mrope_interleaved": True}
     if arch in ("LlavaForConditionalGeneration",
                 "LlavaNextForConditionalGeneration",
+                "LlavaNextVideoForConditionalGeneration",
                 "LlavaOnevisionForConditionalGeneration"):
         # Nested multimodal config: flatten text_config into the main
         # fields, keep the vision tower dict (reference:
@@ -251,6 +252,9 @@ def load_model_config(model_path: str,
         vision_cfg = dict(hf.get("vision_config") or {})
         vision_cfg.setdefault("vision_feature_layer",
                               hf.get("vision_feature_layer", -2))
+        for k in ("spatial_pool_stride", "spatial_pool_mode"):
+            if hf.get(k) is not None:
+                vision_cfg.setdefault(k, hf[k])
         image_token_id = hf.get("image_token_index", hf.get("image_token_id"))
         text = dict(hf.get("text_config") or {})
         # Derive the decoder family from model_type when the nested
@@ -283,6 +287,26 @@ def load_model_config(model_path: str,
                 text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
+    if arch == "AriaForConditionalGeneration":
+        # Aria (models/aria.py): Idefics3-style tower + learned-query
+        # cross-attn projector + grouped-expert MoE Llama text.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        if hf.get("projector_patch_to_query_dict"):
+            vision_cfg["projector_patch_to_query_dict"] = \
+                hf["projector_patch_to_query_dict"]
+        image_token_id = hf.get("image_token_index",
+                                hf.get("image_token_id", 9))
+        text = dict(hf.get("text_config") or {})
+        n_sh = text.get("moe_num_shared_experts", 0)
+        inter = text.get("intermediate_size", 4096)
+        text = {**text,
+                "num_experts": text.get("moe_num_experts", 8),
+                "num_experts_per_tok": text.get("moe_topk", 2),
+                "moe_intermediate_size": inter,
+                "n_shared_experts": n_sh,
+                "shared_expert_intermediate_size": n_sh * inter,
+                "architectures": ["LlamaForCausalLM"]}
+        hf = {**hf, **text}
     if arch == "MolmoForCausalLM":
         # Molmo (models/molmo.py; trust-remote family): OLMo-style text
         # knobs. HF intermediate_size counts BOTH swiglu halves
@@ -812,6 +836,9 @@ def load_model_config(model_path: str,
         # Granite 4.0 hybrid attention layers are NoPE
         # (modeling_granitemoehybrid applies rotary only for "rope").
         hf = {**hf, "no_rope_layers": [0] * hf["num_hidden_layers"]}
+    if arch == "AriaForConditionalGeneration":
+        # Aria routes top-k then softmax (AriaTextMoELayer:380).
+        scoring_fn = "softmax_topk"
     if arch in ("GraniteMoeForCausalLM", "GraniteMoeSharedForCausalLM",
                 "GraniteMoeHybridForCausalLM"):
         # GraniteMoE routes by topk-then-softmax (GraniteMoeTopKGating),
@@ -971,6 +998,10 @@ def load_model_config(model_path: str,
                 "GraniteMoeHybridForCausalLM") and \
             hf.get("shared_intermediate_size"):
         n_shared, shared_inter = 1, hf["shared_intermediate_size"]
+    if arch == "AriaForConditionalGeneration" and \
+            hf.get("n_shared_experts"):
+        n_shared = hf["n_shared_experts"]
+        shared_inter = hf.get("shared_expert_intermediate_size")
     if n_shared and shared_inter is None:
         shared_inter = n_shared * (hf.get("moe_intermediate_size") or 0)
 
