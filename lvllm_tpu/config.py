@@ -61,6 +61,15 @@ class ModelConfig:
     qk_norm_bias: bool = False
     # Cohere qk-norm keeps separate weights per head ([heads, head_dim]).
     qk_norm_per_head: bool = False
+    # Llama4 attention deltas: L2-normalized qk (weightless) on rope
+    # layers + temperature-tuned q scaling on NoPE layers
+    # (modeling_llama4.Llama4TextAttention:291-344).
+    attn_temperature_tuning: bool = False
+    attn_floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    # Llama4 MoE: routing weight multiplies the expert INPUT
+    # (Llama4TextMoe.forward:157), not the output.
+    moe_apply_weight_on_input: bool = False
     # DBRX clip_qkv: clamp fused qkv projections to ±clip_qkv.
     clip_qkv: Optional[float] = None
     sliding_window: Optional[int] = None

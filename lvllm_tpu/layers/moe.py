@@ -17,6 +17,8 @@ see ``parallel/expert_parallel.py``.
 
 from typing import NamedTuple, Optional, Tuple
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -71,6 +73,14 @@ def route_tokens(
         # softmax over the k selected logits only.
         topk_logits, topk_ids = jax.lax.top_k(logits, top_k)
         topk_w = jax.nn.softmax(topk_logits, axis=-1)
+        if scaling_factor != 1.0:
+            topk_w = topk_w * scaling_factor
+        return topk_w, topk_ids.astype(jnp.int32)
+    if scoring_fn == "sigmoid_topk":
+        # Llama4 convention (HF Llama4Router:138): top-k on raw logits,
+        # weights = sigmoid of the selected logits, no renormalization.
+        topk_logits, topk_ids = jax.lax.top_k(logits, top_k)
+        topk_w = jax.nn.sigmoid(topk_logits)
         if scaling_factor != 1.0:
             topk_w = topk_w * scaling_factor
         return topk_w, topk_ids.astype(jnp.int32)
@@ -177,8 +187,13 @@ def fused_moe(
     n_group: int = 1,
     topk_group: int = 1,
     activation: str = "silu",
+    weight_on_input: bool = False,
 ) -> jax.Array:
-    """Single-shard fused MoE forward (EP=1)."""
+    """Single-shard fused MoE forward (EP=1). ``weight_on_input``
+    multiplies each routed token's INPUT by its routing weight (Llama4:
+    routed_in = x * sigmoid(score), Llama4TextMoe.forward:157) instead of
+    weighting the expert output — nonlinearly different through the
+    swiglu, so it must match the checkpoint's convention."""
     T, H = x.shape
     E = params.w1.shape[0]
     topk_w, topk_ids = route_tokens(
@@ -189,6 +204,10 @@ def fused_moe(
     order, group_sizes = permute_for_experts(topk_ids, E)
     token_of_pair = order // top_k              # [T*K]
     x_sorted = x[token_of_pair]                 # [T*K, H]
+    if weight_on_input:
+        pair_w = topk_w.reshape(-1)[order].astype(x_sorted.dtype)
+        x_sorted = x_sorted * pair_w[:, None]
+        topk_w = jnp.ones_like(topk_w)
 
     expert_sorted = None
     if params.w1_bias is not None or params.w2_bias is not None:
@@ -253,6 +272,7 @@ def fused_moe_quant(
     scaling_factor: float = 1.0,
     n_group: int = 1,
     topk_group: int = 1,
+    weight_on_input: bool = False,
 ) -> jax.Array:
     """Quantized MoE forward: route → align → fused dequant grouped GEMM →
     combine (Pallas on TPU, dequant oracle elsewhere)."""
@@ -287,6 +307,14 @@ def fused_moe_quant(
             params.router_bias, e_score_bias, scaling_factor, n_group,
             topk_group)
         d = moe_align.align_tokens(x, topk_ids, E, tile_m)
+    if weight_on_input:
+        # Llama4: weight the routed INPUT rows, combine with ones
+        # (d.pair_pos maps each (token, k) pair to its aligned row).
+        pw = jnp.zeros((d.x_aligned.shape[0],), jnp.float32)
+        pw = pw.at[d.pair_pos].set(topk_w.reshape(-1))
+        d = d._replace(x_aligned=(
+            d.x_aligned * pw[:, None].astype(d.x_aligned.dtype)))
+        topk_w = jnp.ones_like(topk_w)
     # Activation-quantized variants (reference: cutlass w8a8 /
     # compressed-tensors w8a8-int8): weights stored exactly as int8/int4;
     # activations get dynamic per-token symmetric int8 scales so both GEMM

@@ -287,6 +287,43 @@ def load_model_config(model_path: str,
                 text.get("model_type", "gemma"), "GemmaForCausalLM")])[0]
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
+    if arch == "Llama4ForConditionalGeneration":
+        # Vision checkpoint: serve the text stack (vision tower TBD);
+        # flatten text_config, keep Llama4ForCausalLM semantics.
+        hf = {**hf, **dict(hf.get("text_config") or {})}
+        arch = "Llama4ForCausalLM"
+    if arch == "Llama4ForCausalLM":
+        # Llama4 text (models/registry: llama4.py): interleaved NoPE +
+        # temperature tuning, weightless L2 qk-norm on rope layers,
+        # top-1 sigmoid routing with the weight on the expert INPUT,
+        # dense interleave layers sized intermediate_size_mlp.
+        L = hf["num_hidden_layers"]
+        step = hf.get("interleave_moe_layer_step", 1)
+        moe_layers = hf.get("moe_layers") or [
+            i for i in range(L) if (i + 1) % step == 0]
+        hf = {**hf,
+              "num_experts": hf.get("num_local_experts", 16),
+              "num_experts_per_tok": hf.get("num_experts_per_tok", 1),
+              "moe_intermediate_size": hf.get("intermediate_size", 8192),
+              "n_shared_experts": 1,
+              "shared_expert_intermediate_size": hf.get(
+                  "intermediate_size", 8192),
+              "intermediate_size": hf.get("intermediate_size_mlp",
+                                          hf.get("intermediate_size")),
+              "mlp_only_layers": [i for i in range(L)
+                                  if i not in set(moe_layers)],
+              "no_rope_layers": hf.get("no_rope_layers") or [
+                  int((i + 1) % 4 != 0) for i in range(L)],
+              "use_qk_norm": hf.get("use_qk_norm", True),
+              "qk_norm_type": "l2",
+              "rope_interleaved": True,   # complex-pair rope (:206)
+              "norm_topk_prob": False,
+              "attn_temperature_tuning": hf.get("attn_temperature_tuning",
+                                                True),
+              "moe_apply_weight_on_input": True}
+        scoring_llama4 = True
+    else:
+        scoring_llama4 = False
     if arch == "AriaForConditionalGeneration":
         # Aria (models/aria.py): Idefics3-style tower + learned-query
         # cross-attn projector + grouped-expert MoE Llama text.
@@ -839,6 +876,8 @@ def load_model_config(model_path: str,
     if arch == "AriaForConditionalGeneration":
         # Aria routes top-k then softmax (AriaTextMoELayer:380).
         scoring_fn = "softmax_topk"
+    if scoring_llama4:
+        scoring_fn = "sigmoid_topk"
     if arch in ("GraniteMoeForCausalLM", "GraniteMoeSharedForCausalLM",
                 "GraniteMoeHybridForCausalLM"):
         # GraniteMoE routes by topk-then-softmax (GraniteMoeTopKGating),
@@ -1074,10 +1113,17 @@ def load_model_config(model_path: str,
                                        "Exaone4ForCausalLM"))),
         qk_norm_after_rope=arch in ("HunYuanMoEV1ForCausalLM",
                                     "HunYuanDenseV1ForCausalLM"),
+        attn_temperature_tuning=bool(hf.get("attn_temperature_tuning"))
+        if arch == "Llama4ForCausalLM" else False,
+        attn_floor_scale=float(hf.get("floor_scale", 8192.0)),
+        attn_scale=float(hf.get("attn_scale", 0.1)),
+        moe_apply_weight_on_input=bool(
+            hf.get("moe_apply_weight_on_input", False)),
         qk_norm_type=("layernorm" if arch in (
             "CohereForCausalLM", "Cohere2ForCausalLM",
             "PersimmonForCausalLM",
-            "ChameleonForConditionalGeneration") else "rmsnorm"),
+            "ChameleonForConditionalGeneration")
+                      else hf.get("qk_norm_type", "rmsnorm")),
         qk_norm_bias=arch in ("PersimmonForCausalLM",
                               "ChameleonForConditionalGeneration"),
         qk_norm_per_head=arch in ("CohereForCausalLM",

@@ -368,8 +368,18 @@ class Qwen3Model:
                 k = rms_norm(k, attn["k_norm"]["weight"], c.rms_norm_eps)
             return q, k
 
-        if c.qk_norm and not c.qk_norm_after_rope:
+        if c.qk_norm and not c.qk_norm_after_rope and \
+                c.qk_norm_type != "l2":
             q, k = qk_norm(q, k)
+        if c.attn_temperature_tuning and \
+                self.rope_cache(layer_idx) is None:
+            # Llama4 NoPE-layer temperature tuning
+            # (Llama4TextAttention:339).
+            pos_t = positions[0] if positions.ndim > 1 else positions
+            scales = (jnp.log1p(jnp.floor(
+                (pos_t.astype(jnp.float32) + 1.0) / c.attn_floor_scale))
+                * c.attn_scale + 1.0)
+            q = (q * scales[:, None, None]).astype(q.dtype)
         cos_sin = self.rope_cache(layer_idx)
         if cos_sin is not None:
             if c.mrope_section and c.mrope_interleaved:
@@ -393,6 +403,16 @@ class Qwen3Model:
                 q, k = apply_rope_interleaved(q, k, positions, cos_sin)
             else:
                 q, k = apply_rope(q, k, positions, cos_sin)
+        if c.qk_norm and c.qk_norm_type == "l2" and \
+                self.rope_cache(layer_idx) is not None:
+            # Llama4: weightless L2 qk-norm AFTER rope, rope layers only
+            # (Llama4TextAttention:309,333).
+            q = (q * jax.lax.rsqrt(
+                jnp.square(q.astype(jnp.float32)).mean(
+                    -1, keepdims=True) + 1e-6)).astype(q.dtype)
+            k = (k * jax.lax.rsqrt(
+                jnp.square(k.astype(jnp.float32)).mean(
+                    -1, keepdims=True) + 1e-6)).astype(k.dtype)
         if c.qk_norm and c.qk_norm_after_rope:    # Hunyuan ordering
             q, k = qk_norm(q, k)
         if md.pcp_prefill and self.pcp > 1:
@@ -567,7 +587,8 @@ class Qwen3Model:
                     x, qp, c.num_experts_per_tok, c.norm_topk_prob,
                     c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
                     scaling_factor=c.routed_scaling_factor,
-                    n_group=c.n_group, topk_group=c.topk_group)
+                    n_group=c.n_group, topk_group=c.topk_group,
+                    weight_on_input=c.moe_apply_weight_on_input)
             mp = MoEParams(
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),
@@ -595,7 +616,8 @@ class Qwen3Model:
                 c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
                 scaling_factor=c.routed_scaling_factor,
                 n_group=c.n_group, topk_group=c.topk_group,
-                activation=c.hidden_act)
+                activation=c.hidden_act,
+                weight_on_input=c.moe_apply_weight_on_input)
         mlp = lp["mlp"]
         if "up" in mlp and c.hidden_act == "xielu":
             # Apertus xIELU (HF XIELUActivation._xielu_python): learnable
@@ -1020,6 +1042,41 @@ class Qwen3Model:
                         rest = rest.replace("mlp.dense_4h_to_h.",
                                             "mlp.down_proj.")
                         yield p + rest, w
+                else:
+                    yield name, w
+        elif arch == "Llama4ForCausalLM":
+            # Llama4: feed_forward.* naming, stacked expert params
+            # gate_up_proj [E, H, 2I] ([gate | up] halves, in-features
+            # first) and down_proj [E, I, H]; shared_expert + router
+            # (modeling_llama4.Llama4TextExperts:46).
+            c = self.config
+            E = c.num_experts
+            I = c.moe_intermediate_size
+            for name, w in weights:
+                if m := re.match(
+                        r"model\.layers\.(\d+)\.feed_forward\.(.+)",
+                        name):
+                    p_ = f"model.layers.{m.group(1)}.mlp."
+                    rest = m.group(2)
+                    if rest == "router.weight":
+                        yield p_ + "gate.weight", w
+                    elif rest == "experts.gate_up_proj":
+                        wa = np.asarray(w)
+                        for e in range(E):
+                            yield (p_ + f"experts.{e}.gate_proj.weight",
+                                   wa[e, :, :I].T)
+                            yield (p_ + f"experts.{e}.up_proj.weight",
+                                   wa[e, :, I:].T)
+                    elif rest == "experts.down_proj":
+                        wa = np.asarray(w)
+                        for e in range(E):
+                            yield (p_ + f"experts.{e}.down_proj.weight",
+                                   wa[e].T)
+                    elif rest.startswith("shared_expert."):
+                        yield (p_ + rest.replace("shared_expert.",
+                                                 "shared_experts."), w)
+                    else:
+                        yield p_ + rest, w
                 else:
                     yield name, w
         elif arch in ("GraniteMoeForCausalLM",

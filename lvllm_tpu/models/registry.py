@@ -110,7 +110,12 @@ def _register_builtin() -> None:
                  "Ministral3ForCausalLM",
                  # Chameleon: llama + per-head biased qk-layernorm; VQ
                  # image tokens come from the processor.
-                 "ChameleonForConditionalGeneration"):
+                 "ChameleonForConditionalGeneration",
+                 # Llama4 text: NoPE interleave + L2 qk-norm + top-1
+                 # sigmoid input-weighted MoE, all config-driven; the
+                 # vision checkpoint flattens to the text stack.
+                 "Llama4ForCausalLM",
+                 "Llama4ForConditionalGeneration"):
         _REGISTRY[arch] = Qwen3Model
 
     from lvllm_tpu.models.qwen3_next import Qwen3NextModel

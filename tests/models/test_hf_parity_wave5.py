@@ -144,3 +144,24 @@ def test_chameleon_text_parity(tmp_path):
                        ).logits[0].float().numpy()
     got = our_logits(str(tmp_path), toks)
     compare(want, got, "chameleon")
+
+
+def test_llama4_text_parity(tmp_path):
+    """Llama4 text: interleaved NoPE + temperature tuning, weightless L2
+    qk-norm on rope layers, top-1 sigmoid routing with the weight on the
+    expert INPUT, dense interleave layers at intermediate_size_mlp."""
+    cfg = transformers.Llama4TextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        intermediate_size_mlp=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, max_position_embeddings=256,
+        rope_theta=10000.0, rope_scaling=None, use_qk_norm=True,
+        attn_temperature_tuning=True, floor_scale=8, attn_scale=0.1,
+        attention_chunk_size=1024, pad_token_id=0,
+        tie_word_embeddings=False)
+    torch.manual_seed(14)
+    hf_model = save_hf_model(cfg, tmp_path)
+    toks = TOKENS
+    compare(hf_logits(hf_model, toks), our_logits(str(tmp_path), toks),
+            "llama4")
