@@ -344,6 +344,19 @@ def load_model_config(model_path: str,
                 "shared_expert_intermediate_size": n_sh * inter,
                 "architectures": ["LlamaForCausalLM"]}
         hf = {**hf, **text}
+    if arch in ("Ovis2ForConditionalGeneration", "Ovis", "Ovis2"):
+        # Ovis2 (models/ovis2.py): AIMv2 tower + probabilistic visual
+        # tokenizer + visual embedding table; text fields from
+        # text_config (Qwen2 family with qkv bias).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        image_token_id = hf.get("image_token_id",
+                                hf.get("image_token_index"))
+        text = dict(hf.get("text_config") or {})
+        text["architectures"] = text.get("architectures") or \
+            ["Qwen2ForCausalLM"]
+        if text.get("model_type", "qwen2") == "qwen2":
+            text.setdefault("attention_bias", True)
+        hf = {**hf, **text}
     if arch == "MolmoForCausalLM":
         # Molmo (models/molmo.py; trust-remote family): OLMo-style text
         # knobs. HF intermediate_size counts BOTH swiglu halves
