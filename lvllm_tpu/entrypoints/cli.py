@@ -179,6 +179,88 @@ def cmd_complete(args) -> None:
     print(out.outputs[0].text)
 
 
+def cmd_chat(args) -> None:
+    """Interactive chat REPL (reference: `vllm chat`,
+    entrypoints/cli/chat.py): chat-template the running history each
+    turn and stream the completion."""
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+    llm = LLM.from_engine_config(_build_config(args),
+                                 load_format=args.load_format,
+                                 mesh=_make_mesh_if_parallel(args))
+    tok = llm.engine.tokenizer
+    history = []
+    if args.system_prompt:
+        history.append({"role": "system", "content": args.system_prompt})
+    sp = SamplingParams(temperature=args.temperature,
+                        max_tokens=args.max_tokens)
+    print("lvllm chat — empty line or Ctrl-D to exit")
+    while True:
+        try:
+            msg = input("> ").strip()
+        except EOFError:
+            break
+        if not msg:
+            break
+        history.append({"role": "user", "content": msg})
+        if tok is not None and getattr(tok, "chat_template", None):
+            prompt = tok.apply_chat_template(
+                history, tokenize=False, add_generation_prompt=True)
+        else:
+            prompt = "\n".join(f"{m['role']}: {m['content']}"
+                                for m in history) + "\nassistant:"
+        if tok is None:
+            # Dummy-model mode: byte-level ids, raw token-id output.
+            V = llm.engine.core.config.model_config.vocab_size
+            ids = [ord(c) % V for c in prompt][-512:]
+            toks = llm.generate([ids], sp)[0].outputs[0].token_ids
+            out = " ".join(str(t) for t in toks)
+        else:
+            out = llm.generate([prompt], sp)[0].outputs[0].text
+        print(out)
+        history.append({"role": "assistant", "content": out})
+
+
+def cmd_collect_env(args) -> None:
+    """Environment report (reference: `vllm collect-env`,
+    collect_env.py): versions, devices, compile-cache state."""
+    import platform
+
+    import jax
+
+    import lvllm_tpu
+
+    print(f"lvllm_tpu: {getattr(lvllm_tpu, '__version__', 'dev')}")
+    print(f"python: {platform.python_version()} ({platform.platform()})")
+    print(f"jax: {jax.__version__}")
+    try:
+        import jaxlib
+        print(f"jaxlib: {jaxlib.__version__}")
+    except Exception:  # noqa: BLE001
+        pass
+    for mod in ("flax", "optax", "numpy", "transformers"):
+        try:
+            m = __import__(mod)
+            print(f"{mod}: {m.__version__}")
+        except Exception:  # noqa: BLE001
+            print(f"{mod}: <absent>")
+    try:
+        devs = jax.devices()
+        print(f"backend: {jax.default_backend()} ({len(devs)} device(s))")
+        for d in devs:
+            print(f"  {d.device_kind} id={d.id}")
+        stats = getattr(devs[0], "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            print(f"  memory limit: {stats['bytes_limit'] / 1e9:.1f} GB")
+    except Exception as e:  # noqa: BLE001
+        print(f"backend: <unavailable: {e}>")
+    import os
+    cache = os.path.join(os.getcwd(), ".jax_cache")
+    if os.path.isdir(cache):
+        n = sum(len(fs) for _, _, fs in os.walk(cache))
+        print(f"compile cache: {cache} ({n} entries)")
+
+
 def cmd_bench(args) -> None:
     """`bench` = the repo's headline benchmark; `bench latency|throughput|
     serve` = the reference's `vllm bench` suites (benchmarks.py)."""
@@ -300,6 +382,18 @@ def main(argv=None) -> None:
     p_b.add_argument("--request-rate", type=float, default=None,
                      help="Poisson arrivals/s for bench serve")
     p_b.set_defaults(func=cmd_bench)
+
+    p_chat = sub.add_parser("chat", help="interactive chat REPL")
+    _add_engine_args(p_chat)
+    p_chat.add_argument("--system-prompt", default=None)
+    p_chat.add_argument("--max-tokens", type=int, default=256)
+    p_chat.add_argument("--temperature", type=float, default=0.7)
+    p_chat.set_defaults(func=cmd_chat)
+
+    p_env = sub.add_parser("collect-env",
+                           help="print environment report")
+    p_env.add_argument("--device", default="auto")
+    p_env.set_defaults(func=cmd_collect_env)
 
     p_rb = sub.add_parser("run-batch", help="offline OpenAI batch API")
     _add_engine_args(p_rb)

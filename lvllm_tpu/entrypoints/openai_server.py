@@ -88,6 +88,8 @@ class OpenAIServer:
                                  self.chat_completions)
         self.app.router.add_post("/v1/responses", self.responses)
         self.app.router.add_post("/v1/embeddings", self.embeddings)
+        self.app.router.add_post("/pooling", self.pooling)
+        self.app.router.add_post("/v1/pooling", self.pooling)
         # Audio (Whisper): OpenAI-compatible speech-to-text (reference:
         # entrypoints/openai/serving_transcription.py).
         self.app.router.add_post("/v1/audio/transcriptions",
@@ -155,6 +157,47 @@ class OpenAIServer:
             "data": [{"object": "embedding", "index": i,
                       "embedding": e.tolist()}
                      for i, e in enumerate(embs)],
+            "usage": {"prompt_tokens": sum(len(t) for t in token_lists),
+                      "total_tokens": sum(len(t) for t in token_lists)},
+        })
+
+    async def pooling(self, request: web.Request) -> web.Response:
+        """Task-agnostic pooling API (reference: /pooling route,
+        entrypoints/openai/serving_pooling.py): returns raw pooled
+        vectors — classifier logits for classification heads, hidden
+        pools otherwise."""
+        from lvllm_tpu.engine.pooling import PoolingRunner
+        body = await request.json()
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        tok = self.llm.tokenizer
+        if tok is None:
+            return self._error("no tokenizer loaded", 400)
+        token_lists = [tok.encode(t) if isinstance(t, str) else list(t)
+                       for t in inputs]
+        if not hasattr(self, "_pooling_runner"):
+            self._pooling_runner = PoolingRunner(
+                self.llm.core.model, self.llm.core.runner.params,
+                block_size=self.llm.config.cache_config.block_size)
+        loop = asyncio.get_running_loop()
+        if self._is_cross_encoder():
+            outs = await loop.run_in_executor(
+                None, lambda: self._pooling_runner.classify(token_lists))
+        else:
+            task = body.get("task", "embed")
+            pool = {"embed": "auto", "cls": "cls",
+                    "mean": "mean", "last": "last"}.get(task, "auto")
+            outs = await loop.run_in_executor(
+                None,
+                lambda: self._pooling_runner.embed(token_lists,
+                                                   pooling=pool))
+        return web.json_response({
+            "object": "list", "model": self.model_name,
+            "data": [{"object": "pooling", "index": i,
+                      "data": (o.tolist() if hasattr(o, "tolist")
+                               else list(o))}
+                     for i, o in enumerate(outs)],
             "usage": {"prompt_tokens": sum(len(t) for t in token_lists),
                       "total_tokens": sum(len(t) for t in token_lists)},
         })

@@ -441,3 +441,17 @@ def test_cross_encoder_score_and_rerank():
             await llm.stop()
 
     asyncio.run(scenario_with_classifier())
+
+
+def test_pooling_route():
+    async def scenario(client):
+        r = await client.post("/v1/pooling", json={"input": ["abc", "defg"],
+                                                   "task": "last"})
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["data"]) == 2
+        assert data["data"][0]["object"] == "pooling"
+        assert isinstance(data["data"][0]["data"], list)
+        r2 = await client.post("/pooling", json={"input": "abc"})
+        assert r2.status == 200
+    run_scenario(scenario)
