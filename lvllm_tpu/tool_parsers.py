@@ -290,6 +290,36 @@ class InternLM2ToolParser:
             name=obj.get("name", ""), arguments=json.dumps(args))]
 
 
+class Granite20bFcToolParser:
+    """granite-20b-functioncalling (reference:
+    granite_20b_fc_tool_parser.py:53): repeated ``<function_call>``
+    tags each followed by a {"name", "arguments"} JSON object
+    (raw_decode semantics — trailing text after each object belongs to
+    the next tag)."""
+
+    BOT = "<function_call>"
+
+    def extract(self, text: str) -> Tuple[str, List[ToolCall]]:
+        if self.BOT not in text:
+            return text, []
+        content = text[:text.find(self.BOT)]
+        dec = json.JSONDecoder()
+        calls: List[ToolCall] = []
+        matches = list(re.finditer(re.escape(self.BOT) + r"\s*", text))
+        try:
+            for i, m in enumerate(matches):
+                end = (matches[i + 1].start()
+                       if i + 1 < len(matches) else len(text))
+                obj = dec.raw_decode(text[m.end():end])[0]
+                calls.append(ToolCall(
+                    name=obj.get("name", ""),
+                    arguments=json.dumps(obj.get("arguments", {}),
+                                         ensure_ascii=False)))
+        except (json.JSONDecodeError, ValueError):
+            return text, []
+        return content, calls
+
+
 class GraniteToolParser:
     """Granite 3.x JSON-array calls (reference: granite_tool_parser.py:51):
     optional ``<|tool_call|>``/``<tool_call>`` prefix + a JSON array of
@@ -936,6 +966,7 @@ _TOOL_PARSERS = {
     "llama4_pythonic": PythonicToolParser,
     "internlm": InternLM2ToolParser,
     "granite": GraniteToolParser,
+    "granite_20b_fc": Granite20bFcToolParser,
     "seed_oss": SeedOssToolParser,
     "step3": Step3ToolParser,
     "minimax_m2": MiniMaxM2ToolParser,

@@ -122,3 +122,19 @@ def test_no_tool_calls_passthrough():
         content, calls = _one(name, "just plain text")
         assert calls == []
         assert content == "just plain text"
+
+
+def test_granite_20b_fc_parser():
+    from lvllm_tpu.tool_parsers import get_tool_parser
+    p = get_tool_parser("granite_20b_fc")
+    text = ('I will call. <function_call> {"name": "get_weather", '
+            '"arguments": {"city": "Paris"}} <function_call> '
+            '{"name": "sum", "arguments": {"a": 1, "b": 2}}')
+    content, calls = p.extract(text)
+    assert content.strip() == "I will call."
+    assert [c.name for c in calls] == ["get_weather", "sum"]
+    import json as _json
+    assert _json.loads(calls[0].arguments) == {"city": "Paris"}
+    # No tag -> plain content.
+    c2, t2 = p.extract("no tools here")
+    assert c2 == "no tools here" and t2 == []
