@@ -410,6 +410,19 @@ def load_model_config(model_path: str,
         # llama-structured text stack (Emu3TextConfig).
         text = dict(hf.get("text_config") or {})
         hf = {**hf, **text}
+    if arch == "UltravoxModel":
+        # Ultravox (models/ultravox.py): Whisper tower + frame-stacking
+        # SwiGLU projector; stack_factor and ln placement live on the
+        # OUTER config.
+        vision_cfg = dict(hf.get("audio_config") or {})
+        vision_cfg["stack_factor"] = hf.get("stack_factor", 8)
+        vision_cfg["projector_ln_mid"] = hf.get("projector_ln_mid", True)
+        image_token_id = hf.get("audio_token_index",
+                                hf.get("audio_token_id", 32000))
+        text = dict(hf.get("text_config") or {})
+        text["architectures"] = text.get("architectures") or \
+            ["LlamaForCausalLM"]
+        hf = {**hf, **text}
     if arch == "VoxtralForConditionalGeneration":
         # Voxtral (models/voxtral.py): Whisper tower + frame-stacking
         # GELU projector + Llama/Mistral decoder.

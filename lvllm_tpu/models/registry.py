@@ -132,6 +132,7 @@ def _register_builtin() -> None:
     import lvllm_tpu.models.mistral3  # noqa: F401
     import lvllm_tpu.models.qwen2_audio  # noqa: F401
     import lvllm_tpu.models.voxtral  # noqa: F401
+    import lvllm_tpu.models.ultravox  # noqa: F401
     import lvllm_tpu.models.emu3  # noqa: F401
     import lvllm_tpu.spec_decode.draft_archs  # noqa: F401
     from lvllm_tpu.models.minicpmv import MiniCPMVModel

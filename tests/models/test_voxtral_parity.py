@@ -68,3 +68,54 @@ def test_voxtral_logits_parity(tmp_path):
     ours = np.asarray(model.compute_logits(params, hidden), np.float32)
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+
+
+def test_ultravox_structural_and_engine():
+    """Ultravox is trust-remote (no transformers oracle): pin the
+    stacking/projector geometry + engine generation with audio splice."""
+    import jax.numpy as jnp
+
+    from lvllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig)
+    from lvllm_tpu.engine.llm_engine import LLMEngine
+    from lvllm_tpu.models.ultravox import UltravoxModel
+    from lvllm_tpu.sampling_params import SamplingParams
+
+    AUD = 55
+    mc = ModelConfig(
+        model="dummy", architecture="UltravoxModel", dtype="float32",
+        vocab_size=64, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, max_model_len=128, eos_token_id=-1,
+        image_token_id=AUD, seed=9,
+        vision_config={"num_mel_bins": 16, "encoder_layers": 2,
+                       "encoder_attention_heads": 2, "encoder_ffn_dim": 64,
+                       "d_model": 32, "max_source_positions": 16,
+                       "stack_factor": 8, "projector_ln_mid": True})
+    model = UltravoxModel(mc)
+    params = model.init_params(0)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 16, 32)).astype(np.float32)
+    out = model.encode_mm(params, {"input_features": feats})
+    # 16 conv frames stacked by 8 -> 2 audio tokens of text width.
+    assert out.shape == (2, 48)
+    assert np.all(np.isfinite(out))
+
+    cfg = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_gpu_blocks=32),
+        scheduler_config=SchedulerConfig(max_num_batched_tokens=64,
+                                         max_num_seqs=2,
+                                         max_model_len=128))
+    eng = LLMEngine(cfg, load_format="dummy")
+    ids = [1, AUD, AUD, 5, 9]
+    eng.add_request("u0", ids, SamplingParams(temperature=0.0,
+                                              max_tokens=5),
+                    mm_data={"input_features": feats})
+    outs, steps = {}, 0
+    while eng.has_unfinished_requests() and steps < 60:
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o
+        steps += 1
+    assert len(outs["u0"].outputs[0].token_ids) == 5
