@@ -344,6 +344,29 @@ def load_model_config(model_path: str,
                 "shared_expert_intermediate_size": n_sh * inter,
                 "architectures": ["LlamaForCausalLM"]}
         hf = {**hf, **text}
+    if arch == "Blip2ForConditionalGeneration":
+        # BLIP-2 (models/blip2.py): EVA ViT + Q-Former (learned queries,
+        # interleaved cross-attention) + language_projection + OPT text.
+        # The Q-Former config rides inside vision_config for the model.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["qformer"] = dict(hf.get("qformer_config") or {})
+        vision_cfg["num_query_tokens"] = hf.get("num_query_tokens", 32)
+        image_token_id = hf.get("image_token_index",
+                                hf.get("image_token_id", 50265))
+        text = dict(hf.get("text_config") or {})
+        text_arch = (text.get("architectures") or ["OPTForCausalLM"])[0]
+        hf = {**hf, **text}
+        if text_arch == "OPTForCausalLM":
+            # The top-level OPT field fixup already ran (as a no-op,
+            # arch was still Blip2) — apply its mappings here.
+            hf = {**hf,
+                  "num_key_value_heads": hf["num_attention_heads"],
+                  "intermediate_size": hf.get("ffn_dim",
+                                              4 * hf["hidden_size"]),
+                  "rms_norm_eps": 1e-5,
+                  "tie_word_embeddings": hf.get("tie_word_embeddings",
+                                                True)}
+        override_arch, arch = arch, text_arch
     if arch in ("Ovis2ForConditionalGeneration", "Ovis", "Ovis2"):
         # Ovis2 (models/ovis2.py): AIMv2 tower + probabilistic visual
         # tokenizer + visual embedding table; text fields from

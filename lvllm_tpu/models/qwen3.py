@@ -789,7 +789,14 @@ class Qwen3Model:
         if mm_embeds is not None:
             # Multimodal splice (reference: merge_multimodal_embeddings):
             # rows flagged by mm_mask take precomputed image features.
-            x = jnp.where(mm_mask[:, None], mm_embeds.astype(x.dtype), x)
+            mm = mm_embeds.astype(x.dtype)
+            if "pos_embed" in params and positions is not None:
+                # Learned-position decoders (BLIP-2's OPT) add wpe AFTER
+                # the splice in HF — keep the positional signal on the
+                # replaced rows.
+                mm = mm + params["pos_embed"]["weight"][positions].astype(
+                    self.dtype)
+            x = jnp.where(mm_mask[:, None], mm, x)
         residual = jnp.zeros_like(x)
         new_caches: List[jax.Array] = []
         aux: List[jax.Array] = []
@@ -840,7 +847,10 @@ class Qwen3Model:
         arch = self.config.architecture
         # Classifier variants load their backbone with the base family's
         # name mapping (the head itself is handled by the subclass).
-        arch = {"GPT2ForSequenceClassification": "GPT2LMHeadModel"}.get(
+        arch = {"GPT2ForSequenceClassification": "GPT2LMHeadModel",
+                # BLIP-2 text stack is OPT; the vision/Q-Former tensors
+                # were already consumed by the subclass's filter.
+                "Blip2ForConditionalGeneration": "OPTForCausalLM"}.get(
             arch, arch)
         if arch == "VaultGemmaForCausalLM":
             # VaultGemma (HF modeling_vaultgemma): standard two-pre-norm
