@@ -344,6 +344,14 @@ def load_model_config(model_path: str,
                 "shared_expert_intermediate_size": n_sh * inter,
                 "architectures": ["LlamaForCausalLM"]}
         hf = {**hf, **text}
+    if arch == "Phi4MultimodalForCausalLM":
+        # Phi-4-multimodal (models/phi4mm.py): text fields live at the
+        # TOP level (Phi-3 structure); the navit vision tower + conformer
+        # audio encoder configs nest under vision_config/audio_config
+        # (audio rides inside vision_cfg for the model).
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["audio"] = dict(hf.get("audio_config") or {})
+        image_token_id = vision_cfg.get("image_token_id", 200010)
     if arch == "Blip2ForConditionalGeneration":
         # BLIP-2 (models/blip2.py): EVA ViT + Q-Former (learned queries,
         # interleaved cross-attention) + language_projection + OPT text.

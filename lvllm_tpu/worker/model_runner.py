@@ -1119,14 +1119,19 @@ class ModelRunner:
         self._mm_raw[rid] = mm_data
         ids = np.asarray(prompt_token_ids)
         if getattr(self.model, "mm_dynamic", False):
-            feats = self._encode_images_fn(self.params, mm_data)
+            feats = self._encode_images_fn(
+                self.params, {**mm_data, "_input_ids": ids})
             self._mm_feats[rid] = np.asarray(feats, np.float32)
             if self.uses_mrope:
                 pos3, delta = self.model.mm_positions(ids, mm_data)
                 self._mrope_pos[rid] = pos3
                 self._mrope_delta[rid] = delta
-            img_tok = self.config.model_config.image_token_id
-            self._mm_positions[rid] = np.where(ids == img_tok)[0]
+            # Models with multiple placeholder kinds (Phi-4-MM image +
+            # audio) expose mm_token_ids; default is the image token.
+            toks = getattr(self.model, "mm_token_ids", None) or \
+                (self.config.model_config.image_token_id,)
+            self._mm_positions[rid] = np.where(
+                np.isin(ids, np.asarray(list(toks))))[0]
             if len(self._mm_positions[rid]) != self._mm_feats[rid].shape[0]:
                 raise ValueError(
                     f"request {rid}: {len(self._mm_positions[rid])} image "
