@@ -257,6 +257,11 @@ class ModelConfig:
     # Sequence/token classification head width (cross-encoder score /
     # rerank models; 0 = no classification head).
     num_labels: int = 0
+    # Gemma3n (MatFormer) knob group: altup_num_inputs/active_idx/
+    # correct_scale, laurel_rank, hidden_size_per_layer_input,
+    # vocab_size_per_layer_input, num_kv_shared_layers,
+    # activation_sparsity_pattern, intermediate_size_per_layer.
+    gemma3n: Optional[dict] = None
     # MiniMax-Text-01 residual scaling (layernorm_*_alpha/beta) and
     # postnorm variant: (full_a, full_b, linear_a, linear_b, mlp_a, mlp_b).
     minimax_residual_factors: Optional[Tuple[float, ...]] = None

@@ -344,6 +344,36 @@ def load_model_config(model_path: str,
                 "shared_expert_intermediate_size": n_sh * inter,
                 "architectures": ["LlamaForCausalLM"]}
         hf = {**hf, **text}
+    if arch in ("Gemma3nForCausalLM", "Gemma3nForConditionalGeneration"):
+        # Gemma 3n (models/gemma3n.py): MatFormer text stack — AltUp,
+        # Laurel, per-layer embeddings, KV sharing, per-layer FFN
+        # widths/sparsity ride a dedicated knob group; intermediate_size
+        # is a LIST in the HF config (first entry feeds the generic
+        # field).
+        if hf.get("text_config"):
+            hf = {**hf, **dict(hf["text_config"])}
+        inter = hf.get("intermediate_size", 4 * hf["hidden_size"])
+        inter_list = (list(inter) if isinstance(inter, (list, tuple))
+                      else [inter] * hf["num_hidden_layers"])
+        hf = {**hf,
+              "intermediate_size": inter_list[0],
+              "use_qk_norm": True,
+              "_gemma3n": {
+                  "altup_num_inputs": hf.get("altup_num_inputs", 4),
+                  "altup_active_idx": hf.get("altup_active_idx", 0),
+                  "altup_correct_scale": hf.get("altup_correct_scale",
+                                                True),
+                  "laurel_rank": hf.get("laurel_rank", 64),
+                  "hidden_size_per_layer_input": hf.get(
+                      "hidden_size_per_layer_input", 256),
+                  "vocab_size_per_layer_input": hf.get(
+                      "vocab_size_per_layer_input", hf["vocab_size"]),
+                  "num_kv_shared_layers": hf.get(
+                      "num_kv_shared_layers", 0),
+                  "activation_sparsity_pattern": list(
+                      hf.get("activation_sparsity_pattern") or []),
+                  "intermediate_size_per_layer": inter_list,
+              }}
     if arch == "Phi4MultimodalForCausalLM":
         # Phi-4-multimodal (models/phi4mm.py): text fields live at the
         # TOP level (Phi-3 structure); the navit vision tower + conformer
@@ -1346,6 +1376,7 @@ def load_model_config(model_path: str,
         linear_key_head_dim=hf.get("linear_key_head_dim", 64),
         linear_value_head_dim=hf.get("linear_value_head_dim", 64),
         linear_conv_kernel_dim=hf.get("linear_conv_kernel_dim", 4),
+        gemma3n=hf.get("_gemma3n"),
         vision_config=vision_cfg,
         image_token_id=image_token_id,
         mrope_section=mrope_section,
