@@ -350,6 +350,17 @@ def load_model_config(model_path: str,
         # widths/sparsity ride a dedicated knob group; intermediate_size
         # is a LIST in the HF config (first entry feeds the generic
         # field).
+        if arch == "Gemma3nForConditionalGeneration":
+            # USM audio tower + modality embedders ride vision_cfg; the
+            # vision tower itself is timm MobileNetV5 (audio + hard
+            # vision tokens supported, image soft tokens gated).
+            vision_cfg = {
+                "audio": dict(hf.get("audio_config") or {}),
+                "vision_embedder": dict(hf.get("vision_config") or {}),
+                "audio_token_id": hf.get("audio_token_id", 262273),
+                "audio_soft_tokens_per_image": hf.get(
+                    "audio_soft_tokens_per_image", 188)}
+            image_token_id = hf.get("image_token_id", 262145)
         if hf.get("text_config"):
             hf = {**hf, **dict(hf["text_config"])}
         inter = hf.get("intermediate_size", 4 * hf["hidden_size"])

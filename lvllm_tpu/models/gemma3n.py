@@ -145,6 +145,11 @@ class Gemma3nModel(GemmaModel):
         return jnp.tanh((r @ alt["modality_router"]["kernel"]
                          ).astype(jnp.float32)).astype(x.dtype)
 
+    def _embed_special(self, params, input_ids, x0):
+        """Hook: the MM wrapper replaces vision/audio hard-token rows
+        with the modality embedders' embeddings."""
+        return x0
+
     def __call__(self, params, input_ids, positions, kv_caches,
                  attn_metadata, lora=None, token_adapter=None,
                  mm_embeds=None, mm_mask=None, mm_deepstack=None,
@@ -159,6 +164,7 @@ class Gemma3nModel(GemmaModel):
         gp = params["g3n"]
 
         x0 = self.embed_tokens(params, input_ids)
+        x0 = self._embed_special(params, input_ids, x0)
         if mm_embeds is not None:
             x0 = jnp.where(mm_mask[:, None], mm_embeds.astype(x0.dtype),
                            x0)
@@ -405,4 +411,472 @@ class Gemma3nModel(GemmaModel):
         for i, lp in enumerate(side["layers"]):
             params["layers"][i].update(lp)
         params["g3n"] = g3n
+        return params
+
+
+# ---------------------------------------------------------------------------
+# Gemma 3n multimodal wrapper: USM conformer audio tower + modality
+# embedders. The vision tower is timm MobileNetV5 in both HF and the
+# reference (reference: gemma3n_mm.py vision_tower via timm) — absent
+# timm, image soft tokens are rejected with a clear error while audio
+# and vision/audio HARD tokens (embedder vocab ranges) work fully.
+# ---------------------------------------------------------------------------
+
+
+def _g3n_norm(x, weight, eps=1e-6):
+    """Gemma3nRMSNorm: weight applied directly (no +1)."""
+    return rms_norm(x, weight, eps)
+
+
+def _cum_group_norm(x, weight, eps):
+    """Cumulative group norm over time (HF Gemma3nAudioCumulativeGroup
+    Norm, maskless path): per-step stats accumulate over (freq, chan);
+    each step's squared deviation uses its own cumulative mean."""
+    xf = x.astype(jnp.float32)                      # [B, T, F, C]
+    B, T, F, C = xf.shape
+    sum_t = xf.sum(axis=(2, 3), keepdims=True)
+    cum_sum = jnp.cumsum(sum_t, axis=1)
+    cnt = jnp.arange(1, T + 1, dtype=jnp.float32).reshape(1, T, 1, 1) \
+        * (F * C)
+    mean = cum_sum / cnt
+    sq = jnp.square(xf - mean).sum(axis=(2, 3), keepdims=True)
+    var = jnp.cumsum(sq, axis=1) / cnt
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * weight.astype(
+        jnp.float32)
+    return y.astype(x.dtype)
+
+
+@register_model("Gemma3nForConditionalGeneration")
+class Gemma3nMMModel(Gemma3nModel):
+
+    is_multimodal = True
+    mm_dynamic = True
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        vc = config.vision_config or {}
+        ac = vc.get("audio") or {}
+        self.a_hidden = ac.get("hidden_size", 1536)
+        self.a_feat = ac.get("input_feat_size", 128)
+        self.a_layers = ac.get("conf_num_hidden_layers", 12)
+        self.a_heads = ac.get("conf_num_attention_heads", 8)
+        self.a_chunk = ac.get("conf_attention_chunk_size", 12)
+        self.a_past = max(0, ac.get("conf_attention_context_left", 13)
+                          - 1)
+        self.a_fut = ac.get("conf_attention_context_right", 0)
+        self.a_cap = ac.get("conf_attention_logit_cap", 50.0)
+        self.a_kernel = ac.get("conf_conv_kernel_size", 5)
+        self.a_reduction = ac.get("conf_reduction_factor", 4)
+        self.a_res_weight = ac.get("conf_residual_weight", 0.5)
+        self.a_clip = ac.get("gradient_clipping", 1e10)
+        self.a_eps = ac.get("rms_norm_eps", 1e-6)
+        self.sscp_channels = list(ac.get("sscp_conv_channel_size",
+                                         (128, 32)))
+        self.sscp_kernels = [tuple(k) for k in ac.get(
+            "sscp_conv_kernel_size", ((3, 3), (3, 3)))]
+        self.sscp_strides = [tuple(s) for s in ac.get(
+            "sscp_conv_stride_size", ((2, 2), (2, 2)))]
+        self.sscp_eps = ac.get("sscp_conv_group_norm_eps", 1e-3)
+        self.audio_vocab_offset = ac.get("vocab_offset", 262272)
+        self.audio_vocab_size = ac.get("vocab_size", 128)
+        ve = vc.get("vision_embedder") or {}
+        self.vision_vocab_offset = ve.get("vocab_offset", 262144)
+        self.vision_vocab_size = ve.get("vocab_size", 128)
+        self.vision_hidden = ve.get("hidden_size", 2048)
+        self.audio_token_id = vc.get("audio_token_id", 262273)
+        self.audio_soft_tokens = vc.get("audio_soft_tokens_per_image",
+                                        188)
+        # Frequency dim through the SSCP stack (freq pad fixed (1,1)).
+        f = self.a_feat
+        for (kh, kw), (sh, sw) in zip(self.sscp_kernels,
+                                      self.sscp_strides):
+            f = (f + 2 - kw) // sw + 1
+        self.sscp_f_out = f
+
+    @property
+    def mm_token_ids(self) -> Tuple[int, ...]:
+        return (self.config.image_token_id or 262145,
+                self.audio_token_id)
+
+    # ---- modality embedders ------------------------------------------------
+
+    def _embedder_soft(self, ep, x):
+        h = _g3n_norm(x, ep["soft_embedding_norm"]["weight"], self.a_eps)
+        h = h @ ep["embedding_projection"]["kernel"]
+        return _rms_noscale(h, self.a_eps)
+
+    def _embedder_hard(self, ep, ids):
+        h = ep["embedding"]["weight"][ids]
+        h = _g3n_norm(h, ep["hard_embedding_norm"]["weight"], self.a_eps)
+        h = h @ ep["embedding_projection"]["kernel"]
+        return _rms_noscale(h, self.a_eps)
+
+    def _embed_special(self, params, input_ids, x0):
+        """Vision/audio HARD tokens (embedder vocab ranges) take the
+        modality embedders' rows (HF Gemma3nModel.forward)."""
+        mm = params["mm"]
+        vis = (input_ids >= self.vision_vocab_offset) & \
+            (input_ids < self.audio_vocab_offset)
+        aud = input_ids >= self.audio_vocab_offset
+        vis_ids = jnp.where(
+            vis, input_ids - self.vision_vocab_offset,
+            self.vision_vocab_size - 1)
+        aud_ids = jnp.where(
+            aud, input_ids - self.audio_vocab_offset,
+            self.audio_vocab_size - 1)
+        x0 = jnp.where(vis[:, None],
+                       self._embedder_hard(mm["embed_vision"], vis_ids)
+                       .astype(x0.dtype), x0)
+        x0 = jnp.where(aud[:, None],
+                       self._embedder_hard(mm["embed_audio"], aud_ids)
+                       .astype(x0.dtype), x0)
+        return x0
+
+    # ---- audio tower -------------------------------------------------------
+
+    def _sscp(self, ap, mel):
+        """[B, T, F] -> [B, T_sub, hidden]."""
+        x = mel[:, None].astype(jnp.float32)        # [B, 1, T, F]
+        for i, node in enumerate(ap["sscp"]):
+            (kh, kw), (sh, sw) = self.sscp_kernels[i], self.sscp_strides[i]
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, kh - 1), (1, 1)))
+            x = jax.lax.conv_general_dilated(
+                x, jnp.asarray(node["conv"]["kernel"], jnp.float32),
+                (sh, sw), [(0, 0), (0, 0)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            x = jnp.transpose(x, (0, 2, 3, 1))      # [B, T, F, C]
+            x = _cum_group_norm(x, node["norm"]["weight"], self.sscp_eps)
+            x = jax.nn.relu(x)
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        B, C, T, F = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1)).reshape(B, T, F * C)
+        return x @ ap["sub_proj"]["kernel"]
+
+    def _audio_attention(self, lp, x, pad_mask):
+        """HF Gemma3nAudioAttention: chunked local attention with
+        sinusoidal relative-position logits and tanh soft cap."""
+        B, T, D = x.shape
+        N = self.a_heads
+        H = D // N
+        W = self.a_chunk
+        ctx = W + self.a_past + self.a_fut
+        q = (x @ lp["q_proj"]["kernel"]).reshape(B, T, N, H)
+        k = (x @ lp["k_proj"]["kernel"]).reshape(B, T, N, H)
+        v = (x @ lp["v_proj"]["kernel"]).reshape(B, T, N, H)
+        q_scale = (H ** -0.5) / float(np.log(2.0))
+        q = q * q_scale * jax.nn.softplus(lp["per_dim_scale"])
+
+        U = -(-T // W)
+        padq = U * W - T
+
+        def blocks(a):                              # [B, T, ...] -> [B,U,W,...]
+            a = jnp.pad(a, ((0, 0), (0, padq)) +
+                        ((0, 0),) * (a.ndim - 2))
+            return a.reshape((B, U, W) + a.shape[2:])
+
+        def context(a):                             # [B, T, ...] -> [B,U,ctx,...]
+            a = jnp.pad(a, ((0, 0),
+                            (self.a_past, self.a_fut + W - 1)) +
+                        ((0, 0),) * (a.ndim - 2))
+            return jnp.stack([a[:, u * W:u * W + ctx]
+                              for u in range(U)], axis=1)
+
+        qb = blocks(q)                              # [B,U,W,N,H]
+        kb = context(k)                             # [B,U,ctx,N,H]
+        vb = context(v)
+        valid = context((~pad_mask).astype(jnp.float32)) > 0.5  # [B,U,ctx]
+
+        # Local causal window mask [W, ctx].
+        lower = jnp.tril(jnp.ones((ctx, W), bool), 0).T
+        upper = jnp.tril(jnp.ones((W, ctx), bool),
+                         self.a_past + self.a_fut)
+        local_ok = lower & upper
+
+        term_ac = jnp.einsum("buwnh,bucnh->bnuwc", qb, kb)
+        # Sinusoidal relative positions [past .. -fut], projected.
+        span = self.a_past + self.a_fut + 1
+        pos = np.arange(self.a_past, -self.a_fut - 1, -1,
+                        dtype=np.float32)
+        half = D // 2
+        inv = np.exp(np.arange(half) *
+                     -(math.log(1e4) / max(half - 1, 1)))
+        scaled = pos[:, None] * inv[None, :]
+        timing = np.concatenate([np.sin(scaled), np.cos(scaled)],
+                                axis=-1)            # [span, D]
+        sin_emb = (jnp.asarray(timing) @ lp["pos_proj"]["kernel"]
+                   ).reshape(span, N, H)
+        term_bd = jnp.einsum("buwnh,fnh->bnuwf", qb, sin_emb)
+        # Relative shift [B,N,U,W,span] -> [B,N,U,W,ctx].
+        pad_last = (ctx + 1) - span
+        tb = jnp.pad(term_bd,
+                     ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad_last)))
+        tb = tb.reshape(B, N, U, W * (ctx + 1))[:, :, :, :W * ctx]
+        term_bd = tb.reshape(B, N, U, W, ctx)
+
+        logits = term_ac + term_bd
+        logits = jnp.tanh(logits / self.a_cap) * self.a_cap
+        ok = valid[:, None, :, None, :] & local_ok[None, None, None]
+        logits = jnp.where(ok, logits,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bnuwc,bucnh->buwnh",
+                         probs.astype(vb.dtype), vb)
+        return out.reshape(B, U * W, N, H)[:, :T]
+
+    def _audio_ffw(self, node, x):
+        r = x
+        x = jnp.clip(x, -self.a_clip, self.a_clip)
+        x = _g3n_norm(x, node["pre_layer_norm"]["weight"], self.a_eps)
+        x = jax.nn.silu(x @ node["ffw_layer_1"]["kernel"])
+        x = x @ node["ffw_layer_2"]["kernel"]
+        x = jnp.clip(x, -self.a_clip, self.a_clip)
+        x = _g3n_norm(x, node["post_layer_norm"]["weight"], self.a_eps)
+        return r + x * self.a_res_weight
+
+    def _audio_lconv(self, node, x):
+        r = x
+        x = _g3n_norm(x, node["pre_layer_norm"]["weight"], self.a_eps)
+        x = x @ node["linear_start"]["kernel"]
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)                   # GLU
+        x = jnp.transpose(x, (0, 2, 1))
+        x = jnp.pad(x, ((0, 0), (0, 0), (self.a_kernel - 1, 0)))
+        x = jax.lax.conv_general_dilated(
+            x, jnp.asarray(node["dw_conv"]["kernel"]), (1,),
+            [(0, 0)], feature_group_count=self.a_hidden,
+            dimension_numbers=("NCT", "OIT", "NCT"))
+        x = jnp.transpose(x, (0, 2, 1))
+        x = jnp.clip(x, -self.a_clip, self.a_clip)
+        x = _g3n_norm(x, node["conv_norm"]["weight"], self.a_eps)
+        x = jax.nn.silu(x)
+        return (x @ node["linear_end"]["kernel"]) + r
+
+    def _audio_tower(self, ap, mel, pad_mask):
+        """mel [B, T, F], pad_mask [B, T] (True = padded) ->
+        (states [B, T_out, hidden], out_pad_mask [B, T_out])."""
+        h = self._sscp(ap, mel)
+        t_sub = h.shape[1]
+        stride = int(np.prod([s[0] for s in self.sscp_strides]))
+        idx = np.minimum(np.arange(t_sub) * stride,
+                         pad_mask.shape[1] - 1)
+        mask = pad_mask[:, idx]
+        for lp in ap["layers"]:
+            h = self._audio_ffw(lp["ffw_layer_start"], h)
+            a_in = h
+            a = jnp.clip(h, -self.a_clip, self.a_clip)
+            a = _g3n_norm(a, lp["attention"]["pre_attn_norm"]["weight"],
+                          self.a_eps)
+            a = self._audio_attention(lp["attention"], a, mask)
+            a = a.reshape(a.shape[0], a.shape[1], -1) \
+                @ lp["attention"]["post"]["kernel"]
+            a = jnp.clip(a, -self.a_clip, self.a_clip)
+            h = a_in + _g3n_norm(
+                a, lp["attention"]["post_norm"]["weight"], self.a_eps)
+            h = self._audio_lconv(
+                lp["lconv1d"], h * (~mask)[:, :, None].astype(h.dtype))
+            h = self._audio_ffw(lp["ffw_layer_end"], h)
+            h = jnp.clip(h, -self.a_clip, self.a_clip)
+            h = _g3n_norm(h, lp["norm"]["weight"], self.a_eps)
+        if self.a_reduction > 1:
+            h = h[:, ::self.a_reduction]
+            mask = mask[:, ::self.a_reduction]
+        h = h * (~mask)[:, :, None].astype(h.dtype)
+        return h, mask
+
+    # ---- mm encode ---------------------------------------------------------
+
+    def encode_mm(self, params, mm_data: dict) -> np.ndarray:
+        if mm_data.get("pixel_values") is not None:
+            raise ValueError(
+                "Gemma3n image soft tokens need the timm MobileNetV5 "
+                "tower (not available in this image); audio and hard "
+                "vision tokens are supported")
+        mm = params["mm"]
+        feats = np.asarray(mm_data["input_features"], np.float32)
+        if feats.ndim == 2:
+            feats = feats[None]
+        fmask = mm_data.get("input_features_mask")
+        fmask = (np.asarray(fmask, bool) if fmask is not None
+                 else np.ones(feats.shape[:2], bool))   # True = valid
+        h, out_pad = self._audio_tower(mm["audio"], jnp.asarray(feats),
+                                       jnp.asarray(~fmask))
+        soft = self._embedder_soft(mm["embed_audio"], h)
+        pad_emb = self._embedder_hard(
+            mm["embed_audio"],
+            jnp.asarray([self.audio_vocab_size - 1]))[0]
+        soft = jnp.where(np.asarray(out_pad)[:, :, None], pad_emb, soft)
+        B, S, H = soft.shape
+        extra = self.audio_soft_tokens - S
+        if extra > 0:
+            soft = jnp.concatenate(
+                [soft, jnp.broadcast_to(pad_emb, (B, extra, H))], axis=1)
+        elif extra < 0:
+            soft = soft[:, :self.audio_soft_tokens]
+        return np.asarray(soft, np.float32).reshape(-1, H)
+
+    # ---- params ------------------------------------------------------------
+
+    def init_params(self, rng) -> Params:
+        params = super().init_params(rng)
+        nprng = np.random.default_rng(829 + self.config.seed)
+        A = self.a_hidden
+        H = self.config.hidden_size
+
+        def dense(shape, scale=0.02):
+            return jnp.asarray(nprng.standard_normal(size=shape) * scale,
+                               self.dtype)
+
+        def one(n):
+            return {"weight": jnp.ones((n,), self.dtype)}
+
+        def embedder(hidden, vocab):
+            return {"embedding": {"weight": dense((vocab, hidden))},
+                    "hard_embedding_norm": one(hidden),
+                    "soft_embedding_norm": one(hidden),
+                    "embedding_projection": {"kernel": dense((hidden,
+                                                              H))}}
+
+        sscp = []
+        cin = 1
+        for i, cout in enumerate(self.sscp_channels):
+            kh, kw = self.sscp_kernels[i]
+            sscp.append({"conv": {"kernel": dense((cout, cin, kh, kw))},
+                         "norm": one(cout)})
+            cin = cout
+        layers = []
+        for _ in range(self.a_layers):
+            layers.append({
+                "ffw_layer_start": {
+                    "pre_layer_norm": one(A),
+                    "ffw_layer_1": {"kernel": dense((A, 4 * A))},
+                    "ffw_layer_2": {"kernel": dense((4 * A, A))},
+                    "post_layer_norm": one(A)},
+                "ffw_layer_end": {
+                    "pre_layer_norm": one(A),
+                    "ffw_layer_1": {"kernel": dense((A, 4 * A))},
+                    "ffw_layer_2": {"kernel": dense((4 * A, A))},
+                    "post_layer_norm": one(A)},
+                "attention": {
+                    "pre_attn_norm": one(A),
+                    "q_proj": {"kernel": dense((A, A))},
+                    "k_proj": {"kernel": dense((A, A))},
+                    "v_proj": {"kernel": dense((A, A))},
+                    "per_dim_scale": jnp.zeros((A // self.a_heads,),
+                                               self.dtype),
+                    "pos_proj": {"kernel": dense((A, A))},
+                    "post": {"kernel": dense((A, A))},
+                    "post_norm": one(A)},
+                "lconv1d": {
+                    "pre_layer_norm": one(A),
+                    "linear_start": {"kernel": dense((A, 2 * A))},
+                    "dw_conv": {"kernel": dense((A, 1, self.a_kernel))},
+                    "conv_norm": one(A),
+                    "linear_end": {"kernel": dense((A, A))}},
+                "norm": one(A)})
+        params["mm"] = {
+            "audio": {"sscp": sscp,
+                      "sub_proj": {"kernel": dense(
+                          (self.sscp_channels[-1] * self.sscp_f_out,
+                           A))},
+                      "layers": layers},
+            "embed_audio": embedder(A, self.audio_vocab_size),
+            "embed_vision": embedder(self.vision_hidden,
+                                     self.vision_vocab_size),
+        }
+        return params
+
+    # ---- weights -----------------------------------------------------------
+
+    def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]
+                     ) -> Params:
+        import re
+        mm: Dict[str, Dict] = {
+            "audio": {"sscp": [{} for _ in self.sscp_channels],
+                      "layers": [{} for _ in range(self.a_layers)]},
+            "embed_audio": {}, "embed_vision": {}}
+        t = lambda a: jnp.asarray(np.ascontiguousarray(np.asarray(a).T),  # noqa: E731
+                                  self.dtype)
+        v = lambda a: jnp.asarray(a, self.dtype)  # noqa: E731
+
+        def embedder_put(node, rest, w):
+            if rest == "embedding.weight":
+                node["embedding"] = {"weight": v(w)}
+            elif m := re.match(r"(hard_embedding_norm|"
+                               r"soft_embedding_norm)\.weight", rest):
+                node[m.group(1)] = {"weight": v(w)}
+            elif rest == "embedding_projection.weight":
+                node["embedding_projection"] = {"kernel": t(w)}
+
+        def tower_put(rest, w):
+            ad = mm["audio"]
+            if m := re.match(r"subsample_conv_projection\.conv_(\d)\."
+                             r"conv\.weight", rest):
+                ad["sscp"][int(m.group(1))]["conv"] = {"kernel": v(w)}
+            elif m := re.match(r"subsample_conv_projection\.conv_(\d)\."
+                               r"norm\.weight", rest):
+                ad["sscp"][int(m.group(1))]["norm"] = {"weight": v(w)}
+            elif rest == "subsample_conv_projection.input_proj_linear" \
+                    ".weight":
+                ad["sub_proj"] = {"kernel": t(w)}
+            elif m := re.match(r"conformer\.(\d+)\.(.+)", rest):
+                lp = ad["layers"][int(m.group(1))]
+                leaf = m.group(2)
+                if m2 := re.match(r"(ffw_layer_start|ffw_layer_end)\."
+                                  r"(.+)", leaf):
+                    node = lp.setdefault(m2.group(1), {})
+                    sub = m2.group(2)
+                    if m3 := re.match(r"(pre_layer_norm|post_layer_norm)"
+                                      r"\.weight", sub):
+                        node[m3.group(1)] = {"weight": v(w)}
+                    elif m3 := re.match(r"(ffw_layer_1|ffw_layer_2)\."
+                                        r"weight", sub):
+                        node[m3.group(1)] = {"kernel": t(w)}
+                elif leaf.startswith("attention."):
+                    node = lp.setdefault("attention", {})
+                    sub = leaf.removeprefix("attention.")
+                    if m3 := re.match(r"(pre_attn_norm|post_norm)\."
+                                      r"weight", sub):
+                        node[m3.group(1)] = {"weight": v(w)}
+                    elif m3 := re.match(r"attn\.(q_proj|k_proj|v_proj)\."
+                                        r"weight", sub):
+                        node[m3.group(1)] = {"kernel": t(w)}
+                    elif sub == "attn.per_dim_scale":
+                        node["per_dim_scale"] = v(w)
+                    elif sub == "attn.relative_position_embedding." \
+                            "pos_proj.weight":
+                        node["pos_proj"] = {"kernel": t(w)}
+                    elif sub == "post.weight":
+                        node["post"] = {"kernel": t(w)}
+                elif leaf.startswith("lconv1d."):
+                    node = lp.setdefault("lconv1d", {})
+                    sub = leaf.removeprefix("lconv1d.")
+                    if m3 := re.match(r"(pre_layer_norm|conv_norm)\."
+                                      r"weight", sub):
+                        node[m3.group(1)] = {"weight": v(w)}
+                    elif m3 := re.match(r"(linear_start|linear_end)\."
+                                        r"weight", sub):
+                        node[m3.group(1)] = {"kernel": t(w)}
+                    elif sub == "depthwise_conv1d.weight":
+                        node["dw_conv"] = {"kernel": v(w)}
+                elif leaf == "norm.weight":
+                    lp["norm"] = {"weight": v(w)}
+
+        def filter_stream():
+            for name, w in weights:
+                inner = name.removeprefix("model.")
+                if inner.startswith("audio_tower."):
+                    tower_put(inner.removeprefix("audio_tower."), w)
+                elif inner.startswith("embed_audio."):
+                    embedder_put(mm["embed_audio"],
+                                 inner.removeprefix("embed_audio."), w)
+                elif inner.startswith("embed_vision."):
+                    embedder_put(mm["embed_vision"],
+                                 inner.removeprefix("embed_vision."), w)
+                elif inner.startswith("vision_tower."):
+                    continue    # timm MobileNetV5 — not supported
+                else:
+                    yield name, w
+
+        params = super().load_weights(filter_stream())
+        params["mm"] = mm
         return params
