@@ -54,6 +54,10 @@ class PoolingRunner:
                               one_hot.astype(jnp.float32))
             counts = jnp.maximum(one_hot.sum(0), 1)[:, None]
             emb = sums / counts
+        if hasattr(self.model, "project_pooled"):
+            # Dual-encoder projections (CLIP text_projection / SigLIP
+            # text head) apply after pooling, before normalization.
+            emb = self.model.project_pooled(params, emb)
         emb = emb.astype(jnp.float32)
         norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
         return jnp.where(row_valid[:, None], emb / jnp.maximum(norm, 1e-12),

@@ -86,7 +86,7 @@ def load_model_config(model_path: str,
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
     if arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
                 "RobertaForMaskedLM", "XLMRobertaModel", "CamembertModel",
-                "NewModel", "GteModel",
+                "NewModel", "GteModel", "GteNewModel",
                 "ErnieModel", "ErnieForSequenceClassification",
                 "ErnieForTokenClassification",
                 "GteNewForSequenceClassification",
@@ -104,7 +104,7 @@ def load_model_config(model_path: str,
                            "RobertaForSequenceClassification",
                            "XLMRobertaForSequenceClassification",
                            "CamembertForSequenceClassification")
-        gte = arch in ("NewModel", "GteModel",
+        gte = arch in ("NewModel", "GteModel", "GteNewModel",
                        "GteNewForSequenceClassification")
         hf = {**hf,
               "num_key_value_heads": hf["num_attention_heads"],
@@ -344,6 +344,18 @@ def load_model_config(model_path: str,
                 "shared_expert_intermediate_size": n_sh * inter,
                 "architectures": ["LlamaForCausalLM"]}
         hf = {**hf, **text}
+    if arch in ("CLIPModel", "SiglipModel"):
+        # Dual-encoder embedding models (models/clip_embed.py): text
+        # fields flatten from text_config; the vision tower + projection
+        # dim ride vision_cfg.
+        text = dict(hf.get("text_config") or {})
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["projection_dim"] = hf.get(
+            "projection_dim", text.get("projection_dim", 512))
+        hf = {**hf, **text,
+              "num_key_value_heads": text.get("num_attention_heads", 8),
+              "rms_norm_eps": text.get("layer_norm_eps", 1e-5),
+              "tie_word_embeddings": False}
     if arch in ("Gemma3nForCausalLM", "Gemma3nForConditionalGeneration"):
         # Gemma 3n (models/gemma3n.py): MatFormer text stack — AltUp,
         # Laurel, per-layer embeddings, KV sharing, per-layer FFN

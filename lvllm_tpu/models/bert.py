@@ -288,7 +288,7 @@ class BertModel:
 
 for _arch in ("BertModel", "BertForMaskedLM", "RobertaModel",
               "RobertaForMaskedLM", "XLMRobertaModel", "CamembertModel",
-              "NewModel", "GteModel"):
+              "NewModel", "GteModel", "GteNewModel"):
     register_model(_arch)(BertModel)
 
 
