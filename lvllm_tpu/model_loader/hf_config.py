@@ -198,7 +198,12 @@ def load_model_config(model_path: str,
     vision_start_token_id = None
     if arch in ("Qwen2VLForConditionalGeneration",
                 "Qwen2_5_VLForConditionalGeneration",
-                "Qwen2VLForCausalLM"):
+                "Qwen2VLForCausalLM",
+                # Tarsier2: a Qwen2-VL whose config.json is llava-shaped
+                # but qwen2vl-fielded (reference: configs/tarsier2.py);
+                # weights prefix the tower "vision_tower." instead of
+                # "visual.".
+                "Tarsier2ForConditionalGeneration"):
         # Qwen2-VL family: vision tower + M-RoPE sections. Newer
         # transformers nests the text fields under text_config; older
         # checkpoints keep them at top level — support both.
@@ -245,13 +250,19 @@ def load_model_config(model_path: str,
     if arch in ("LlavaForConditionalGeneration",
                 "LlavaNextForConditionalGeneration",
                 "LlavaNextVideoForConditionalGeneration",
-                "LlavaOnevisionForConditionalGeneration"):
+                "LlavaOnevisionForConditionalGeneration",
+                # Tarsier: llava layout + per-row newline / per-image
+                # "new" split tokens (reference: models/tarsier.py).
+                "TarsierForConditionalGeneration"):
         # Nested multimodal config: flatten text_config into the main
         # fields, keep the vision tower dict (reference:
         # transformers_utils/config.py nested-config handling).
         vision_cfg = dict(hf.get("vision_config") or {})
         vision_cfg.setdefault("vision_feature_layer",
                               hf.get("vision_feature_layer", -2))
+        for k in ("image_newline_idx", "image_new_idx"):
+            if hf.get(k) is not None:
+                vision_cfg.setdefault(k, hf[k])
         for k in ("spatial_pool_stride", "spatial_pool_mode"):
             if hf.get(k) is not None:
                 vision_cfg.setdefault(k, hf[k])
@@ -1287,6 +1298,7 @@ def load_model_config(model_path: str,
                                      "Qwen2VLForCausalLM",
                                      "Qwen2VLForConditionalGeneration",
                                      "Qwen2_5_VLForConditionalGeneration",
+                                     "Tarsier2ForConditionalGeneration",
                                      # HF Glm4/GlmConfig bias=True.
                                      "Glm4ForCausalLM",
                                      "GlmForCausalLM"))),
