@@ -355,6 +355,21 @@ def load_model_config(model_path: str,
                 "shared_expert_intermediate_size": n_sh * inter,
                 "architectures": ["LlamaForCausalLM"]}
         hf = {**hf, **text}
+    if arch == "GraniteSpeechForConditionalGeneration":
+        # GraniteSpeech (models/granite_speech.py): conformer encoder +
+        # BLIP-2 Q-Former window projector; audio placeholder rides the
+        # image_token_id slot.
+        vision_cfg = {
+            "encoder": dict(hf.get("encoder_config") or {}),
+            "projector": dict(hf.get("projector_config") or {}),
+            "downsample_rate": hf.get("downsample_rate", 5),
+            "window_size": hf.get("window_size", 15)}
+        image_token_id = hf.get("audio_token_index",
+                                hf.get("audio_token_id", 49155))
+        text = dict(hf.get("text_config") or {})
+        text["architectures"] = text.get("architectures") or \
+            ["GraniteForCausalLM"]
+        hf = {**hf, **text}
     if arch in ("CLIPModel", "SiglipModel"):
         # Dual-encoder embedding models (models/clip_embed.py): text
         # fields flatten from text_config; the vision tower + projection

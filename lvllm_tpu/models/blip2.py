@@ -35,6 +35,83 @@ def _ln(x, node, eps=1e-12):
         + node["bias"]
 
 
+def qformer_forward(qlayers, hq, enc, heads, eps):
+    """BLIP-2 Q-Former stack (shared with GraniteSpeech's projector):
+    BERT-style post-norm self-attention every layer, cross-attention to
+    ``enc`` on layers carrying a "cross" node, gelu query FFN."""
+    B = hq.shape[0]
+    hd = hq.shape[-1] // heads
+
+    def mha(att, x_q, x_kv):
+        q = (x_q @ att["query"]["kernel"] + att["query"]["bias"]
+             ).reshape(B, -1, heads, hd)
+        k = (x_kv @ att["key"]["kernel"] + att["key"]["bias"]
+             ).reshape(B, -1, heads, hd)
+        v = (x_kv @ att["value"]["kernel"] + att["value"]["bias"]
+             ).reshape(B, -1, heads, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(
+            B, -1, heads * hd)
+        o = o @ att["out"]["kernel"] + att["out"]["bias"]
+        return _ln(o + x_q, att["out_ln"], eps)
+
+    for lp in qlayers:
+        hq = mha(lp["att"], hq, hq)
+        if "cross" in lp:
+            hq = mha(lp["cross"], hq, enc)
+        inter = jax.nn.gelu(
+            hq @ lp["intermediate_query"]["kernel"]
+            + lp["intermediate_query"]["bias"], approximate=False)
+        out = inter @ lp["output_query"]["kernel"] \
+            + lp["output_query"]["bias"]
+        hq = _ln(out + hq, lp["output_query_ln"], eps)
+    return hq
+
+
+def route_qformer_weight(dest, rest, w, t, v):
+    """Map a HF Blip2QFormerModel checkpoint leaf (``layernorm.*`` /
+    ``encoder.layer.N.*``) into dest ({"q_layernorm", "qlayers"})."""
+    if m := re.match(r"layernorm\.(weight|bias)", rest):
+        dest.setdefault("q_layernorm", {})[m.group(1)] = v(w)
+    elif m := re.match(r"encoder\.layer\.(\d+)\.(.+)", rest):
+        i, leaf = int(m.group(1)), m.group(2)
+        lp = dest["qlayers"][i]
+        for pref, key in (("attention.", "att"),
+                          ("crossattention.", "cross")):
+            if leaf.startswith(pref):
+                node = lp.setdefault(key, {})
+                sub = leaf.removeprefix(pref)
+                if m2 := re.match(r"attention\.(query|key|value)\."
+                                  r"(weight|bias)", sub):
+                    node.setdefault(m2.group(1), {})[
+                        "kernel" if m2.group(2) == "weight" else
+                        "bias"] = t(w) if m2.group(2) == "weight" \
+                        else v(w)
+                elif m2 := re.match(r"output\.dense\.(weight|bias)",
+                                    sub):
+                    node.setdefault("out", {})[
+                        "kernel" if m2.group(1) == "weight" else
+                        "bias"] = t(w) if m2.group(1) == "weight" \
+                        else v(w)
+                elif m2 := re.match(r"output\.LayerNorm\.(weight|bias)",
+                                    sub):
+                    node.setdefault("out_ln", {})[m2.group(1)] = v(w)
+                return
+        if m2 := re.match(r"intermediate_query\.dense\.(weight|bias)",
+                          leaf):
+            lp.setdefault("intermediate_query", {})[
+                "kernel" if m2.group(1) == "weight" else "bias"] = \
+                t(w) if m2.group(1) == "weight" else v(w)
+        elif m2 := re.match(r"output_query\.dense\.(weight|bias)", leaf):
+            lp.setdefault("output_query", {})[
+                "kernel" if m2.group(1) == "weight" else "bias"] = \
+                t(w) if m2.group(1) == "weight" else v(w)
+        elif m2 := re.match(r"output_query\.LayerNorm\.(weight|bias)",
+                            leaf):
+            lp.setdefault("output_query_ln", {})[m2.group(1)] = v(w)
+
+
 @register_model("Blip2ForConditionalGeneration")
 class Blip2Model(Qwen3Model):
 
@@ -174,32 +251,7 @@ class Blip2Model(Qwen3Model):
         q_emb = jnp.broadcast_to(vp["query_tokens"][None],
                                  (B, self.num_query_tokens, Dq))
         hq = _ln(q_emb, vp["q_layernorm"], self.q_eps)
-
-        def mha(att, x_q, x_kv, heads, hd):
-            q = (x_q @ att["query"]["kernel"] + att["query"]["bias"]
-                 ).reshape(B, -1, heads, hd)
-            k = (x_kv @ att["key"]["kernel"] + att["key"]["bias"]
-                 ).reshape(B, -1, heads, hd)
-            v = (x_kv @ att["value"]["kernel"] + att["value"]["bias"]
-                 ).reshape(B, -1, heads, hd)
-            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
-            p = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(
-                B, -1, heads * hd)
-            o = o @ att["out"]["kernel"] + att["out"]["bias"]
-            return _ln(o + x_q, att["out_ln"], self.q_eps)
-
-        for lp in vp["qlayers"]:
-            hq = mha(lp["att"], hq, hq, Qh, Qd)
-            if "cross" in lp:
-                hq = mha(lp["cross"], hq, img, Qh, Qd)
-            inter = jax.nn.gelu(
-                hq @ lp["intermediate_query"]["kernel"]
-                + lp["intermediate_query"]["bias"], approximate=False)
-            out = inter @ lp["output_query"]["kernel"] \
-                + lp["output_query"]["bias"]
-            hq = _ln(out + hq, lp["output_query_ln"], self.q_eps)
-
+        hq = qformer_forward(vp["qlayers"], hq, img, Qh, self.q_eps)
         return hq @ vp["language_projection"]["kernel"] \
             + vp["language_projection"]["bias"]
 
@@ -250,41 +302,7 @@ class Blip2Model(Qwen3Model):
                             m2.group(2), w)
 
         def qf_put(rest, w):
-            if m := re.match(r"layernorm\.(weight|bias)", rest):
-                vision.setdefault("q_layernorm", {})[m.group(1)] = v(w)
-            elif m := re.match(r"encoder\.layer\.(\d+)\.(.+)", rest):
-                i, leaf = int(m.group(1)), m.group(2)
-                lp = vision["qlayers"][i]
-                for pref, key in (("attention.", "att"),
-                                  ("crossattention.", "cross")):
-                    if leaf.startswith(pref):
-                        node = lp.setdefault(key, {})
-                        sub = leaf.removeprefix(pref)
-                        if m2 := re.match(r"attention\.(query|key|value)\."
-                                          r"(weight|bias)", sub):
-                            lin_put(node.setdefault(m2.group(1), {}),
-                                    m2.group(2), w)
-                        elif m2 := re.match(r"output\.dense\."
-                                            r"(weight|bias)", sub):
-                            lin_put(node.setdefault("out", {}),
-                                    m2.group(1), w)
-                        elif m2 := re.match(r"output\.LayerNorm\."
-                                            r"(weight|bias)", sub):
-                            node.setdefault("out_ln", {})[m2.group(1)] = \
-                                v(w)
-                        return
-                if m2 := re.match(r"intermediate_query\.dense\."
-                                  r"(weight|bias)", leaf):
-                    lin_put(lp.setdefault("intermediate_query", {}),
-                            m2.group(1), w)
-                elif m2 := re.match(r"output_query\.dense\."
-                                    r"(weight|bias)", leaf):
-                    lin_put(lp.setdefault("output_query", {}),
-                            m2.group(1), w)
-                elif m2 := re.match(r"output_query\.LayerNorm\."
-                                    r"(weight|bias)", leaf):
-                    lp.setdefault("output_query_ln", {})[m2.group(1)] = \
-                        v(w)
+            route_qformer_weight(vision, rest, w, t, v)
 
         def filter_stream():
             for name, w in weights:
