@@ -221,6 +221,35 @@ def load_model_config(model_path: str,
         # mrope reuses the default rope tables; drop the scaling dict so
         # the generic rope path doesn't see type="mrope"/"default".
         hf = {**hf, "rope_scaling": None}
+    if arch in ("Qwen2_5OmniThinkerForConditionalGeneration",
+                "Qwen2_5OmniForConditionalGeneration",
+                "Qwen2_5OmniModel"):
+        # Qwen2.5-Omni thinker (models/qwen2_5_omni.py): serving runs
+        # the thinker only; talker/token2wav configs are ignored. The
+        # audio tower + TMRoPE token ids ride vision_cfg.
+        think = dict(hf.get("thinker_config") or hf)
+        vision_cfg = dict(think.get("vision_config") or {})
+        vision_cfg["audio"] = dict(think.get("audio_config") or {})
+        vision_cfg["audio_token_id"] = think.get(
+            "audio_token_index", think.get("audio_token_id", 151646))
+        vision_cfg["audio_start_token_id"] = think.get(
+            "audio_start_token_id", 151647)
+        vision_cfg["position_id_per_seconds"] = think.get(
+            "position_id_per_seconds", 25)
+        image_token_id = think.get("image_token_index",
+                                   think.get("image_token_id", 151655))
+        video_token_id = think.get("video_token_index",
+                                   think.get("video_token_id", 151656))
+        text = dict(think.get("text_config") or {})
+        vision_start_token_id = think.get(
+            "vision_start_token_id",
+            text.get("vision_start_token_id", 151652))
+        hf = {**hf, **text}
+        rs = hf.get("rope_scaling") or {}
+        if rs.get("mrope_section"):
+            mrope_section = tuple(int(s) for s in rs["mrope_section"])
+        hf = {**hf, "rope_scaling": None,
+              "attention_bias": hf.get("attention_bias", True)}
     if arch in ("Qwen3VLForConditionalGeneration",
                 "Qwen3VLMoeForConditionalGeneration"):
         # Qwen3-VL: Qwen3(MoE) text layer + deepstack ViT + interleaved

@@ -148,6 +148,7 @@ def _register_builtin() -> None:
     import lvllm_tpu.models.clip_embed  # noqa: F401
     import lvllm_tpu.models.tarsier  # noqa: F401
     import lvllm_tpu.models.granite_speech  # noqa: F401
+    import lvllm_tpu.models.qwen2_5_omni  # noqa: F401
     from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
     for arch in ("Qwen2VLForConditionalGeneration",
                  "Qwen2_5_VLForConditionalGeneration"):
