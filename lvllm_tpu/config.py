@@ -153,6 +153,21 @@ class ModelConfig:
     # n_group expert groups before top-k.
     n_group: int = 1
     topk_group: int = 1
+    # Grok-1: tanh soft cap on router logits before scoring
+    # (reference grok1.py router_logit_soft_cap, default 30.0), and the
+    # o_proj output multiplier (folded into o_proj weights at load).
+    router_logit_softcap: Optional[float] = None
+    attn_output_multiplier: float = 1.0
+
+    # Solar backbone skip connections (reference solar.py:317-335): layers
+    # in bskcn_1/bskcn_2 snapshot the residual stream; layers in
+    # bskcn_3/bskcn_4 blend it back as tv*saved + (1-tv)*current with the
+    # inference-time tv = config.bskcn_tv[1].
+    bskcn_1: Optional[Tuple[int, ...]] = None
+    bskcn_2: Optional[Tuple[int, ...]] = None
+    bskcn_3: Optional[Tuple[int, ...]] = None
+    bskcn_4: Optional[Tuple[int, ...]] = None
+    bskcn_tv: float = 0.2
 
     # Hybrid layer schedule (Qwen3-Next): per-layer "full_attention" |
     # "linear_attention"; None = all full attention.

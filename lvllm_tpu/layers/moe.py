@@ -55,6 +55,7 @@ def route_tokens(
     scaling_factor: float = 1.0,
     n_group: int = 1,
     topk_group: int = 1,
+    logit_softcap: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k routing → (weights [T, K] f32, expert_ids [T, K] i32).
 
@@ -68,6 +69,9 @@ def route_tokens(
                         router.astype(jnp.float32))
     if router_bias is not None:
         logits = logits + router_bias.astype(jnp.float32)
+    if logit_softcap:
+        # Grok-1 router soft cap (reference grok1.py:230).
+        logits = logit_softcap * jnp.tanh(logits / logit_softcap)
     if scoring_fn == "softmax_topk":
         # gpt-oss convention (HF GptOssTopKRouter): top-k on raw logits,
         # softmax over the k selected logits only.
@@ -188,6 +192,7 @@ def fused_moe(
     topk_group: int = 1,
     activation: str = "silu",
     weight_on_input: bool = False,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """Single-shard fused MoE forward (EP=1). ``weight_on_input``
     multiplies each routed token's INPUT by its routing weight (Llama4:
@@ -199,7 +204,7 @@ def fused_moe(
     topk_w, topk_ids = route_tokens(
         x, params.router, top_k, norm_topk_prob, scoring_fn,
         params.router_bias, e_score_bias, scaling_factor, n_group,
-        topk_group)
+        topk_group, logit_softcap)
 
     order, group_sizes = permute_for_experts(topk_ids, E)
     token_of_pair = order // top_k              # [T*K]
@@ -273,6 +278,7 @@ def fused_moe_quant(
     n_group: int = 1,
     topk_group: int = 1,
     weight_on_input: bool = False,
+    logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     """Quantized MoE forward: route → align → fused dequant grouped GEMM →
     combine (Pallas on TPU, dequant oracle elsewhere)."""
@@ -290,7 +296,8 @@ def fused_moe_quant(
 
     tile_m = _pick_tile_m(T, top_k)
     if (use_pallas and scoring_fn in ("softmax", "sigmoid")
-            and n_group <= 1 and e_score_bias is None):
+            and n_group <= 1 and e_score_bias is None
+            and logit_softcap is None):
         # One-launch routing (router GEMM → top-k → counting-sort rank):
         # the XLA route+rank pipeline cost ~0.40 ms/layer at prefill
         # width (ops/pallas/moe_route.py).
@@ -305,7 +312,7 @@ def fused_moe_quant(
         topk_w, topk_ids = route_tokens(
             x, params.router, top_k, norm_topk_prob, scoring_fn,
             params.router_bias, e_score_bias, scaling_factor, n_group,
-            topk_group)
+            topk_group, logit_softcap)
         d = moe_align.align_tokens(x, topk_ids, E, tile_m)
     if weight_on_input:
         # Llama4: weight the routed INPUT rows, combine with ones

@@ -191,6 +191,72 @@ def load_model_config(model_path: str,
               "intermediate_size": (hf.get("ffn_hidden_size") or
                                     4 * hf["hidden_size"]),
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+    if arch == "ExaoneForCausalLM":
+        # EXAONE-3 (reference: models/exaone.py): llama math under
+        # GPT-NeoX-style naming; config counts layers as num_layers.
+        hf = {**hf,
+              "num_hidden_layers": hf.get("num_layers",
+                                          hf.get("num_hidden_layers")),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+    if arch in ("TeleChat2ForCausalLM", "TeleChatForCausalLM"):
+        # TeleChat2 (reference: models/telechat2.py:42-66): llama math,
+        # n_layer/n_head keys, biases only on o_proj and down_proj.
+        heads = hf.get("n_head", hf.get("num_attention_heads"))
+        hf = {**hf,
+              "num_hidden_layers": hf.get("n_layer",
+                                          hf.get("num_hidden_layers")),
+              "num_attention_heads": heads,
+              "num_key_value_heads": hf.get("num_key_value_heads", heads),
+              "intermediate_size": (hf.get("ffn_hidden_size") or
+                                    hf.get("intermediate_size")),
+              "max_position_embeddings": (hf.get("seq_length") or
+                                          hf.get("max_position_embeddings",
+                                                 8192)),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+    if arch == "TeleFLMForCausalLM" and hf.get("use_mup"):
+        # TeleFLM µP (reference: models/teleflm.py): embedding × input_mult,
+        # logits × output_mult / mup_scale_factor (logits_scaling divides).
+        hf = {**hf,
+              "embedding_multiplier": hf.get("input_mult", 1.0),
+              "logits_scaling": (hf.get("mup_scale_factor", 1.0) /
+                                 hf.get("output_mult", 1.0))}
+    if arch == "QWenLMHeadModel":
+        # Qwen-1 (reference: models/qwen.py): MHA with biased fused c_attn
+        # only; HF intermediate_size counts gate+up halves together.
+        hf = {**hf,
+              "num_key_value_heads": hf["num_attention_heads"],
+              "intermediate_size": hf["intermediate_size"] // 2,
+              "rope_theta": hf.get("rotary_emb_base", 10000.0),
+              "max_position_embeddings": hf.get("seq_length", 8192),
+              "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-6),
+              "attention_bias": True,
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+    if arch in ("Grok1ForCausalLM", "Grok1ModelForCausalLM"):
+        # Grok-1 (reference: models/grok1.py:75-78 defaults): sandwich
+        # norms, tanh soft caps on attention + router logits, µP-style
+        # multipliers; top-2 of 8 experts without renormalization.
+        cap = max(hf.get("attn_logit_softcapping", 30.0) or 0.0, 0.0)
+        rcap = max(hf.get("router_logit_softcapping", 30.0) or 0.0, 0.0)
+        hf = {**hf,
+              "num_experts": (hf.get("num_experts") or
+                              hf.get("num_local_experts", 8)),
+              "num_experts_per_tok": hf.get("num_experts_per_tok", 2),
+              "moe_intermediate_size": (hf.get("moe_intermediate_size") or
+                                        hf.get("intermediate_size")),
+              "embedding_multiplier": hf.get("embedding_multiplier_scale",
+                                             78.38367176906169),
+              "logits_scaling": 1.0 / hf.get("output_multiplier_scale",
+                                             0.5773502691896257),
+              "attn_output_multiplier": hf.get("attn_output_multiplier",
+                                               0.08838834764831845),
+              "attn_logit_softcapping": cap or None,
+              "router_logit_softcap": rcap or None,
+              "norm_topk_prob": bool(hf.get(
+                  "moe_router_renormalize",
+                  hf.get("moe_renormalize", False))),
+              "max_position_embeddings": hf.get("max_position_embeddings",
+                                                8192),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
     vision_cfg = None
     image_token_id = None
     mrope_section = None
@@ -1306,8 +1372,13 @@ def load_model_config(model_path: str,
         norm_type=norm_type,
         mlp_gated=mlp_gated,
         # GPT-J biases its fc_in/fc_out but not the attention projections.
-        mlp_bias=bias_all or arch == "GPTJForCausalLM",
+        # TeleChat2 biases only down_proj (gate/up bias nodes stay zero).
+        mlp_bias=(bias_all or arch in ("GPTJForCausalLM",
+                                       "TeleChat2ForCausalLM",
+                                       "TeleChatForCausalLM")),
         o_proj_bias=(bias_all or
+                     arch in ("TeleChat2ForCausalLM",
+                              "TeleChatForCausalLM") or
                      # PhiMoE biases all four attention projections.
                      (arch == "PhimoeForCausalLM" and
                       hf.get("attention_bias", False)) or
@@ -1320,7 +1391,9 @@ def load_model_config(model_path: str,
                  # over the partial-rotary prefix (HF
                  # modeling_glm4.apply_rotary_pos_emb).
                  "Glm4ForCausalLM"),
-        sandwich_output_norms=arch == "Glm4ForCausalLM",
+        sandwich_output_norms=arch in ("Glm4ForCausalLM",
+                                       "Grok1ForCausalLM",
+                                       "Grok1ModelForCausalLM"),
         learned_pos_embeddings=learned_pos,
         norm_after=(arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
                              "Exaone4ForCausalLM",
@@ -1477,6 +1550,16 @@ def load_model_config(model_path: str,
         global_rope_theta=hf.get("global_rope_theta", 160000.0),
         local_rope_theta=hf.get("local_rope_theta", 10000.0),
         classifier_pooling=hf.get("classifier_pooling", "cls"),
+        router_logit_softcap=hf.get("router_logit_softcap"),
+        attn_output_multiplier=hf.get("attn_output_multiplier", 1.0),
+        # Solar backbone skip connections; bskcn_tv[1] = inference blend.
+        bskcn_1=tuple(hf["bskcn_1"]) if hf.get("bskcn_1") else None,
+        bskcn_2=tuple(hf["bskcn_2"]) if hf.get("bskcn_2") else None,
+        bskcn_3=tuple(hf["bskcn_3"]) if hf.get("bskcn_3") else None,
+        bskcn_4=tuple(hf["bskcn_4"]) if hf.get("bskcn_4") else None,
+        bskcn_tv=(hf["bskcn_tv"][1]
+                  if isinstance(hf.get("bskcn_tv"), (list, tuple))
+                  else hf.get("bskcn_tv", 0.2)),
     )
     if _clf_arch is not None:
         mc.architecture = _clf_arch

@@ -588,7 +588,8 @@ class Qwen3Model:
                     c.router_scoring_fn, e_score_bias=moe.get("e_score_bias"),
                     scaling_factor=c.routed_scaling_factor,
                     n_group=c.n_group, topk_group=c.topk_group,
-                    weight_on_input=c.moe_apply_weight_on_input)
+                    weight_on_input=c.moe_apply_weight_on_input,
+                    logit_softcap=c.router_logit_softcap)
             mp = MoEParams(
                 router=moe["router"], w1=moe["w1"], w2=moe["w2"],
                 router_bias=moe.get("router_bias"),
@@ -617,7 +618,8 @@ class Qwen3Model:
                 scaling_factor=c.routed_scaling_factor,
                 n_group=c.n_group, topk_group=c.topk_group,
                 activation=c.hidden_act,
-                weight_on_input=c.moe_apply_weight_on_input)
+                weight_on_input=c.moe_apply_weight_on_input,
+                logit_softcap=c.router_logit_softcap)
         mlp = lp["mlp"]
         if "up" in mlp and c.hidden_act == "xielu":
             # Apertus xIELU (HF XIELUActivation._xielu_python): learnable
@@ -800,7 +802,25 @@ class Qwen3Model:
         residual = jnp.zeros_like(x)
         new_caches: List[jax.Array] = []
         aux: List[jax.Array] = []
+        c = self.config
+        bskcn = c.bskcn_1 or c.bskcn_2 or c.bskcn_3 or c.bskcn_4
+        sv1 = sv2 = None
         for i, lp in enumerate(params["layers"]):
+            if bskcn:
+                # Solar backbone skip connections (reference
+                # solar.py:317-335): snapshot/blend BOTH streams so the
+                # blend acts on the true hidden state x + residual.
+                tv = c.bskcn_tv
+                if c.bskcn_1 and i in c.bskcn_1:
+                    sv1 = (x, residual)
+                if c.bskcn_2 and i in c.bskcn_2:
+                    sv2 = (x, residual)
+                if c.bskcn_3 and i in c.bskcn_3 and sv1 is not None:
+                    x = sv1[0] * tv + x * (1.0 - tv)
+                    residual = sv1[1] * tv + residual * (1.0 - tv)
+                if c.bskcn_4 and i in c.bskcn_4 and sv2 is not None:
+                    x = sv2[0] * tv + x * (1.0 - tv)
+                    residual = sv2[1] * tv + residual * (1.0 - tv)
             x, residual, kv = self.apply_layer(
                 lp, x, residual, positions, kv_caches[i], attn_metadata, i,
                 lora, token_adapter)
@@ -1405,6 +1425,146 @@ class Qwen3Model:
                         yield p + f"mlp.{m2.group(1)}_proj.{m2.group(2)}", w
                     else:
                         yield p + rest, w
+                else:
+                    yield name, w
+        elif arch == "ExaoneForCausalLM":
+            # EXAONE-3 (reference: models/exaone.py stacked_params_mapping
+            # :377-386): transformer.h.N.{ln_1,ln_2}, attn.attention.*,
+            # mlp.c_fc_0 (gate) / c_fc_1 (up) / c_proj (down).
+            for name, w in weights:
+                if "rotary" in name:
+                    continue
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    rest = m.group(2)
+                    rest = rest.replace("ln_1.", "input_layernorm.")
+                    rest = rest.replace("ln_2.",
+                                        "post_attention_layernorm.")
+                    rest = rest.replace("attn.attention.", "self_attn.")
+                    rest = rest.replace("self_attn.out_proj.",
+                                        "self_attn.o_proj.")
+                    rest = rest.replace("mlp.c_fc_0.", "mlp.gate_proj.")
+                    rest = rest.replace("mlp.c_fc_1.", "mlp.up_proj.")
+                    rest = rest.replace("mlp.c_proj.", "mlp.down_proj.")
+                    yield f"layers.{m.group(1)}." + rest, w
+                else:
+                    yield name, w
+        elif arch in ("TeleChat2ForCausalLM", "TeleChatForCausalLM"):
+            # TeleChat2 (reference: models/telechat2.py:69-127): separate
+            # query + per-head-interleaved key_value fused proj [Hkv, k|v],
+            # dense (o_proj, biased) and biased down_proj; qkv and
+            # gate/up carry no bias.
+            c = self.config
+            Hkv, D = c.num_key_value_heads, c.head_dim
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name.startswith("word_embeddings."):
+                    yield "embed_tokens." + name.split(".")[-1], w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(
+                            r"self_attention\.key_value\.(weight|bias)",
+                            rest):
+                        kind = m2.group(1)
+                        tail = w.shape[1:] if kind == "weight" else ()
+                        g = w.reshape(Hkv, 2, D, *tail)
+                        yield (p + "self_attn.k_proj." + kind,
+                               g[:, 0].reshape(Hkv * D, *tail))
+                        yield (p + "self_attn.v_proj." + kind,
+                               g[:, 1].reshape(Hkv * D, *tail))
+                    elif m2 := re.match(
+                            r"self_attention\.query\.(weight|bias)", rest):
+                        yield p + "self_attn.q_proj." + m2.group(1), w
+                    elif m2 := re.match(
+                            r"self_attention\.dense\.(weight|bias)", rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    else:
+                        yield p + rest, w
+                else:
+                    yield name, w
+        elif arch == "QWenLMHeadModel":
+            # Qwen-1 (reference: models/qwen.py:307-310): fused biased
+            # c_attn [q|k|v], mlp gate=w2 / up=w1 / down=c_proj, RMSNorm
+            # ln_1/ln_2; all Linears (no Conv1D transpose).
+            c = self.config
+            qw = c.num_attention_heads * c.head_dim
+            for name, w in weights:
+                if "rotary" in name:
+                    continue
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(r"attn\.c_attn\.(weight|bias)", rest):
+                        kind = m2.group(1)
+                        yield p + "self_attn.q_proj." + kind, w[:qw]
+                        yield p + "self_attn.k_proj." + kind, w[qw:2 * qw]
+                        yield p + "self_attn.v_proj." + kind, w[2 * qw:]
+                    elif m2 := re.match(r"attn\.c_proj\.(weight|bias)",
+                                        rest):
+                        yield p + "self_attn.o_proj." + m2.group(1), w
+                    elif m2 := re.match(r"ln_([12])\.(weight|bias)", rest):
+                        slot = ("input_layernorm" if m2.group(1) == "1"
+                                else "post_attention_layernorm")
+                        yield p + f"{slot}.{m2.group(2)}", w
+                    elif rest == "mlp.w2.weight":
+                        yield p + "mlp.gate_proj.weight", w
+                    elif rest == "mlp.w1.weight":
+                        yield p + "mlp.up_proj.weight", w
+                    elif rest == "mlp.c_proj.weight":
+                        yield p + "mlp.down_proj.weight", w
+                    else:
+                        yield p + rest, w
+                else:
+                    yield name, w
+        elif arch in ("Grok1ForCausalLM", "Grok1ModelForCausalLM"):
+            # Grok-1 (reference: models/grok1.py:646-657): decoder names
+            # attn/moe_block, norms pre/post_attn_norm + pre/post_moe_norm
+            # (sandwich), experts linear (gate) / linear_v (up) /
+            # linear_1 (down), RMSNorm weights stored as ".scale". The
+            # attn_output_multiplier is folded into o_proj here (exact —
+            # o_proj has no bias; reference applies it to the o_proj
+            # output, grok1.py:330).
+            c = self.config
+            mult = c.attn_output_multiplier
+            for name, w in weights:
+                name = name.replace("norm.scale", "norm.weight")
+                if m := re.match(r"model\.layers\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"model.layers.{i}."
+                    rest = rest.replace("pre_attn_norm.",
+                                        "input_layernorm.")
+                    rest = rest.replace("post_attn_norm.",
+                                        "post_self_attn_layernorm.")
+                    rest = rest.replace("pre_moe_norm.",
+                                        "post_attention_layernorm.")
+                    rest = rest.replace("post_moe_norm.",
+                                        "post_mlp_layernorm.")
+                    rest = rest.replace("attn.", "self_attn.")
+                    if rest == "self_attn.o_proj.weight" and mult != 1.0:
+                        w = np.asarray(w, np.float32) * mult
+                    rest = rest.replace("moe_block.gate.",
+                                        "mlp.gate.")
+                    if m2 := re.match(
+                            r"moe_block\.experts\.(\d+)\.(linear|linear_v"
+                            r"|linear_1)\.weight", rest):
+                        which = {"linear": "gate_proj",
+                                 "linear_v": "up_proj",
+                                 "linear_1": "down_proj"}[m2.group(2)]
+                        rest = (f"mlp.experts.{m2.group(1)}."
+                                f"{which}.weight")
+                    yield p + rest, w
                 else:
                     yield name, w
         else:

@@ -95,7 +95,18 @@ def _register_builtin() -> None:
                  "OrionForCausalLM", "ArceeForCausalLM",
                  "GraniteMoeSharedForCausalLM", "InternLMForCausalLM",
                  "LLaMAForCausalLM", "AquilaForCausalLM", "AquilaModel",
-                 "XverseForCausalLM"):
+                 "XverseForCausalLM",
+                 # EXAONE-3 (GPT-NeoX-style names), Solar (bskcn skip
+                 # blending), TeleChat2 (query + interleaved key_value),
+                 # TeleFLM (µP multipliers), Qwen-1 (fused biased c_attn),
+                 # Grok-1 (sandwich norms + soft caps + µP multipliers) —
+                 # all config/remap-driven on the unified model.
+                 "ExaoneForCausalLM", "SolarForCausalLM",
+                 "TeleChat2ForCausalLM", "TeleChatForCausalLM",
+                 "TeleFLMForCausalLM", "QWenLMHeadModel",
+                 "Grok1ForCausalLM", "Grok1ModelForCausalLM",
+                 # Llama-clone alias (reference registry.py:145).
+                 "IQuestCoderForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     # MiniCPM 1/2 are llama-structured with muP multipliers (hf_config
@@ -185,7 +196,11 @@ def _register_builtin() -> None:
 
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
-                 "DeepseekForCausalLM", "MiniCPM3ForCausalLM"):
+                 "DeepseekForCausalLM", "MiniCPM3ForCausalLM",
+                 # Checkpoint-compatible V3 variants the reference maps
+                 # onto deepseek_v2.py (registry.py:98,122); the DSA
+                 # sparse-attention index runs dense here.
+                 "DeepseekV32ForCausalLM", "GlmMoeDsaForCausalLM"):
         _REGISTRY[arch] = DeepseekModel
 
     from lvllm_tpu.models.mamba1 import (JambaModel, Lfm2Model,
