@@ -231,6 +231,59 @@ def load_model_config(model_path: str,
               "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-6),
               "attention_bias": True,
               "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
+    if arch == "JAISLMHeadModel":
+        # JAIS (reference: models/jais.py): GPT-2 layout (Conv1D weights,
+        # LayerNorm, biases) with ALiBi or learned positions, swiglu/relu
+        # MLP, and µP scales on embeddings / logits / qk dot.
+        hd = hf["n_embd"] // hf["n_head"]
+        emb_scale = (hf.get("embeddings_scale") or
+                     hf.get("mup_embeddings_scale") or 1.0)
+        out_scale = (hf.get("width_scale") or
+                     (hf.get("mup_output_alpha", 1.0) *
+                      hf.get("mup_width_scale", 1.0)))
+        qk_by_d = hf.get("scale_qk_dot_by_d",
+                         hf.get("mup_scale_qk_dot_by_d", False))
+        hf = {**hf,
+              "hidden_size": hf["n_embd"],
+              "num_hidden_layers": hf["n_layer"],
+              "num_attention_heads": hf["n_head"],
+              "num_key_value_heads": hf["n_head"],
+              "intermediate_size": hf.get("n_inner") or 4 * hf["n_embd"],
+              "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-5),
+              "max_position_embeddings": hf.get("n_positions", 2048),
+              "embedding_multiplier": emb_scale,
+              "logits_scaling": 1.0 / out_scale,
+              "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+        if qk_by_d:
+            hf["attention_multiplier"] = 1.0 / hd
+    if arch in ("BailingMoeForCausalLM", "BailingMoeV2ForCausalLM"):
+        # Ling / BailingMoe (reference: models/bailing_moe.py): fused
+        # query_key_value (+bias per use_qkv_bias|use_bias), optional
+        # qk-norm (RMS or LayerNorm per use_rmsnorm), partial rotary via
+        # rotary_dim, sigmoid-or-softmax scoring with optional grouped
+        # top-k and expert bias, shared experts, first-k dense layers.
+        hd = (hf.get("head_dim") or
+              hf["hidden_size"] // hf["num_attention_heads"])
+        hf = {**hf,
+              "scoring_func": hf.get("score_function", "softmax"),
+              "n_shared_experts": hf.get("num_shared_experts",
+                                         hf.get("n_shared_experts", 0)),
+              "shared_expert_intermediate_size": hf.get(
+                  "moe_shared_expert_intermediate_size"),
+              "use_qkv_bias": (hf.get("use_qkv_bias", False) or
+                               hf.get("use_bias", False)),
+              "qk_norm_type": ("rmsnorm" if hf.get("use_rmsnorm", True)
+                               else "layernorm")}
+        if hf.get("rotary_dim"):
+            hf["partial_rotary_factor"] = hf["rotary_dim"] / hd
+    if arch == "ExaoneMoEForCausalLM":
+        # EXAONE-MoE (reference: models/exaone_moe.py): llama-style
+        # attention + DeepSeek-V3-style sigmoid routing with expert bias
+        # (mlp.e_score_correction_bias) and shared experts.
+        hf = {**hf,
+              "scoring_func": "sigmoid",
+              "n_shared_experts": hf.get("num_shared_experts",
+                                         hf.get("n_shared_experts", 0))}
     if arch in ("Grok1ForCausalLM", "Grok1ModelForCausalLM"):
         # Grok-1 (reference: models/grok1.py:75-78 defaults): sandwich
         # norms, tanh soft caps on attention + router logits, µP-style
@@ -1131,7 +1184,9 @@ def load_model_config(model_path: str,
     use_alibi = (arch in ("BloomForCausalLM", "MptForCausalLM",
                           "MPTForCausalLM") or
                  (arch in ("BaichuanForCausalLM", "BaiChuanForCausalLM")
-                  and hf.get("hidden_size") == 5120))
+                  and hf.get("hidden_size") == 5120) or
+                 (arch == "JAISLMHeadModel" and
+                  hf.get("position_embedding_type", "alibi") == "alibi"))
     if arch == "Dots1ForCausalLM":
         scoring_fn = "sigmoid"
     if arch == "PhimoeForCausalLM":
@@ -1200,6 +1255,15 @@ def load_model_config(model_path: str,
         norm_type = "layernorm"
         if "rms_norm_eps" not in hf and "norm_eps" in hf:
             hf = {**hf, "rms_norm_eps": hf["norm_eps"]}
+    elif arch == "JAISLMHeadModel":
+        norm_type = "layernorm"
+        if hf.get("activation_function", "swiglu") == "swiglu":
+            hidden_act_override = "silu"   # gate=c_fc2, up=c_fc
+        else:
+            mlp_gated = False
+            hidden_act_override = "relu"
+        learned_pos = (hf.get("position_embedding_type",
+                              "alibi") == "learned")
     elif arch == "NemotronForCausalLM":
         norm_type, mlp_gated = "layernorm1p", False
         hidden_act_override = "relu2"
@@ -1240,7 +1304,7 @@ def load_model_config(model_path: str,
         hidden_act_override = "relu2"
     bias_all = (arch in ("GPT2LMHeadModel", "GPTBigCodeForCausalLM",
                          "PhiForCausalLM", "BloomForCausalLM",
-                         "PersimmonForCausalLM",
+                         "PersimmonForCausalLM", "JAISLMHeadModel",
                          # Whisper: biases everywhere except k_proj (the
                          # loader leaves that one zero).
                          "WhisperForConditionalGeneration") or
@@ -1375,10 +1439,14 @@ def load_model_config(model_path: str,
         # TeleChat2 biases only down_proj (gate/up bias nodes stay zero).
         mlp_bias=(bias_all or arch in ("GPTJForCausalLM",
                                        "TeleChat2ForCausalLM",
-                                       "TeleChatForCausalLM")),
+                                       "TeleChatForCausalLM")
+                  or (arch.startswith("BailingMoe") and
+                      hf.get("use_bias", False))),
         o_proj_bias=(bias_all or
                      arch in ("TeleChat2ForCausalLM",
                               "TeleChatForCausalLM") or
+                     (arch.startswith("BailingMoe") and
+                      hf.get("use_bias", False)) or
                      # PhiMoE biases all four attention projections.
                      (arch == "PhimoeForCausalLM" and
                       hf.get("attention_bias", False)) or
@@ -1391,9 +1459,13 @@ def load_model_config(model_path: str,
                  # over the partial-rotary prefix (HF
                  # modeling_glm4.apply_rotary_pos_emb).
                  "Glm4ForCausalLM"),
-        sandwich_output_norms=arch in ("Glm4ForCausalLM",
-                                       "Grok1ForCausalLM",
-                                       "Grok1ModelForCausalLM"),
+        sandwich_output_norms=(arch in ("Glm4ForCausalLM",
+                                        "Grok1ForCausalLM",
+                                        "Grok1ModelForCausalLM") or
+                               # HyperCLOVAX dual post-norms
+                               # (reference hyperclovax.py:254-292).
+                               (arch == "HyperCLOVAXForCausalLM" and
+                                bool(hf.get("use_post_norm")))),
         learned_pos_embeddings=learned_pos,
         norm_after=(arch in ("Olmo2ForCausalLM", "Olmo3ForCausalLM",
                              "Exaone4ForCausalLM",
@@ -1429,7 +1501,10 @@ def load_model_config(model_path: str,
         attention_type=("mla" if arch.startswith("Deepseek")
                         or arch in ("LongcatFlashForCausalLM",
                                     "MiniCPM3ForCausalLM",
-                                    "KimiLinearForCausalLM") else "mha"),
+                                    "KimiLinearForCausalLM",
+                                    "GlmMoeDsaForCausalLM",
+                                    "MistralLarge3ForCausalLM")
+                        else "mha"),
         mla_rope_interleaved=arch != "MiniCPM3ForCausalLM",
         zero_expert_num=hf.get("zero_expert_num", 0) or 0,
         mla_scale_q_lora=(

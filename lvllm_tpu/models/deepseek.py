@@ -173,10 +173,71 @@ class DeepseekModel(Qwen3Model):
 
     # ---- weight loading ----------------------------------------------------
 
+    # Mistral-Large-3 checkpoints are DeepseekV3 math under mistral-format
+    # names (reference: models/mistral_large_3.py remapping table).
+    _MISTRAL_REMAP = [
+        (re.compile(r"layers\.(\d+)\.attention_norm\.weight"),
+         r"model.layers.\1.input_layernorm.weight"),
+        (re.compile(r"layers\.(\d+)\.attention\.wq_a\.(\w+)"),
+         r"model.layers.\1.self_attn.q_a_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.attention\.q_a_norm\.weight"),
+         r"model.layers.\1.self_attn.q_a_layernorm.weight"),
+        (re.compile(r"layers\.(\d+)\.attention\.wq_b\.(\w+)"),
+         r"model.layers.\1.self_attn.q_b_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.attention\.wq\.(\w+)"),
+         r"model.layers.\1.self_attn.q_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.attention\.wkv_a_with_mqa\.(\w+)"),
+         r"model.layers.\1.self_attn.kv_a_proj_with_mqa.\2"),
+        (re.compile(r"layers\.(\d+)\.attention\.kv_a_norm\.weight"),
+         r"model.layers.\1.self_attn.kv_a_layernorm.weight"),
+        (re.compile(r"layers\.(\d+)\.attention\.wkv_b\.(\w+)"),
+         r"model.layers.\1.self_attn.kv_b_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.attention\.wo\.(\w+)"),
+         r"model.layers.\1.self_attn.o_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.ffn_norm\.weight"),
+         r"model.layers.\1.post_attention_layernorm.weight"),
+        (re.compile(r"layers\.(\d+)\.feed_forward\.w1\.(\w+)"),
+         r"model.layers.\1.mlp.gate_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.feed_forward\.w2\.(\w+)"),
+         r"model.layers.\1.mlp.down_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.feed_forward\.w3\.(\w+)"),
+         r"model.layers.\1.mlp.up_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.gate\.weight"),
+         r"model.layers.\1.mlp.gate.weight"),
+        (re.compile(r"layers\.(\d+)\.gate\.bias"),
+         r"model.layers.\1.mlp.gate.e_score_correction_bias"),
+        (re.compile(r"layers\.(\d+)\.shared_experts\.w1\.(\w+)"),
+         r"model.layers.\1.mlp.shared_experts.gate_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.shared_experts\.w2\.(\w+)"),
+         r"model.layers.\1.mlp.shared_experts.down_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.shared_experts\.w3\.(\w+)"),
+         r"model.layers.\1.mlp.shared_experts.up_proj.\2"),
+        (re.compile(r"layers\.(\d+)\.experts\.(\d+)\.w1\.(\w+)"),
+         r"model.layers.\1.mlp.experts.\2.gate_proj.\3"),
+        (re.compile(r"layers\.(\d+)\.experts\.(\d+)\.w2\.(\w+)"),
+         r"model.layers.\1.mlp.experts.\2.down_proj.\3"),
+        (re.compile(r"layers\.(\d+)\.experts\.(\d+)\.w3\.(\w+)"),
+         r"model.layers.\1.mlp.experts.\2.up_proj.\3"),
+        (re.compile(r"norm\.weight"), "model.norm.weight"),
+        (re.compile(r"tok_embeddings\.weight"),
+         "model.embed_tokens.weight"),
+        (re.compile(r"output\.weight"), "lm_head.weight"),
+    ]
+
     def load_weights(self, weights: Iterable[Tuple[str, np.ndarray]]) -> Params:
         c = self.config
         H = c.num_attention_heads
         dn, dv = c.qk_nope_head_dim, c.v_head_dim
+
+        if c.architecture == "MistralLarge3ForCausalLM":
+            def remap_mistral(stream):
+                for name, w in stream:
+                    for pat, repl in self._MISTRAL_REMAP:
+                        if pat.fullmatch(name):
+                            name = pat.sub(repl, name)
+                            break
+                    yield name, w
+            weights = remap_mistral(weights)
 
         def translate():
             for name, w in weights:

@@ -1528,6 +1528,101 @@ class Qwen3Model:
                         yield p + rest, w
                 else:
                     yield name, w
+        elif arch == "HyperCLOVAXForCausalLM":
+            # HyperCLOVAX (reference: models/hyperclovax.py:254-292):
+            # llama names + dual post-norms post_norm1/post_norm2.
+            for name, w in weights:
+                name = name.replace("post_norm1.",
+                                    "post_self_attn_layernorm.")
+                name = name.replace("post_norm2.", "post_mlp_layernorm.")
+                yield name, w
+        elif arch in ("BailingMoeForCausalLM", "BailingMoeV2ForCausalLM"):
+            # Ling / BailingMoe (reference: models/bailing_moe.py):
+            # word_embeddings, attention.query_key_value plain [q|k|v]
+            # concat, attention.dense, query/key_layernorm qk-norms,
+            # gate.expert_bias selection bias.
+            c = self.config
+            qw = c.num_attention_heads * c.head_dim
+            kvw = c.num_key_value_heads * c.head_dim
+            for name, w in weights:
+                name = name.replace("model.word_embeddings.",
+                                    "model.embed_tokens.")
+                if m := re.match(r"model\.layers\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"model.layers.{i}."
+                    if m2 := re.match(
+                            r"attention\.query_key_value\.(weight|bias)",
+                            rest):
+                        kind = m2.group(1)
+                        yield p + "self_attn.q_proj." + kind, w[:qw]
+                        yield p + "self_attn.k_proj." + kind, \
+                            w[qw:qw + kvw]
+                        yield p + "self_attn.v_proj." + kind, w[qw + kvw:]
+                    else:
+                        rest = rest.replace("attention.dense.",
+                                            "self_attn.o_proj.")
+                        rest = rest.replace("attention.query_layernorm.",
+                                            "self_attn.q_norm.")
+                        rest = rest.replace("attention.key_layernorm.",
+                                            "self_attn.k_norm.")
+                        rest = rest.replace("mlp.gate.expert_bias",
+                                            "mlp.gate."
+                                            "e_score_correction_bias")
+                        yield p + rest, w
+                else:
+                    yield name, w
+        elif arch == "JAISLMHeadModel":
+            # JAIS (reference: models/jais.py:330-338): GPT-2 Conv1D
+            # layout (transposed weights) with fused MHA c_attn; swiglu
+            # MLP uses c_fc2 as the silu (gate) side and c_fc as up.
+            c = self.config
+            qw = c.num_attention_heads * c.head_dim
+            for name, w in weights:
+                name = name.removeprefix("transformer.")
+                if name == "wte.weight":
+                    yield "embed_tokens.weight", w
+                elif name == "wpe.weight":
+                    yield "pos_embed.weight", w
+                elif name.startswith("ln_f."):
+                    yield "norm." + name.split(".")[-1], w
+                elif name.startswith("relative_pe."):
+                    continue    # ALiBi slope table is recomputed
+                elif m := re.match(r"h\.(\d+)\.(.+)", name):
+                    i, rest = m.group(1), m.group(2)
+                    p = f"layers.{i}."
+                    if m2 := re.match(r"ln_([12])\.(weight|bias)", rest):
+                        slot = ("input_layernorm" if m2.group(1) == "1"
+                                else "post_attention_layernorm")
+                        yield p + f"{slot}.{m2.group(2)}", w
+                    elif m2 := re.match(r"attn\.c_attn\.(weight|bias)",
+                                        rest):
+                        kind = m2.group(1)
+                        wt = (np.ascontiguousarray(w.T)
+                              if kind == "weight" else w)
+                        yield p + "self_attn.q_proj." + kind, wt[:qw]
+                        yield p + "self_attn.k_proj." + kind, \
+                            wt[qw:2 * qw]
+                        yield p + "self_attn.v_proj." + kind, wt[2 * qw:]
+                    elif m2 := re.match(r"attn\.c_proj\.(weight|bias)",
+                                        rest):
+                        kind = m2.group(1)
+                        yield (p + "self_attn.o_proj." + kind,
+                               np.ascontiguousarray(w.T)
+                               if kind == "weight" else w)
+                    elif m2 := re.match(
+                            r"mlp\.(c_fc|c_fc2|c_proj)\.(weight|bias)",
+                            rest):
+                        which, kind = m2.group(1), m2.group(2)
+                        slot = {"c_proj": "down_proj",
+                                "c_fc2": "gate_proj",
+                                "c_fc": "up_proj"}[which]
+                        yield (p + f"mlp.{slot}.{kind}",
+                               np.ascontiguousarray(w.T)
+                               if kind == "weight" else w)
+                    else:
+                        yield p + rest, w
+                else:
+                    yield name, w
         elif arch in ("Grok1ForCausalLM", "Grok1ModelForCausalLM"):
             # Grok-1 (reference: models/grok1.py:646-657): decoder names
             # attn/moe_block, norms pre/post_attn_norm + pre/post_moe_norm

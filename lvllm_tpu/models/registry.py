@@ -106,7 +106,15 @@ def _register_builtin() -> None:
                  "TeleFLMForCausalLM", "QWenLMHeadModel",
                  "Grok1ForCausalLM", "Grok1ModelForCausalLM",
                  # Llama-clone alias (reference registry.py:145).
-                 "IQuestCoderForCausalLM"):
+                 "IQuestCoderForCausalLM",
+                 # HyperCLOVAX (Granite-style multipliers + optional dual
+                 # post-norms), Ling/BailingMoe (fused qkv + grouped
+                 # sigmoid routing + shared experts), EXAONE-MoE
+                 # (DeepSeek-V3-style routing under llama attention),
+                 # JAIS (GPT-2 layout + ALiBi + swiglu + µP scales).
+                 "HyperCLOVAXForCausalLM", "BailingMoeForCausalLM",
+                 "BailingMoeV2ForCausalLM", "ExaoneMoEForCausalLM",
+                 "JAISLMHeadModel"):
         _REGISTRY[arch] = Qwen3Model
 
     # MiniCPM 1/2 are llama-structured with muP multipliers (hf_config
@@ -200,7 +208,10 @@ def _register_builtin() -> None:
                  # Checkpoint-compatible V3 variants the reference maps
                  # onto deepseek_v2.py (registry.py:98,122); the DSA
                  # sparse-attention index runs dense here.
-                 "DeepseekV32ForCausalLM", "GlmMoeDsaForCausalLM"):
+                 "DeepseekV32ForCausalLM", "GlmMoeDsaForCausalLM",
+                 # DeepseekV3 math under mistral-format weight names
+                 # (reference: models/mistral_large_3.py).
+                 "MistralLarge3ForCausalLM"):
         _REGISTRY[arch] = DeepseekModel
 
     from lvllm_tpu.models.mamba1 import (JambaModel, Lfm2Model,
