@@ -169,6 +169,10 @@ class ModelConfig:
     bskcn_4: Optional[Tuple[int, ...]] = None
     bskcn_tv: float = 0.2
 
+    # ColBERT late-interaction projection width (reference colbert.py
+    # get_colbert_dim_from_config: colbert_dim | dim | projection_dim).
+    colbert_dim: Optional[int] = None
+
     # Hybrid layer schedule (Qwen3-Next): per-layer "full_attention" |
     # "linear_attention"; None = all full attention.
     layer_types: Optional[Tuple[str, ...]] = None

@@ -31,12 +31,33 @@ class PoolingRunner:
     def _forward(self, params, input_ids, positions, qsl, seq_lens,
                  block_table, slot_mapping, kv_caches, row_valid,
                  pooling: str):
-        md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
-                               block_table=block_table,
-                               slot_mapping=slot_mapping)
+        md = AttentionMetadata(
+            query_start_loc=qsl, seq_lens=seq_lens,
+            block_table=block_table, slot_mapping=slot_mapping,
+            # Bidirectional decoder embeds (LlamaBidirectional / Voyage)
+            # ride the prefix-LM mask with the whole prompt as prefix.
+            prefix_lens=(seq_lens
+                         if getattr(self.model, "bidirectional", False)
+                         else None))
         hidden, _ = self.model(params, input_ids, positions, kv_caches, md)
         R = seq_lens.shape[0]
         T = input_ids.shape[0]
+        if hasattr(self.model, "pool_hidden"):
+            # Model-defined pooling (SPLADE sparse vocab-max): returns
+            # [R, D]; the model decides whether to L2-normalize.
+            emb = self.model.pool_hidden(params, hidden, input_ids, qsl,
+                                         seq_lens).astype(jnp.float32)
+            if getattr(self.model, "pool_normalize", True):
+                norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+                emb = emb / jnp.maximum(norm, 1e-12)
+            return jnp.where(row_valid[:, None], emb, 0.0)
+        if pooling == "token":
+            # Late-interaction (ColBERT): per-token projected embeddings
+            # [T, dim], L2-normalized per token; split by qsl on host.
+            tok = self.model.token_project(params, hidden).astype(
+                jnp.float32)
+            norm = jnp.linalg.norm(tok, axis=-1, keepdims=True)
+            return tok / jnp.maximum(norm, 1e-12)
         if pooling == "cls":
             # Encoder-family CLS pooling: first token of each segment.
             emb = hidden[qsl[:-1]]                            # [R, H]
@@ -65,9 +86,12 @@ class PoolingRunner:
 
     def _forward_classify(self, params, input_ids, positions, qsl,
                           seq_lens, block_table, slot_mapping, kv_caches):
-        md = AttentionMetadata(query_start_loc=qsl, seq_lens=seq_lens,
-                               block_table=block_table,
-                               slot_mapping=slot_mapping)
+        md = AttentionMetadata(
+            query_start_loc=qsl, seq_lens=seq_lens,
+            block_table=block_table, slot_mapping=slot_mapping,
+            prefix_lens=(seq_lens
+                         if getattr(self.model, "bidirectional", False)
+                         else None))
         hidden, _ = self.model(params, input_ids, positions, kv_caches, md)
         return self.model.classify(params, hidden, qsl)
 
@@ -127,6 +151,34 @@ class PoolingRunner:
                 total += len(toks)
         return np.concatenate(out) if out else np.zeros((0, mc.hidden_size),
                                                         np.float32)
+
+    def embed_token_level(self, token_lists: List[List[int]]
+                          ) -> List[np.ndarray]:
+        """Late-interaction embeddings (reference: token_embed pooling
+        task, layers/pooler/tokwise.py): one [len_i, dim] matrix of
+        L2-normalized per-token vectors per prompt. MaxSim scoring is the
+        caller's job."""
+        out: List[np.ndarray] = []
+        batch: List[List[int]] = []
+        total = 0
+        for toks in token_lists + [None]:
+            flush = toks is None or (total + len(toks) > self.max_tokens
+                                     and batch)
+            if flush and batch:
+                args = self._batch_args(batch)
+                row_valid = np.ones(len(batch), bool)
+                tok = np.asarray(self._fwd(self.params, *args,
+                                           jnp.asarray(row_valid),
+                                           pooling="token"))
+                start = 0
+                for t in batch:
+                    out.append(tok[start:start + len(t)])
+                    start += len(t)
+                batch, total = [], 0
+            if toks is not None:
+                batch.append(toks)
+                total += len(toks)
+        return out
 
     def _batch_args(self, batch: List[List[int]]):
         """Flatten a prompt batch into the device forward args

@@ -94,7 +94,9 @@ def load_model_config(model_path: str,
                 "BertForTokenClassification",
                 "RobertaForSequenceClassification",
                 "XLMRobertaForSequenceClassification",
-                "CamembertForSequenceClassification"):
+                "CamembertForSequenceClassification",
+                "BertSpladeSparseEmbeddingModel", "HF_ColBERT",
+                "ColBERTJinaRobertaModel", "BgeM3EmbeddingModel"):
         # Encoder-only embedding families (reference: models/bert.py,
         # roberta.py, bert_with_rope.py). RoBERTa position ids start at
         # padding_idx + 1; GTE "NewModel" replaces absolute positions
@@ -103,7 +105,9 @@ def load_model_config(model_path: str,
                            "XLMRobertaModel", "CamembertModel",
                            "RobertaForSequenceClassification",
                            "XLMRobertaForSequenceClassification",
-                           "CamembertForSequenceClassification")
+                           "CamembertForSequenceClassification",
+                           "ColBERTJinaRobertaModel",
+                           "BgeM3EmbeddingModel")
         gte = arch in ("NewModel", "GteModel", "GteNewModel",
                        "GteNewForSequenceClassification")
         hf = {**hf,
@@ -120,7 +124,8 @@ def load_model_config(model_path: str,
             hf["max_position_embeddings"] = (
                 hf["max_position_embeddings"] - hf["position_offset"])
     if arch in ("ModernBertModel", "ModernBertForSequenceClassification",
-                "ModernBertForTokenClassification"):
+                "ModernBertForTokenClassification",
+                "ColBERTModernBertModel"):
         # ModernBERT encoder (models/modernbert.py): RoPE positions,
         # alternating global/local attention, GeGLU MLP, bias-free norms.
         hf = {**hf,
@@ -191,6 +196,20 @@ def load_model_config(model_path: str,
               "intermediate_size": (hf.get("ffn_hidden_size") or
                                     4 * hf["hidden_size"]),
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
+    if arch in ("LlamaBidirectionalModel",
+                "LlamaBidirectionalForSequenceClassification",
+                "VoyageQwen3BidirectionalEmbedModel"):
+        # Bidirectional decoder embedders (reference models/config.py
+        # LlamaBidirectionalConfig: is_causal=False, pooling key).
+        hf = {**hf, "classifier_pooling": {"avg": "mean", "mean": "mean",
+                                           "cls": "cls", "last": "last"}[
+                                               hf.get("pooling", "avg")]}
+    if arch in ("HF_ColBERT", "ColBERTJinaRobertaModel",
+                "ColBERTModernBertModel"):
+        # ColBERT projection width (reference colbert.py:115-124).
+        hf = {**hf, "colbert_dim": (hf.get("colbert_dim") or
+                                    hf.get("dim") or
+                                    hf.get("projection_dim"))}
     if arch == "ExaoneForCausalLM":
         # EXAONE-3 (reference: models/exaone.py): llama math under
         # GPT-NeoX-style naming; config counts layers as num_layers.
@@ -1625,6 +1644,7 @@ def load_model_config(model_path: str,
         global_rope_theta=hf.get("global_rope_theta", 160000.0),
         local_rope_theta=hf.get("local_rope_theta", 10000.0),
         classifier_pooling=hf.get("classifier_pooling", "cls"),
+        colbert_dim=hf.get("colbert_dim"),
         router_logit_softcap=hf.get("router_logit_softcap"),
         attn_output_multiplier=hf.get("attn_output_multiplier", 1.0),
         # Solar backbone skip connections; bskcn_tv[1] = inference blend.

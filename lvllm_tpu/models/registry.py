@@ -225,6 +225,8 @@ def _register_builtin() -> None:
     # Encoder-only embedding families (registered via decorator on import).
     from lvllm_tpu.models import bert  # noqa: F401
     from lvllm_tpu.models import modernbert  # noqa: F401
+    # SPLADE / ColBERT / bidirectional-decoder retrieval models.
+    from lvllm_tpu.models import retrieval  # noqa: F401
     # Reward-model heads over causal decoders.
     from lvllm_tpu.models import reward  # noqa: F401
 

@@ -35,6 +35,20 @@ DRAFT_ARCH_METHOD: Dict[str, str] = {
     "Glm4MoeMTPModel": "mtp",
     "LongCatFlashMTPModel": "mtp",
     "Qwen3NextMTP": "mtp",
+    # Per-family MTP heads (reference registry.py:590-606) — all follow
+    # the same one-layer MTP checkpoint layout the mtp proposer consumes
+    # (embed + eh_proj + enorm/hnorm + decoder layer + head).
+    "DeepSeekV4MTPModel": "mtp",
+    "ExaoneMoeMTP": "mtp",
+    "Exaone4_5_MTP": "mtp",
+    "NemotronHMTPModel": "mtp",
+    "Glm4MoeLiteMTPModel": "mtp",
+    "GlmOcrMTPModel": "mtp",
+    "OpenPanguMTPModel": "mtp",
+    "Step3p5MTP": "mtp",
+    "Qwen3_5MTP": "mtp",
+    "Qwen3_5MoeMTP": "mtp",
+    "HYV3MTPModel": "mtp",
 }
 
 
