@@ -181,8 +181,11 @@ class ModelConfig:
     linear_key_head_dim: int = 64
     linear_value_head_dim: int = 64
     linear_conv_kernel_dim: int = 4
-    # Gated attention output (Qwen3-Next full-attention layers).
+    # Gated attention output (Qwen3-Next full-attention layers pack the
+    # gate inside q_proj; attn_gate_proj = Afmoe-style separate gate
+    # projection applied as sigma(x@gate_proj) * attn_out before o_proj).
     attn_output_gate: bool = False
+    attn_gate_proj: bool = False
     # Mamba2 (SSD) mixer dims — used by layers typed "linear_attention"
     # in Mamba2/Bamba-style models (0 heads = no mamba layers).
     mamba_num_heads: int = 0

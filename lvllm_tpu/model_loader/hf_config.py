@@ -303,6 +303,40 @@ def load_model_config(model_path: str,
               "scoring_func": "sigmoid",
               "n_shared_experts": hf.get("num_shared_experts",
                                          hf.get("n_shared_experts", 0))}
+    if arch == "Jais2ForCausalLM":
+        # Jais-2 (reference: models/jais2.py): llama attention + relu²
+        # non-gated MLP + LayerNorm norms + logit_scale multiplier +
+        # interleaved sliding windows ([win, None] alternating pattern).
+        isw = hf.get("interleaved_sliding_window")
+        if isw is not None:
+            pat = isw if isinstance(isw, list) else [isw]
+            wins = {w for w in pat if w}
+            if len(wins) > 1:
+                raise ValueError(
+                    "Jais2 with multiple distinct sliding windows is "
+                    f"not supported: {sorted(wins)}")
+            L = hf["num_hidden_layers"]
+            hf = {**hf,
+                  "sliding_window": (next(iter(wins)) if wins else None),
+                  "layer_types": [
+                      "sliding_attention" if pat[i % len(pat)]
+                      else "full_attention" for i in range(L)]}
+        if hf.get("logit_scale"):
+            hf = {**hf, "logits_scaling": 1.0 / hf["logit_scale"]}
+    if arch == "AfmoeForCausalLM":
+        # Afmoe (reference: models/afmoe.py): gated attention output,
+        # qk-norm, NoPE on full-attention layers (rope only on sliding),
+        # four norms per layer, sigmoid/softmax MoE with expert bias and
+        # route_scale; first num_dense_layers are dense.
+        hf = {**hf,
+              "scoring_func": hf.get("score_func", "softmax"),
+              "norm_topk_prob": (bool(hf.get("route_norm", True))
+                                 if hf.get("score_func") == "sigmoid"
+                                 else False),
+              "routed_scaling_factor": hf.get("route_scale", 1.0),
+              "n_shared_experts": hf.get("num_shared_experts", 0),
+              "use_qk_norm": True,
+              "first_k_dense_replace": hf.get("num_dense_layers", 0)}
     if arch in ("Grok1ForCausalLM", "Grok1ModelForCausalLM"):
         # Grok-1 (reference: models/grok1.py:75-78 defaults): sandwich
         # norms, tanh soft caps on attention + router logits, µP-style
@@ -1283,6 +1317,9 @@ def load_model_config(model_path: str,
             hidden_act_override = "relu"
         learned_pos = (hf.get("position_embedding_type",
                               "alibi") == "learned")
+    elif arch == "Jais2ForCausalLM":
+        norm_type, mlp_gated = "layernorm", False
+        hidden_act_override = "relu2"
     elif arch == "NemotronForCausalLM":
         norm_type, mlp_gated = "layernorm1p", False
         hidden_act_override = "relu2"
@@ -1480,7 +1517,8 @@ def load_model_config(model_path: str,
                  "Glm4ForCausalLM"),
         sandwich_output_norms=(arch in ("Glm4ForCausalLM",
                                         "Grok1ForCausalLM",
-                                        "Grok1ModelForCausalLM") or
+                                        "Grok1ModelForCausalLM",
+                                        "AfmoeForCausalLM") or
                                # HyperCLOVAX dual post-norms
                                # (reference hyperclovax.py:254-292).
                                (arch == "HyperCLOVAXForCausalLM" and
@@ -1523,6 +1561,8 @@ def load_model_config(model_path: str,
                                     "KimiLinearForCausalLM",
                                     "GlmMoeDsaForCausalLM",
                                     "MistralLarge3ForCausalLM")
+                        or (arch == "Glm4MoeLiteForCausalLM" and
+                            bool(hf.get("kv_lora_rank")))
                         else "mha"),
         mla_rope_interleaved=arch != "MiniCPM3ForCausalLM",
         zero_expert_num=hf.get("zero_expert_num", 0) or 0,
@@ -1566,7 +1606,8 @@ def load_model_config(model_path: str,
                         # (full-attention layers are NoPE).
                         else (tuple(1 if t == "sliding_attention" else 0
                                     for t in layer_types)
-                              if arch == "Cohere2ForCausalLM" and
+                              if arch in ("Cohere2ForCausalLM",
+                                          "AfmoeForCausalLM") and
                               layer_types
                               # GPT-2/GPTBigCode/OPT: learned positions, no
                               # rope; ALiBi families: slopes replace rope.
@@ -1647,6 +1688,7 @@ def load_model_config(model_path: str,
         colbert_dim=hf.get("colbert_dim"),
         router_logit_softcap=hf.get("router_logit_softcap"),
         attn_output_multiplier=hf.get("attn_output_multiplier", 1.0),
+        attn_gate_proj=arch == "AfmoeForCausalLM",
         # Solar backbone skip connections; bskcn_tv[1] = inference blend.
         bskcn_1=tuple(hf["bskcn_1"]) if hf.get("bskcn_1") else None,
         bskcn_2=tuple(hf["bskcn_2"]) if hf.get("bskcn_2") else None,

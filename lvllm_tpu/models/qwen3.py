@@ -222,6 +222,11 @@ class Qwen3Model:
                         (c.num_attention_heads * D, c.hidden_size))},
                 },
             }
+            if c.attn_gate_proj:
+                # Afmoe separate gate projection (qwen3-next packs its
+                # gate inside q_proj and overrides attention entirely).
+                layer["self_attn"]["gate_proj"] = {"kernel": dense(
+                    (c.hidden_size, c.num_attention_heads * D))}
             if c.attention_bias:
                 for pname, width in (("q_proj", c.num_attention_heads * D),
                                      ("k_proj", c.num_key_value_heads * D),
@@ -335,6 +340,13 @@ class Qwen3Model:
             q = jnp.clip(q, -c.clip_qkv, c.clip_qkv)
             k = jnp.clip(k, -c.clip_qkv, c.clip_qkv)
             v = jnp.clip(v, -c.clip_qkv, c.clip_qkv)
+        out_gate = None
+        if c.attn_gate_proj and "gate_proj" in attn:
+            # Afmoe-style gated attention output: σ(x @ gate_proj)
+            # multiplies the attention output before o_proj
+            # (reference afmoe.py:283).
+            out_gate = jax.nn.sigmoid(
+                dense_matmul(x, attn["gate_proj"]).astype(jnp.float32))
 
         def qk_norm(q, k):
             if c.qk_norm_across_heads:
@@ -496,6 +508,9 @@ class Qwen3Model:
                 sinks=sinks, alibi_slopes=self.alibi_slopes,
                 prefix_lens=md.prefix_lens)
         attn_flat = out.reshape(T, c.num_attention_heads * D)
+        if out_gate is not None:
+            attn_flat = (attn_flat.astype(jnp.float32) *
+                         out_gate).astype(attn_flat.dtype)
         out = dense_matmul(attn_flat, attn["o_proj"])
         if "bias" in attn["o_proj"]:
             out = out + attn["o_proj"]["bias"]
@@ -1528,6 +1543,22 @@ class Qwen3Model:
                         yield p + rest, w
                 else:
                     yield name, w
+        elif arch == "AfmoeForCausalLM":
+            # Afmoe (reference: models/afmoe.py:300-340): four norms per
+            # layer — post_attention_layernorm is the POST-attention
+            # output norm (our post_self_attn slot) and pre_mlp_layernorm
+            # is the pre-FFN norm (our post_attention slot); expert bias
+            # lives directly on the MoE module.
+            for name, w in weights:
+                name = name.replace(".post_attention_layernorm.",
+                                    ".__post_attn__.")
+                name = name.replace(".pre_mlp_layernorm.",
+                                    ".post_attention_layernorm.")
+                name = name.replace(".__post_attn__.",
+                                    ".post_self_attn_layernorm.")
+                name = name.replace("mlp.expert_bias",
+                                    "mlp.e_score_correction_bias")
+                yield name, w
         elif arch == "HyperCLOVAXForCausalLM":
             # HyperCLOVAX (reference: models/hyperclovax.py:254-292):
             # llama names + dual post-norms post_norm1/post_norm2.
@@ -1730,7 +1761,7 @@ class Qwen3Model:
                     put(["layers", str(i), "mlp", "gate_up", "kernel"],
                         w, transpose=True)
                 elif m2 := re.match(
-                        r"self_attn\.(q|k|v|o)_proj\.weight", rest):
+                        r"self_attn\.(q|k|v|o|gate)_proj\.weight", rest):
                     put(["layers", str(i), "self_attn",
                          f"{m2.group(1)}_proj", "kernel"], w, transpose=True)
                 elif m2 := re.match(

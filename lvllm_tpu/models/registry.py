@@ -114,8 +114,24 @@ def _register_builtin() -> None:
                  # JAIS (GPT-2 layout + ALiBi + swiglu + µP scales).
                  "HyperCLOVAXForCausalLM", "BailingMoeForCausalLM",
                  "BailingMoeV2ForCausalLM", "ExaoneMoEForCausalLM",
-                 "JAISLMHeadModel"):
+                 "JAISLMHeadModel",
+                 # Jais-2 (relu² MLP + LayerNorm + interleaved sliding),
+                 # Afmoe (gated attention + sandwich norms + MoE).
+                 "Jais2ForCausalLM", "AfmoeForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
+
+    # GLM-4-MoE-Lite: DeepseekV2 attention under GLM-4-MoE routing
+    # (reference glm4_moe_lite.py:94-141) — MLA iff the config carries
+    # kv_lora_rank, plain GQA otherwise.
+    def _glm4_moe_lite(config):
+        from lvllm_tpu.models.deepseek import DeepseekModel
+        if config.attention_type == "mla":
+            return DeepseekModel(config)
+        return Qwen3Model(config)
+    _REGISTRY["Glm4MoeLiteForCausalLM"] = _glm4_moe_lite
+
+    # Transformers-backend fallback archs (registered via decorator).
+    from lvllm_tpu.models import transformers_fallback  # noqa: F401
 
     # MiniCPM 1/2 are llama-structured with muP multipliers (hf_config
     # fixups); MiniCPM3 swaps in MLA attention (DeepseekModel below).
