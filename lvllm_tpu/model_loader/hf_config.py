@@ -926,15 +926,27 @@ def load_model_config(model_path: str,
         outer_arch = arch
         hf = {**hf, **text}
         arch = outer_arch
-    if arch == "InternVLForConditionalGeneration":
-        # InternVL: flatten text_config (Qwen2/Llama); carry
+    if arch in ("InternVLForConditionalGeneration", "InternVLChatModel",
+                "NVLM_D", "H2OVLChatModel", "SkyworkR1VChatModel",
+                "InternS1ForConditionalGeneration",
+                "InternS1ProForConditionalGeneration",
+                # Eagle 2.5-VL rides the same flattening (SigLIP tower +
+                # the InternVL shuffle; reference eagle2_5_vl.py:96).
+                "Eagle2_5_VLForConditionalGeneration"):
+        # InternVL family: flatten text_config (HF format) or llm_config
+        # (original trust-remote format; also NVLM/H2OVL/SkyworkR1V,
+        # reference nvlm_d.py / h2ovl.py / skyworkr1v.py); carry
         # downsample_ratio into the vision dict for pixel shuffle.
+        # NVLM's mlp1 widens to llm_intermediate without biases
+        # (nvlm_d.py:158-173).
         vision_cfg = dict(hf.get("vision_config") or {})
         vision_cfg["downsample_ratio"] = hf.get("downsample_ratio", 0.5)
         image_token_id = hf.get("image_token_id",
                                 hf.get("image_token_index"))
-        text = dict(hf.get("text_config") or {})
+        text = dict(hf.get("text_config") or hf.get("llm_config") or {})
         text_arch = (text.get("architectures") or ["Qwen2ForCausalLM"])[0]
+        if arch == "NVLM_D":
+            vision_cfg["projector_mid"] = text.get("intermediate_size")
         hf = {**hf, **text}
         override_arch, arch = arch, text_arch
     num_experts = _first(hf.get("num_experts") or hf.get("n_routed_experts")

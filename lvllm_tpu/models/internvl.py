@@ -32,6 +32,15 @@ def _ln(x, node, eps):
 
 @register_model("InternVLForConditionalGeneration")
 @register_model("InternVLChatModel")
+# InternVL-derived chat models (reference nvlm_d.py:158, h2ovl.py:154,
+# skyworkr1v.py:153, interns1.py): same InternViT + pixel-shuffle + mlp1
+# math; NVLM widens mlp1 (projector_mid fixup), the rest differ only in
+# processor-side tiling.
+@register_model("NVLM_D")
+@register_model("H2OVLChatModel")
+@register_model("SkyworkR1VChatModel")
+@register_model("InternS1ForConditionalGeneration")
+@register_model("InternS1ProForConditionalGeneration")
 class InternVLModel(Qwen3Model):
 
     is_multimodal = True
@@ -51,6 +60,11 @@ class InternVLModel(Qwen3Model):
         self.v_qk_norm = vc.get("use_qk_norm", False)
         self.downsample_ratio = vc.get("downsample_ratio", 0.5)
         self.v_attn_bias = vc.get("attention_bias", False)
+        # NVLM widens mlp1's middle layer to llm_intermediate (bias-free;
+        # missing biases stay zero — exact; reference nvlm_d.py:158).
+        self.projector_mid = vc.get("projector_mid") or config.hidden_size
+        # Original InternViT checkpoints (qkv_bias=True default).
+        self.v_qkv_bias = vc.get("qkv_bias", self.v_attn_bias)
 
     @property
     def num_image_tokens(self) -> int:
@@ -107,10 +121,10 @@ class InternVLModel(Qwen3Model):
             "layers": layers,
             "projector": {
                 "layer_norm": ln(C4),
-                "linear_1": {"kernel": dense((C4, self.config.hidden_size)),
-                             "bias": jnp.zeros((self.config.hidden_size,),
+                "linear_1": {"kernel": dense((C4, self.projector_mid)),
+                             "bias": jnp.zeros((self.projector_mid,),
                                                jnp.float32)},
-                "linear_2": {"kernel": dense((self.config.hidden_size,
+                "linear_2": {"kernel": dense((self.projector_mid,
                                               self.config.hidden_size)),
                              "bias": jnp.zeros((self.config.hidden_size,),
                                                jnp.float32)},
@@ -190,9 +204,10 @@ class InternVLModel(Qwen3Model):
         pj = vp["projector"]
         x = _ln(x, pj["layer_norm"], 1e-5)
         x = jax.nn.gelu(
-            x @ pj["linear_1"]["kernel"] + pj["linear_1"]["bias"],
+            x @ pj["linear_1"]["kernel"] + pj["linear_1"].get("bias", 0.0),
             approximate=False)
-        return x @ pj["linear_2"]["kernel"] + pj["linear_2"]["bias"]
+        return x @ pj["linear_2"]["kernel"] + pj["linear_2"].get("bias",
+                                                                 0.0)
 
     # ---- weight loading ----------------------------------------------------
 
@@ -239,8 +254,79 @@ class InternVLModel(Qwen3Model):
             elif rest == "embeddings.position_embeddings":
                 vision["position_embedding"] = jnp.asarray(w, jnp.float32)
 
+        H = self.v_hidden
+
+        def _vis_put_orig(rest: str, w: np.ndarray):
+            # Original trust-remote InternViT naming (NVLM / H2OVL /
+            # SkyworkR1V / InternVL-Chat; reference intern_vit.py):
+            # encoder.layers.N.{attn.qkv, attn.proj, attn.q_norm, ls1,
+            # norm1, mlp.fc1, ...} with a fused qkv projection.
+            m = re.match(r"encoder\.layers\.(\d+)\.(.+)", rest)
+            if m:
+                i, leaf = int(m.group(1)), m.group(2)
+                lp = vision["layers"][i]
+                if m2 := re.match(r"attn\.qkv\.(weight|bias)", leaf):
+                    kind = m2.group(1)
+                    parts = np.split(np.asarray(w), 3, axis=0)
+                    for j, which in enumerate(("q_proj", "k_proj",
+                                               "v_proj")):
+                        part = parts[j]
+                        if kind == "weight":
+                            lp.setdefault(which, {})["kernel"] = \
+                                jnp.asarray(part.T, jnp.float32)
+                        else:
+                            lp.setdefault(which, {})["bias"] = \
+                                jnp.asarray(part, jnp.float32)
+                    return
+                ren = {"attn.proj": ("projection_layer", "kernel"),
+                       "mlp.fc1": ("fc1", "kernel"),
+                       "mlp.fc2": ("fc2", "kernel"),
+                       "norm1": ("layernorm_before", "weight"),
+                       "norm2": ("layernorm_after", "weight")}
+                for hfname, (ours, kkey) in ren.items():
+                    if leaf == hfname + ".weight":
+                        lp.setdefault(ours, {})[kkey] = jnp.asarray(
+                            w.T if kkey == "kernel" else w, jnp.float32)
+                        return
+                    if leaf == hfname + ".bias":
+                        lp.setdefault(ours, {})["bias"] = jnp.asarray(
+                            w, jnp.float32)
+                        return
+                if leaf == "ls1":
+                    lp["lambda_1"] = jnp.asarray(w, jnp.float32)
+                elif leaf == "ls2":
+                    lp["lambda_2"] = jnp.asarray(w, jnp.float32)
+                elif leaf == "attn.q_norm.weight":
+                    lp["q_norm"] = jnp.asarray(w, jnp.float32)
+                elif leaf == "attn.k_norm.weight":
+                    lp["k_norm"] = jnp.asarray(w, jnp.float32)
+                return
+            if rest == "embeddings.class_embedding":
+                vision["cls_token"] = jnp.asarray(w, jnp.float32)
+            elif rest == "embeddings.patch_embedding.weight":
+                vision["patch_embedding"] = jnp.asarray(w, jnp.float32)
+            elif rest == "embeddings.patch_embedding.bias":
+                vision["patch_bias"] = jnp.asarray(w, jnp.float32)
+            elif rest == "embeddings.position_embedding":
+                vision["position_embedding"] = jnp.asarray(w, jnp.float32)
+
         def filter_stream():
             for name, w in weights:
+                if name.startswith("vision_model."):
+                    _vis_put_orig(name.removeprefix("vision_model."), w)
+                    continue
+                if m := re.match(r"mlp1\.([013])\.(weight|bias)", name):
+                    idx, kind = m.group(1), m.group(2)
+                    slot = {"0": "layer_norm", "1": "linear_1",
+                            "3": "linear_2"}[idx]
+                    node = vision["projector"].setdefault(slot, {})
+                    if slot == "layer_norm":
+                        node[kind] = jnp.asarray(w, jnp.float32)
+                    else:
+                        node["kernel" if kind == "weight" else "bias"] = \
+                            jnp.asarray(w.T if kind == "weight" else w,
+                                        jnp.float32)
+                    continue
                 name = name.removeprefix("model.")
                 if name.startswith("vision_tower."):
                     _vis_put(name.removeprefix("vision_tower."), w)
