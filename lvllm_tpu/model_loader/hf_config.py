@@ -275,7 +275,10 @@ def load_model_config(model_path: str,
               "tie_word_embeddings": hf.get("tie_word_embeddings", True)}
         if qk_by_d:
             hf["attention_multiplier"] = 1.0 / hd
-    if arch in ("BailingMoeForCausalLM", "BailingMoeV2ForCausalLM"):
+    if arch in ("BailingMoeForCausalLM", "BailingMoeV2ForCausalLM",
+                # SarvamMoE = BailingMoe with normalized expert-bias
+                # names (reference sarvam.py:771).
+                "SarvamMoEForCausalLM"):
         # Ling / BailingMoe (reference: models/bailing_moe.py): fused
         # query_key_value (+bias per use_qkv_bias|use_bias), optional
         # qk-norm (RMS or LayerNorm per use_rmsnorm), partial rotary via
@@ -323,6 +326,37 @@ def load_model_config(model_path: str,
                       else "full_attention" for i in range(L)]}
         if hf.get("logit_scale"):
             hf = {**hf, "logits_scaling": 1.0 / hf["logit_scale"]}
+    if arch in ("PanguEmbeddedForCausalLM", "PanguUltraMoEForCausalLM",
+                "PanguProMoEV2ForCausalLM"):
+        # openPangu (reference: models/openpangu.py): llama/MLA attention
+        # per config (kv_lora_rank presence), optional Afmoe-style
+        # sandwich norms, sigmoid routing with expert bias on the MoE
+        # variants; o_proj bias follows attention_bias|bias while qkv
+        # bias can be overridden by qkv_bias (:844-849).
+        ab = hf.get("attention_bias", hf.get("bias", False))
+        hf = {**hf,
+              "attention_bias": hf.get("qkv_bias", ab),
+              "_o_proj_bias": ab,
+              "n_shared_experts": hf.get("num_shared_experts",
+                                         hf.get("n_shared_experts", 0))}
+        if (hf.get("num_experts") or hf.get("n_routed_experts")):
+            hf["scoring_func"] = hf.get("scoring_func", "sigmoid")
+    if arch == "SarvamMLAForCausalLM":
+        # Sarvam MLA (reference: models/sarvam.py): DeepSeek-style MLA +
+        # sigmoid grouped routing, MoE from layer first_k_dense_replace
+        # (default 1) at stride moe_layer_freq.
+        L = hf["num_hidden_layers"]
+        fk = hf.get("first_k_dense_replace", 1)
+        freq = hf.get("moe_layer_freq", 1)
+        hf = {**hf,
+              "scoring_func": hf.get("score_function", "sigmoid"),
+              "n_shared_experts": hf.get("num_shared_experts",
+                                         hf.get("n_shared_experts", 1)),
+              "shared_expert_intermediate_size": hf.get(
+                  "moe_shared_expert_intermediate_size"),
+              "mlp_only_layers": [
+                  i for i in range(L)
+                  if not (i >= fk and (i - fk) % freq == 0)]}
     if arch == "AfmoeForCausalLM":
         # Afmoe (reference: models/afmoe.py): gated attention output,
         # qk-norm, NoPE on full-attention layers (rope only on sliding),
@@ -1510,7 +1544,7 @@ def load_model_config(model_path: str,
                                        "TeleChatForCausalLM")
                   or (arch.startswith("BailingMoe") and
                       hf.get("use_bias", False))),
-        o_proj_bias=(bias_all or
+        o_proj_bias=(bias_all or hf.get("_o_proj_bias", False) or
                      arch in ("TeleChat2ForCausalLM",
                               "TeleChatForCausalLM") or
                      (arch.startswith("BailingMoe") and
@@ -1531,6 +1565,8 @@ def load_model_config(model_path: str,
                                         "Grok1ForCausalLM",
                                         "Grok1ModelForCausalLM",
                                         "AfmoeForCausalLM") or
+                               (arch.startswith("Pangu") and
+                                bool(hf.get("sandwich_norm"))) or
                                # HyperCLOVAX dual post-norms
                                # (reference hyperclovax.py:254-292).
                                (arch == "HyperCLOVAXForCausalLM" and
@@ -1573,7 +1609,11 @@ def load_model_config(model_path: str,
                                     "KimiLinearForCausalLM",
                                     "GlmMoeDsaForCausalLM",
                                     "MistralLarge3ForCausalLM")
-                        or (arch == "Glm4MoeLiteForCausalLM" and
+                        or arch == "SarvamMLAForCausalLM"
+                        or (arch in ("Glm4MoeLiteForCausalLM",
+                                     "PanguEmbeddedForCausalLM",
+                                     "PanguUltraMoEForCausalLM",
+                                     "PanguProMoEV2ForCausalLM") and
                             bool(hf.get("kv_lora_rank")))
                         else "mha"),
         mla_rope_interleaved=arch != "MiniCPM3ForCausalLM",

@@ -1543,11 +1543,16 @@ class Qwen3Model:
                         yield p + rest, w
                 else:
                     yield name, w
-        elif arch == "AfmoeForCausalLM":
-            # Afmoe (reference: models/afmoe.py:300-340): four norms per
-            # layer — post_attention_layernorm is the POST-attention
-            # output norm (our post_self_attn slot) and pre_mlp_layernorm
-            # is the pre-FFN norm (our post_attention slot); expert bias
+        elif arch in ("AfmoeForCausalLM", "PanguEmbeddedForCausalLM",
+                      "PanguUltraMoEForCausalLM",
+                      "PanguProMoEV2ForCausalLM") and (
+                          arch == "AfmoeForCausalLM" or
+                          self.config.sandwich_output_norms):
+            # Afmoe / openPangu sandwich layouts (reference afmoe.py:
+            # 300-340, openpangu.py:935-1001): four norms per layer —
+            # post_attention_layernorm is the POST-attention output norm
+            # (our post_self_attn slot) and pre_mlp_layernorm is the
+            # pre-FFN norm (our post_attention slot); Afmoe's expert bias
             # lives directly on the MoE module.
             for name, w in weights:
                 name = name.replace(".post_attention_layernorm.",
@@ -1567,7 +1572,8 @@ class Qwen3Model:
                                     "post_self_attn_layernorm.")
                 name = name.replace("post_norm2.", "post_mlp_layernorm.")
                 yield name, w
-        elif arch in ("BailingMoeForCausalLM", "BailingMoeV2ForCausalLM"):
+        elif arch in ("BailingMoeForCausalLM", "BailingMoeV2ForCausalLM",
+                      "SarvamMoEForCausalLM"):
             # Ling / BailingMoe (reference: models/bailing_moe.py):
             # word_embeddings, attention.query_key_value plain [q|k|v]
             # concat, attention.dense, query/key_layernorm qk-norms,

@@ -123,12 +123,21 @@ def _register_builtin() -> None:
     # GLM-4-MoE-Lite: DeepseekV2 attention under GLM-4-MoE routing
     # (reference glm4_moe_lite.py:94-141) — MLA iff the config carries
     # kv_lora_rank, plain GQA otherwise.
-    def _glm4_moe_lite(config):
+    def _mla_or_gqa(config):
         from lvllm_tpu.models.deepseek import DeepseekModel
         if config.attention_type == "mla":
             return DeepseekModel(config)
         return Qwen3Model(config)
-    _REGISTRY["Glm4MoeLiteForCausalLM"] = _glm4_moe_lite
+    _REGISTRY["Glm4MoeLiteForCausalLM"] = _mla_or_gqa
+    # openPangu family (reference openpangu.py:1359-1367): MLA iff the
+    # config carries the latent-attention dims.
+    for arch in ("PanguEmbeddedForCausalLM", "PanguUltraMoEForCausalLM",
+                 "PanguProMoEV2ForCausalLM"):
+        _REGISTRY[arch] = _mla_or_gqa
+    # Sarvam (reference sarvam.py:671,771): MLA variant is deepseek-like;
+    # the MoE variant is a BailingMoe layout.
+    _REGISTRY["SarvamMLAForCausalLM"] = _mla_or_gqa
+    _REGISTRY["SarvamMoEForCausalLM"] = Qwen3Model
 
     # Transformers-backend fallback archs (registered via decorator).
     from lvllm_tpu.models import transformers_fallback  # noqa: F401
