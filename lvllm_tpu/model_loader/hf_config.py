@@ -123,6 +123,27 @@ def load_model_config(model_path: str,
             # The HF table is max_position_embeddings + offset rows.
             hf["max_position_embeddings"] = (
                 hf["max_position_embeddings"] - hf["position_offset"])
+    if arch == "NomicBertModel":
+        # nomic-bert-2048 (reference bert_with_rope.py:535): GPT-2-style
+        # n_* keys, rotary positions, swiglu or gelu MLP.
+        hf = {**hf,
+              "hidden_size": hf["n_embd"],
+              "num_hidden_layers": hf["n_layer"],
+              "num_attention_heads": hf["n_head"],
+              "num_key_value_heads": hf["n_head"],
+              "intermediate_size": hf.get("n_inner") or 4 * hf["n_embd"],
+              "max_position_embeddings": hf.get("n_positions", 2048),
+              "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-12),
+              "rope_theta": hf.get("rotary_emb_base", 1000.0),
+              "encoder_rope": True,
+              "position_offset": 0,
+              "type_vocab_size": hf.get("type_vocab_size", 0),
+              "mlp_gated": hf.get("activation_function",
+                                  "swiglu") == "swiglu",
+              "tie_word_embeddings": False}
+        if hf.get("rotary_emb_fraction", 1.0) != 1.0:
+            raise ValueError("NomicBert partial rotary "
+                             "(rotary_emb_fraction != 1) is unsupported")
     if arch in ("ModernBertModel", "ModernBertForSequenceClassification",
                 "ModernBertForTokenClassification",
                 "ColBERTModernBertModel"):
@@ -1536,7 +1557,8 @@ def load_model_config(model_path: str,
             "FlexOlmoForCausalLM")
             or bool(hf.get("qk_norm_across_heads"))),
         norm_type=norm_type,
-        mlp_gated=mlp_gated,
+        # Per-family fixups may force the gating (GTE/NomicBert encoders).
+        mlp_gated=hf.get("mlp_gated", mlp_gated),
         # GPT-J biases its fc_in/fc_out but not the attention projections.
         # TeleChat2 biases only down_proj (gate/up bias nodes stay zero).
         mlp_bias=(bias_all or arch in ("GPTJForCausalLM",
@@ -1579,7 +1601,9 @@ def load_model_config(model_path: str,
                     or (arch == "MolmoForCausalLM"
                         and bool(hf.get("norm_after")))),
         attention_bias=(bias_all or hf.get("use_qkv_bias", False) or
-                        (arch == "InternLM2ForCausalLM" and
+                        (arch in ("InternLM2ForCausalLM",
+                                  "InternLM2ForRewardModel",
+                                  "InternLM2VEForCausalLM") and
                          hf.get("bias", False)) or
                         (arch == "InternLMForCausalLM" and
                          hf.get("bias", True)) or

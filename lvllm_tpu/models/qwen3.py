@@ -946,7 +946,8 @@ class Qwen3Model:
                         yield name, w
                 else:
                     yield name, w
-        elif arch == "InternLM2ForCausalLM":
+        elif arch in ("InternLM2ForCausalLM", "InternLM2ForRewardModel",
+                      "InternLM2VEForCausalLM"):
             # InternLM2 fuses qkv grouped by kv-head (wqkv rows =
             # [kv, q_per_group+2, D]) and renames everything
             # (reference: models/internlm2.py).
@@ -959,6 +960,11 @@ class Qwen3Model:
                     yield "embed_tokens.weight", w
                 elif name == "output.weight":
                     yield "lm_head.weight", w
+                elif ".feed_forward_ve." in name:
+                    # InternLM2-VE visual-expert FFN: only active on
+                    # image rows inside InternVL-mono; unused for text
+                    # serving (reference internlm2_ve.py).
+                    continue
                 elif m := re.match(r"layers\.(\d+)\.(.+)", name):
                     i, rest = m.group(1), m.group(2)
                     p = f"layers.{i}."

@@ -117,7 +117,11 @@ def _register_builtin() -> None:
                  "JAISLMHeadModel",
                  # Jais-2 (relu² MLP + LayerNorm + interleaved sliding),
                  # Afmoe (gated attention + sandwich norms + MoE).
-                 "Jais2ForCausalLM", "AfmoeForCausalLM"):
+                 "Jais2ForCausalLM", "AfmoeForCausalLM",
+                 # InternLM2-VE: visual-expert FFN only fires on image
+                 # rows inside InternVL-mono; text serving is plain
+                 # InternLM2 (reference internlm2_ve.py).
+                 "InternLM2VEForCausalLM"):
         _REGISTRY[arch] = Qwen3Model
 
     # GLM-4-MoE-Lite: DeepseekV2 attention under GLM-4-MoE routing

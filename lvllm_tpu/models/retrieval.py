@@ -223,6 +223,71 @@ class VoyageQwen3BidirectionalEmbedModel(Qwen3Model):
         return params
 
 
+class NomicBertModel(BertModel):
+    """nomic-bert-2048 (reference bert_with_rope.py:535): BERT post-norm
+    blocks with rotary positions, fused Wqkv, and a swiglu (fc12 = gate,
+    fc11 = up) or gelu (fc1) MLP. Names: emb_ln, encoder.layers.N.attn.*,
+    norm1/norm2."""
+
+    def load_weights(self, weights) -> Params:
+        import re as _re
+        params = self.init_params(0)
+        t = lambda a: jnp.asarray(  # noqa: E731
+            np.ascontiguousarray(np.asarray(a).T), self.dtype)
+        v = lambda a: jnp.asarray(a, self.dtype)  # noqa: E731
+        gates: Dict[int, Dict[str, np.ndarray]] = {}
+        for name, w in weights:
+            name = name.removeprefix("bert.")
+            if name == "embeddings.word_embeddings.weight":
+                params["embed"]["weight"] = v(w)
+            elif name == "embeddings.token_type_embeddings.weight":
+                if "token_type_embed" in params:
+                    params["token_type_embed"]["weight"] = v(w)
+            elif m := _re.match(r"emb_ln\.(weight|bias)", name):
+                params["embed_norm"][m.group(1)] = v(w)
+            elif m := _re.match(r"encoder\.layers\.(\d+)\.(.+)", name):
+                i, rest = int(m.group(1)), m.group(2)
+                if i >= len(params["layers"]):
+                    continue
+                layer = params["layers"][i]
+                if m2 := _re.match(r"attn\.Wqkv\.(weight|bias)", rest):
+                    kind = m2.group(1)
+                    parts = np.split(np.asarray(w), 3, axis=0)
+                    for j, which in enumerate(("q_proj", "k_proj",
+                                               "v_proj")):
+                        layer["self_attn"][which][
+                            "kernel" if kind == "weight" else "bias"] =                             t(parts[j]) if kind == "weight"                             else v(parts[j])
+                elif m2 := _re.match(r"attn\.out_proj\.(weight|bias)",
+                                     rest):
+                    kind = m2.group(1)
+                    layer["self_attn"]["o_proj"][
+                        "kernel" if kind == "weight" else "bias"] =                         t(w) if kind == "weight" else v(w)
+                elif m2 := _re.match(r"norm1\.(weight|bias)", rest):
+                    layer["attn_norm"][m2.group(1)] = v(w)
+                elif m2 := _re.match(r"norm2\.(weight|bias)", rest):
+                    layer["ffn_norm"][m2.group(1)] = v(w)
+                elif m2 := _re.match(r"mlp\.fc(11|12)\.weight", rest):
+                    gates.setdefault(i, {})[m2.group(1)] = np.asarray(w)
+                elif rest == "mlp.fc1.weight":
+                    layer["mlp"]["up"]["kernel"] = t(w)
+                elif rest == "mlp.fc1.bias":
+                    layer["mlp"]["up"]["bias"] = v(w)
+                elif m2 := _re.match(r"mlp\.fc2\.(weight|bias)", rest):
+                    kind = m2.group(1)
+                    layer["mlp"]["down"][
+                        "kernel" if kind == "weight" else "bias"] =                         t(w) if kind == "weight" else v(w)
+        for i, parts in gates.items():
+            # Fused [gate | up] = [fc12 | fc11] for silu(g) * u.
+            layer = params["layers"][i]
+            layer["mlp"]["gate_up"] = {"kernel": jnp.asarray(
+                np.concatenate([parts["12"], parts["11"]], axis=0).T,
+                self.dtype)}
+        return params
+
+
+register_model("NomicBertModel")(NomicBertModel)
+
+
 register_model("BertSpladeSparseEmbeddingModel")(BertSpladeModel)
 # BGE-M3 dense embeddings = XLM-RoBERTa with CLS pooling (reference
 # roberta.py:182; the sparse/colbert heads live in side .pt files).

@@ -87,6 +87,46 @@ register_model("Qwen2ForRewardModel")(Qwen2RewardModel)
 register_model("Qwen2ForProcessRewardModel")(Qwen2ProcessRewardModel)
 
 
+class InternLM2RewardModel(Qwen3Model):
+    """InternLM2 backbone + single bias-free v_head producing per-token
+    values (reference internlm2.py:408-438, tok_pooling ALL)."""
+
+    is_classifier = True
+    token_level = True
+    default_pooling = "last"
+
+    def init_params(self, rng):
+        params = super().init_params(rng)
+        params["classifier"] = {"kernel": jnp.zeros(
+            (self.config.hidden_size, 1), self.dtype)}
+        return params
+
+    def classify(self, params, hidden, qsl):
+        return (hidden @ params["classifier"]["kernel"]).astype(
+            jnp.float32)
+
+    def load_weights(self, weights):
+        head = {}
+
+        def passthrough():
+            for name, w in weights:
+                if name.startswith("v_head."):
+                    head[name] = w
+                else:
+                    yield name, w
+
+        params = super().load_weights(passthrough())
+        params.setdefault("classifier", {"kernel": jnp.zeros(
+            (self.config.hidden_size, 1), self.dtype)})
+        if "v_head.weight" in head:
+            params["classifier"]["kernel"] = jnp.asarray(
+                np.ascontiguousarray(head["v_head.weight"].T), self.dtype)
+        return params
+
+
+register_model("InternLM2ForRewardModel")(InternLM2RewardModel)
+
+
 class _ScoreHeadMixin:
     """Single-linear ``score`` head over a causal backbone, pooled at the
     last token (reference: as_seq_cls_model adapters — HF

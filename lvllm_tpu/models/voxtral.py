@@ -21,6 +21,9 @@ from lvllm_tpu.models.whisper import _ln, whisper_encoder_states
 
 
 @register_model("VoxtralForConditionalGeneration")
+# Realtime variant = the same model behind the streaming entrypoint
+# (reference voxtral_realtime.py:215 subclasses the base model).
+@register_model("VoxtralRealtimeGeneration")
 class VoxtralModel(Qwen2AudioModel):
 
     def __init__(self, config: ModelConfig):

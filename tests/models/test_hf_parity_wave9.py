@@ -161,3 +161,93 @@ def test_pangu_sandwich_engine_smoke():
     o = LLM(model_config=mc).generate(
         [[1, 2, 3]], SamplingParams(max_tokens=4, temperature=0.0))
     assert len(o[0].outputs[0].token_ids) == 4
+
+
+def test_internlm2_reward_and_ve(tmp_path):
+    """InternLM2ForRewardModel (v_head per-token values) and
+    InternLM2VEForCausalLM (visual-expert FFN inert for text), both via
+    llama-repack (reference internlm2.py:408, internlm2_ve.py)."""
+    from tests.models.test_hf_parity_batch4 import _llama_base
+    import torch as _t
+    cfg, hf_model, t = _llama_base(tmp_path)
+    Hq, Hkv, D = 4, 2, 16
+    out = {}
+    for name, w in t.items():
+        if m := re.match(r"model\.layers\.(\d+)\.(.+)", name):
+            i, rest = m.group(1), m.group(2)
+            p = f"model.layers.{i}."
+            if rest.startswith("self_attn.q_proj"):
+                q = w.reshape(Hkv, Hq // Hkv, D, -1)
+                k = t[p + "self_attn.k_proj.weight"].reshape(Hkv, 1, D, -1)
+                v = t[p + "self_attn.v_proj.weight"].reshape(Hkv, 1, D, -1)
+                out[p + "attention.wqkv.weight"] = _t.cat(
+                    [q, k, v], dim=1).reshape(-1, w.shape[-1])
+            elif rest.startswith("self_attn.k_proj") or \
+                    rest.startswith("self_attn.v_proj"):
+                continue
+            elif rest == "self_attn.o_proj.weight":
+                out[p + "attention.wo.weight"] = w
+            elif rest == "mlp.gate_proj.weight":
+                out[p + "feed_forward.w1.weight"] = w
+            elif rest == "mlp.up_proj.weight":
+                out[p + "feed_forward.w3.weight"] = w
+            elif rest == "mlp.down_proj.weight":
+                out[p + "feed_forward.w2.weight"] = w
+            elif rest == "input_layernorm.weight":
+                out[p + "attention_norm.weight"] = w
+            elif rest == "post_attention_layernorm.weight":
+                out[p + "ffn_norm.weight"] = w
+            else:
+                out[name] = w
+        elif name == "model.embed_tokens.weight":
+            out["model.tok_embeddings.weight"] = w
+        elif name == "lm_head.weight":
+            out["output.weight"] = w
+        else:
+            out[name] = w
+    base_cfg = {
+        "vocab_size": 512, "hidden_size": 64, "intermediate_size": 128,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 16, "bias": False,
+        "rms_norm_eps": cfg.rms_norm_eps, "rope_theta": 10000.0,
+        "max_position_embeddings": 256, "tie_word_embeddings": False}
+    tokens = [22, 221, 321, 64, 166, 366, 94]
+
+    # Reward model: per-token v_head values match llama hidden @ v.
+    vhead = _t.randn(1, 64) * 0.1
+    ck = tmp_path / "rm"
+    ck.mkdir()
+    rm = dict(out)
+    rm.pop("output.weight")
+    rm["v_head.weight"] = vhead
+    save_file(rm, str(ck / "model.safetensors"))
+    (ck / "config.json").write_text(json.dumps(
+        {**base_cfg, "architectures": ["InternLM2ForRewardModel"]}))
+    from lvllm_tpu.engine.pooling import PoolingRunner
+    from lvllm_tpu.model_loader.hf_config import load_model_config
+    from lvllm_tpu.model_loader.loader import load_model
+    mc = load_model_config(str(ck), max_model_len=128, dtype="float32")
+    model, params = load_model(mc, "safetensors")
+    vals = PoolingRunner(model, params, max_tokens=256).classify([tokens])
+    with torch.no_grad():
+        hs = hf_model(torch.tensor([tokens]),
+                      output_hidden_states=True).hidden_states[-1][0]
+        # HF hidden_states[-1] is pre-final-norm; apply the norm.
+        hs = hf_model.model.norm(hs)
+        want = (hs @ vhead.T).float().numpy()
+    np.testing.assert_allclose(vals[0], want, rtol=5e-3, atol=5e-3)
+
+    # VE variant: extra feed_forward_ve weights are inert for text.
+    ck2 = tmp_path / "ve"
+    ck2.mkdir()
+    ve = dict(out)
+    for i in range(2):
+        for wn in ("w1", "w2", "w3"):
+            ve[f"model.layers.{i}.feed_forward_ve.{wn}.weight"] = \
+                _t.randn(128, 64) * 0.1 if wn != "w2" else \
+                _t.randn(64, 128) * 0.1
+    save_file(ve, str(ck2 / "model.safetensors"))
+    (ck2 / "config.json").write_text(json.dumps(
+        {**base_cfg, "architectures": ["InternLM2VEForCausalLM"]}))
+    compare(hf_logits(hf_model, tokens), our_logits(str(ck2), tokens),
+            "internlm2-ve")

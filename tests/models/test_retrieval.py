@@ -185,3 +185,92 @@ def test_llama_bidirectional_classifier(tmp_path):
     # Mean-pooled bidirectional score must react to any token change.
     out2 = runner.classify([[5, 9, 21, 33], [1, 2]])
     assert np.abs(out[0] - out2[0]).max() > 1e-5
+
+
+# ---------------------------------------------------------------------------
+# NomicBert: torch mini-oracle (rotary + post-norm BERT + swiglu MLP;
+# reference bert_with_rope.py:535).
+
+def _nomic_oracle(w, tokens, NH=4, D=16, eps=1e-12):
+    import torch.nn.functional as F
+    T = len(tokens)
+    h = w["emb"][tokens] + w["tt"][0][None]
+
+    def ln(x, ww, b):
+        return F.layer_norm(x.float(), (x.shape[-1],), ww, b, eps)
+
+    h = ln(h, w["emb_ln_w"], w["emb_ln_b"])
+    pos = torch.arange(T)
+    half = D // 2
+    inv = 1.0 / (1000.0 ** (torch.arange(half).float() / half))
+    ang = pos[:, None].float() * inv[None, :]
+    cos, sin = torch.cos(ang), torch.sin(ang)
+
+    def rope(x):
+        x1, x2 = x[..., :half], x[..., half:]
+        return torch.cat([x1 * cos[:, None] - x2 * sin[:, None],
+                          x2 * cos[:, None] + x1 * sin[:, None]], dim=-1)
+
+    for lw in w["layers"]:
+        qkv = h @ lw["wqkv"].T + lw["wqkv_b"]
+        q, k, v = qkv.split(NH * D, dim=-1)
+        q = rope(q.view(T, NH, D))
+        k = rope(k.view(T, NH, D))
+        v = v.view(T, NH, D)
+        att = torch.softmax(
+            torch.einsum("qhd,khd->hqk", q, k) * D ** -0.5, dim=-1)
+        o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, -1)
+        o = o @ lw["out"].T + lw["out_b"]
+        h = ln(h + o, lw["n1_w"], lw["n1_b"])
+        y = (F.silu(h @ lw["fc12"].T) * (h @ lw["fc11"].T)) @ lw["fc2"].T
+        h = ln(h + y, lw["n2_w"], lw["n2_b"])
+    return h
+
+
+def test_nomic_bert_parity_vs_oracle(tmp_path):
+    V, H, L, NH, D, I = 96, 64, 2, 4, 16, 96
+    torch.manual_seed(17)
+    rnd = lambda *s: torch.randn(*s) * 0.05  # noqa: E731
+    w = {"emb": rnd(V, H), "tt": rnd(2, H),
+         "emb_ln_w": torch.rand(H) + 0.5, "emb_ln_b": rnd(H),
+         "layers": []}
+    sd = {"embeddings.word_embeddings.weight": w["emb"],
+          "embeddings.token_type_embeddings.weight": w["tt"],
+          "emb_ln.weight": w["emb_ln_w"], "emb_ln.bias": w["emb_ln_b"]}
+    for li in range(L):
+        lw = {"wqkv": rnd(3 * H, H), "wqkv_b": rnd(3 * H),
+              "out": rnd(H, H), "out_b": rnd(H),
+              "n1_w": torch.rand(H) + 0.5, "n1_b": rnd(H),
+              "n2_w": torch.rand(H) + 0.5, "n2_b": rnd(H),
+              "fc11": rnd(I, H), "fc12": rnd(I, H), "fc2": rnd(H, I)}
+        w["layers"].append(lw)
+        p = f"encoder.layers.{li}."
+        sd[p + "attn.Wqkv.weight"] = lw["wqkv"]
+        sd[p + "attn.Wqkv.bias"] = lw["wqkv_b"]
+        sd[p + "attn.out_proj.weight"] = lw["out"]
+        sd[p + "attn.out_proj.bias"] = lw["out_b"]
+        sd[p + "norm1.weight"] = lw["n1_w"]
+        sd[p + "norm1.bias"] = lw["n1_b"]
+        sd[p + "norm2.weight"] = lw["n2_w"]
+        sd[p + "norm2.bias"] = lw["n2_b"]
+        sd[p + "mlp.fc11.weight"] = lw["fc11"]
+        sd[p + "mlp.fc12.weight"] = lw["fc12"]
+        sd[p + "mlp.fc2.weight"] = lw["fc2"]
+    save_file({k: v.contiguous() for k, v in sd.items()},
+              str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps({
+        "architectures": ["NomicBertModel"],
+        "vocab_size": V, "n_embd": H, "n_layer": L, "n_head": NH,
+        "n_inner": I, "n_positions": 256, "layer_norm_epsilon": 1e-12,
+        "rotary_emb_base": 1000.0, "rotary_emb_fraction": 1.0,
+        "type_vocab_size": 2, "activation_function": "swiglu"}))
+    seqs = [[2, 7, 80, 3], [1, 4, 4, 8, 9]]
+    runner = _runner(str(tmp_path))
+    got = runner.embed(seqs)                    # CLS pooled + normalized
+    for r, toks in enumerate(seqs):
+        with torch.no_grad():
+            hs = _nomic_oracle(w, toks)
+        want = hs[0] / hs[0].norm()
+        np.testing.assert_allclose(got[r], want.float().numpy(),
+                                   rtol=3e-3, atol=3e-3,
+                                   err_msg=f"nomic seq {r}")
