@@ -30,7 +30,7 @@ class PoolingRunner:
 
     def _forward(self, params, input_ids, positions, qsl, seq_lens,
                  block_table, slot_mapping, kv_caches, row_valid,
-                 pooling: str):
+                 pooling: str, mm_embeds=None, mm_mask=None):
         md = AttentionMetadata(
             query_start_loc=qsl, seq_lens=seq_lens,
             block_table=block_table, slot_mapping=slot_mapping,
@@ -39,7 +39,13 @@ class PoolingRunner:
             prefix_lens=(seq_lens
                          if getattr(self.model, "bidirectional", False)
                          else None))
-        hidden, _ = self.model(params, input_ids, positions, kv_caches, md)
+        if mm_embeds is not None:
+            hidden, _ = self.model(params, input_ids, positions, kv_caches,
+                                   md, mm_embeds=mm_embeds,
+                                   mm_mask=mm_mask)
+        else:
+            hidden, _ = self.model(params, input_ids, positions, kv_caches,
+                                   md)
         R = seq_lens.shape[0]
         T = input_ids.shape[0]
         if hasattr(self.model, "pool_hidden"):
@@ -152,33 +158,87 @@ class PoolingRunner:
         return np.concatenate(out) if out else np.zeros((0, mc.hidden_size),
                                                         np.float32)
 
-    def embed_token_level(self, token_lists: List[List[int]]
+    def embed_token_level(self, token_lists: List[List[int]],
+                          mm_data: Optional[List[Optional[dict]]] = None
                           ) -> List[np.ndarray]:
         """Late-interaction embeddings (reference: token_embed pooling
         task, layers/pooler/tokwise.py): one [len_i, dim] matrix of
         L2-normalized per-token vectors per prompt. MaxSim scoring is the
-        caller's job."""
+        caller's job. ``mm_data[i]`` optionally carries the prompt's
+        multimodal inputs (ColPali/ColQwen document images): features are
+        spliced at the image-token rows and M-RoPE positions come from
+        the model's mm_positions hook when it has one."""
+        mm_data = mm_data or [None] * len(token_lists)
         out: List[np.ndarray] = []
         batch: List[List[int]] = []
+        mm_batch: List[Optional[dict]] = []
         total = 0
-        for toks in token_lists + [None]:
+        for toks, mm in list(zip(token_lists, mm_data)) + [(None, None)]:
             flush = toks is None or (total + len(toks) > self.max_tokens
                                      and batch)
             if flush and batch:
-                args = self._batch_args(batch)
-                row_valid = np.ones(len(batch), bool)
-                tok = np.asarray(self._fwd(self.params, *args,
-                                           jnp.asarray(row_valid),
-                                           pooling="token"))
-                start = 0
-                for t in batch:
-                    out.append(tok[start:start + len(t)])
-                    start += len(t)
-                batch, total = [], 0
+                out.extend(self._token_embed_batch(batch, mm_batch))
+                batch, mm_batch, total = [], [], 0
             if toks is not None:
                 batch.append(toks)
+                mm_batch.append(mm)
                 total += len(toks)
         return out
+
+    def _token_embed_batch(self, batch, mm_batch):
+        args = self._batch_args(batch)
+        row_valid = np.ones(len(batch), bool)
+        mm_embeds = mm_mask = None
+        T_pad = int(args[0].shape[0])
+        use_mrope = hasattr(self.model, "mm_positions")
+        any_mm = any(mm is not None for mm in mm_batch)
+        if any_mm:
+            H = self.model.config.hidden_size
+            embeds = np.zeros((T_pad, H), np.float32)
+            mask = np.zeros((T_pad,), bool)
+            img_id = self.model.config.image_token_id
+            start = 0
+            for toks, mm in zip(batch, mm_batch):
+                ids = np.asarray(toks)
+                if mm is not None:
+                    if hasattr(self.model, "encode_mm"):
+                        feats = np.asarray(
+                            self.model.encode_mm(self.params, mm))
+                    else:
+                        feats = np.asarray(self.model.encode_images(
+                            self.params,
+                            jnp.asarray(mm["pixel_values"])))
+                    feats = feats.reshape(-1, feats.shape[-1])
+                    rows = np.nonzero(ids == img_id)[0]
+                    n = min(len(rows), feats.shape[0])
+                    embeds[start + rows[:n]] = feats[:n]
+                    mask[start + rows[:n]] = True
+                start += len(toks)
+            mm_embeds = jnp.asarray(embeds)
+            mm_mask = jnp.asarray(mask)
+        if use_mrope:
+            # M-RoPE models need [3, T] positions even for pure text.
+            pos_rows = []
+            for toks, mm in zip(batch, mm_batch):
+                p, _ = self.model.mm_positions(np.asarray(toks), mm or {
+                    "image_grid_thw": np.zeros((0, 3), np.int64)})
+                pos_rows.append(np.asarray(p))
+            pos = np.zeros((pos_rows[0].shape[0], T_pad), np.int32)
+            s = 0
+            for p in pos_rows:
+                pos[:, s:s + p.shape[-1]] = p
+                s += p.shape[-1]
+            args = (args[0], jnp.asarray(pos)) + args[2:]
+        tok = np.asarray(self._fwd(self.params, *args,
+                                   jnp.asarray(row_valid),
+                                   pooling="token", mm_embeds=mm_embeds,
+                                   mm_mask=mm_mask))
+        res = []
+        start = 0
+        for t in batch:
+            res.append(tok[start:start + len(t)])
+            start += len(t)
+        return res
 
     def _batch_args(self, batch: List[List[int]]):
         """Flatten a prompt batch into the device forward args

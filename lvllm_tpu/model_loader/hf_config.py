@@ -540,6 +540,25 @@ def load_model_config(model_path: str,
         hf = {**hf, **text}
         arch = outer_arch
     override_arch = None
+    _retrieval_arch = None
+    if arch == "ColPaliForRetrieval":
+        # ColPali (reference colpali.py; HF ColPaliConfig): PaliGemma
+        # under vlm_config + a custom_text_proj of width embedding_dim.
+        _retrieval_arch = arch
+        hf = {**hf, **dict(hf.get("vlm_config") or {}),
+              "colbert_dim": hf.get("embedding_dim", 128)}
+        arch = "PaliGemmaForConditionalGeneration"
+    if arch in ("ColQwen3", "OpsColQwen3Model",
+                "Qwen3VLNemotronEmbedModel"):
+        # ColQwen3 (reference colqwen3.py:179-197): Qwen3-VL backbone +
+        # custom_text_proj; embed dim keys in priority order.
+        _retrieval_arch = arch
+        hf = {**hf, "colbert_dim": (hf.get("embed_dim") or
+                                    hf.get("embedding_dim") or
+                                    hf.get("dim") or
+                                    hf.get("projection_dim") or
+                                    hf.get("colbert_dim") or 128)}
+        arch = "Qwen3VLForConditionalGeneration"
     if arch == "PaliGemmaForConditionalGeneration":
         # PaliGemma: SigLIP + linear projector + Gemma/Gemma2 decoder with
         # prefix-LM attention (models/paligemma.py). Flatten text_config;
@@ -1778,6 +1797,8 @@ def load_model_config(model_path: str,
         mc.architecture = _clf_arch
     if override_arch is not None:
         mc.architecture = override_arch
+    if _retrieval_arch is not None:
+        mc.architecture = _retrieval_arch
     from lvllm_tpu.model_loader.quant_ckpt import detect_ckpt_quant
     mc.ckpt_quant = detect_ckpt_quant(hf)
     if max_model_len is not None:

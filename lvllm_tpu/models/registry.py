@@ -206,6 +206,8 @@ def _register_builtin() -> None:
     for arch in ("Qwen3VLForConditionalGeneration",
                  "Qwen3VLMoeForConditionalGeneration"):
         _REGISTRY[arch] = Qwen3VLModel
+    # Vision late-interaction retrievers (ColPali / ColQwen3).
+    import lvllm_tpu.models.colbert_vl  # noqa: F401
 
     from lvllm_tpu.models.gpt_oss import GptOssModel
     _REGISTRY["GptOssForCausalLM"] = GptOssModel
