@@ -430,7 +430,10 @@ def load_model_config(model_path: str,
                 # but qwen2vl-fielded (reference: configs/tarsier2.py);
                 # weights prefix the tower "vision_tower." instead of
                 # "visual.".
-                "Tarsier2ForConditionalGeneration"):
+                "Tarsier2ForConditionalGeneration",
+                # OpenCUA subclasses Qwen2.5-VL with only name remaps
+                # (reference opencua.py:204).
+                "OpenCUAForConditionalGeneration"):
         # Qwen2-VL family: vision tower + M-RoPE sections. Newer
         # transformers nests the text fields under text_config; older
         # checkpoints keep them at top level — support both.

@@ -56,12 +56,17 @@ class LlavaOnevisionModel(Qwen3Model):
             return jnp.asarray(
                 nprng.standard_normal(size=shape) * scale, jnp.float32)
 
+        mid = getattr(self, "projector_mid", None) or H
         vision["projector"] = {
-            "linear_1": {"kernel": dense((self.v_hidden, H)),
-                         "bias": jnp.zeros((H,), jnp.float32)},
-            "linear_2": {"kernel": dense((H, H)),
+            "linear_1": {"kernel": dense((self.v_hidden, mid)),
+                         "bias": jnp.zeros((mid,), jnp.float32)},
+            "linear_2": {"kernel": dense((mid, H)),
                          "bias": jnp.zeros((H,), jnp.float32)},
         }
+        if getattr(self, "projector_pre_norm", False):
+            vision["projector"]["pre_norm"] = {
+                "weight": jnp.ones((self.v_hidden,), jnp.float32),
+                "bias": jnp.zeros((self.v_hidden,), jnp.float32)}
         vision["image_newline"] = dense((H,))
         params["vision"] = vision
         return params
@@ -180,3 +185,16 @@ class LlavaOnevisionModel(Qwen3Model):
         params = super().load_weights(filter_stream())
         params["vision"] = vision
         return params
+
+
+@register_model("BeeForConditionalGeneration")
+class BeeModel(LlavaOnevisionModel):
+    """Bee-8B (reference bee.py:141): LLaVA-OneVision with a widened
+    projector — LayerNorm pre-norm, linear to 4x text hidden, GELU,
+    linear back (bee.py:111-133)."""
+
+    projector_pre_norm = True
+
+    @property
+    def projector_mid(self):
+        return 4 * self.config.hidden_size

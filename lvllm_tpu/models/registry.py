@@ -200,7 +200,10 @@ def _register_builtin() -> None:
     import lvllm_tpu.models.qwen2_5_omni  # noqa: F401
     from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
     for arch in ("Qwen2VLForConditionalGeneration",
-                 "Qwen2_5_VLForConditionalGeneration"):
+                 "Qwen2_5_VLForConditionalGeneration",
+                 # Qwen2.5-VL subclass with name remaps only
+                 # (reference opencua.py:204).
+                 "OpenCUAForConditionalGeneration"):
         _REGISTRY[arch] = Qwen2VLModel
     from lvllm_tpu.models.qwen3_vl import Qwen3VLModel
     for arch in ("Qwen3VLForConditionalGeneration",

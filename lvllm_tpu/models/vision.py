@@ -265,7 +265,13 @@ def load_siglip_weights(vision: Dict[str, Any], rest: str,
 
 def project_image_features(params: Dict[str, Any],
                            features: jax.Array) -> jax.Array:
-    """LLaVA multi_modal_projector: linear → gelu → linear."""
+    """LLaVA multi_modal_projector: [LayerNorm →] linear → gelu → linear.
+    The optional pre_norm covers Bee's projector (reference bee.py:111)."""
+    if "pre_norm" in params:
+        pn = params["pre_norm"]
+        features = _layer_norm(features,
+                               pn.get("weight", pn.get("kernel")),
+                               pn["bias"], eps=1e-6)
     h = features @ params["linear_1"]["kernel"] + params["linear_1"]["bias"]
     h = jax.nn.gelu(h, approximate=False)
     return h @ params["linear_2"]["kernel"] + params["linear_2"]["bias"]

@@ -106,3 +106,47 @@ def test_colqwen3_structural():
            "image_grid_thw": np.asarray([[1, 2, 2]], np.int64)}
     mats2 = runner.embed_token_level([ids], [mm2])
     assert np.abs(mats2[0][2] - mats[0][2]).max() > 1e-4
+
+
+def test_bee_widened_projector_and_opencua_alias():
+    """Bee projector = pre-LN + 4x-wide GELU MLP (reference bee.py:111);
+    OpenCUA registers onto the Qwen2.5-VL implementation."""
+    from lvllm_tpu.models.llava_onevision import BeeModel
+    from lvllm_tpu.models.registry import get_model_class
+    from lvllm_tpu.models.qwen2_vl import Qwen2VLModel
+    assert get_model_class("OpenCUAForConditionalGeneration") \
+        is Qwen2VLModel
+
+    mc = ModelConfig(
+        model="dummy", architecture="BeeForConditionalGeneration",
+        dtype="float32", vocab_size=64, hidden_size=48,
+        intermediate_size=96, num_hidden_layers=1, num_attention_heads=4,
+        num_key_value_heads=2, num_experts=0, qk_norm=False,
+        image_token_id=61, max_position_embeddings=128, max_model_len=64,
+        vision_config={"hidden_size": 32, "intermediate_size": 64,
+                       "num_hidden_layers": 1, "num_attention_heads": 2,
+                       "image_size": 28, "patch_size": 14})
+    model = BeeModel(mc)
+    params = model.init_params(0)
+    pj = params["vision"]["projector"]
+    assert pj["linear_1"]["kernel"].shape == (32, 4 * 48)
+    assert pj["linear_2"]["kernel"].shape == (4 * 48, 48)
+    assert "pre_norm" in pj
+    rng = np.random.default_rng(5)
+    pj["pre_norm"]["weight"] = jnp.asarray(
+        rng.random(32).astype(np.float32) + 0.5)
+    pj["pre_norm"]["bias"] = jnp.asarray(
+        rng.standard_normal(32).astype(np.float32) * 0.1)
+    feats = rng.standard_normal((3, 32)).astype(np.float32)
+    from lvllm_tpu.models.vision import project_image_features
+    got = np.asarray(project_image_features(pj, jnp.asarray(feats)))
+    x = torch.tensor(feats)
+    x = torch.nn.functional.layer_norm(
+        x, (32,), torch.tensor(np.asarray(pj["pre_norm"]["weight"])),
+        torch.tensor(np.asarray(pj["pre_norm"]["bias"])), eps=1e-6)
+    x = torch.nn.functional.gelu(
+        x @ torch.tensor(np.asarray(pj["linear_1"]["kernel"])) +
+        torch.tensor(np.asarray(pj["linear_1"]["bias"])))
+    want = (x @ torch.tensor(np.asarray(pj["linear_2"]["kernel"])) +
+            torch.tensor(np.asarray(pj["linear_2"]["bias"]))).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
