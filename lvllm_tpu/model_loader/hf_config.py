@@ -1250,7 +1250,13 @@ def load_model_config(model_path: str,
               "no_rope_layers": [0] * L,
               "norm_topk_prob": False,
               "qk_layernorm": False}
-    if arch == "Lfm2ForCausalLM":
+    if arch == "Lfm2MoeForCausalLM":
+        # Lfm2Moe (reference lfm2_moe.py): sigmoid routing + expert bias;
+        # the first num_dense_layers keep the dense w1/w3/w2 MLP.
+        hf = {**hf,
+              "scoring_func": "sigmoid",
+              "first_k_dense_replace": hf.get("num_dense_layers", 0)}
+    if arch in ("Lfm2ForCausalLM", "Lfm2MoeForCausalLM"):
         # LFM2 (HF modeling_lfm2): "conv" layers are gated short convs;
         # conv_L_cache is the kernel width.
         layer_types = ["short_conv" if t == "conv" else t

@@ -464,6 +464,21 @@ class Lfm2Model(Qwen3Model):
                 elif m := re.match(r"layers\.(\d+)\.ffn_norm\.weight$", s):
                     yield (f"layers.{m.group(1)}."
                            f"post_attention_layernorm.weight"), w
+                elif m := re.match(r"layers\.(\d+)\.feed_forward\.gate"
+                                   r"\.weight$", s):
+                    # Lfm2Moe router (reference lfm2_moe.py:488-510).
+                    yield f"layers.{m.group(1)}.mlp.gate.weight", w
+                elif m := re.match(r"layers\.(\d+)\.feed_forward"
+                                   r"\.expert_bias$", s):
+                    yield (f"layers.{m.group(1)}.mlp."
+                           f"e_score_correction_bias"), w
+                elif m := re.match(r"layers\.(\d+)\.feed_forward\."
+                                   r"experts\.(\d+)\.w([123])\.weight$",
+                                   s):
+                    which = {"1": "gate", "3": "up",
+                             "2": "down"}[m.group(3)]
+                    yield (f"layers.{m.group(1)}.mlp.experts."
+                           f"{m.group(2)}.{which}_proj.weight"), w
                 elif m := re.match(r"layers\.(\d+)\.feed_forward\.w1"
                                    r"\.weight$", s):
                     conv_parts[(int(m.group(1)), "ffn_w1")] = np.asarray(w)

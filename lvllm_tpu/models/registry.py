@@ -256,6 +256,9 @@ def _register_builtin() -> None:
     _REGISTRY["FalconMambaForCausalLM"] = FalconMambaModel
     _REGISTRY["JambaForCausalLM"] = JambaModel
     _REGISTRY["Lfm2ForCausalLM"] = Lfm2Model
+    # Lfm2Moe: same conv/attention hybrid, MoE FFN past the first
+    # num_dense_layers (reference lfm2_moe.py).
+    _REGISTRY["Lfm2MoeForCausalLM"] = Lfm2Model
 
     # Encoder-only embedding families (registered via decorator on import).
     from lvllm_tpu.models import bert  # noqa: F401

@@ -133,3 +133,51 @@ def test_falcon_mamba_parity(tmp_path):
     finally:
         FalconMambaModel.mixer_rms_eps = orig
     assert got_off != want
+
+
+def test_lfm2_moe_dense_prefix_and_moe_smoke(tmp_path):
+    """Lfm2MoeForCausalLM (reference lfm2_moe.py): with num_dense_layers
+    covering every layer the model is exactly Lfm2 (HF oracle); the MoE
+    remap + sigmoid routing then runs end-to-end on dummy weights (the
+    routing math itself is oracle-tested in the MoE parity suites)."""
+    import json
+    cfg = transformers.Lfm2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        conv_L_cache=3, conv_bias=False,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        max_position_embeddings=128, tie_word_embeddings=False,
+        block_ff_dim=128, block_auto_adjust_ff_dim=False)
+    torch.manual_seed(3)
+    hf_model = transformers.Lfm2ForCausalLM(cfg)
+    hf_model.eval()
+    hf_model.save_pretrained(tmp_path, safe_serialization=True)
+    d = json.loads((tmp_path / "config.json").read_text())
+    d["architectures"] = ["Lfm2MoeForCausalLM"]
+    d["num_dense_layers"] = 4
+    d["num_experts"] = 8
+    d["num_experts_per_tok"] = 2
+    d["use_expert_bias"] = True
+    (tmp_path / "config.json").write_text(json.dumps(d))
+    tokens = [3, 8, 120, 4, 6, 9]
+    want = _hf_greedy(hf_model, tokens)
+    got = _our_logits_engine(str(tmp_path), tokens)
+    assert got == want, (got, want)
+
+    from lvllm_tpu.config import ModelConfig
+    from lvllm_tpu.entrypoints.llm import LLM
+    from lvllm_tpu.sampling_params import SamplingParams
+    mc = ModelConfig(
+        model="dummy", architecture="Lfm2MoeForCausalLM",
+        dtype="float32", vocab_size=128, hidden_size=64,
+        intermediate_size=96, moe_intermediate_size=32,
+        num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
+        router_scoring_fn="sigmoid", mlp_only_layers=(0,),
+        layer_types=("short_conv", "full_attention", "short_conv",
+                     "full_attention"),
+        mamba_conv_kernel=3, qk_norm=True,
+        max_position_embeddings=128, max_model_len=64, eos_token_id=-1)
+    o = LLM(model_config=mc).generate(
+        [[1, 2, 3]], SamplingParams(max_tokens=4, temperature=0.0))
+    assert len(o[0].outputs[0].token_ids) == 4
