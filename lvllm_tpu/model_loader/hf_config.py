@@ -512,7 +512,12 @@ def load_model_config(model_path: str,
                 "LlavaOnevisionForConditionalGeneration",
                 # Tarsier: llava layout + per-row newline / per-image
                 # "new" split tokens (reference: models/tarsier.py).
-                "TarsierForConditionalGeneration"):
+                "TarsierForConditionalGeneration",
+                # Mistral-format Pixtral (reference: models/pixtral.py
+                # PixtralForConditionalGeneration): llava-shaped config
+                # (pixtral tower + mistral text), both HF and
+                # mistral-native weight namings.
+                "PixtralForConditionalGeneration"):
         # Nested multimodal config: flatten text_config into the main
         # fields, keep the vision tower dict (reference:
         # transformers_utils/config.py nested-config handling).

@@ -187,9 +187,71 @@ class LlavaModel(Qwen3Model):
                     jnp.asarray(w, jnp.float32)
             # post_layernorm unused (feature_layer = -2 taps pre-final).
 
+        _NATIVE_VIS = (("attention.wq.", "attention.q_proj."),
+                       ("attention.wk.", "attention.k_proj."),
+                       ("attention.wv.", "attention.v_proj."),
+                       ("attention.wo.", "attention.o_proj."),
+                       ("feed_forward.w1.", "feed_forward.gate_proj."),
+                       ("feed_forward.w3.", "feed_forward.up_proj."),
+                       ("feed_forward.w2.", "feed_forward.down_proj."))
+
+        def _native_text(name, w):
+            # Mistral-native consolidated text naming (reference
+            # pixtral.py hf_to_vllm_mapper + mistral format): translate
+            # onto the llama names the base loader consumes.
+            if m := re.match(r"layers\.(\d+)\.(.+)", name):
+                i, rest = m.group(1), m.group(2)
+                for old, newp in (("attention.wq.", "self_attn.q_proj."),
+                                  ("attention.wk.", "self_attn.k_proj."),
+                                  ("attention.wv.", "self_attn.v_proj."),
+                                  ("attention.wo.", "self_attn.o_proj."),
+                                  ("feed_forward.w1.", "mlp.gate_proj."),
+                                  ("feed_forward.w3.", "mlp.up_proj."),
+                                  ("feed_forward.w2.", "mlp.down_proj."),
+                                  ("attention_norm.",
+                                   "input_layernorm."),
+                                  ("ffn_norm.",
+                                   "post_attention_layernorm.")):
+                    if rest.startswith(old):
+                        return (f"model.layers.{i}."
+                                f"{newp}{rest[len(old):]}"), w
+                return f"model.layers.{i}.{rest}", w
+            if name == "tok_embeddings.weight":
+                return "model.embed_tokens.weight", w
+            if name == "output.weight":
+                return "lm_head.weight", w
+            if name == "norm.weight":
+                return "model.norm.weight", w
+            return name, w
+
         def filter_stream():
             for name, w in weights:
                 name = name.removeprefix("model.")
+                if name.startswith("vision_encoder."):
+                    # Mistral-native pixtral tower names.
+                    rest = name.removeprefix("vision_encoder.")
+                    for old, newp in _NATIVE_VIS:
+                        rest = rest.replace(old, newp)
+                    _vis_put_pixtral(rest, w)
+                    continue
+                if m := re.match(
+                        r"vision_language_adapter\.w_(in|out)\.(.+)",
+                        name):
+                    lin = ("linear_1" if m.group(1) == "in"
+                           else "linear_2")
+                    kind = m.group(2)
+                    vision["projector"].setdefault(lin, {})[
+                        "kernel" if kind == "weight" else "bias"] = \
+                        jnp.asarray(np.ascontiguousarray(w.T)
+                                    if kind == "weight" else w,
+                                    jnp.float32)
+                    continue
+                if self.config.architecture == \
+                        "PixtralForConditionalGeneration" and \
+                        not name.startswith(
+                            ("vision_tower.", "multi_modal_projector.",
+                             "language_model.")):
+                    name, w = _native_text(name, w)
                 if self.is_pixtral and name.startswith("vision_tower."):
                     _vis_put_pixtral(name.removeprefix("vision_tower."), w)
                 elif name.startswith("vision_tower.vision_model."):

@@ -174,7 +174,10 @@ def _register_builtin() -> None:
                  "LlavaNextForConditionalGeneration",
                  # Mantis is plain LLaVA with a different chat recipe
                  # (reference registry.py: ("llava", "Mantis...")).
-                 "MantisForConditionalGeneration"):
+                 "MantisForConditionalGeneration",
+                 # Mistral-format Pixtral: pixtral tower + mistral text,
+                 # HF or mistral-native naming (reference pixtral.py:294).
+                 "PixtralForConditionalGeneration"):
         _REGISTRY[arch] = LlavaModel
     import lvllm_tpu.models.llava_onevision  # noqa: F401
     import lvllm_tpu.models.mistral3  # noqa: F401
