@@ -260,9 +260,15 @@ def load_model_config(model_path: str,
               "embedding_multiplier": hf.get("input_mult", 1.0),
               "logits_scaling": (hf.get("mup_scale_factor", 1.0) /
                                  hf.get("output_mult", 1.0))}
-    if arch == "QWenLMHeadModel":
+    if arch in ("QWenLMHeadModel", "QwenVLForConditionalGeneration",
+                "QWenVLForConditionalGeneration"):
         # Qwen-1 (reference: models/qwen.py): MHA with biased fused c_attn
         # only; HF intermediate_size counts gate+up halves together.
+        # Qwen-VL carries the tower under config["visual"]
+        # (reference qwen_vl.py:330; image rows use image_pad_id); the
+        # MM fields are materialized after the vision_cfg init below.
+        if hf.get("visual") or hf.get("vision_config"):
+            arch = "QWenVLForConditionalGeneration"
         hf = {**hf,
               "num_key_value_heads": hf["num_attention_heads"],
               "intermediate_size": hf["intermediate_size"] // 2,
@@ -423,6 +429,10 @@ def load_model_config(model_path: str,
     mrope_section = None
     video_token_id = None
     vision_start_token_id = None
+    if arch == "QWenVLForConditionalGeneration":
+        vis = dict(hf.get("visual") or hf.get("vision_config") or {})
+        vision_cfg = vis
+        image_token_id = vis.get("image_start_id", 151857) + 2
     if arch in ("Qwen2VLForConditionalGeneration",
                 "Qwen2_5_VLForConditionalGeneration",
                 "Qwen2VLForCausalLM",

@@ -190,6 +190,7 @@ def _register_builtin() -> None:
     _REGISTRY["MiniCPMO"] = MiniCPMVModel
     import lvllm_tpu.models.kimi_vl  # noqa: F401
     import lvllm_tpu.models.eagle2_5_vl  # noqa: F401
+    import lvllm_tpu.models.qwen_vl  # noqa: F401
     import lvllm_tpu.models.molmo  # noqa: F401
     import lvllm_tpu.models.llava_next_video  # noqa: F401
     import lvllm_tpu.models.aria  # noqa: F401
