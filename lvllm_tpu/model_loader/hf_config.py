@@ -433,6 +433,12 @@ def load_model_config(model_path: str,
         vis = dict(hf.get("visual") or hf.get("vision_config") or {})
         vision_cfg = vis
         image_token_id = vis.get("image_start_id", 151857) + 2
+    if arch == "Phi3VForCausalLM":
+        # Phi-3-Vision (reference phi3v.py): Phi-3 text keys at top level
+        # + img_processor dict; the serving placeholder id is 32044
+        # (reference _IMAGE_TOKEN_ID).
+        vision_cfg = dict(hf.get("img_processor") or {})
+        image_token_id = hf.get("image_token_id", 32044)
     if arch in ("Qwen2VLForConditionalGeneration",
                 "Qwen2_5_VLForConditionalGeneration",
                 "Qwen2VLForCausalLM",

@@ -221,6 +221,7 @@ def _register_builtin() -> None:
 
     from lvllm_tpu.models.phi3 import Phi3Model
     _REGISTRY["Phi3ForCausalLM"] = Phi3Model
+    import lvllm_tpu.models.phi3v  # noqa: F401
 
     from lvllm_tpu.models.mamba2 import BambaModel, Mamba2Model
     _REGISTRY["Mamba2ForCausalLM"] = Mamba2Model
