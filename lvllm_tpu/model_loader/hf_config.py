@@ -564,6 +564,19 @@ def load_model_config(model_path: str,
         hf = {**hf, **text}
         arch = outer_arch
     override_arch = None
+    if arch == "MiniMaxVL01ForConditionalGeneration":
+        # MiniMax-VL-01 (reference minimax_vl_01.py:181): llava-shaped
+        # composite over the lightning-attention text model — flatten
+        # text_config and run the MiniMaxText01 fixups.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["vision_feature_layer"] = hf.get("vision_feature_layer",
+                                                    -2)
+        image_token_id = hf.get("image_token_index",
+                                hf.get("image_token_id"))
+        text = dict(hf.get("text_config") or {})
+        hf = {**hf, **text}
+        override_arch, arch = arch, (text.get("architectures") or
+                                     ["MiniMaxText01ForCausalLM"])[0]
     _retrieval_arch = None
     if arch == "ColPaliForRetrieval":
         # ColPali (reference colpali.py; HF ColPaliConfig): PaliGemma

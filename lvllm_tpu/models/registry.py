@@ -241,6 +241,7 @@ def _register_builtin() -> None:
     from lvllm_tpu.models import chatglm  # noqa: F401
     from lvllm_tpu.models import kimi_linear  # noqa: F401
     from lvllm_tpu.models import minimax_text01  # noqa: F401
+    from lvllm_tpu.models import minimax_vl01  # noqa: F401
 
     from lvllm_tpu.models.deepseek import DeepseekModel
     for arch in ("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM",
