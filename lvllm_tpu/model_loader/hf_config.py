@@ -866,7 +866,10 @@ def load_model_config(model_path: str,
             ["Qwen2ForCausalLM"]
         text.setdefault("attention_bias", True)
         hf = {**hf, **text}
-    if arch == "Mistral3ForConditionalGeneration":
+    if arch in ("Mistral3ForConditionalGeneration",
+                # LightOnOCR = Mistral3 math under renamed prefixes
+                # (reference lightonocr.py:134).
+                "LightOnOCRForConditionalGeneration"):
         # Mistral Small 3.1 VLM (models/mistral3.py): Pixtral tower +
         # patch merger; spatial_merge_size lives on the OUTER config.
         vision_cfg = dict(hf.get("vision_config") or {})

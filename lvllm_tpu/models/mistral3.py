@@ -107,3 +107,23 @@ class Mistral3Model(LlavaModel):
         params = super().load_weights(filter_stream())
         params["vision"]["projector"] = proj
         return params
+
+
+@register_model("LightOnOCRForConditionalGeneration")
+class LightOnOCRModel(Mistral3Model):
+    """LightOnOCR (reference lightonocr.py:134): Mistral3 math under
+    model.vision_encoder. / model.vision_projection. checkpoint
+    prefixes."""
+
+    def load_weights(self, weights):
+        def rename():
+            for name, w in weights:
+                if name.startswith("model.vision_encoder."):
+                    name = ("vision_tower." +
+                            name.removeprefix("model.vision_encoder."))
+                elif name.startswith("model.vision_projection."):
+                    name = ("multi_modal_projector." + name.removeprefix(
+                        "model.vision_projection."))
+                yield name, w
+
+        return super().load_weights(rename())

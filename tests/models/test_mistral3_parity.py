@@ -70,3 +70,62 @@ def test_mistral3_logits_parity(tmp_path):
                       mm_mask=jnp.asarray(mm_mask))
     ours = np.asarray(model.compute_logits(params, hidden), np.float32)
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_lightonocr_prefix_remap(tmp_path):
+    """LightOnOCR = Mistral3 under model.vision_encoder./
+    model.vision_projection. prefixes (reference lightonocr.py:134):
+    renamed checkpoint must produce identical image features."""
+    import json
+    from safetensors.torch import load_file, save_file
+    vc = transformers.PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=56, patch_size=14,
+        head_dim=16, rope_theta=10000.0)
+    tc = transformers.MistralConfig(
+        vocab_size=64, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0)
+    cfg = transformers.Mistral3Config(
+        vision_config=vc, text_config=tc, image_token_index=IMG_TOK,
+        spatial_merge_size=2, multimodal_projector_bias=False,
+        vision_feature_layer=-1, projector_hidden_act="gelu")
+    torch.manual_seed(7)
+    hf = transformers.Mistral3ForConditionalGeneration(cfg).eval()
+    hf.save_pretrained(str(tmp_path), safe_serialization=True)
+    rng = np.random.default_rng(3)
+    pixels = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+
+    from lvllm_tpu.model_loader.hf_config import load_model_config
+    from lvllm_tpu.model_loader.loader import load_model
+    mc = load_model_config(str(tmp_path), max_model_len=64,
+                           dtype="float32")
+    m1, p1 = load_model(mc, "safetensors")
+    want = np.asarray(m1.encode_images(p1, jnp.asarray(pixels)))
+
+    t = load_file(str(tmp_path / "model.safetensors"))
+    out = {}
+    for name, w in t.items():
+        name = name.removeprefix("model.")
+        if name.startswith("vision_tower."):
+            out["model.vision_encoder." +
+                name.removeprefix("vision_tower.")] = w
+        elif name.startswith("multi_modal_projector."):
+            out["model.vision_projection." +
+                name.removeprefix("multi_modal_projector.")] = w
+        elif name.startswith("language_model."):
+            out["model.language_model." +
+                name.removeprefix("language_model.")] = w
+        else:
+            out[name] = w
+    ck = tmp_path / "lighton"
+    ck.mkdir()
+    save_file(out, str(ck / "model.safetensors"))
+    d = json.loads((tmp_path / "config.json").read_text())
+    d["architectures"] = ["LightOnOCRForConditionalGeneration"]
+    (ck / "config.json").write_text(json.dumps(d))
+    mc2 = load_model_config(str(ck), max_model_len=64, dtype="float32")
+    assert mc2.architecture == "LightOnOCRForConditionalGeneration"
+    m2, p2 = load_model(mc2, "safetensors")
+    got = np.asarray(m2.encode_images(p2, jnp.asarray(pixels)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
