@@ -173,6 +173,10 @@ class ModelConfig:
     # get_colbert_dim_from_config: colbert_dim | dim | projection_dim).
     colbert_dim: Optional[int] = None
 
+    # Step3 two-stage query: x → q_proj [share_q_dim] → RMS inter_norm →
+    # wq [heads*head_dim] (reference step3_text.py:139-220).
+    share_q_dim: Optional[int] = None
+
     # Hybrid layer schedule (Qwen3-Next): per-layer "full_attention" |
     # "linear_attention"; None = all full attention.
     layer_types: Optional[Tuple[str, ...]] = None

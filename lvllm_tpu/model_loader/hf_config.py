@@ -384,6 +384,27 @@ def load_model_config(model_path: str,
               "mlp_only_layers": [
                   i for i in range(L)
                   if not (i >= fk and (i - fk) % freq == 0)]}
+    if arch == "Step3TextForCausalLM":
+        # Step-3 text (reference step3_text.py): MQA head_dim 256 with a
+        # compressed two-stage query; MoE on moe_layers_enum (default all
+        # but layer 0) with softmax routing + an always-on share expert.
+        L = hf["num_hidden_layers"]
+        enum = hf.get("moe_layers_enum")
+        moe_idx = (set(int(i) for i in str(enum).strip().split(","))
+                   if enum else set(range(1, L)))
+        hf = {**hf,
+              "num_key_value_heads": 1,
+              "num_experts": hf.get("moe_num_experts", 0),
+              "num_experts_per_tok": hf.get("moe_top_k", 2),
+              "norm_topk_prob": bool(hf.get("norm_expert_weight", False)),
+              "n_shared_experts": 1 if hf.get("share_expert_dim") else 0,
+              "shared_expert_intermediate_size": hf.get("share_expert_dim"),
+              "mlp_only_layers": [i for i in range(L) if i not in moe_idx],
+              "max_position_embeddings": hf.get("max_position_embedding",
+                                                hf.get(
+                                                    "max_position_embeddings",
+                                                    8192)),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
     if arch == "AfmoeForCausalLM":
         # Afmoe (reference: models/afmoe.py): gated attention output,
         # qk-norm, NoPE on full-attention layers (rope only on sliding),
@@ -1827,6 +1848,7 @@ def load_model_config(model_path: str,
         local_rope_theta=hf.get("local_rope_theta", 10000.0),
         classifier_pooling=hf.get("classifier_pooling", "cls"),
         colbert_dim=hf.get("colbert_dim"),
+        share_q_dim=hf.get("share_q_dim"),
         router_logit_softcap=hf.get("router_logit_softcap"),
         attn_output_multiplier=hf.get("attn_output_multiplier", 1.0),
         attn_gate_proj=arch == "AfmoeForCausalLM",
