@@ -384,27 +384,6 @@ def load_model_config(model_path: str,
               "mlp_only_layers": [
                   i for i in range(L)
                   if not (i >= fk and (i - fk) % freq == 0)]}
-    if arch == "Step3TextForCausalLM":
-        # Step-3 text (reference step3_text.py): MQA head_dim 256 with a
-        # compressed two-stage query; MoE on moe_layers_enum (default all
-        # but layer 0) with softmax routing + an always-on share expert.
-        L = hf["num_hidden_layers"]
-        enum = hf.get("moe_layers_enum")
-        moe_idx = (set(int(i) for i in str(enum).strip().split(","))
-                   if enum else set(range(1, L)))
-        hf = {**hf,
-              "num_key_value_heads": 1,
-              "num_experts": hf.get("moe_num_experts", 0),
-              "num_experts_per_tok": hf.get("moe_top_k", 2),
-              "norm_topk_prob": bool(hf.get("norm_expert_weight", False)),
-              "n_shared_experts": 1 if hf.get("share_expert_dim") else 0,
-              "shared_expert_intermediate_size": hf.get("share_expert_dim"),
-              "mlp_only_layers": [i for i in range(L) if i not in moe_idx],
-              "max_position_embeddings": hf.get("max_position_embedding",
-                                                hf.get(
-                                                    "max_position_embeddings",
-                                                    8192)),
-              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
     if arch == "AfmoeForCausalLM":
         # Afmoe (reference: models/afmoe.py): gated attention output,
         # qk-norm, NoPE on full-attention layers (rope only on sliding),
@@ -585,6 +564,37 @@ def load_model_config(model_path: str,
         hf = {**hf, **text}
         arch = outer_arch
     override_arch = None
+    if arch == "Step3VLForConditionalGeneration":
+        # Step3-VL (reference step3_vl.py:490): Step3 vision tower +
+        # conv downsamplers over the Step-3 text decoder; flatten
+        # text_config and run the Step3Text fixups below.
+        vision_cfg = dict(hf.get("vision_config") or {})
+        vision_cfg["understand_projector_stride"] = hf.get(
+            "understand_projector_stride", 2)
+        image_token_id = hf.get("image_token_id", 128001)
+        hf = {**hf, **dict(hf.get("text_config") or {})}
+        override_arch, arch = arch, "Step3TextForCausalLM"
+    if arch == "Step3TextForCausalLM":
+        # Step-3 text (reference step3_text.py): MQA head_dim 256 with a
+        # compressed two-stage query; MoE on moe_layers_enum (default all
+        # but layer 0) with softmax routing + an always-on share expert.
+        L = hf["num_hidden_layers"]
+        enum = hf.get("moe_layers_enum")
+        moe_idx = (set(int(i) for i in str(enum).strip().split(","))
+                   if enum else set(range(1, L)))
+        hf = {**hf,
+              "num_key_value_heads": 1,
+              "num_experts": hf.get("moe_num_experts", 0),
+              "num_experts_per_tok": hf.get("moe_top_k", 2),
+              "norm_topk_prob": bool(hf.get("norm_expert_weight", False)),
+              "n_shared_experts": 1 if hf.get("share_expert_dim") else 0,
+              "shared_expert_intermediate_size": hf.get("share_expert_dim"),
+              "mlp_only_layers": [i for i in range(L) if i not in moe_idx],
+              "max_position_embeddings": hf.get("max_position_embedding",
+                                                hf.get(
+                                                    "max_position_embeddings",
+                                                    8192)),
+              "tie_word_embeddings": hf.get("tie_word_embeddings", False)}
     if arch == "MiniMaxVL01ForConditionalGeneration":
         # MiniMax-VL-01 (reference minimax_vl_01.py:181): llava-shaped
         # composite over the lightning-attention text model — flatten

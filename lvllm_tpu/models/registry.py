@@ -237,6 +237,7 @@ def _register_builtin() -> None:
 
     from lvllm_tpu.models import longcat_flash  # noqa: F401
     from lvllm_tpu.models import step3_text  # noqa: F401
+    from lvllm_tpu.models import step3_vl  # noqa: F401
     from lvllm_tpu.models import zamba2  # noqa: F401
     from lvllm_tpu.models import nemotron_h  # noqa: F401
     from lvllm_tpu.models import chatglm  # noqa: F401
